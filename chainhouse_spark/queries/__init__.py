@@ -1,0 +1,20 @@
+"""Analytic query registry — the capability-parity surface (SURVEY.md §2.6).
+
+Importing this package loads every query module, which registers each query
+with the registry in `registry.py`. `__spark_entry__.py` exposes the registry
+to the driver.
+"""
+
+from chainhouse_spark.queries.registry import QUERIES, ORACLES, register  # noqa: F401
+
+# Import for side effect: each module registers its queries.
+from chainhouse_spark.queries import tpch  # noqa: E402,F401
+from chainhouse_spark.queries import joins  # noqa: E402,F401
+from chainhouse_spark.queries import aggregates  # noqa: E402,F401
+from chainhouse_spark.queries import windows  # noqa: E402,F401
+from chainhouse_spark.queries import setops  # noqa: E402,F401
+from chainhouse_spark.queries import scalars  # noqa: E402,F401
+from chainhouse_spark.queries import subqueries  # noqa: E402,F401
+from chainhouse_spark.queries import llm_text  # noqa: E402,F401
+from chainhouse_spark.queries import llm_dedup  # noqa: E402,F401
+from chainhouse_spark.queries import llm_similarity  # noqa: E402,F401

@@ -1,0 +1,65 @@
+"""Spark-vs-DuckDB result comparison mirroring the driver's correctness gate:
+row-count + column names + order-insensitive value comparison.
+"""
+
+from __future__ import annotations
+
+import math
+from decimal import Decimal
+
+import numpy as np
+import pandas as pd
+
+
+def _canon_cell(v):
+    if v is None:
+        return "NULL"
+    if isinstance(v, float):
+        if math.isnan(v):
+            return "NULL"
+        return repr(v)
+    if isinstance(v, (np.floating,)):
+        f = float(v)
+        return "NULL" if math.isnan(f) else repr(f)
+    if isinstance(v, (np.integer,)):
+        return str(int(v))
+    if isinstance(v, Decimal):
+        return str(v)
+    if isinstance(v, (bytes, bytearray)):
+        return v.hex()
+    if isinstance(v, (list, tuple, np.ndarray)):
+        return "[" + ",".join(_canon_cell(x) for x in v) + "]"
+    if isinstance(v, pd.Timestamp):
+        return v.isoformat()
+    if v is pd.NaT:
+        return "NULL"
+    try:
+        if pd.isna(v):
+            return "NULL"
+    except (TypeError, ValueError):
+        pass
+    return str(v)
+
+
+def canon_rows(df: pd.DataFrame) -> list[tuple]:
+    cols = sorted(df.columns)
+    out = [tuple(_canon_cell(v) for v in row) for row in df[cols].itertuples(index=False, name=None)]
+    out.sort()
+    return out
+
+
+def compare_frames(spark_pdf: pd.DataFrame, duck_pdf: pd.DataFrame) -> list[str]:
+    """Return a list of human-readable mismatch descriptions (empty == match)."""
+    issues: list[str] = []
+    s_cols, d_cols = sorted(spark_pdf.columns), sorted(duck_pdf.columns)
+    if s_cols != d_cols:
+        issues.append(f"columns differ: spark={s_cols} duckdb={d_cols}")
+        return issues
+    if len(spark_pdf) != len(duck_pdf):
+        issues.append(f"row count differs: spark={len(spark_pdf)} duckdb={len(duck_pdf)}")
+    s_rows, d_rows = canon_rows(spark_pdf), canon_rows(duck_pdf)
+    if s_rows != d_rows:
+        only_s = [r for r in s_rows if r not in set(d_rows)][:5]
+        only_d = [r for r in d_rows if r not in set(s_rows)][:5]
+        issues.append(f"values differ; sample only-in-spark={only_s} only-in-duckdb={only_d} (cols={s_cols})")
+    return issues

@@ -1,0 +1,45 @@
+"""Run every registered query in Spark AND its DuckDB oracle, compare results.
+
+This mirrors the driver's t2 correctness gate (CORRECTNESS_r{N}.json) so
+regressions are caught locally before a round ends.
+"""
+
+from __future__ import annotations
+
+import duckdb
+import pytest
+
+from chainhouse_spark.queries import ORACLES, QUERIES
+from tests.compare import compare_frames
+
+from tests.conftest import SF_DIR
+
+
+def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    con = duckdb.connect()
+    for t in [
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ]:
+        con.execute(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
+    return con
+
+
+@pytest.fixture(scope="module")
+def duck():
+    con = _duck_con(SF_DIR)
+    yield con
+    con.close()
+
+
+@pytest.mark.parametrize("name", sorted(QUERIES))
+def test_query_matches_oracle(name, spark, sf_dir, duck):
+    sdf = QUERIES[name](spark, sf_dir)
+    spdf = sdf.toPandas()
+    if name not in ORACLES:
+        # Rows-only check (driver's weaker gate for non-SQL-expressible ops).
+        assert spdf is not None
+        return
+    dpdf = duck.execute(ORACLES[name]).df()
+    issues = compare_frames(spdf, dpdf)
+    assert not issues, f"{name}: " + " | ".join(issues)
