@@ -1,1 +1,197 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Aggregation coverage — SURVEY.md §2.6 "Aggregation" parity surface.
+
+Hash/sort agg, partial+final (map-side combine is automatic in Spark),
+distinct aggregates, rollup/cube/grouping sets, min_by/max_by, exact
+percentiles, ordered string aggregation, and an approximate-distinct
+(rows-only gate: HLL implementations differ across engines by design).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+
+@register(
+    "agg_distinct",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        COUNT(DISTINCT o_custkey) AS n_customers,
+        COUNT(*) AS n_orders,
+        CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_distinct_price
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.countDistinct("o_custkey").alias("n_customers"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr(
+            "CAST(SUM(DISTINCT CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)"
+        ).alias("sum_distinct_price"),
+    )
+
+
+@register(
+    "agg_rollup",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hierarchical subtotals; GROUPING() disambiguates subtotal rows from
+    genuine NULL group keys."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.rollup("l_returnflag", "l_linestatus").agg(
+        F.grouping("l_returnflag").cast("int").alias("g_flag"),
+        F.grouping("l_linestatus").cast("int").alias("g_status"),
+        F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").alias("sum_qty"),
+        F.count(F.lit(1)).alias("n_rows"),
+    )
+
+
+@register(
+    "agg_cube",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        o_orderpriority,
+        CAST(GROUPING(o_orderstatus) AS INT) AS g_status,
+        CAST(GROUPING(o_orderpriority) AS INT) AS g_priority,
+        COUNT(*) AS n_orders,
+        CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE) AS total
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+)
+def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.cube("o_orderstatus", "o_orderpriority").agg(
+        F.grouping("o_orderstatus").cast("int").alias("g_status"),
+        F.grouping("o_orderpriority").cast("int").alias("g_priority"),
+        F.count(F.lit(1)).alias("n_orders"),
+        F.expr("CAST(SUM(CAST(o_totalprice AS DECIMAL(12,2))) AS DOUBLE)").alias("total"),
+    )
+
+
+@register(
+    "agg_grouping_sets",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_shipmonth,
+        CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+    FROM (
+        SELECT l_returnflag, CAST(date_trunc('month', l_shipdate) AS TIMESTAMP) AS l_shipmonth,
+               l_extendedprice
+        FROM lineitem
+    )
+    GROUP BY GROUPING SETS ((l_returnflag), (l_shipmonth))
+    """,
+)
+def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    li.select(
+        "l_returnflag",
+        F.date_trunc("month", F.col("l_shipdate")).alias("l_shipmonth"),
+        "l_extendedprice",
+    ).createOrReplaceTempView("_li_gs")
+    return spark.sql(
+        """
+        SELECT l_returnflag, l_shipmonth,
+               CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS revenue
+        FROM _li_gs
+        GROUP BY GROUPING SETS ((l_returnflag), (l_shipmonth))
+        """
+    )
+
+
+@register(
+    "agg_min_max_by",
+    oracle="""
+    SELECT
+        o_orderstatus,
+        MIN(o_orderkey) AS first_key,
+        MAX(o_orderkey) AS last_key,
+        ARG_MAX(o_orderkey, o_totalprice) AS biggest_order_key,
+        ARG_MIN(o_orderkey, o_totalprice) AS smallest_order_key
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+)
+def agg_min_max_by(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """max_by/min_by (ClickHouse argMax/argMin equivalents)."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderstatus").agg(
+        F.min("o_orderkey").alias("first_key"),
+        F.max("o_orderkey").alias("last_key"),
+        F.expr("MAX_BY(o_orderkey, o_totalprice)").alias("biggest_order_key"),
+        F.expr("MIN_BY(o_orderkey, o_totalprice)").alias("smallest_order_key"),
+    )
+
+
+@register(
+    "agg_percentiles",
+    oracle="""
+    SELECT
+        l_returnflag,
+        QUANTILE_CONT(l_quantity, 0.5) AS median_qty,
+        QUANTILE_CONT(l_extendedprice, 0.9) AS p90_price,
+        MIN(l_quantity) AS min_qty,
+        MAX(l_quantity) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
+def agg_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact interpolated percentiles (percentile_cont semantics both engines)."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr("PERCENTILE(l_quantity, 0.5)").alias("median_qty"),
+        F.expr("PERCENTILE(l_extendedprice, 0.9)").alias("p90_price"),
+        F.min("l_quantity").alias("min_qty"),
+        F.max("l_quantity").alias("max_qty"),
+    )
+
+
+@register(
+    "agg_string_collect",
+    oracle="""
+    SELECT
+        n_regionkey,
+        STRING_AGG(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation
+    GROUP BY n_regionkey
+    """,
+)
+def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered list aggregation: sort the collected array for determinism."""
+    n = load_table(spark, sf_dir, "nation")
+    return n.groupBy("n_regionkey").agg(
+        F.array_join(F.array_sort(F.collect_list("n_name")), ",").alias("nations")
+    )
+
+
+@register("agg_approx_distinct")  # no oracle: HLL sketches differ across engines
+def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_count_distinct (HLL++). Rows-only gate; exact twin is
+    `agg_distinct`. At 100 TB this is the only affordable distinct-count."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_orderkey").alias("approx_orders"),
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+    )

@@ -1,1 +1,185 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Join strategy coverage — SURVEY.md §2.6 "Joins" parity surface.
+
+The reference's only join is the positional tx↔receipt merge (F2,
+reference src/main.rs:210); every relational join flavor below is part of
+the ClickHouse-replacement query surface.
+
+Scale notes: dimension sides (region/nation/customer/supplier/part at any
+SF) are explicitly `broadcast()` so the fact side never shuffles for them;
+fact-fact joins shuffle once on the join key. Semi/anti compile to
+Broadcast/ShuffledHashJoin with LeftSemi/LeftAnti — no row multiplication.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+
+@register(
+    "join_inner_broadcast",
+    oracle="""
+    SELECT c_custkey, c_name, n_name, r_name
+    FROM customer
+    JOIN nation ON c_nationkey = n_nationkey
+    JOIN region ON n_regionkey = r_regionkey
+    """,
+)
+def join_inner_broadcast(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Star-join of a fact-ish table against two broadcast dimensions."""
+    cu = load_table(spark, sf_dir, "customer")
+    n = load_table(spark, sf_dir, "nation")
+    r = load_table(spark, sf_dir, "region")
+    return (
+        cu.join(F.broadcast(n), cu.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .select("c_custkey", "c_name", "n_name", "r_name")
+    )
+
+
+@register(
+    "join_left_outer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer
+    LEFT JOIN orders ON o_custkey = c_custkey AND o_orderstatus = 'O'
+    """,
+)
+def join_left_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left outer with a pushed-into-join filter on the right side."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return cu.join(
+        o, (o.o_custkey == cu.c_custkey) & (o.o_orderstatus == "O"), "left"
+    ).select("c_custkey", "o_orderkey", "o_totalprice")
+
+
+@register(
+    "join_full_outer",
+    oracle="""
+    SELECT n_nationkey, n_name, s_suppkey, s_name
+    FROM nation
+    FULL JOIN supplier ON s_nationkey = n_nationkey
+    """,
+)
+def join_full_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cu = load_table(spark, sf_dir, "nation")
+    s = load_table(spark, sf_dir, "supplier")
+    return cu.join(s, s.s_nationkey == cu.n_nationkey, "full").select(
+        "n_nationkey", "n_name", "s_suppkey", "s_name"
+    )
+
+
+@register(
+    "join_semi",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE EXISTS (
+        SELECT 1 FROM orders
+        WHERE o_custkey = c_custkey AND o_totalprice > 200000
+    )
+    """,
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-semi: customers having at least one big order. No row multiplication."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return cu.join(
+        o.filter(F.col("o_totalprice") > 200000),
+        cu.c_custkey == o.o_custkey,
+        "left_semi",
+    ).select("c_custkey", "c_name")
+
+
+@register(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Left-anti: customers with no orders at all."""
+    cu = load_table(spark, sf_dir, "customer")
+    o = load_table(spark, sf_dir, "orders")
+    return cu.join(o, cu.c_custkey == o.o_custkey, "left_anti").select(
+        "c_custkey", "c_name"
+    )
+
+
+@register(
+    "join_cross",
+    oracle="""
+    SELECT r_name, n_name FROM region CROSS JOIN nation
+    """,
+)
+def join_cross(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit cartesian product of two small dimensions (5 × 25)."""
+    r = load_table(spark, sf_dir, "region")
+    n = load_table(spark, sf_dir, "nation")
+    return r.crossJoin(n).select("r_name", "n_name")
+
+
+@register(
+    "join_fact_fact",
+    oracle="""
+    SELECT o_orderkey, o_totalprice,
+           CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS lineitem_total,
+           COUNT(*) AS n_lines
+    FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    GROUP BY o_orderkey, o_totalprice
+    """,
+)
+def join_fact_fact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fact-fact shuffle join on the natural key, then re-aggregate.
+
+    At 100 TB both sides would be bucketed on orderkey so this is a
+    co-partitioned sort-merge join with no extra shuffle.
+    """
+    o = load_table(spark, sf_dir, "orders")
+    li = load_table(spark, sf_dir, "lineitem")
+    return (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "o_totalprice")
+        .agg(
+            F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").alias(
+                "lineitem_total"
+            ),
+            F.count(F.lit(1)).alias("n_lines"),
+        )
+    )
+
+
+@register(
+    "join_self",
+    oracle="""
+    SELECT a.l_orderkey, a.l_linenumber AS line_a, b.l_linenumber AS line_b
+    FROM lineitem a
+    JOIN lineitem b
+      ON a.l_orderkey = b.l_orderkey AND a.l_linenumber < b.l_linenumber
+    WHERE a.l_partkey = b.l_partkey
+    """,
+)
+def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Self-join: pairs of lines in one order touching the same part."""
+    li = load_table(spark, sf_dir, "lineitem")
+    a = li.alias("a")
+    b = li.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_linenumber") < F.col("b.l_linenumber"))
+            & (F.col("a.l_partkey") == F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_orderkey").alias("l_orderkey"),
+            F.col("a.l_linenumber").alias("line_a"),
+            F.col("b.l_linenumber").alias("line_b"),
+        )
+    )

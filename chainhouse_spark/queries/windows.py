@@ -1,1 +1,183 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Window function coverage — SURVEY.md §2.6 "Window functions" surface.
+
+Ranking (row_number/rank/dense_rank/ntile), offsets (lag/lead), running
+and sliding frames (ROWS BETWEEN), and first/last value. Every ordering
+includes a unique tie-break column so results are deterministic across
+engines.
+
+Scale notes: each window shuffles once on its partition key; the partition
+keys here (customer, user, returnflag) are high-cardinality enough that no
+single partition dominates. A global (un-partitioned) window is avoided —
+it would serialize through one task at 100 TB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+
+@register(
+    "window_topn_per_group",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn
+    FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY o_totalprice DESC, o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    WHERE rn <= 3
+    """,
+)
+def window_topn_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 orders per customer — the canonical de-duplicating rank filter."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_custkey").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return (
+        o.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"), "o_orderkey", "o_totalprice", "rn"
+        )
+    )
+
+
+@register(
+    "window_rank_dense_ntile",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderstatus,
+           RANK()       OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS rnk,
+           DENSE_RANK() OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS drnk,
+           NTILE(4)     OVER (PARTITION BY o_orderstatus ORDER BY o_totalprice DESC, o_orderkey) AS quartile
+    FROM orders
+    """,
+)
+def window_rank_dense_ntile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderstatus").orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+    return o.select(
+        "o_orderkey",
+        "o_orderstatus",
+        F.rank().over(w).alias("rnk"),
+        F.dense_rank().over(w).alias("drnk"),
+        F.ntile(4).over(w).alias("quartile"),
+    )
+
+
+@register(
+    "window_lag_lead",
+    oracle="""
+    SELECT user_id, event_id, event_type,
+           LAG(event_type)  OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type,
+           LEAD(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS next_type,
+           CAST(date_diff('second',
+                LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id),
+                ts) AS BIGINT) AS secs_since_prev
+    FROM events
+    """,
+)
+def window_lag_lead(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sessionization primitive: previous/next event and inter-event gap."""
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return e.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        F.lag("event_type").over(w).alias("prev_type"),
+        F.lead("event_type").over(w).alias("next_type"),
+        (
+            F.unix_seconds(F.col("ts").cast("timestamp"))
+            - F.lag(F.unix_seconds(F.col("ts").cast("timestamp"))).over(w)
+        ).alias("secs_since_prev"),
+    )
+
+
+@register(
+    "window_running_sum",
+    oracle="""
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS running_value,
+           COUNT(*) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS running_n
+    FROM events
+    """,
+)
+def window_running_sum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative per-user value; decimal accumulator keeps it order-exact."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("running_value"),
+        F.count(F.lit(1)).over(w).alias("running_n"),
+    )
+
+
+@register(
+    "window_sliding_frame",
+    oracle="""
+    SELECT user_id, event_id,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 2 PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS sum_last3
+    FROM events
+    """,
+)
+def window_sliding_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(-2, 0)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.sum(F.col("value").cast("decimal(18,6)")).over(w).cast("double").alias("sum_last3"),
+    )
+
+
+@register(
+    "window_first_last",
+    oracle="""
+    SELECT DISTINCT user_id,
+           FIRST_VALUE(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS first_type,
+           LAST_VALUE(event_type) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING
+           ) AS last_type
+    FROM events
+    """,
+)
+def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First/last event type per user over the full partition frame."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    return e.select(
+        "user_id",
+        F.first("event_type").over(w).alias("first_type"),
+        F.last("event_type").over(w).alias("last_type"),
+    ).distinct()

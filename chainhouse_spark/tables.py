@@ -7,6 +7,7 @@ documents embeddings — one parquet each under an sf dir.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 TABLE_NAMES = [
     "region",
@@ -23,6 +24,16 @@ TABLE_NAMES = [
 
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    if name == "events":
+        # events.ts is Parquet TIMESTAMP(NANOS), which Spark's reader rejects
+        # outright. Read it as raw nanos (legacy conf, runtime-settable) and
+        # convert to TIMESTAMP_NTZ at microsecond precision — lossless for
+        # this data (no sub-microsecond components) and matching what DuckDB
+        # reads. `div` keeps the arithmetic in exact integer space.
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
+            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+        )
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
