@@ -1,0 +1,127 @@
+"""Similarity search over embedding columns.
+
+- brute_force_topk: exact cosine top-k of every query vector against the
+  corpus — broadcast the (small) query set, per-partition scoring, global
+  top-k via window rank. The correctness baseline.
+- lsh_topk: sign-bit LSH bucketing; queries only score candidates in their
+  bucket — the scale path (bucket count grows 2^nbits; each probe touches
+  ~corpus/2^nbits vectors). Recall < 1 by construction; measured against
+  the brute-force baseline in tests.
+- embedding_near_pairs: all near-duplicate pairs above a cosine threshold,
+  blocked by a partition key (here: label) so the pair space never goes
+  quadratic in the corpus.
+
+Cosine is the ordered-fold expression from functions.vector — bit-exact
+and DuckDB-oracle-able (see that module's docstring).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from chainhouse_spark.functions.vector import cosine_sql, sign_bucket
+
+
+def brute_force_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Exact top-k neighbors by cosine for each query vector.
+
+    The query side is broadcast (queries ≪ corpus always); scoring is a
+    map-only pass over the corpus; ranking is one shuffle on query_id.
+    """
+    q = queries.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+    )
+    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def lsh_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nbits: int = 8,
+) -> DataFrame:
+    """Approximate top-k: only candidates sharing the query's sign-bit LSH
+    bucket are scored. Same output shape as brute_force_topk."""
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_bucket(vec_col, nbits).alias("bucket"),
+    )
+    c = corpus.select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_bucket(vec_col, nbits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )
+
+
+def embedding_near_pairs(
+    df: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "label",
+    threshold: float = 0.35,
+) -> DataFrame:
+    """Embedding-cosine near-duplicate pairs within blocking groups.
+
+    Blocking keeps the pair space linear-ish; at 100 TB the block key would
+    be an LSH bucket (see lsh_topk) rather than a label."""
+    a = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("vec_a"),
+        F.col(vec_col).alias("va"),
+    )
+    b = df.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("vec_b"),
+        F.col(vec_col).alias("vb"),
+    )
+    return (
+        a.join(b, "blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "blk",
+            "vec_a",
+            "vec_b",
+            F.expr(cosine_sql("va", "vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )

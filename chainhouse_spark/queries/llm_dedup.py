@@ -1,1 +1,156 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Deduplication queries over the documents table — the training-data
+pipeline surface (exact, normalized-exact, MinHash-LSH, exact n-gram
+Jaccard, SimHash). Every stage is md5-based and therefore fully
+DuckDB-oracle-able, including MinHash (lexicographic minima of md5 hex
+strings reproduce exactly across engines).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.operators.dedup import (
+    exact_dedup,
+    lsh_candidate_pairs,
+    minhash_signatures,
+    ngram_jaccard_pairs,
+    simhash,
+    simhash_near_pairs,
+)
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+# Shared DuckDB CTEs: distinct 3-word shingles per doc.
+_DUCK_SHINGLES = """
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM tok, LATERAL (SELECT UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS i) ii
+    )
+"""
+
+
+@register(
+    "dedup_exact",
+    oracle="""
+    SELECT md5(text) AS content_key, MIN(doc_id) AS canonical_id, COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY md5(text)
+    """,
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+
+@register(
+    "dedup_exact_normalized",
+    oracle="""
+    SELECT md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS content_key,
+           MIN(doc_id) AS canonical_id,
+           COUNT(*) AS n_copies
+    FROM documents
+    GROUP BY 1
+    """,
+)
+def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return exact_dedup(load_table(spark, sf_dir, "documents"), normalized=True)
+
+
+@register(
+    "dedup_minhash_lsh",
+    oracle="""
+    WITH
+    """ + _DUCK_SHINGLES + """,
+    mh AS (
+        SELECT doc_id, s.s AS s, MIN(md5(CAST(s.s AS VARCHAR) || ':' || shingle)) AS h
+        FROM sh, (SELECT UNNEST(range(0, 16)) AS s) s
+        GROUP BY doc_id, s.s
+    ),
+    sig AS (SELECT doc_id, ARRAY_AGG(h ORDER BY s) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.b AS band,
+               md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ',')) AS bh
+        FROM sig, (SELECT UNNEST(range(0, 4)) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b AND mb.s = ma.s
+    GROUP BY c.doc_a, c.doc_b
+    """,
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MinHash(16) + LSH(4 bands × 4 rows) candidate pairs with estimated
+    Jaccard. The scale path for near-dedup: no all-pairs comparison."""
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_words=3)
+    return lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+
+
+@register(
+    "dedup_ngram_jaccard",
+    oracle="""
+    WITH
+    """ + _DUCK_SHINGLES + """,
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    """,
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact Jaccard ≥ 0.8 near-dup pairs (the verifier stage after LSH)."""
+    return ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), shingle_words=3, threshold=0.8
+    )
+
+
+@register(
+    "dedup_simhash",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    bits AS (
+        SELECT doc_id, j.j AS j,
+               CASE WHEN ((instr('0123456789abcdef', substr(h, (j.j // 4) + 1, 1)) - 1)
+                          >> (j.j % 4)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        FROM h, (SELECT UNNEST(range(0, 32)) AS j) j
+    ),
+    s AS (SELECT doc_id, j, SUM(vote) AS s FROM bits GROUP BY doc_id, j)
+    SELECT doc_id,
+           CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+    FROM s GROUP BY doc_id
+    """,
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc 32-bit SimHash sketch."""
+    return simhash(load_table(spark, sf_dir, "documents"), nbits=32)
+
+
+@register("dedup_simhash_pairs")  # rows-only: pair set is derived, sketch is oracled above
+def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs at Hamming ≤ 2 over the SimHash sketch, byte-banded.
+
+    (≤ 2, not the usual ≤ 6: this synthetic corpus shares one small
+    vocabulary, so sketches cluster tightly and a loose threshold matches
+    nearly all pairs.)"""
+    sk = simhash(load_table(spark, sf_dir, "documents"), nbits=32)
+    return simhash_near_pairs(sk, max_hamming=2)

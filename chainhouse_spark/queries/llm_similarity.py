@@ -1,1 +1,135 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Similarity-search queries over the embeddings table: exact brute-force
+cosine top-k, LSH-bucketed approximate top-k, and blocked near-dup pairs.
+
+Cosine values are bit-exact across engines (ordered double fold == DuckDB's
+SUM(... ORDER BY i); verified empirically), so even ranks match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.operators.similarity import (
+    brute_force_topk,
+    embedding_near_pairs,
+    lsh_topk,
+)
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+DIMS = 64
+
+# DuckDB ordered-fold building blocks (1-based list indexing).
+_DOT = "SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE) ORDER BY i.i)"
+_QQ = "SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE) ORDER BY i.i)"
+_CC = "SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE) ORDER BY i.i)"
+_IDX = f"(SELECT UNNEST(range(1, {DIMS + 1})) AS i) i"
+
+_DUCK_BUCKET_Q = " + ".join(
+    f"(CASE WHEN q.embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+_DUCK_BUCKET_C = " + ".join(
+    f"(CASE WHEN c.embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
+)
+
+
+@register(
+    "ann_bruteforce_topk",
+    oracle=f"""
+    WITH dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_DOT} AS dot, {_QQ} AS qq, {_CC} AS cc
+        FROM embeddings q, embeddings c, {_IDX}
+        WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id,
+               dot / (sqrt(qq) * sqrt(cc)) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, cand_id
+               ) AS rank
+        FROM dots
+    )
+    SELECT query_id, cand_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-10 for query vectors vec_id < 5 vs the whole corpus."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "ann_lsh_topk",
+    oracle=f"""
+    WITH dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_DOT} AS dot, {_QQ} AS qq, {_CC} AS cc
+        FROM embeddings q, embeddings c, {_IDX}
+        WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+          AND ({_DUCK_BUCKET_Q}) = ({_DUCK_BUCKET_C})
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id,
+               dot / (sqrt(qq) * sqrt(cc)) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, cand_id
+               ) AS rank
+        FROM dots
+    )
+    SELECT query_id, cand_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10: candidates restricted to the query's 8-sign-bit
+    LSH bucket (~corpus/256 per probe at scale)."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, nbits=8)
+    return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "embedding_near_pairs",
+    oracle=f"""
+    SELECT q.label AS blk, q.vec_id AS vec_a, c.vec_id AS vec_b,
+           {_DOT} / (sqrt({_QQ}) * sqrt({_CC})) AS cos_sim
+    FROM embeddings q, embeddings c, {_IDX}
+    WHERE q.label = c.label AND q.vec_id < c.vec_id
+    GROUP BY q.label, q.vec_id, c.vec_id
+    HAVING {_DOT} / (sqrt({_QQ}) * sqrt({_CC})) >= 0.35
+    """,
+)
+def embedding_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding near-dup pairs (cosine ≥ 0.35) blocked by label."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return embedding_near_pairs(emb, threshold=0.35)
+
+
+@register(
+    "embedding_norms",
+    oracle=f"""
+    SELECT c.vec_id, sqrt({_CC}) AS l2_norm,
+           {_CC} AS sq_sum
+    FROM embeddings c, {_IDX}
+    GROUP BY c.vec_id
+    """,
+)
+def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-vector L2 norm — the normalization pass a real pipeline runs
+    before indexing."""
+    from chainhouse_spark.functions.vector import dot_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return emb.select(
+        "vec_id",
+        F.expr(f"sqrt({dot_sql('embedding', 'embedding')})").alias("l2_norm"),
+        F.expr(dot_sql("embedding", "embedding")).alias("sq_sum"),
+    )

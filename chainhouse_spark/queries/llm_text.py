@@ -1,1 +1,168 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Text-analysis queries over the documents table: quality scoring,
+heuristic language-ID, token statistics, and document fingerprinting.
+All built-in expressions (codegen), all DuckDB-oracle-able.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.functions.text import (
+    LANG_STOPWORDS,
+    digit_ratio,
+    fingerprint,
+    n_tokens,
+    punct_ratio,
+    stopword_hits_sql,
+    stopword_ratio,
+)
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+
+def _duck_list(words: list[str]) -> str:
+    return "[" + ", ".join(f"'{w}'" for w in words) + "]"
+
+
+_DUCK_HITS = {
+    lang: f"len(list_filter(string_split(text, ' '), w -> list_contains({_duck_list(ws)}, w)))"
+    for lang, ws in LANG_STOPWORDS.items()
+}
+
+
+@register(
+    "text_quality_scores",
+    oracle=f"""
+    SELECT doc_id,
+           LENGTH(text) AS n_chars_actual,
+           len(string_split(text, ' ')) AS n_tokens,
+           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
+           CAST({_DUCK_HITS['en']} AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+           CAST(LENGTH(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
+           CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio,
+           LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+             + (CAST({_DUCK_HITS['en']} AS DOUBLE) / len(string_split(text, ' '))) * 0.3
+             + (1.0 - CAST(LENGTH(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.2
+             AS quality_score
+    FROM documents
+    """,
+)
+def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc quality features + a composite score — the filter stage of a
+    training-data pipeline. Single map-only pass, no shuffle."""
+    d = load_table(spark, sf_dir, "documents")
+    nt = n_tokens("text")
+    sw = stopword_ratio("text", LANG_STOPWORDS["en"])
+    pr = punct_ratio("text")
+    return d.select(
+        "doc_id",
+        F.length("text").alias("n_chars_actual"),
+        nt.alias("n_tokens"),
+        (
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / nt
+        ).alias("avg_token_len"),
+        sw.alias("stopword_ratio"),
+        pr.alias("punct_ratio"),
+        digit_ratio("text").alias("digit_ratio"),
+        (
+            F.least(F.lit(1.0), nt / 100.0) * 0.5
+            + sw * 0.3
+            + (F.lit(1.0) - pr) * 0.2
+        ).alias("quality_score"),
+    )
+
+
+@register(
+    "text_langid",
+    oracle=f"""
+    SELECT doc_id,
+           {_DUCK_HITS['en']} AS hits_en,
+           {_DUCK_HITS['de']} AS hits_de,
+           {_DUCK_HITS['fr']} AS hits_fr,
+           {_DUCK_HITS['es']} AS hits_es,
+           CASE
+               WHEN {_DUCK_HITS['en']} >= {_DUCK_HITS['de']}
+                AND {_DUCK_HITS['en']} >= {_DUCK_HITS['fr']}
+                AND {_DUCK_HITS['en']} >= {_DUCK_HITS['es']} THEN 'en'
+               WHEN {_DUCK_HITS['de']} >= {_DUCK_HITS['fr']}
+                AND {_DUCK_HITS['de']} >= {_DUCK_HITS['es']} THEN 'de'
+               WHEN {_DUCK_HITS['fr']} >= {_DUCK_HITS['es']} THEN 'fr'
+               ELSE 'es'
+           END AS predicted_lang
+    FROM documents
+    """,
+)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stopword-hit language classifier with a deterministic argmax
+    (ties break toward en > de > fr > es)."""
+    d = load_table(spark, sf_dir, "documents")
+    hits = {
+        lang: F.expr(stopword_hits_sql("text", ws)) for lang, ws in LANG_STOPWORDS.items()
+    }
+    pred = (
+        F.when(
+            (hits["en"] >= hits["de"]) & (hits["en"] >= hits["fr"]) & (hits["en"] >= hits["es"]),
+            "en",
+        )
+        .when((hits["de"] >= hits["fr"]) & (hits["de"] >= hits["es"]), "de")
+        .when(hits["fr"] >= hits["es"], "fr")
+        .otherwise("es")
+    )
+    return d.select(
+        "doc_id",
+        hits["en"].alias("hits_en"),
+        hits["de"].alias("hits_de"),
+        hits["fr"].alias("hits_fr"),
+        hits["es"].alias("hits_es"),
+        pred.alias("predicted_lang"),
+    )
+
+
+@register(
+    "text_token_stats",
+    oracle="""
+    SELECT doc_id,
+           len(string_split(text, ' ')) AS n_ws_tokens,
+           len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
+           len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')) AS type_token_ratio,
+           (LENGTH(text) + 3) // 4 AS approx_bpe_tokens
+    FROM documents
+    """,
+)
+def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Token counting: whitespace, regex word extraction, unique tokens,
+    type-token ratio, and the chars/4 BPE heuristic."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_ws_tokens"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("n_re_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
+            "type_token_ratio"
+        ),
+        F.expr("(LENGTH(text) + 3) div 4").alias("approx_bpe_tokens"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    oracle="""
+    SELECT doc_id,
+           md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))) AS fp,
+           substr(md5(trim(regexp_replace(lower(text), '\\s+', ' ', 'g'))), 1, 4) AS fp_bucket
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Normalized md5 fingerprint + 16-bit prefix bucket (shard key for
+    distributed dedup index)."""
+    d = load_table(spark, sf_dir, "documents")
+    fp = fingerprint("text")
+    return d.select(
+        "doc_id", fp.alias("fp"), F.substring(fp, 1, 4).alias("fp_bucket")
+    )

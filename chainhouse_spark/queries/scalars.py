@@ -1,1 +1,216 @@
-"""Placeholder — queries registered in a later milestone."""
+"""Scalar function library coverage — SURVEY.md §2.6 "Scalar function
+library". String, date/time, math, conditional, JSON-path and array
+functions, each expressed with built-in `pyspark.sql.functions` (JVM-side,
+whole-stage-codegen'd — never Python UDFs) and an equivalent DuckDB oracle.
+
+Cross-engine determinism notes: transcendental functions (ln/exp/pow) are
+avoided — libm last-bit differences between JVM and C would break value
+hashes; sqrt is IEEE-exact so it is safe. Day-of-week uses ISO numbering
+(Spark weekday()+1 == DuckDB isodow).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+
+@register(
+    "scalar_string_funcs",
+    oracle="""
+    SELECT
+        c_custkey,
+        UPPER(c_name) AS name_upper,
+        LOWER(c_mktsegment) AS seg_lower,
+        LENGTH(c_name) AS name_len,
+        SUBSTR(c_name, 1, 8) AS name_prefix,
+        c_name || '/' || c_mktsegment AS name_seg,
+        REPLACE(c_name, 'Customer', 'Cust') AS name_short,
+        LPAD(CAST(c_custkey AS VARCHAR), 8, '0') AS key_padded,
+        TRIM('  ' || c_mktsegment || ' ') AS seg_trimmed,
+        (c_name LIKE '%001%') AS has_001,
+        CONTAINS(c_mktsegment, 'MACH') AS is_mach,
+        STARTS_WITH(c_mktsegment, 'BUIL') AS is_build
+    FROM customer
+    """,
+)
+def scalar_string_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    c = load_table(spark, sf_dir, "customer")
+    return c.select(
+        "c_custkey",
+        F.upper("c_name").alias("name_upper"),
+        F.lower("c_mktsegment").alias("seg_lower"),
+        F.length("c_name").alias("name_len"),
+        F.substring("c_name", 1, 8).alias("name_prefix"),
+        F.concat_ws("/", "c_name", "c_mktsegment").alias("name_seg"),
+        F.replace(F.col("c_name"), F.lit("Customer"), F.lit("Cust")).alias("name_short"),
+        F.lpad(F.col("c_custkey").cast("string"), 8, "0").alias("key_padded"),
+        F.trim(F.concat(F.lit("  "), F.col("c_mktsegment"), F.lit(" "))).alias("seg_trimmed"),
+        F.col("c_name").like("%001%").alias("has_001"),
+        F.contains(F.col("c_mktsegment"), F.lit("MACH")).alias("is_mach"),
+        F.startswith(F.col("c_mktsegment"), F.lit("BUIL")).alias("is_build"),
+    )
+
+
+@register(
+    "scalar_date_funcs",
+    oracle="""
+    SELECT
+        o_orderkey,
+        EXTRACT(YEAR FROM o_orderdate) AS order_year,
+        EXTRACT(MONTH FROM o_orderdate) AS order_month,
+        EXTRACT(DAY FROM o_orderdate) AS order_day,
+        CAST(ISODOW(o_orderdate) AS INT) AS iso_weekday,
+        CAST(date_trunc('month', o_orderdate) AS TIMESTAMP) AS order_month_start,
+        o_orderdate + INTERVAL 30 DAY AS due_date,
+        CAST(CAST(LAST_DAY(o_orderdate) AS DATE) AS TIMESTAMP) AS month_end,
+        EXTRACT(QUARTER FROM o_orderdate) AS order_quarter
+    FROM orders
+    """,
+)
+def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").cast("long").alias("order_year"),
+        F.month("o_orderdate").cast("long").alias("order_month"),
+        F.dayofmonth("o_orderdate").cast("long").alias("order_day"),
+        (F.weekday("o_orderdate") + 1).cast("int").alias("iso_weekday"),
+        F.date_trunc("month", F.col("o_orderdate")).alias("order_month_start"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("due_date"),
+        F.last_day("o_orderdate").cast("timestamp_ntz").alias("month_end"),
+        F.quarter("o_orderdate").cast("long").alias("order_quarter"),
+    )
+
+
+@register(
+    "scalar_math_funcs",
+    oracle="""
+    SELECT
+        l_orderkey,
+        l_linenumber,
+        ABS(l_discount - 0.05) AS disc_dev,
+        CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_bucket,
+        CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k,
+        SQRT(l_quantity) AS qty_sqrt,
+        l_orderkey % 97 AS key_mod,
+        CAST(l_quantity AS BIGINT) // 10 AS qty_div10,
+        ROUND(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS price_r1,
+        CAST(SIGN(l_discount - 0.05) AS INT) AS disc_sign
+    FROM lineitem
+    """,
+)
+def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Math on IEEE-exact operations only (see module docstring). ROUND is
+    applied to a DECIMAL, where half-up is well-defined in both engines —
+    rounding doubles differs (banker's vs half-up) and is avoided."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
+        F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
+        F.sqrt("l_quantity").alias("qty_sqrt"),
+        (F.col("l_orderkey") % 97).alias("key_mod"),
+        F.expr("CAST(l_quantity AS BIGINT) div 10").alias("qty_div10"),
+        F.round(F.col("l_extendedprice").cast("decimal(12,2)"), 1).alias("price_r1"),
+        F.signum(F.col("l_discount") - 0.05).cast("int").alias("disc_sign"),
+    )
+
+
+@register(
+    "scalar_conditional",
+    oracle="""
+    SELECT
+        o_orderkey,
+        CASE
+            WHEN o_totalprice >= 300000 THEN 'jumbo'
+            WHEN o_totalprice >= 150000 THEN 'large'
+            WHEN o_totalprice >= 50000 THEN 'medium'
+            ELSE 'small'
+        END AS size_class,
+        COALESCE(NULLIF(o_orderstatus, 'O'), 'OPEN') AS status_desc,
+        GREATEST(o_totalprice, 100000.0) AS floor_price,
+        LEAST(o_totalprice, 400000.0) AS cap_price,
+        (o_orderstatus = 'F' AND o_totalprice > 200000) AS big_closed
+    FROM orders
+    """,
+)
+def scalar_conditional(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = load_table(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") >= 300000, "jumbo")
+        .when(F.col("o_totalprice") >= 150000, "large")
+        .when(F.col("o_totalprice") >= 50000, "medium")
+        .otherwise("small")
+        .alias("size_class"),
+        F.coalesce(F.nullif(F.col("o_orderstatus"), F.lit("O")), F.lit("OPEN")).alias(
+            "status_desc"
+        ),
+        F.greatest(F.col("o_totalprice"), F.lit(100000.0)).alias("floor_price"),
+        F.least(F.col("o_totalprice"), F.lit(400000.0)).alias("cap_price"),
+        ((F.col("o_orderstatus") == "F") & (F.col("o_totalprice") > 200000)).alias(
+            "big_closed"
+        ),
+    )
+
+
+@register(
+    "scalar_json",
+    oracle="""
+    SELECT
+        event_id,
+        json_extract_string(props, '$.k') AS k_str,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) AS k_int,
+        CAST(json_extract_string(props, '$.k') AS BIGINT) % 10 AS k_bucket,
+        (CAST(json_extract_string(props, '$.k') AS BIGINT) > 50) AS k_high
+    FROM events
+    """,
+)
+def scalar_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """JSON path extraction on the event props payload (P6's query-side twin)."""
+    e = load_table(spark, sf_dir, "events")
+    k = F.get_json_object("props", "$.k")
+    return e.select(
+        "event_id",
+        k.alias("k_str"),
+        k.cast("long").alias("k_int"),
+        (k.cast("long") % 10).alias("k_bucket"),
+        (k.cast("long") > 50).alias("k_high"),
+    )
+
+
+@register(
+    "scalar_array_funcs",
+    oracle="""
+    SELECT
+        doc_id,
+        len(string_split(text, ' ')) AS n_tokens,
+        len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
+        list_contains(string_split(text, ' '), 'spark') AS has_spark,
+        list_sort(list_distinct(string_split(text, ' ')))[1] AS first_token,
+        array_to_string(list_sort(list_distinct(string_split(substr(text, 1, 40), ' '))), '|') AS head_tokens
+    FROM documents
+    """,
+)
+def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array primitives over tokenized text — the building blocks the LLM
+    dedup/text operators reuse."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = F.split(F.col("text"), " ")
+    return d.select(
+        "doc_id",
+        F.size(toks).alias("n_tokens"),
+        F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
+        F.array_contains(toks, "spark").alias("has_spark"),
+        F.array_sort(F.array_distinct(toks))[0].alias("first_token"),
+        F.array_join(
+            F.array_sort(F.array_distinct(F.split(F.substring(F.col("text"), 1, 40), " "))),
+            "|",
+        ).alias("head_tokens"),
+    )
