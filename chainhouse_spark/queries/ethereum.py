@@ -1,0 +1,82 @@
+"""Ethereum ETL pipeline queries — the reference-parity dataflow run
+end-to-end (deterministic fixture blocks -> transforms -> four tables ->
+analytics). Rows-only driver gate: the fixture tables are not among the
+DuckDB-registered views, so there is no SQL oracle; correctness is covered
+by tests/test_transforms.py invariants instead (SURVEY.md §5).
+
+sf_dir is accepted per the driver contract but unused — block count scales
+with nothing here; the live-source path (sources/rpc.py) is where volume
+comes from in production.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.sources.fixtures import raw_blocks_df
+from chainhouse_spark.transforms import all_tables_from_raw
+
+_N_BLOCKS = 8
+
+
+def _tables(spark: SparkSession):
+    return all_tables_from_raw(raw_blocks_df(spark, n_blocks=_N_BLOCKS, seed=42))
+
+
+@register("eth_blocks_table")
+def eth_blocks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocks table itself (21 cols, reference DDL src/main.rs:64-89)."""
+    return _tables(spark)["blocks"]
+
+
+@register("eth_gas_by_block")
+def eth_gas_by_block(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SURVEY §7.3's end-to-end slice: per-block gas totals over the
+    pipeline's transactions table."""
+    tx = _tables(spark)["transactions"]
+    return (
+        tx.groupBy("blockNumber")
+        .agg(
+            F.sum("gasUsed").cast("decimal(38,0)").alias("total_gas"),
+            F.count(F.lit(1)).alias("n_tx"),
+            F.sum(F.when(F.col("status") == 1, 1).otherwise(0)).alias("n_success"),
+        )
+        .orderBy("blockNumber")
+    )
+
+
+@register("eth_event_topics")
+def eth_event_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event analytics: rows per topic-count, hex-encoded first topic
+    (P2's hex ergonomics, SURVEY §1.2)."""
+    ev = _tables(spark)["events"]
+    return (
+        ev.select(
+            F.size("topics").alias("n_topics"),
+            F.when(F.size("topics") > 0, F.hex(F.element_at("topics", 1))).alias(
+                "topic0_hex"
+            ),
+        )
+        .groupBy("n_topics")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.countDistinct("topic0_hex").alias("n_distinct_topic0"),
+        )
+        .orderBy("n_topics")
+    )
+
+
+@register("eth_withdrawal_totals")
+def eth_withdrawal_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block withdrawal totals (post-Shanghai blocks only, F4)."""
+    w = _tables(spark)["withdraws"]
+    return (
+        w.groupBy("blockNumber")
+        .agg(
+            F.sum("amount").cast("decimal(38,0)").alias("total_amount"),
+            F.count(F.lit(1)).alias("n_withdrawals"),
+        )
+        .orderBy("blockNumber")
+    )
