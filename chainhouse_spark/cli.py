@@ -1,0 +1,78 @@
+"""CLI — argv-compatible with the reference (SURVEY.md §2.1 S1):
+
+    chainhouse-spark --ethereum <rpc-url> --from F --to T
+                     [--clickhouse host:port] [--schema]
+                     [--output /path/parquet] [--batch 1000]
+
+Differences from the reference, all deliberate (SURVEY §7):
+- --clickhouse is HONORED (the reference parses and ignores it,
+  src/main.rs:20-21 vs :46).
+- --schema prints/provisions DDL derived from the StructTypes.
+- --output selects the parquet-native sink (default) instead of ClickHouse.
+- --batch slices the range into atomic, idempotently re-runnable writes
+  (K4/K7; the reference's flush-on-divisibility quirk is not reproduced —
+  slices are exact).
+"""
+
+from __future__ import annotations
+
+import argparse
+
+from chainhouse_spark.session import build_spark
+from chainhouse_spark.sinks import clickhouse as ch
+from chainhouse_spark.sinks.parquet import write_all
+from chainhouse_spark.sources.rpc import raw_blocks_from_rpc
+from chainhouse_spark.transforms import all_tables_from_raw
+
+
+def build_parser() -> argparse.ArgumentParser:
+    p = argparse.ArgumentParser(prog="chainhouse-spark")
+    p.add_argument("--ethereum", help="Ethereum JSON-RPC endpoint URL")
+    p.add_argument("--clickhouse", help="ClickHouse endpoint host:port (JDBC sink)")
+    p.add_argument("--from", dest="from_block", type=int, help="first block (inclusive)")
+    p.add_argument("--to", dest="to_block", type=int, help="last block (inclusive)")
+    p.add_argument("--schema", action="store_true", help="provision/print DDL")
+    p.add_argument("--output", help="parquet sink base path (default sink)")
+    p.add_argument("--batch", type=int, default=1000, help="blocks per write slice")
+    p.add_argument("--parallelism", type=int, default=32, help="fetch partitions")
+    return p
+
+
+def main(argv: list[str] | None = None) -> int:
+    args = build_parser().parse_args(argv)
+
+    if args.schema:
+        for stmt in ch.all_ddl():
+            print(stmt + ";\n")
+        if not (args.from_block is not None and args.to_block is not None):
+            return 0
+
+    if args.from_block is None or args.to_block is None:
+        print("nothing to do: pass --from/--to (and see --help)")
+        return 0
+    if not args.ethereum:
+        raise SystemExit("--ethereum endpoint required for extraction")
+    if not args.output and not args.clickhouse:
+        raise SystemExit("pick a sink: --output (parquet) or --clickhouse (JDBC)")
+
+    spark = build_spark(app_name="chainhouse-etl")
+    lo = args.from_block
+    while lo <= args.to_block:
+        hi = min(lo + args.batch - 1, args.to_block)
+        raw = raw_blocks_from_rpc(
+            spark, args.ethereum, lo, hi, parallelism=args.parallelism
+        )
+        tables = all_tables_from_raw(raw)
+        if args.output:
+            write_all(tables, args.output, mode="append")
+        else:
+            for name, df in tables.items():
+                ch.write_jdbc(df, name, args.clickhouse)
+        print(f"wrote blocks [{lo}, {hi}]")
+        lo = hi + 1
+    spark.stop()
+    return 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())

@@ -1,0 +1,101 @@
+"""As-of join: for each left row, the most recent right row at-or-before
+its timestamp within the same key group.
+
+Spark has no native ASOF JOIN; the scalable construction is the
+union-and-carry-forward trick:
+
+    1. tag both sides and union them (no join!),
+    2. one window sorted by (key, ts, side) carries the latest right-side
+       payload forward (`last(..., ignorenulls=True)`),
+    3. keep only left rows.
+
+Cost: ONE shuffle on the key (the window partition) — versus a naive
+inequality join which degenerates to a per-key cross product. Ties
+(right.ts == left.ts) match, like DuckDB/kdb ASOF semantics: the right
+side sorts before the left at equal timestamps.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    right_payload: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Left as-of join. Output = left columns + `right_payload` columns
+    (NULL when no right row precedes).
+
+    `tie_col`: optional unique right-side column making carry-forward
+    deterministic when several right rows share one timestamp (the row with
+    the greatest (ts, tie_col) wins).
+    """
+    lcols = left.columns
+    payload_struct = F.struct(*[F.col(c) for c in right_payload])
+
+    l = left.select(
+        F.col(by).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.lit(None).cast("long").alias("__tie"),
+        F.struct(*[F.col(c) for c in lcols]).alias("__l"),
+        F.lit(None).cast(
+            "struct<" + ",".join(f"{c}:{right.schema[c].dataType.simpleString()}" for c in right_payload) + ">"
+        ).alias("__r"),
+    )
+    r = right.select(
+        F.col(by).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        (F.col(tie_col).cast("long") if tie_col else F.lit(0).cast("long")).alias("__tie"),
+        F.lit(None).cast(l.schema["__l"].dataType.simpleString()).alias("__l"),
+        payload_struct.alias("__r"),
+    )
+
+    w = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    merged = l.unionByName(r).withColumn(
+        "__carried", F.last("__r", ignorenulls=True).over(w)
+    )
+    out = merged.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in lcols],
+        *[F.col(f"__carried.{c}").alias(c) for c in right_payload],
+    )
+    return out
+
+
+def range_join(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    left_ts: str,
+    right_ts: str,
+    lower_sec: int,
+    upper_sec: int,
+) -> DataFrame:
+    """Band/range join: right rows whose timestamp falls within
+    [left_ts + lower_sec, left_ts + upper_sec], equi-matched on `by`.
+
+    The equi key keeps this a sort-merge/shuffled-hash join (the range
+    predicate is a post-join filter) — never a broadcast-nested-loop.
+    """
+    lo = F.expr(f"l.{left_ts} + INTERVAL {lower_sec} SECOND")
+    hi = F.expr(f"l.{left_ts} + INTERVAL {upper_sec} SECOND")
+    return (
+        left.alias("l")
+        .join(
+            right.alias("r"),
+            (F.col(f"l.{by}") == F.col(f"r.{by}"))
+            & (F.col(f"r.{right_ts}") >= lo)
+            & (F.col(f"r.{right_ts}") <= hi),
+        )
+    )

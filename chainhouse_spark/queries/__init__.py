@@ -19,3 +19,4 @@ from chainhouse_spark.queries import llm_text  # noqa: E402,F401
 from chainhouse_spark.queries import llm_dedup  # noqa: E402,F401
 from chainhouse_spark.queries import llm_similarity  # noqa: E402,F401
 from chainhouse_spark.queries import ethereum  # noqa: E402,F401
+from chainhouse_spark.queries import temporal  # noqa: E402,F401

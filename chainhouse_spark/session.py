@@ -20,6 +20,16 @@ def build_spark(
     shuffle_partitions: int | None = None,
     extra_conf: dict[str, str] | None = None,
 ) -> SparkSession:
+    # Python workers resolve imports via the PYTHONPATH they inherit at
+    # fork, not the driver's sys.path — without this, any mapPartitions/UDF
+    # referencing this package dies with ModuleNotFoundError when the app
+    # is launched from outside the repo. (On a real cluster the equivalent
+    # is shipping the package via --py-files or a built wheel.)
+    pkg_root = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    pypath = os.environ.get("PYTHONPATH", "")
+    if pkg_root not in pypath.split(os.pathsep):
+        os.environ["PYTHONPATH"] = pkg_root + (os.pathsep + pypath if pypath else "")
+
     cpus = int(os.environ.get("SPARK_GRAFT_CPUS", os.cpu_count() or 8))
     if master is None:
         master = f"local[{cpus}]"

@@ -1,0 +1,212 @@
+"""Tests for the RPC source (fake transport — no network), the parquet sink
+layout, the ClickHouse DDL emitter, and the CLI surface.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chainhouse_spark.cli import build_parser
+from chainhouse_spark.schemas import RAW_BLOCK, TABLES
+from chainhouse_spark.sinks import clickhouse as ch
+from chainhouse_spark.sinks.parquet import read_table, write_all
+from chainhouse_spark.sources.fixtures import raw_blocks_df
+from chainhouse_spark.sources.rpc import fetch_heights, parse_block, raw_blocks_from_rpc
+from chainhouse_spark.transforms import all_tables_from_raw
+
+
+def _hx(b: bytes) -> str:
+    return "0x" + b.hex()
+
+
+def make_rpc_payloads(n: int) -> tuple[dict, list[dict]]:
+    """Canned eth_getBlockByNumber / eth_getBlockReceipts JSON for height n,
+    covering post-1559 + type-2 + logs + withdrawals when n is odd."""
+    tx = {
+        "hash": _hx(bytes([n]) * 32),
+        "transactionIndex": "0x0",
+        "chainId": "0x1",
+        "type": "0x2",
+        "from": _hx(bytes([n + 1]) * 20),
+        "to": None if n % 3 == 0 else _hx(bytes([n + 2]) * 20),
+        "value": hex(10**18 + n),
+        "nonce": "0x5",
+        "input": "0xdeadbeef",
+        "gas": "0x5208",
+        "gasPrice": "0x3b9aca00",
+        "maxFeePerGas": "0x77359400",
+        "maxPriorityFeePerGas": "0x3b9aca00",
+        "r": _hx(bytes([7]) * 32),
+        "s": _hx(bytes([8]) * 32),
+        "v": "0x1b",
+        "accessList": [{"address": _hx(bytes([9]) * 20), "storageKeys": []}],
+    }
+    receipt = {
+        "transactionHash": tx["hash"],
+        "contractAddress": _hx(bytes([n + 3]) * 20) if n % 3 == 0 else None,
+        "cumulativeGasUsed": "0x5208",
+        "effectiveGasPrice": "0x3b9aca01",
+        "gasUsed": "0x5208",
+        "logsBloom": "0x" + "00" * 256,
+        "root": None,
+        "status": "0x1",
+        "logs": [
+            {
+                "address": _hx(bytes([n + 4]) * 20),
+                "logIndex": "0x0",
+                "removed": False,
+                "topics": [_hx(bytes([n + 5]) * 32)],
+                "data": "0xabcdef",
+            }
+        ],
+    }
+    block = {
+        "hash": _hx(bytes([n + 10]) * 32),
+        "number": hex(n),
+        "parentHash": _hx(bytes([n + 9]) * 32),
+        "uncles": [],
+        "sha3Uncles": _hx(bytes([1]) * 32),
+        "totalDifficulty": "0xff",
+        "miner": _hx(bytes([2]) * 20),
+        "difficulty": "0x0",
+        "nonce": _hx(bytes([3]) * 8),
+        "mixHash": _hx(bytes([4]) * 32),
+        "baseFeePerGas": "0x3b9aca00",
+        "gasLimit": "0x1c9c380",
+        "gasUsed": "0x5208",
+        "stateRoot": _hx(bytes([5]) * 32),
+        "transactionsRoot": _hx(bytes([6]) * 32),
+        "receiptsRoot": _hx(bytes([7]) * 32),
+        "logsBloom": "0x" + "00" * 256,
+        "withdrawalsRoot": _hx(bytes([8]) * 32) if n % 2 else None,
+        "extraData": "0x00",
+        "timestamp": hex(1_700_000_000 + n * 12),
+        "size": "0x220",
+        "transactions": [tx],
+        "withdrawals": [
+            {
+                "index": hex(n * 16),
+                "validatorIndex": "0x64",
+                "address": _hx(bytes([11]) * 20),
+                "amount": "0x3b9aca00",
+            }
+        ]
+        if n % 2
+        else None,
+    }
+    return block, [receipt]
+
+
+def fake_transport(method: str, params: list):
+    n = int(params[0], 16)
+    block, receipts = make_rpc_payloads(n)
+    if method == "eth_getBlockByNumber":
+        return block
+    if method == "eth_getBlockReceipts":
+        return receipts
+    raise ValueError(method)
+
+
+def test_parse_block_types():
+    block, receipts = make_rpc_payloads(5)
+    row = parse_block(block, receipts)
+    assert row["number"] == 5
+    assert isinstance(row["hash"], bytes) and len(row["hash"]) == 32
+    assert int(row["timestamp"]) == 1_700_000_060
+    assert row["transactions"][0]["to"] is not None
+    assert row["receipts"][0]["status"] == 1
+    assert row["withdrawals"] is not None  # odd height
+    assert row["transactions"][0]["accessList"].startswith("[")
+    even = parse_block(*make_rpc_payloads(6))
+    assert even["withdrawals"] is None
+    assert even["transactions"][0]["to"] is None  # n%3==0 -> creation
+    assert even["receipts"][0]["contractAddress"] is not None
+
+
+def test_fetch_heights_retries():
+    calls = {"n": 0}
+
+    def flaky(method, params):
+        calls["n"] += 1
+        if calls["n"] <= 2:
+            raise ConnectionError("transient")
+        return fake_transport(method, params)
+
+    rows = list(fetch_heights([4], flaky, max_retries=3, backoff_sec=0.0))
+    assert len(rows) == 1 and rows[0]["number"] == 4
+
+    def dead(method, params):
+        raise ConnectionError("down")
+
+    with pytest.raises(ConnectionError):
+        list(fetch_heights([4], dead, max_retries=1, backoff_sec=0.0))
+
+
+def test_rpc_source_end_to_end(spark):
+    """Distributed fetch through mapPartitions with an injected transport,
+    then the full transform stack."""
+    raw = raw_blocks_from_rpc(
+        spark, "unused://", 1, 6, parallelism=3,
+        transport_factory=lambda: fake_transport,
+    )
+    assert raw.schema == RAW_BLOCK
+    tables = all_tables_from_raw(raw)
+    assert tables["blocks"].count() == 6
+    assert tables["transactions"].count() == 6
+    assert tables["withdraws"].count() == 3  # odd heights only
+    got = {r.number for r in tables["blocks"].select("number").collect()}
+    assert got == set(range(1, 7))
+
+
+def test_parquet_sink_layout(spark, tmp_path):
+    tables = all_tables_from_raw(raw_blocks_df(spark, 6, seed=42))
+    write_all(tables, str(tmp_path), bucket_size=2)
+    back = read_table(spark, "transactions", str(tmp_path))
+    assert back.count() == tables["transactions"].count()
+    # partition column materialized from the layout
+    assert "block_bucket" in back.columns
+    buckets = {r.block_bucket for r in back.select("block_bucket").distinct().collect()}
+    assert buckets == {0, 1, 2}
+    # partition pruning: filtering one bucket must scan fewer files
+    pruned = back.filter(F.col("block_bucket") == 1)
+    plan = pruned.queryExecution if False else pruned._jdf.queryExecution().executedPlan().toString()
+    assert "block_bucket" in plan
+
+
+def test_clickhouse_ddl():
+    stmts = ch.all_ddl()
+    assert stmts[0] == "CREATE DATABASE IF NOT EXISTS ethereum"
+    assert len(stmts) == 5  # database + 4 tables (reference src/main.rs:53-161)
+    blocks_ddl = stmts[1]
+    assert "ENGINE = ReplacingMergeTree" in blocks_ddl
+    assert "ORDER BY (`hash`, `number`)" in blocks_ddl
+    assert "`withdrawlsRoot` Nullable(FixedString(32))" in blocks_ddl  # ref spelling
+    assert "`number` UInt64" in blocks_ddl
+    tx_ddl = stmts[2]
+    assert "ORDER BY (`hash`)" in tx_ddl
+    assert "`value` Nullable(UInt256)" in tx_ddl
+    assert "`from` Nullable(FixedString(20))" in tx_ddl
+    ev_ddl = stmts[3]
+    assert "ORDER BY (`transactionHash`, `logIndex`)" in ev_ddl
+    assert "Array(FixedString(32))" in ev_ddl  # topics
+    # every declared column appears
+    for name, ddl in zip(["blocks", "transactions", "events", "withdraws"], stmts[1:]):
+        for f in TABLES[name].fields:
+            assert f"`{f.name}`" in ddl, (name, f.name)
+
+
+def test_cli_surface(capsys):
+    p = build_parser()
+    ns = p.parse_args(
+        ["--ethereum", "http://node:8545", "--from", "100", "--to", "200",
+         "--clickhouse", "ch:9000", "--schema", "--batch", "50"]
+    )
+    assert ns.from_block == 100 and ns.to_block == 200
+    assert ns.clickhouse == "ch:9000" and ns.batch == 50 and ns.schema
+    from chainhouse_spark.cli import main
+
+    assert main(["--schema"]) == 0
+    out = capsys.readouterr().out
+    assert "CREATE DATABASE IF NOT EXISTS ethereum" in out
+    assert out.count("CREATE TABLE") == 4
