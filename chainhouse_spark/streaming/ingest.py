@@ -1,0 +1,106 @@
+"""Streaming ingest — the reference's batch range loop (src/main.rs:172)
+re-expressed as a continuous pipeline (SURVEY.md §7.8, optional extension
+made first-class).
+
+Topology:
+
+    landing zone (raw block files)  --readStream-->  RAW_BLOCK rows
+        -> the SAME batch transforms (they are narrow projections/explodes,
+           so they lift to streaming unchanged)
+        -> streaming dedup within a watermark (the K8 contract under
+           unbounded input: exact within the lateness horizon, which is
+           strictly stronger than ReplacingMergeTree's "eventually")
+        -> sinks (parquet append / foreachBatch -> JDBC) or windowed aggs.
+
+Event time is the block timestamp; late blocks beyond the watermark are
+dropped from windowed aggregates (they still land in the raw tables).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.schemas import RAW_BLOCK
+from chainhouse_spark.transforms import transactions_from_raw
+
+
+def stream_raw_blocks(
+    spark: SparkSession, landing_dir: str, max_files_per_trigger: int | None = None
+) -> DataFrame:
+    """File-source stream of raw blocks (one parquet file per micro-batch
+    slice in tests; a cloud landing bucket in production)."""
+    reader = spark.readStream.schema(RAW_BLOCK)
+    if max_files_per_trigger:
+        reader = reader.option("maxFilesPerTrigger", str(max_files_per_trigger))
+    return reader.parquet(landing_dir)
+
+
+def stream_transactions(
+    raw_stream: DataFrame, watermark: str = "10 minutes"
+) -> DataFrame:
+    """The batch transform lifted to streaming, with event-time and
+    watermarked exact dedup on the K8 key.
+
+    `watermark` is the lateness horizon: how far behind the max seen block
+    timestamp a block may arrive and still be deduped/aggregated exactly.
+    """
+    tx = transactions_from_raw(raw_stream, dedup=False)
+    return (
+        tx.withColumn(
+            "event_time",
+            F.expr("CAST(timestamp_seconds(CAST(blockTimestamp AS BIGINT)) AS TIMESTAMP)"),
+        )
+        .withWatermark("event_time", watermark)
+        .dropDuplicatesWithinWatermark(["hash"])
+    )
+
+
+def windowed_gas(tx_stream: DataFrame, window: str = "1 minute") -> DataFrame:
+    """Per-window gas totals with late-data handling — the canonical
+    streaming aggregation (watermark bounds state; append-mode emits each
+    window once it is final)."""
+    return (
+        tx_stream.groupBy(F.window("event_time", window).alias("w"))
+        .agg(
+            F.sum(F.col("gasUsed").cast("long")).alias("total_gas"),
+            F.count(F.lit(1)).alias("n_tx"),
+            F.approx_count_distinct("from").alias("n_senders"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "total_gas",
+            "n_tx",
+            "n_senders",
+        )
+    )
+
+
+def run_to_memory(
+    df: DataFrame, name: str, output_mode: str = "append"
+) -> "StreamingQuery":  # noqa: F821
+    """Drain all available input into an in-memory table (tests/inspection)."""
+    q = (
+        df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(output_mode)
+        .trigger(availableNow=True)
+        .start()
+    )
+    return q
+
+
+def run_to_parquet(
+    df: DataFrame, path: str, checkpoint: str
+) -> "StreamingQuery":  # noqa: F821
+    """Continuous append to the at-rest layout with exactly-once file-sink
+    semantics via the checkpoint (the streaming K4/K7)."""
+    return (
+        df.writeStream.format("parquet")
+        .option("path", path)
+        .option("checkpointLocation", checkpoint)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )

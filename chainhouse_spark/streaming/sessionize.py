@@ -1,0 +1,105 @@
+"""Custom stateful streaming operator: gap-based sessionization via
+applyInPandasWithState (SURVEY.md §2.6 streaming row — the "custom stateful
+operator" surface Spark exposes for logic windows can't express).
+
+Groups events per user into sessions closed after `gap_seconds` of
+inactivity; emits one row per closed session. State per key is just
+(session_start, last_seen, n_events, sum_value) — constant size, so state
+store growth is O(active keys), the scalable shape.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Iterator, Tuple
+
+import pandas as pd
+
+from pyspark.sql import DataFrame
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+from pyspark.sql.types import (
+    DoubleType,
+    LongType,
+    StructField,
+    StructType,
+    TimestampType,
+)
+
+SESSION_SCHEMA = StructType(
+    [
+        StructField("user_id", LongType()),
+        StructField("session_start", TimestampType()),
+        StructField("session_end", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+STATE_SCHEMA = StructType(
+    [
+        StructField("session_start", TimestampType()),
+        StructField("last_seen", TimestampType()),
+        StructField("n_events", LongType()),
+        StructField("sum_value", DoubleType()),
+    ]
+)
+
+
+def make_sessionizer(gap_seconds: int = 1800):
+    """Returns the (key, pdf_iter, state) -> pdf_iter function for
+    applyInPandasWithState. Pure function of inputs + state: deterministic
+    replay under failure recovery."""
+
+    def sessionize(
+        key: Tuple[Any, ...],
+        pdfs: Iterator[pd.DataFrame],
+        state: GroupState,
+    ) -> Iterator[pd.DataFrame]:
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True).sort_values("ts")
+        if state.exists:
+            start, last, n, sv = state.get
+        else:
+            start = last = None
+            n, sv = 0, 0.0
+
+        closed = []
+        for ts, value in zip(rows["ts"], rows["value"]):
+            ts = ts.to_pydatetime()
+            if last is not None and (ts - last).total_seconds() > gap_seconds:
+                closed.append((user_id, start, last, n, sv))
+                start, n, sv = ts, 0, 0.0
+            if start is None:
+                start = ts
+            last = ts
+            n += 1
+            sv += float(value)
+
+        if state.hasTimedOut:
+            closed.append((user_id, start, last, n, sv))
+            state.remove()
+        else:
+            state.update((start, last, n, sv))
+            state.setTimeoutDuration(gap_seconds * 1000)
+
+        if closed:
+            yield pd.DataFrame(
+                closed,
+                columns=["user_id", "session_start", "session_end", "n_events", "sum_value"],
+            )
+
+    return sessionize
+
+
+def sessionized(events_stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """events(user_id, ts, value) stream -> closed sessions stream."""
+    return (
+        events_stream.withWatermark("ts", "1 hour")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            make_sessionizer(gap_seconds),
+            outputStructType=SESSION_SCHEMA,
+            stateStructType=STATE_SCHEMA,
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+        )
+    )

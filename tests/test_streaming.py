@@ -1,0 +1,170 @@
+"""Streaming tests: file-source ingest -> transforms -> watermarked windows
+(availableNow drain, memory sink), streaming == batch equivalence, and the
+custom stateful sessionizer.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chainhouse_spark.sources.fixtures import raw_blocks_df
+from chainhouse_spark.streaming.ingest import (
+    run_to_memory,
+    stream_raw_blocks,
+    stream_transactions,
+    windowed_gas,
+)
+from chainhouse_spark.transforms import transactions_from_raw
+
+
+@pytest.fixture(scope="module")
+def landing(spark, tmp_path_factory):
+    """Raw blocks written as multiple files — the streaming landing zone."""
+    d = tmp_path_factory.mktemp("landing")
+    raw = raw_blocks_df(spark, n_blocks=8, seed=42)
+    raw.repartition(4).write.mode("overwrite").parquet(str(d / "raw"))
+    return str(d / "raw")
+
+
+def test_stream_matches_batch(spark, landing):
+    raw_stream = stream_raw_blocks(spark, landing, max_files_per_trigger=1)
+    assert raw_stream.isStreaming
+    tx_stream = stream_transactions(raw_stream)
+    q = run_to_memory(tx_stream.drop("event_time"), "tx_stream_t")
+    q.awaitTermination(120)
+
+    got = spark.table("tx_stream_t")
+    batch = transactions_from_raw(raw_blocks_df(spark, n_blocks=8, seed=42))
+    assert got.count() == batch.count()
+    g = {r.hash for r in got.select("hash").collect()}
+    b = {r.hash for r in batch.select("hash").collect()}
+    assert g == b
+
+
+def test_windowed_gas_aggregation(spark, tmp_path):
+    """Append-mode windows emit once the watermark passes them. availableNow
+    never runs a trailing no-data batch, so window closure is driven the way
+    production drains do it: a later micro-batch (here: a checkpointed
+    restart with a straggler file) advances the watermark and flushes."""
+    from chainhouse_spark.schemas import RAW_BLOCK
+    from chainhouse_spark.sources.fixtures import generate_raw_blocks
+
+    fix = generate_raw_blocks(10, seed=42)
+    # the last block arrives an hour later: its watermark advance closes
+    # every earlier window without making anything late (2-min watermark ≫
+    # the 96s span of blocks 0..8, so no drops)
+    fix[9]["timestamp"] = fix[9]["timestamp"] + 3600
+    landing = str(tmp_path / "raw")
+    out, ckpt = str(tmp_path / "out"), str(tmp_path / "ckpt")
+    spark.createDataFrame(fix[:9], RAW_BLOCK).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(landing)
+
+    def drain():
+        raw_stream = stream_raw_blocks(spark, landing, max_files_per_trigger=1)
+        agg = windowed_gas(
+            stream_transactions(raw_stream, watermark="2 minutes"), window="1 minute"
+        )
+        from chainhouse_spark.streaming.ingest import run_to_parquet
+
+        q = run_to_parquet(agg, out, ckpt)
+        q.awaitTermination(120)
+
+    drain()
+    assert spark.read.parquet(out).count() == 0  # nothing closed yet
+    spark.createDataFrame([fix[9]], RAW_BLOCK).write.mode("append").parquet(landing)
+    drain()
+
+    rows = spark.read.parquet(out).collect()
+    assert len(rows) >= 2  # blocks 0..8 span two 1-minute windows
+    batch = transactions_from_raw(
+        spark.createDataFrame(fix, RAW_BLOCK)
+    )
+    for r in rows:
+        exp = (
+            batch.withColumn(
+                "et", F.expr("timestamp_seconds(CAST(blockTimestamp AS BIGINT))")
+            )
+            .filter((F.col("et") >= r.window_start) & (F.col("et") < r.window_end))
+            .agg(F.sum(F.col("gasUsed").cast("long")), F.count(F.lit(1)))
+            .collect()[0]
+        )
+        assert (exp[0], exp[1]) == (r.total_gas, r.n_tx)
+
+
+def test_sessionizer_logic():
+    """The stateful core, exercised directly (deterministic, no stream):
+    events with a >gap pause split into two sessions."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from chainhouse_spark.streaming.sessionize import make_sessionizer
+
+    class FakeState:
+        exists = False
+        hasTimedOut = False
+
+        def __init__(self):
+            self.updated = None
+
+        def update(self, v):
+            self.updated = v
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self.updated = None
+
+    fn = make_sessionizer(gap_seconds=60)
+    t0 = dt.datetime(2024, 1, 1, 0, 0, 0)
+    pdf = pd.DataFrame(
+        {
+            "user_id": [7] * 4,
+            "ts": pd.to_datetime(
+                [t0, t0 + dt.timedelta(seconds=30), t0 + dt.timedelta(seconds=45),
+                 t0 + dt.timedelta(seconds=200)]  # > 60s gap -> new session
+            ),
+            "value": [1.0, 2.0, 3.0, 10.0],
+        }
+    )
+    st = FakeState()
+    out = list(fn((7,), iter([pdf]), st))
+    assert len(out) == 1
+    closed = out[0]
+    assert len(closed) == 1
+    assert closed.iloc[0]["n_events"] == 3 and closed.iloc[0]["sum_value"] == 6.0
+    # open session carried in state: started at t0+200s with 1 event
+    assert st.updated[2] == 1 and st.updated[3] == 10.0
+
+
+def test_sessionizer_streaming(spark, tmp_path):
+    """The operator inside a real streaming query (applyInPandasWithState)."""
+    import datetime as dt
+
+    rows = []
+    t0 = dt.datetime(2024, 1, 1)
+    for u in range(3):
+        for k in range(5):
+            rows.append((u, t0 + dt.timedelta(seconds=u * 7 + k * 20), 1.0))
+        for k in range(2):
+            rows.append((u, t0 + dt.timedelta(seconds=3600 + u * 7 + k * 20), 2.0))
+    df = spark.createDataFrame(rows, "user_id long, ts timestamp, value double")
+    src = str(tmp_path / "events")
+    df.repartition(3).write.mode("overwrite").parquet(src)
+
+    from chainhouse_spark.streaming.sessionize import sessionized
+
+    stream = spark.readStream.schema("user_id long, ts timestamp, value double").parquet(src)
+    q = run_to_memory(sessionized(stream, gap_seconds=600), "sessions_t")
+    q.awaitTermination(120)
+    got = spark.table("sessions_t").collect()
+    # the first 5-event session per user closes when the +1h burst arrives
+    assert len(got) >= 3
+    by_user = {r.user_id: r for r in got if r.n_events == 5}
+    assert set(by_user) == {0, 1, 2}
+    for u, r in by_user.items():
+        assert r.sum_value == 5.0
+        assert (r.session_end - r.session_start).total_seconds() == 80
