@@ -1,0 +1,127 @@
+"""Physical-plan audits: turn `.explain("formatted")` into machine-checkable
+facts so scale regressions (lost broadcast, lost pushdown, surprise cartesian,
+extra shuffle) fail tests instead of surfacing on a 1000-executor cluster.
+
+The reference delegates all physical planning to ClickHouse; here Catalyst
+owns it, and these audits are how the repo pins the plans it wants — every
+headline query asserts its join strategy, pushdown, and shuffle budget in
+tests/test_plans.py.
+"""
+
+from __future__ import annotations
+
+import io
+import re
+from contextlib import redirect_stdout
+from dataclasses import dataclass, field
+
+from pyspark.sql import DataFrame
+
+
+def explain_formatted(df: DataFrame) -> str:
+    """Capture `df.explain('formatted')` output as a string."""
+    try:
+        return df._sc._jvm.PythonSQLUtils.explainString(  # type: ignore[attr-defined]
+            df._jdf.queryExecution(), "formatted"
+        )
+    except Exception:
+        buf = io.StringIO()
+        with redirect_stdout(buf):
+            df.explain("formatted")
+        return buf.getvalue()
+
+
+@dataclass
+class PlanFacts:
+    broadcast_joins: int = 0
+    sortmerge_joins: int = 0
+    shuffled_hash_joins: int = 0
+    nested_loop_joins: int = 0
+    cartesian_products: int = 0
+    shuffle_exchanges: int = 0
+    broadcast_exchanges: int = 0
+    codegen_spans: int = 0
+    scans: int = 0
+    pushed_filters: list[str] = field(default_factory=list)
+    partition_filters: list[str] = field(default_factory=list)
+    read_schemas: list[str] = field(default_factory=list)
+    python_evals: int = 0  # mapInPandas / Python UDF nodes
+    aqe: bool = False
+
+
+def plan_facts(df: DataFrame) -> PlanFacts:
+    """Parse the formatted physical plan into counted facts."""
+    text = explain_formatted(df)
+    f = PlanFacts()
+
+    def nodes(name: str) -> int:
+        # formatted mode lists every node once in the tree and once in the
+        # numbered detail section — count only the numbered detail lines.
+        return len(re.findall(rf"^\s*\(\d+\)\s+{name}\b", text, re.M))
+
+    f.broadcast_joins = nodes("BroadcastHashJoin")
+    f.sortmerge_joins = nodes("SortMergeJoin")
+    f.shuffled_hash_joins = nodes("ShuffledHashJoin")
+    f.nested_loop_joins = nodes("BroadcastNestedLoopJoin")
+    f.cartesian_products = nodes("CartesianProduct")
+    # "Exchange" nodes are shuffles; broadcast ones are BroadcastExchange.
+    f.shuffle_exchanges = nodes("Exchange")
+    f.broadcast_exchanges = nodes("BroadcastExchange")
+    f.codegen_spans = len(set(re.findall(r"\[codegen id : (\d+)\]", text)))
+    f.scans = nodes("Scan")
+    f.pushed_filters = [
+        s.strip() for s in re.findall(r"PushedFilters: \[(.*?)\]", text) if s.strip()
+    ]
+    f.partition_filters = [
+        s.strip() for s in re.findall(r"PartitionFilters: \[(.*?)\]", text) if s.strip()
+    ]
+    f.read_schemas = re.findall(r"ReadSchema: (\S+)", text)
+    f.python_evals = sum(
+        nodes(n)
+        for n in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas")
+    )
+    f.aqe = "AdaptiveSparkPlan" in text
+    return f
+
+
+def audit(
+    df: DataFrame,
+    *,
+    require_broadcast_joins: int | None = None,
+    max_shuffle_exchanges: int | None = None,
+    forbid_cartesian: bool = True,
+    forbid_sortmerge: bool = False,
+    require_pushed_filters: bool = False,
+    max_scan_columns: int | None = None,
+    forbid_python: bool = False,
+) -> list[str]:
+    """Check a DataFrame's physical plan against scale expectations; returns
+    human-readable violations (empty list == plan is as intended)."""
+    f = plan_facts(df)
+    issues: list[str] = []
+    if require_broadcast_joins is not None and f.broadcast_joins < require_broadcast_joins:
+        issues.append(
+            f"expected >= {require_broadcast_joins} broadcast joins, found {f.broadcast_joins} "
+            f"(sortmerge={f.sortmerge_joins})"
+        )
+    if max_shuffle_exchanges is not None and f.shuffle_exchanges > max_shuffle_exchanges:
+        issues.append(
+            f"{f.shuffle_exchanges} shuffle exchanges exceeds budget {max_shuffle_exchanges}"
+        )
+    if forbid_cartesian and (f.cartesian_products or f.nested_loop_joins):
+        issues.append(
+            f"cartesian/nested-loop joins present "
+            f"(cartesian={f.cartesian_products}, bnlj={f.nested_loop_joins})"
+        )
+    if forbid_sortmerge and f.sortmerge_joins:
+        issues.append(f"{f.sortmerge_joins} sort-merge joins present")
+    if require_pushed_filters and not (f.pushed_filters or f.partition_filters):
+        issues.append("no filters pushed to any scan")
+    if max_scan_columns is not None:
+        for rs in f.read_schemas:
+            ncols = rs.count(":")
+            if ncols > max_scan_columns:
+                issues.append(f"scan reads {ncols} columns (> {max_scan_columns}): {rs[:120]}")
+    if forbid_python and f.python_evals:
+        issues.append(f"{f.python_evals} Python eval nodes in plan")
+    return issues

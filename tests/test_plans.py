@@ -1,0 +1,111 @@
+"""Scale audits: pin the physical-plan properties that matter at 100 TB —
+dimension joins stay broadcast, filters reach the parquet scan, column
+pruning holds, map-only queries stay shuffle-free, and nothing silently
+becomes a cartesian product or a Python row loop.
+
+A failure here means Catalyst chose a plan that would regress on a real
+cluster even if the sf0.01 answer is still correct.
+"""
+
+from __future__ import annotations
+
+import pytest
+
+from chainhouse_spark.plans.audit import audit, plan_facts
+from chainhouse_spark.queries import QUERIES
+
+SF = "/root/testdata/sf0.01"
+
+
+def q(spark, name):
+    return QUERIES[name](spark, SF)
+
+
+def test_q1_single_shuffle_pushdown(spark):
+    # scan → partial agg → 1 exchange → final agg; ship-date filter pushed.
+    assert audit(q(spark, "q1_pricing_summary"),
+                 max_shuffle_exchanges=1, require_pushed_filters=True,
+                 forbid_python=True) == []
+
+
+def test_q1_column_pruning(spark):
+    # q1 touches 7 of lineitem's 16 columns; the scan must not read more.
+    f = plan_facts(q(spark, "q1_pricing_summary"))
+    assert f.scans == 1
+    assert f.read_schemas and f.read_schemas[0].count(":") <= 7
+
+
+def test_q3_broadcasts_dimensions(spark):
+    # customer and orders broadcast into the lineitem scan side: 2 BHJ,
+    # no sort-merge, single shuffle for the final aggregation.
+    assert audit(q(spark, "q3_shipping_priority"),
+                 require_broadcast_joins=2, max_shuffle_exchanges=1,
+                 forbid_sortmerge=True) == []
+
+
+def test_q5_all_joins_broadcast(spark):
+    # 6-table star join: all 5 joins broadcast at this scale; at 100 TB the
+    # lineitem-orders edge would flip to SMJ but dims must stay broadcast.
+    f = plan_facts(q(spark, "q5_region_revenue"))
+    assert f.broadcast_joins == 5
+    assert f.sortmerge_joins == 0
+    assert f.shuffle_exchanges <= 1
+
+
+def test_q6_is_scan_filter_agg(spark):
+    f = plan_facts(q(spark, "q6_forecast_revenue"))
+    assert f.scans == 1 and f.pushed_filters
+    assert f.shuffle_exchanges <= 1
+    # scan reads only the 4 columns the query touches
+    assert f.read_schemas[0].count(":") <= 4
+
+
+def test_map_only_queries_have_no_shuffle(spark):
+    # per-document scoring is embarrassingly parallel — any Exchange is a bug.
+    for name in ("text_quality_scores", "text_langid", "text_token_stats",
+                 "text_fingerprint", "embedding_norms"):
+        f = plan_facts(q(spark, name))
+        assert f.shuffle_exchanges == 0, f"{name} shuffles"
+        assert f.cartesian_products == 0
+
+
+def test_dedup_exact_single_shuffle(spark):
+    f = plan_facts(q(spark, "dedup_exact"))
+    assert f.shuffle_exchanges <= 1
+    assert f.python_evals == 0
+
+
+def test_fact_fact_join_uses_sort_merge_or_broadcast(spark):
+    # no cartesian, no Python; at sf0.01 the build side fits broadcast.
+    assert audit(q(spark, "join_fact_fact"), max_shuffle_exchanges=2) == []
+
+
+def test_codegen_covers_scalar_queries(spark):
+    # scalar-function queries must stay inside whole-stage codegen.
+    for name in ("scalar_string_funcs", "scalar_math_funcs", "scalar_conditional"):
+        f = plan_facts(q(spark, name))
+        assert f.codegen_spans >= 1, f"{name} fell out of codegen"
+        assert f.python_evals == 0
+
+
+def test_multimodal_ops_are_single_python_stage(spark):
+    # decode ops: exactly one MapInPandas, no shuffle before it (filter and
+    # pruning happen scan-side).
+    for name in ("mm_image_features", "mm_audio_features"):
+        f = plan_facts(q(spark, name))
+        assert f.python_evals == 1, name
+        assert f.shuffle_exchanges == 0, f"{name} shuffles before decode"
+
+
+def test_ann_bruteforce_broadcasts_queries(spark):
+    # query-vectors × corpus: the tiny query side must broadcast (BNLJ is the
+    # intended physical form of the cross join), corpus side never shuffles
+    # until top-k.
+    f = plan_facts(q(spark, "ann_bruteforce_topk"))
+    assert f.nested_loop_joins + f.broadcast_joins >= 1
+    assert f.cartesian_products == 0
+
+
+@pytest.mark.parametrize("name", ["q1_pricing_summary", "q5_region_revenue"])
+def test_aqe_enabled(spark, name):
+    assert plan_facts(q(spark, name)).aqe
