@@ -30,15 +30,19 @@ def tokens(col: str) -> Column:
 def word_shingles_sql(text_sql: str, n: int = 3) -> str:
     """SQL expression producing the array of n-word shingles of `text_sql`.
 
+    The outer single-element transform binds the token array to a lambda
+    variable, so split() runs ONCE per document — inlining it into the inner
+    lambda would re-split per shingle position (O(tokens × text length) per
+    doc, the difference between seconds and minutes at corpus scale).
+
     The size guard matters: Spark's sequence(1, k) DESCENDS for k < 1
     instead of returning an empty array, so short docs must short-circuit.
     """
-    toks = f"split({text_sql}, ' ')"
-    parts = ", ".join(f"element_at({toks}, i + {j})" for j in range(n))
     return (
-        f"CASE WHEN size({toks}) >= {n} "
-        f"THEN transform(sequence(1, size({toks}) - {n - 1}), i -> concat_ws(' ', {parts})) "
-        f"ELSE array() END"
+        f"element_at(transform(array(split({text_sql}, ' ')), t -> "
+        f"CASE WHEN size(t) >= {n} "
+        f"THEN transform(sequence(1, size(t) - {n - 1}), i -> concat_ws(' ', slice(t, i, {n}))) "
+        f"ELSE array() END), 1)"
     )
 
 

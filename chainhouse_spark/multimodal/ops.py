@@ -9,7 +9,9 @@ path: Arrow-batched mapInPandas (never row-at-a-time UDFs). Each operator
   - declares an explicit output schema (stable driver-facing contract).
 
 Scale behavior: work is embarrassingly parallel per asset — throughput scales
-linearly with partitions; no shuffle is introduced. For 100 TB of payloads the
+linearly with partitions, and spread() widens under-partitioned (small-file)
+inputs to cluster parallelism before the Python stage (identity at real
+scale, where scans already carry enough partitions). For 100 TB of payloads the
 operator cost is dominated by Arrow transfer of the binary column, which is
 unavoidable for Python codecs; real deployments would swap the fake codec for
 a native one behind the same signature.
@@ -23,6 +25,7 @@ import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 
+from chainhouse_spark.operators.partitioning import spread
 from chainhouse_spark.multimodal.codec import (
     decode_audio,
     decode_image,
@@ -38,7 +41,7 @@ IMAGE_FEATURES_SCHEMA = (
 
 def image_features(assets: DataFrame) -> DataFrame:
     """Per-image channel means / std / brightness from the decoded array."""
-    img = assets.filter("modality = 'image'").select(
+    img = spread(assets.filter("modality = 'image'"), "asset_id").select(
         "asset_id", "width", "height", "payload"
     )
 
@@ -71,7 +74,7 @@ def image_resize(assets: DataFrame, out_h: int, out_w: int) -> DataFrame:
     largest block multiple, then mean over blocks — deterministic, no
     interpolation library needed. Re-encodes to a payload binary with updated
     metadata, so the output is itself a valid asset table."""
-    img = assets.filter("modality = 'image'").select(
+    img = spread(assets.filter("modality = 'image'"), "asset_id").select(
         "asset_id", "width", "height", "payload"
     )
 
@@ -104,7 +107,7 @@ AUDIO_FEATURES_SCHEMA = (
 
 def audio_features(assets: DataFrame) -> DataFrame:
     """Per-clip PCM16 stats: RMS, peak amplitude, zero crossings, duration."""
-    aud = assets.filter("modality = 'audio'").select(
+    aud = spread(assets.filter("modality = 'audio'"), "asset_id").select(
         "asset_id", "sample_rate", "n_samples", "payload"
     )
 
@@ -146,7 +149,7 @@ def frame_sample(assets: DataFrame, every_n: int = 2) -> DataFrame:
     produced inside the same partition (no shuffle)."""
     import hashlib
 
-    vid = assets.filter("modality = 'video'").select(
+    vid = spread(assets.filter("modality = 'video'"), "asset_id").select(
         "asset_id", "n_frames", "height", "width", "channels", "payload"
     )
 

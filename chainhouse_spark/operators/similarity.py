@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 from chainhouse_spark.functions.vector import cosine_sql, sign_bucket
+from chainhouse_spark.operators.partitioning import spread
 
 
 def brute_force_topk(
@@ -38,7 +39,9 @@ def brute_force_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
     )
-    c = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    c = spread(corpus, id_col).select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+    )
     scored = (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
@@ -71,7 +74,7 @@ def lsh_topk(
         F.col(vec_col).alias("q_vec"),
         sign_bucket(vec_col, nbits).alias("bucket"),
     )
-    c = corpus.select(
+    c = spread(corpus, id_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
         sign_bucket(vec_col, nbits).alias("bucket"),
@@ -99,23 +102,31 @@ def embedding_near_pairs(
     vec_col: str = "embedding",
     block_col: str = "label",
     threshold: float = 0.35,
+    salt: int = 8,
 ) -> DataFrame:
     """Embedding-cosine near-duplicate pairs within blocking groups.
 
     Blocking keeps the pair space linear-ish; at 100 TB the block key would
-    be an LSH bucket (see lsh_topk) rather than a label."""
-    a = df.select(
+    be an LSH bucket (see lsh_topk) rather than a label.
+
+    The block key is low-cardinality by design, which would cap the join at
+    |blocks| parallel tasks — so the left side is salted by id and the right
+    side replicated over the salt range: every pair still meets exactly once
+    (on the left row's salt), but the shuffle spreads over |blocks| × salt
+    partitions. Replication only multiplies the small in-block data."""
+    a = spread(df, id_col).select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),
+        (F.col(id_col) % salt).alias("salt"),
     )
     b = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("vb"),
-    )
+    ).withColumn("salt", F.explode(F.expr(f"sequence(0, {salt - 1})")))
     return (
-        a.join(b, "blk")
+        a.join(b, ["blk", "salt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
         .select(
             "blk",

@@ -89,12 +89,12 @@ def test_codegen_covers_scalar_queries(spark):
 
 
 def test_multimodal_ops_are_single_python_stage(spark):
-    # decode ops: exactly one MapInPandas, no shuffle before it (filter and
-    # pruning happen scan-side).
+    # decode ops: exactly one MapInPandas; at most the spread() repartition
+    # (widening the single-file scan to cluster parallelism) before it.
     for name in ("mm_image_features", "mm_audio_features"):
         f = plan_facts(q(spark, name))
         assert f.python_evals == 1, name
-        assert f.shuffle_exchanges == 0, f"{name} shuffles before decode"
+        assert f.shuffle_exchanges <= 1, f"{name} shuffles beyond spread"
 
 
 def test_ann_bruteforce_broadcasts_queries(spark):
