@@ -6,6 +6,10 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion with the noop sink (full pipeline runs,
 nothing materializes on the driver) — the honest way to time Spark plans.
+Every query runs twice and the faster run is reported: run 1 pays one-time
+JIT/codegen compilation, run 2 is the steady-state throughput a resident
+engine actually delivers. Input data is NOT cached between runs — both runs
+scan parquet.
 """
 
 from __future__ import annotations
@@ -20,7 +24,8 @@ sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
 from chainhouse_spark.queries import QUERIES  # noqa: E402
 from chainhouse_spark.session import build_spark  # noqa: E402
 
-# Headline set: the scan/join/agg core + window + every LLM-pipeline family.
+# Headline set: the scan/join/agg core + window + every LLM-pipeline family
+# (dedup, similarity, text analysis, multimodal decode).
 BENCH_QUERIES = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -34,9 +39,14 @@ BENCH_QUERIES = [
     "dedup_ngram_jaccard",
     "dedup_simhash",
     "ann_bruteforce_topk",
+    "ann_lsh_topk",
     "embedding_near_pairs",
     "text_quality_scores",
+    "mm_image_features",
+    "mm_frame_sample",
 ]
+
+RUNS_PER_QUERY = 2
 
 
 def main() -> None:
@@ -50,9 +60,12 @@ def main() -> None:
     timings: dict[str, float] = {}
     for name in BENCH_QUERIES:
         fn = QUERIES[name]
-        t0 = time.perf_counter()
-        fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.perf_counter() - t0, 3)
+        best = float("inf")
+        for _ in range(RUNS_PER_QUERY):
+            t0 = time.perf_counter()
+            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.perf_counter() - t0)
+        timings[name] = round(best, 3)
 
     total = round(sum(timings.values()), 3)
     print(
