@@ -133,3 +133,15 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"sqrt({dot_sql('embedding', 'embedding')})").alias("l2_norm"),
         F.expr(dot_sql("embedding", "embedding")).alias("sq_sum"),
     )
+
+
+@register("ann_ivf_topk")
+def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF approximate top-10: KMeans coarse cells, 4-of-16 probed per query.
+    Iterative KMeans is not SQL-expressible -> rows-only; recall vs the
+    brute-force baseline is pinned in tests/test_ivf.py."""
+    from chainhouse_spark.operators.ivf import ivf_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=16, n_probe=4)
+    return res.withColumn("rank", F.col("rank").cast("int"))
