@@ -1,0 +1,141 @@
+"""Hypertable-style time-series rollups over the events stream: base
+per-minute aggregation, a coarser rollup computed FROM the finer one
+(partial-aggregate reuse — the continuous-aggregate pattern), and a
+gap-filled minute spine.
+
+Scale: the minute rollup is the only pass over raw events (one shuffle on
+a well-distributed (minute, type) key); every coarser resolution reuses it,
+shrinking input by the bucket fan-in instead of rescanning the fact table.
+The gap-fill spine is generated, not scanned — sequence+explode costs
+nothing and the join against the rollup broadcasts the day's slice.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+_VAL = "CAST(value AS DECIMAL(18,6))"
+
+
+def _minute_rollup(e: DataFrame) -> DataFrame:
+    return (
+        e.groupBy(
+            F.date_trunc("minute", F.col("ts")).alias("minute"),
+            F.col("event_type"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"SUM({_VAL})").alias("sum_value_dec"),
+        )
+    )
+
+
+@register(
+    "ts_rollup_minute",
+    oracle=f"""
+    SELECT date_trunc('minute', ts) AS minute, event_type,
+           COUNT(*) AS n,
+           CAST(SUM({_VAL}) AS DOUBLE) AS sum_value,
+           CAST(SUM({_VAL}) AS DOUBLE) / COUNT(*) AS avg_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_rollup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Base resolution: per-minute per-type counts and decimal-exact sums."""
+    e = load_table(spark, sf_dir, "events")
+    m = _minute_rollup(e)
+    return m.select(
+        "minute",
+        "event_type",
+        "n",
+        F.expr("CAST(sum_value_dec AS DOUBLE)").alias("sum_value"),
+        F.expr("CAST(sum_value_dec AS DOUBLE) / n").alias("avg_value"),
+    )
+
+
+@register(
+    "ts_rollup_hour_from_minute",
+    oracle=f"""
+    SELECT date_trunc('hour', minute) AS hour, event_type,
+           CAST(SUM(n) AS BIGINT) AS n,
+           CAST(SUM(sum_value_dec) AS DOUBLE) AS sum_value
+    FROM (
+      SELECT date_trunc('minute', ts) AS minute, event_type,
+             COUNT(*) AS n, SUM({_VAL}) AS sum_value_dec
+      FROM events GROUP BY 1, 2
+    ) m
+    GROUP BY 1, 2
+    """,
+)
+def ts_rollup_hour_from_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hour resolution computed from the minute rollup, not the raw table —
+    counts and sums re-aggregate losslessly (the continuous-aggregate
+    contract); input shrinks by the minute→hour fan-in."""
+    e = load_table(spark, sf_dir, "events")
+    m = _minute_rollup(e)
+    return (
+        m.groupBy(F.date_trunc("hour", F.col("minute")).alias("hour"), "event_type")
+        .agg(
+            F.sum("n").alias("n"),
+            F.expr("CAST(SUM(sum_value_dec) AS DOUBLE)").alias("sum_value"),
+        )
+    )
+
+
+@register(
+    "ts_minute_spine_gapfill",
+    oracle=f"""
+    WITH spine AS (
+      SELECT UNNEST(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                    TIMESTAMP '2024-01-05 23:59:00',
+                                    INTERVAL 1 MINUTE)) AS minute
+    ),
+    m AS (
+      SELECT date_trunc('minute', ts) AS minute, COUNT(*) AS n,
+             SUM({_VAL}) AS sum_value_dec
+      FROM events
+      WHERE event_type = 'click'
+        AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+        AND ts < TIMESTAMP '2024-01-06 00:00:00'
+      GROUP BY 1
+    )
+    SELECT spine.minute,
+           COALESCE(m.n, 0) AS n,
+           CAST(COALESCE(m.sum_value_dec, 0) AS DOUBLE) AS sum_value
+    FROM spine LEFT JOIN m ON spine.minute = m.minute
+    """,
+)
+def ts_minute_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One day of clicks on a dense 1440-minute spine, zero-filled where no
+    events landed. The spine is generated (sequence+explode), never scanned."""
+    e = load_table(spark, sf_dir, "events")
+    m = (
+        e.filter(
+            (F.col("event_type") == "click")
+            & (F.col("ts") >= F.expr("TIMESTAMP_NTZ '2024-01-05 00:00:00'"))
+            & (F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-06 00:00:00'"))
+        )
+        .groupBy(F.date_trunc("minute", F.col("ts")).alias("m_minute"))
+        .agg(F.count(F.lit(1)).alias("n"), F.expr(f"SUM({_VAL})").alias("sum_value_dec"))
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(TIMESTAMP_NTZ '2024-01-05 00:00:00', "
+                "TIMESTAMP_NTZ '2024-01-05 23:59:00', INTERVAL 1 MINUTE)"
+            )
+        ).alias("minute")
+    )
+    return (
+        spine.join(m, spine["minute"] == m["m_minute"], "left_outer")
+        .select(
+            "minute",
+            F.coalesce(F.col("n"), F.lit(0)).alias("n"),
+            F.expr("CAST(COALESCE(sum_value_dec, 0) AS DOUBLE)").alias("sum_value"),
+        )
+    )
