@@ -109,3 +109,34 @@ def test_ann_bruteforce_broadcasts_queries(spark):
 @pytest.mark.parametrize("name", ["q1_pricing_summary", "q5_region_revenue"])
 def test_aqe_enabled(spark, name):
     assert plan_facts(q(spark, name)).aqe
+
+
+def test_q4_semi_join_form(spark):
+    # EXISTS compiles to a LeftSemi join — lineitem never expands orders.
+    from chainhouse_spark.plans.audit import explain_formatted
+
+    df = q(spark, "q4_order_priority")
+    f = plan_facts(df)
+    assert "LeftSemi" in explain_formatted(df)
+    assert f.cartesian_products == 0 and f.shuffle_exchanges <= 1
+
+
+def test_q22_anti_join_form(spark):
+    # NOT EXISTS compiles to LeftAnti; the scalar-average broadcast is the
+    # single BroadcastNestedLoopJoin (one row — intended).
+    from chainhouse_spark.plans.audit import explain_formatted
+
+    df = q(spark, "q22_idle_customers")
+    f = plan_facts(df)
+    assert "LeftAnti" in explain_formatted(df)
+    assert f.nested_loop_joins <= 1 and f.cartesian_products == 0
+
+
+def test_rollups_shuffle_budget(spark):
+    # minute rollup: exactly one shuffle over raw events; the hour rollup
+    # adds exactly one more (re-aggregating partials, never rescanning).
+    assert plan_facts(q(spark, "ts_rollup_minute")).shuffle_exchanges == 1
+    assert plan_facts(q(spark, "ts_rollup_hour_from_minute")).shuffle_exchanges == 2
+    # gap-fill joins the generated spine via broadcast — no extra shuffle.
+    f = plan_facts(q(spark, "ts_minute_spine_gapfill"))
+    assert f.broadcast_joins + f.nested_loop_joins >= 1 and f.shuffle_exchanges <= 1
