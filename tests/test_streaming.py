@@ -168,3 +168,28 @@ def test_sessionizer_streaming(spark, tmp_path):
     for u, r in by_user.items():
         assert r.sum_value == 5.0
         assert (r.session_end - r.session_start).total_seconds() == 80
+
+
+def test_streaming_dedup_across_microbatches(spark, tmp_path):
+    """K8 under unbounded input: the same blocks land twice (two files ->
+    two micro-batches with maxFilesPerTrigger=1); dropDuplicatesWithinWatermark
+    emits each tx hash exactly once — the streaming ReplacingMergeTree
+    contract, exact instead of eventual."""
+    from chainhouse_spark.schemas import RAW_BLOCK
+    from chainhouse_spark.sources.fixtures import generate_raw_blocks
+
+    fix = generate_raw_blocks(6, seed=42)
+    landing = str(tmp_path / "raw")
+    df = spark.createDataFrame(fix, RAW_BLOCK)
+    df.coalesce(1).write.mode("overwrite").parquet(landing)
+    df.coalesce(1).write.mode("append").parquet(landing)  # exact duplicates
+
+    stream = stream_raw_blocks(spark, landing, max_files_per_trigger=1)
+    q = run_to_memory(stream_transactions(stream).drop("event_time"), "tx_dedup_t")
+    q.awaitTermination(120)
+
+    got = spark.table("tx_dedup_t")
+    batch = transactions_from_raw(spark.createDataFrame(fix, RAW_BLOCK))
+    assert got.count() == batch.count()  # no duplicate emissions
+    hashes = [r.hash for r in got.select("hash").collect()]
+    assert len(hashes) == len(set(hashes))
