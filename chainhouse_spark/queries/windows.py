@@ -181,3 +181,41 @@ def window_first_last(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.first("event_type").over(w).alias("first_type"),
         F.last("event_type").over(w).alias("last_type"),
     ).distinct()
+
+
+@register(
+    "window_range_interval_frame",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_orderdate,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS rolling_30d_spend,
+           CAST(COUNT(*) OVER (
+               PARTITION BY o_custkey ORDER BY o_orderdate
+               RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+           ) AS BIGINT) AS rolling_30d_orders
+    FROM orders
+    WHERE o_custkey < 200
+    """,
+)
+def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Value-based RANGE frame over event time: per-customer 30-day rolling
+    spend. RANGE (unlike ROWS) includes all timestamp peers, so the result
+    is deterministic under ties; the frame is expressed in SQL because the
+    DataFrame rangeBetween API is long-typed while interval frames belong to
+    the SQL dialect shared with the oracle."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 200)
+    o.createOrReplaceTempView("_w_orders")
+    return spark.sql("""
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) AS rolling_30d_spend,
+               CAST(COUNT(*) OVER (
+                   PARTITION BY o_custkey ORDER BY o_orderdate
+                   RANGE BETWEEN INTERVAL 30 DAY PRECEDING AND CURRENT ROW
+               ) AS BIGINT) AS rolling_30d_orders
+        FROM _w_orders
+    """)
