@@ -214,3 +214,39 @@ def scalar_array_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
             "|",
         ).alias("head_tokens"),
     )
+
+
+@register(
+    "udtf_token_counts",
+    oracle="""
+    SELECT doc_id, tok AS token, CAST(COUNT(*) AS INT) AS n
+    FROM (
+      SELECT doc_id, UNNEST(string_split(text, ' ')) AS tok
+      FROM documents WHERE doc_id < 50
+    ) t
+    GROUP BY doc_id, tok
+    """,
+)
+def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Python UDTF via LATERAL join, oracle-checked against the declarative
+    equivalent (unnest + count) — proves the table-function surface."""
+    from chainhouse_spark.functions.python_surface import TokenCounts
+
+    spark.udtf.register("token_counts", TokenCounts)
+    load_table(spark, sf_dir, "documents").filter("doc_id < 50").createOrReplaceTempView(
+        "_udtf_docs"
+    )
+    return spark.sql(
+        "SELECT doc_id, t.token, t.n FROM _udtf_docs, LATERAL token_counts(text) t"
+    )
+
+
+@register("udaf_gmean_by_type")
+def udaf_gmean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Grouped-agg pandas UDF (Python UDAF): geometric mean of event values
+    per type. Rows-only (float log-sum is engine-specific); exactness vs a
+    local pandas recompute is pinned in tests/test_python_surface.py."""
+    from chainhouse_spark.functions.python_surface import gmean_value
+
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy("event_type").agg(gmean_value("value").alias("gmean_value"))
