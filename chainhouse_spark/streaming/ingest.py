@@ -104,3 +104,44 @@ def run_to_parquet(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def stream_blocks(raw_stream: DataFrame, watermark: str = "10 minutes") -> DataFrame:
+    """The blocks transform lifted to streaming with event time."""
+    from chainhouse_spark.transforms import blocks_from_raw
+
+    b = blocks_from_raw(raw_stream, dedup=False)
+    return b.withColumn(
+        "b_event_time",
+        F.expr("CAST(timestamp_seconds(CAST(`timestamp` AS BIGINT)) AS TIMESTAMP)"),
+    ).withWatermark("b_event_time", watermark)
+
+
+def stream_stream_tx_block_join(
+    tx_stream: DataFrame, block_stream: DataFrame, interval: str = "5 minutes"
+) -> DataFrame:
+    """Stream-stream inner join: each transaction matched to its block row.
+
+    Both sides are watermarked, and the time-range predicate bounds the join
+    state: a buffered row is dropped once the other side's watermark passes
+    its event time + interval. Output: one row per tx with block gas stats —
+    the streaming twin of the batch F2/F5 denormalization.
+    """
+    b = block_stream.select(
+        F.col("hash").alias("b_hash"),
+        F.col("gasUsed").alias("block_gasUsed"),
+        F.col("gasLimit").alias("block_gasLimit"),
+        "b_event_time",
+    )
+    t = tx_stream.select("hash", "blockHash", "gasUsed", "event_time")
+    return t.join(
+        b,
+        F.expr(
+            f"""
+            blockHash = b_hash AND
+            event_time >= b_event_time - INTERVAL {interval} AND
+            event_time <= b_event_time + INTERVAL {interval}
+            """
+        ),
+        "inner",
+    )

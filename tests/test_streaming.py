@@ -193,3 +193,40 @@ def test_streaming_dedup_across_microbatches(spark, tmp_path):
     assert got.count() == batch.count()  # no duplicate emissions
     hashes = [r.hash for r in got.select("hash").collect()]
     assert len(hashes) == len(set(hashes))
+
+
+def test_stream_stream_join_matches_batch(spark, tmp_path):
+    """Watermarked stream-stream join == the batch join on the same data."""
+    from chainhouse_spark.schemas import RAW_BLOCK
+    from chainhouse_spark.sources.fixtures import generate_raw_blocks
+    from chainhouse_spark.streaming.ingest import (
+        stream_blocks,
+        stream_stream_tx_block_join,
+    )
+    from chainhouse_spark.transforms import blocks_from_raw
+
+    fix = generate_raw_blocks(8, seed=42)
+    landing = str(tmp_path / "raw")
+    spark.createDataFrame(fix, RAW_BLOCK).repartition(4).write.mode(
+        "overwrite"
+    ).parquet(landing)
+
+    raw1 = stream_raw_blocks(spark, landing, max_files_per_trigger=1)
+    raw2 = stream_raw_blocks(spark, landing, max_files_per_trigger=1)
+    joined = stream_stream_tx_block_join(
+        stream_transactions(raw1), stream_blocks(raw2)
+    )
+    q = run_to_memory(joined.select("hash", "blockHash", "block_gasUsed"), "ss_join_t")
+    q.awaitTermination(180)
+
+    got = spark.table("ss_join_t")
+    raw_b = spark.createDataFrame(fix, RAW_BLOCK)
+    tx = transactions_from_raw(raw_b)
+    bl = blocks_from_raw(raw_b).select(
+        F.col("hash").alias("b_hash"), F.col("gasUsed").alias("block_gasUsed")
+    )
+    exp = tx.join(bl, tx.blockHash == bl.b_hash)
+    assert got.count() == exp.count() > 0
+    g = {(r.hash, r.block_gasUsed) for r in got.collect()}
+    e = {(r.hash, r.block_gasUsed) for r in exp.select("hash", "block_gasUsed").collect()}
+    assert g == e
