@@ -250,3 +250,33 @@ def udaf_gmean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return e.groupBy("event_type").agg(gmean_value("value").alias("gmean_value"))
+
+
+@register(
+    "scalar_map_funcs",
+    oracle="""
+    SELECT event_id,
+           map_from_entries([struct_pack(k := 'type', v := event_type),
+                             struct_pack(k := 'src', v := 'events')])['type'][1] AS type_val,
+           len(map_keys(map_from_entries([struct_pack(k := 'type', v := event_type),
+                                          struct_pack(k := 'src', v := 'events')]))) AS n_keys,
+           CAST(map_from_entries([struct_pack(k := 'n', v := value)])['n'][1] AS DOUBLE) AS n_val
+    FROM events
+    WHERE event_id < 500
+    """,
+)
+def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MapType construction and lookup — returns scalar lookups (never raw
+    map cells: map ordering is engine-specific and would break hashing)."""
+    e = load_table(spark, sf_dir, "events").filter("event_id < 500")
+    m = F.map_from_arrays(
+        F.array(F.lit("type"), F.lit("src")),
+        F.array(F.col("event_type"), F.lit("events")),
+    )
+    mv = F.map_from_arrays(F.array(F.lit("n")), F.array(F.col("value")))
+    return e.select(
+        "event_id",
+        F.element_at(m, "type").alias("type_val"),
+        F.size(F.map_keys(m)).alias("n_keys"),
+        F.element_at(mv, "n").cast("double").alias("n_val"),
+    )
