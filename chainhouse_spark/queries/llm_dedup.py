@@ -154,3 +154,45 @@ def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     nearly all pairs.)"""
     sk = simhash(load_table(spark, sf_dir, "documents"), nbits=32)
     return simhash_near_pairs(sk, max_hamming=2)
+
+
+@register(
+    "dedup_duplicate_clusters",
+    oracle="""
+    WITH RECURSIVE
+    """ + _DUCK_SHINGLES + """,
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Near-dup pairs (exact Jaccard >= 0.8) clustered into duplicate groups
+    by distributed connected components (iterative min-label propagation).
+    The Spark side is genuinely iterative; the oracle expresses the same
+    fixpoint as a recursive CTE — both converge to min-id-per-component."""
+    from chainhouse_spark.operators.components import connected_components
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), shingle_words=3, threshold=0.8
+    )
+    return connected_components(pairs, src="doc_a", dst="doc_b")
