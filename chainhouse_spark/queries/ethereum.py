@@ -80,3 +80,91 @@ def eth_withdrawal_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("blockNumber")
     )
+
+
+@register("eth_top_senders")
+def eth_top_senders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top senders by total transferred value: binary address shown as
+    0x-hex (functions.bytes), wei totals as exact Decimal(38,18) ether."""
+    from chainhouse_spark.functions.bytes import to_hex, wei_to_eth
+
+    tx = _tables(spark)["transactions"]
+    return (
+        tx.groupBy(F.col("from").alias("sender"))
+        .agg(
+            F.sum(F.col("value")).cast("decimal(38,0)").alias("total_wei"),
+            F.count(F.lit(1)).alias("n_tx"),
+            F.sum("gasUsed").cast("decimal(38,0)").alias("total_gas"),
+        )
+        .select(
+            to_hex("sender").alias("sender_hex"),
+            wei_to_eth("total_wei").alias("total_eth"),
+            "n_tx",
+            "total_gas",
+        )
+        .orderBy(F.desc("total_eth"), F.asc("sender_hex"))
+        .limit(20)
+    )
+
+
+@register("eth_contract_creations")
+def eth_contract_creations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Contract-creation transactions (`to` NULL, contractAddress set —
+    src/main.rs:221,242-244 semantics), one row per creation."""
+    from chainhouse_spark.functions.bytes import to_hex
+
+    tx = _tables(spark)["transactions"]
+    return (
+        tx.filter(F.col("to").isNull() & F.col("contractAddress").isNotNull())
+        .select(
+            "blockNumber",
+            to_hex("hash").alias("tx_hash"),
+            to_hex("contractAddress").alias("contract_hex"),
+            F.col("gasUsed").cast("decimal(38,0)").alias("gas_used"),
+        )
+        .orderBy("blockNumber", "tx_hash")
+    )
+
+
+@register("eth_type2_fee_stats")
+def eth_type2_fee_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIP-1559 adoption per block: type-2 share and priority-fee stats
+    where present (pre/post-1559 era mix from the fixtures, P4)."""
+    tx = _tables(spark)["transactions"]
+    t2 = F.when(F.col("`type`") == 2, 1).otherwise(0)
+    return (
+        tx.groupBy("blockNumber")
+        .agg(
+            F.count(F.lit(1)).alias("n_tx"),
+            F.sum(t2).alias("n_type2"),
+            F.max(F.col("maxPriorityFeePerGas").cast("decimal(38,0)")).alias(
+                "max_priority_fee"
+            ),
+        )
+        .withColumn(
+            "type2_share", F.col("n_type2").cast("double") / F.col("n_tx")
+        )
+        .orderBy("blockNumber")
+    )
+
+
+@register("eth_log_address_activity")
+def eth_log_address_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Most active log-emitting contracts with their distinct topic0 count —
+    the event-indexing workload shape."""
+    from chainhouse_spark.functions.bytes import to_hex
+
+    ev = _tables(spark)["events"]
+    return (
+        ev.groupBy(F.col("address").alias("addr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_logs"),
+            F.countDistinct(
+                F.when(F.size("topics") > 0, F.element_at("topics", 1))
+            ).alias("n_topic0"),
+            F.countDistinct("transactionHash").alias("n_txs"),
+        )
+        .select(to_hex("addr").alias("address_hex"), "n_logs", "n_topic0", "n_txs")
+        .orderBy(F.desc("n_logs"), F.asc("address_hex"))
+        .limit(20)
+    )
