@@ -10,6 +10,7 @@ from chainhouse_spark.queries.registry import QUERIES, ORACLES, register  # noqa
 # Import for side effect: each module registers its queries.
 from chainhouse_spark.queries import tpch  # noqa: E402,F401
 from chainhouse_spark.queries import tpch_extended  # noqa: E402,F401
+from chainhouse_spark.queries import tpch_complete  # noqa: E402,F401
 from chainhouse_spark.queries import joins  # noqa: E402,F401
 from chainhouse_spark.queries import aggregates  # noqa: E402,F401
 from chainhouse_spark.queries import windows  # noqa: E402,F401
