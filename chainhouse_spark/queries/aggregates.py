@@ -195,3 +195,41 @@ def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
     )
+
+
+@register(
+    "agg_salted_two_phase",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY event_type
+    """,
+)
+def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Skew-proof aggregation: explicit salt -> partial agg on
+    (key, salt) -> final re-agg on key. Bit-identical to the plain GROUP BY
+    (the oracle) because count and decimal-sum are associative.
+
+    Map-side combine already handles most skew for algebraic aggregates;
+    explicit salting is the pattern for when a single hot key still
+    overwhelms one reducer AFTER combining (billions of rows per key at
+    100 TB, or non-algebraic aggregates like collect_list). The salt fans
+    each hot key over 16 reducers; the final agg touches 16 rows per key.
+    AQE's skew handling covers joins, not aggregations — this is the
+    aggregation-side answer.
+    """
+    e = load_table(spark, sf_dir, "events")
+    partial = (
+        e.withColumn("salt", F.pmod(F.col("event_id"), F.lit(16)))
+        .groupBy("event_type", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.expr("SUM(CAST(value AS DECIMAL(18,6)))").alias("pv"),
+        )
+    )
+    return partial.groupBy("event_type").agg(
+        F.sum("pn").alias("n_events"),
+        F.expr("CAST(SUM(pv) AS DOUBLE)").alias("total_value"),
+    )

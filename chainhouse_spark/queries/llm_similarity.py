@@ -135,6 +135,54 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "semantic_dedup_kept",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT q.vec_id AS vec_a, c.vec_id AS vec_b
+        FROM embeddings q, embeddings c, {_IDX}
+        WHERE q.label = c.label AND q.vec_id < c.vec_id
+        GROUP BY q.label, q.vec_id, c.vec_id
+        HAVING {_DOT} / (sqrt({_QQ}) * sqrt({_CC})) >= 0.35
+    ),
+    edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION ALL SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    dropped AS (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+    SELECT vec_id FROM embeddings
+    WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+    """,
+)
+def semantic_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup: embedding near-pairs (cosine >= 0.35,
+    label-blocked) -> connected components -> keep each cluster's min-id
+    canonical; singletons survive untouched.
+
+    Composes the blocked pair generator with the iterative min-label
+    propagation operator (operators/components.py) — the embedding-space
+    version of the text near-dup pipeline in llm_pipeline.py. At 100 TB the
+    pair relation (not the corpus) drives cost, and blocking bounds it to
+    within-label cross products.
+    """
+    from chainhouse_spark.operators.components import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    pairs = embedding_near_pairs(emb, threshold=0.35).select("vec_a", "vec_b")
+    clusters = connected_components(pairs, src="vec_a", dst="vec_b")
+    dropped = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("vec_id")
+    )
+    return emb.join(dropped, "vec_id", "left_anti").select("vec_id")
+
+
 @register("ann_ivf_topk")
 def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF approximate top-10: KMeans coarse cells, 4-of-16 probed per query.

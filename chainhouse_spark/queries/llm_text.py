@@ -150,6 +150,77 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "tfidf_top_terms",
+    oracle="""
+    WITH toks AS (
+      SELECT doc_id, unnest(regexp_extract_all(text, '[a-z0-9]+')) AS term
+      FROM documents
+    ),
+    tf AS (SELECT doc_id, term, COUNT(*) AS tf FROM toks GROUP BY doc_id, term),
+    dl AS (SELECT doc_id, COUNT(*) AS dlen FROM toks GROUP BY doc_id),
+    df AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY term),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+      SELECT tf.doc_id, tf.term,
+             (CAST(tf AS DOUBLE) / dlen)
+               * ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS tfidf
+      FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
+    )
+    SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rank
+    FROM (
+      SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
+      FROM scored
+    ) t
+    WHERE rn <= 3
+    """,
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 TF-IDF terms per document — the keyword-extraction stage of a
+    corpus index. The idf factor is the BM25-style rational form
+    (N - df + 0.5)/(df + 0.5) rather than ln(N/df): transcendental
+    functions are not guaranteed correctly-rounded, so ln() differs in the
+    last ulp across engines; the rational form is bit-identical and
+    preserves the ranking.
+
+    Everything derives from ONE term-frequency aggregate: doc length is
+    SUM(tf) per doc, document frequency is the per-term row count of tf —
+    no second tokenize pass. At 100 TB the tf relation is the thing to
+    persist/checkpoint; df is tiny (vocabulary-sized) and broadcasts back,
+    and the final per-doc top-3 window shuffles on doc_id only.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.explode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("term"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(dl, "doc_id")
+        .join(F.broadcast(df), "term")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "doc_id",
+            "term",
+            (
+                (F.col("tf").cast("double") / F.col("dlen"))
+                * ((F.col("n_docs").cast("double") - F.col("df") + 0.5) / (F.col("df") + 0.5))
+            ).alias("tfidf"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
+    return (
+        scored.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 3)
+        .select("doc_id", "term", "tfidf", "rank")
+    )
+
+
+@register(
     "text_fingerprint",
     oracle="""
     SELECT doc_id,

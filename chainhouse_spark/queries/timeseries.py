@@ -139,3 +139,78 @@ def ts_minute_spine_gapfill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr("CAST(COALESCE(sum_value_dec, 0) AS DOUBLE)").alias("sum_value"),
         )
     )
+
+
+@register(
+    "sessionize_batch",
+    oracle=f"""
+    SELECT user_id, session_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start,
+           MAX(ts) AS session_end,
+           CAST(SUM({_VAL}) AS DOUBLE) AS session_value
+    FROM (
+      SELECT user_id, ts, value,
+             CAST(SUM(is_new) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS UNBOUNDED PRECEDING
+             ) AS BIGINT) AS session_id
+      FROM (
+        SELECT user_id, event_id, ts, value,
+               CASE WHEN lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                     OR ts > lag(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                            + INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+      ) flagged
+    ) sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch sessionization (gaps-and-islands): a new session starts after a
+    30-minute silence; per-session event counts, bounds, and exact value sums.
+
+    The batch twin of the streaming applyInPandasWithState sessionizer —
+    same session boundaries, but expressed as two stacked windows (lag ->
+    gap flag -> running sum), all JVM-side. One shuffle on user_id serves
+    both windows AND the final group-by (same partitioning, Catalyst reuses
+    the exchange), so the whole operator costs a single data motion at any
+    scale. Tie-break on event_id makes boundaries deterministic under
+    equal timestamps.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    flagged = e.select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.lag("ts").over(w).alias("prev_ts"),
+    ).select(
+        "user_id",
+        "event_id",
+        "ts",
+        "value",
+        F.when(
+            F.col("prev_ts").isNull()
+            | F.expr("ts > prev_ts + INTERVAL 30 MINUTE"),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new"),
+    )
+    sessions = flagged.select(
+        "user_id",
+        "ts",
+        "value",
+        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    return sessions.groupBy("user_id", "session_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.expr(f"CAST(SUM({_VAL}) AS DOUBLE)").alias("session_value"),
+    )
