@@ -188,18 +188,23 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     persist/checkpoint; df is tiny (vocabulary-sized) and broadcasts back,
     and the final per-doc top-3 window shuffles on doc_id only.
     """
+    from pyspark.sql import Window
+
     d = load_table(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id",
         F.explode(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("term"),
     )
     tf = toks.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
-    dl = tf.groupBy("doc_id").agg(F.sum("tf").alias("dlen"))
-    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    # df and dlen as windows over the ONE tf aggregate — no branch recompute,
+    # no second tokenize pass: shuffles are (doc,term) -> term -> doc, and the
+    # final rank window reuses the doc_id partitioning.
+    w_term = Window.partitionBy("term")
+    w_doc = Window.partitionBy("doc_id")
     n = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
-        tf.join(dl, "doc_id")
-        .join(F.broadcast(df), "term")
+        tf.withColumn("df", F.count(F.lit(1)).over(w_term))
+        .withColumn("dlen", F.sum("tf").over(w_doc))
         .crossJoin(F.broadcast(n))
         .select(
             "doc_id",
@@ -210,8 +215,6 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("tfidf"),
         )
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("doc_id").orderBy(F.desc("tfidf"), "term")
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))

@@ -140,3 +140,57 @@ def test_rollups_shuffle_budget(spark):
     # gap-fill joins the generated spine via broadcast — no extra shuffle.
     f = plan_facts(q(spark, "ts_minute_spine_gapfill"))
     assert f.broadcast_joins + f.nested_loop_joins >= 1 and f.shuffle_exchanges <= 1
+
+
+def test_tpch_completion_broadcast_and_shuffle_budget(spark):
+    # q2: supply agg + window are the only shuffles; part/supplier/nation/
+    # region all broadcast. q8: the full 8-table star keeps every dimension
+    # broadcast — one fact shuffle. q20: semi-join chain, one shuffle.
+    assert audit(q(spark, "q2_min_cost_supplier"),
+                 require_broadcast_joins=4, max_shuffle_exchanges=2,
+                 forbid_sortmerge=True) == []
+    assert audit(q(spark, "q8_market_share"),
+                 require_broadcast_joins=7, max_shuffle_exchanges=1,
+                 forbid_sortmerge=True) == []
+    assert audit(q(spark, "q20_excess_suppliers"),
+                 require_broadcast_joins=3, max_shuffle_exchanges=1,
+                 forbid_sortmerge=True) == []
+
+
+def test_q21_per_order_agg_form(spark):
+    # the EXISTS/NOT-EXISTS pair must stay a per-order aggregate (one
+    # lineitem⨝orders edge), never two correlated self-joins.
+    f = plan_facts(q(spark, "q21_waiting_supplier"))
+    assert f.cartesian_products == 0 and f.python_evals == 0
+    assert f.shuffle_exchanges <= 4
+
+
+def test_sessionize_single_shuffle(spark):
+    # both windows and the final group-by share the user_id partitioning:
+    # the whole operator moves data exactly once.
+    f = plan_facts(q(spark, "sessionize_batch"))
+    assert f.shuffle_exchanges == 1
+    assert f.python_evals == 0
+
+
+def test_tfidf_single_tokenize_pass(spark):
+    # df/dlen are windows over the one tf aggregate — the corpus is
+    # tokenized once (the only second scan is the 1-row doc count).
+    f = plan_facts(q(spark, "tfidf_top_terms"))
+    assert f.scans <= 2
+    assert f.shuffle_exchanges <= 4
+    assert f.cartesian_products == 0
+
+
+def test_sampling_gates_are_map_only(spark):
+    # hash-gate membership must never shuffle; aggregating variants get
+    # exactly the one final agg exchange.
+    assert plan_facts(q(spark, "split_train_test_hash")).shuffle_exchanges == 0
+    assert plan_facts(q(spark, "interleave_weighted_sources")).shuffle_exchanges == 1
+    assert plan_facts(q(spark, "sample_stratified_per_lang")).shuffle_exchanges == 1
+
+
+def test_salted_agg_two_exchanges(spark):
+    # the salt fans the hot key over 16 reducers: partial agg + final agg,
+    # exactly two exchanges, nothing else.
+    assert plan_facts(q(spark, "agg_salted_two_phase")).shuffle_exchanges == 2
