@@ -145,3 +145,50 @@ def stream_stream_tx_block_join(
         ),
         "inner",
     )
+
+
+def stream_static_enrich(tx_stream: DataFrame, labels: DataFrame) -> DataFrame:
+    """Stream-static join: enrich each transaction with a slowly-changing
+    dimension (address labels). The static side is re-resolved every
+    micro-batch (picks up dimension updates without restart) and broadcast —
+    per-batch cost is one broadcast of the dim, zero shuffle of the stream.
+    At 100 TB/day stream rates the dim stays broadcast-sized (addresses with
+    labels ≪ stream rows); if it ever outgrows that, pre-bucket both sides.
+    """
+    lab = F.broadcast(labels.select(F.col("address").alias("addr"), "label"))
+    return tx_stream.join(lab, F.col("from") == F.col("addr"), "left").drop("addr")
+
+
+def run_foreach_batch_upsert(
+    df: DataFrame, target_dir: str, checkpoint: str, keys: list[str]
+) -> "StreamingQuery":  # noqa: F821
+    """foreachBatch idempotent upsert onto a non-transactional parquet target:
+    each micro-batch dedups on the K8 keys, anti-joins what the target
+    already holds, and appends only the remainder. Replayed batches
+    (at-least-once delivery, checkpoint loss, operator re-runs) therefore
+    never duplicate a row — the exactly-once MATERIALIZATION contract built
+    from at-least-once delivery, mirroring the reference's idempotent
+    ReplacingMergeTree loads (src/main.rs:87).
+
+    Scale note: the anti-join probe reads only the key columns of the target
+    (column pruning); partition the target by a key-derived prefix so the
+    probe prunes to the partitions a batch can touch instead of the full
+    history.
+    """
+
+    def _upsert(batch: DataFrame, _epoch: int) -> None:
+        spark = batch.sparkSession
+        out = batch.dropDuplicates(keys)
+        try:
+            existing = spark.read.parquet(target_dir).select(*keys)
+            out = out.join(existing, keys, "left_anti")
+        except Exception:
+            pass  # first batch: target does not exist yet
+        out.write.mode("append").parquet(target_dir)
+
+    return (
+        df.writeStream.foreachBatch(_upsert)
+        .option("checkpointLocation", checkpoint)
+        .trigger(availableNow=True)
+        .start()
+    )

@@ -230,3 +230,51 @@ def test_stream_stream_join_matches_batch(spark, tmp_path):
     g = {(r.hash, r.block_gasUsed) for r in got.collect()}
     e = {(r.hash, r.block_gasUsed) for r in exp.select("hash", "block_gasUsed").collect()}
     assert g == e
+
+
+def test_stream_static_enrich(spark, landing):
+    """Stream-static broadcast join == the batch join on the same data."""
+    from chainhouse_spark.streaming.ingest import stream_static_enrich
+
+    batch_tx = transactions_from_raw(raw_blocks_df(spark, n_blocks=8, seed=42))
+    some = [r["from"] for r in batch_tx.select("from").distinct().limit(3).collect()]
+    labels = spark.createDataFrame(
+        [(a, f"label_{i}") for i, a in enumerate(some)], "address binary, label string"
+    )
+
+    raw_stream = stream_raw_blocks(spark, landing, max_files_per_trigger=1)
+    enriched = stream_static_enrich(stream_transactions(raw_stream), labels)
+    q = run_to_memory(enriched.select("hash", "label"), "enrich_t")
+    q.awaitTermination(120)
+
+    got = spark.table("enrich_t")
+    assert got.count() == batch_tx.count()  # left join preserves the stream
+    exp_labeled = (
+        batch_tx.join(labels, batch_tx["from"] == labels["address"]).count()
+    )
+    assert got.filter(F.col("label").isNotNull()).count() == exp_labeled > 0
+
+
+def test_foreach_batch_upsert_idempotent(spark, tmp_path, landing):
+    """A full replay (fresh checkpoint, same input) appends nothing new —
+    the anti-join makes materialization idempotent under at-least-once."""
+    from chainhouse_spark.streaming.ingest import run_foreach_batch_upsert
+
+    target = str(tmp_path / "target")
+
+    def drain(ckpt: str) -> None:
+        raw_stream = stream_raw_blocks(spark, landing, max_files_per_trigger=1)
+        tx = stream_transactions(raw_stream).drop("event_time")
+        q = run_foreach_batch_upsert(tx, target, str(tmp_path / ckpt), keys=["hash"])
+        q.awaitTermination(120)
+
+    drain("ckpt1")
+    n1 = spark.read.parquet(target).count()
+    batch = transactions_from_raw(raw_blocks_df(spark, n_blocks=8, seed=42))
+    assert n1 == batch.count() > 0
+
+    drain("ckpt2")  # fresh checkpoint: the entire stream replays
+    got = spark.read.parquet(target)
+    assert got.count() == n1  # no duplicate rows appended
+    hashes = [r.hash for r in got.select("hash").collect()]
+    assert len(hashes) == len(set(hashes))
