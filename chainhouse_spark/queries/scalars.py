@@ -280,3 +280,60 @@ def scalar_map_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.map_keys(m)).alias("n_keys"),
         F.element_at(mv, "n").cast("double").alias("n_val"),
     )
+
+
+@register(
+    "scalar_bitwise",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderkey & 255 AS band,
+           o_orderkey | 4096 AS bor,
+           xor(o_orderkey, 170) AS bxor,
+           o_orderkey << 2 AS shl,
+           o_orderkey >> 3 AS shr,
+           bit_count(o_orderkey) AS popcnt
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bitwise operator surface (mask/shift/popcount) — the hex-adjacent
+    integer ops a chain-data user reaches for (topic masks, bloom bits)."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    return o.select(
+        "o_orderkey",
+        F.expr("o_orderkey & 255").alias("band"),
+        F.expr("o_orderkey | 4096").alias("bor"),
+        F.expr("o_orderkey ^ 170").alias("bxor"),
+        F.expr("shiftleft(o_orderkey, 2)").alias("shl"),
+        F.expr("shiftright(o_orderkey, 3)").alias("shr"),
+        F.expr("bit_count(o_orderkey)").alias("popcnt"),
+    )
+
+
+@register(
+    "scalar_higher_order",
+    oracle="""
+    SELECT o_orderkey,
+           list_transform(range(1, CAST(o_orderkey % 5 + 4 AS BIGINT)), x -> x * x) AS squares,
+           list_filter(range(1, CAST(o_orderkey % 5 + 4 AS BIGINT)), x -> x % 2 = 0) AS evens,
+           CAST(list_reduce(list_transform(range(1, CAST(o_orderkey % 5 + 4 AS BIGINT)), x -> x * x),
+                            (acc, x) -> acc + x) AS BIGINT) AS sq_sum
+    FROM orders
+    WHERE o_orderkey < 300
+    """,
+)
+def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher-order array functions (transform / filter / aggregate) — all
+    JVM lambda expressions inside codegen, the Spark-native replacement for
+    row-level Python loops."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
+    seq = "sequence(1, o_orderkey % 5 + 3)"
+    return o.select(
+        "o_orderkey",
+        F.expr(f"transform({seq}, x -> x * x)").alias("squares"),
+        F.expr(f"filter({seq}, x -> x % 2 = 0)").alias("evens"),
+        F.expr(
+            f"CAST(aggregate(transform({seq}, x -> x * x), 0L, (acc, x) -> acc + x) AS BIGINT)"
+        ).alias("sq_sum"),
+    )

@@ -219,3 +219,31 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS BIGINT) AS rolling_30d_orders
         FROM _w_orders
     """)
+
+
+@register(
+    "window_rank_fractions",
+    oracle="""
+    SELECT o_orderkey,
+           o_orderpriority,
+           percent_rank() OVER w AS pct_rank,
+           cume_dist() OVER w AS cume,
+           nth_value(o_orderkey, 3) OVER w AS third_key
+    FROM orders
+    WHERE o_orderkey < 2000
+    WINDOW w AS (PARTITION BY o_orderpriority ORDER BY o_totalprice, o_orderkey)
+    """,
+)
+def window_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fractional rank functions: percent_rank, cume_dist, nth_value. The
+    ratios are single float divisions of counts — deterministic; the unique
+    (o_totalprice, o_orderkey) order key makes every rank reproducible."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 2000)
+    w = Window.partitionBy("o_orderpriority").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.percent_rank().over(w).alias("pct_rank"),
+        F.cume_dist().over(w).alias("cume"),
+        F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
+    )
