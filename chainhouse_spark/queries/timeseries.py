@@ -173,44 +173,10 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     The batch twin of the streaming applyInPandasWithState sessionizer —
     same session boundaries, but expressed as two stacked windows (lag ->
-    gap flag -> running sum), all JVM-side. One shuffle on user_id serves
-    both windows AND the final group-by (same partitioning, Catalyst reuses
-    the exchange), so the whole operator costs a single data motion at any
-    scale. Tie-break on event_id makes boundaries deterministic under
-    equal timestamps.
+    gap flag -> running sum), all JVM-side; see
+    operators/sessionize.py::sessionize_events for the shuffle analysis.
     """
-    from pyspark.sql import Window
+    from chainhouse_spark.operators.sessionize import sessionize_events
 
     e = load_table(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    flagged = e.select(
-        "user_id",
-        "event_id",
-        "ts",
-        "value",
-        F.lag("ts").over(w).alias("prev_ts"),
-    ).select(
-        "user_id",
-        "event_id",
-        "ts",
-        "value",
-        F.when(
-            F.col("prev_ts").isNull()
-            | F.expr("ts > prev_ts + INTERVAL 30 MINUTE"),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_new"),
-    )
-    sessions = flagged.select(
-        "user_id",
-        "ts",
-        "value",
-        F.sum("is_new").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
-    )
-    return sessions.groupBy("user_id", "session_id").agg(
-        F.count(F.lit(1)).alias("n_events"),
-        F.min("ts").alias("session_start"),
-        F.max("ts").alias("session_end"),
-        F.expr(f"CAST(SUM({_VAL}) AS DOUBLE)").alias("session_value"),
-    )
+    return sessionize_events(e, gap_seconds=1800)

@@ -1,0 +1,137 @@
+"""Property-based tests (hypothesis): invariants that must hold for ANY
+input, not just the fixtures — the contract a 100 TB run depends on when the
+data stops looking like the test tables.
+"""
+
+from __future__ import annotations
+
+import datetime as dt
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+GAP = 600  # seconds
+
+# A user's event offsets: small positive gaps and occasional > GAP silences.
+_offsets = st.lists(
+    st.integers(min_value=0, max_value=4 * GAP), min_size=1, max_size=12
+)
+
+
+@settings(
+    max_examples=8,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(data=st.lists(_offsets, min_size=1, max_size=3))
+def test_sessionize_invariants(spark, data):
+    """For arbitrary event streams: (1) sessions partition the events —
+    counts add up per user; (2) a session never contains an internal gap
+    > GAP (its span is bounded by (n-1)*GAP); (3) consecutive sessions of a
+    user are separated by > GAP."""
+    from chainhouse_spark.operators.sessionize import sessionize_events
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    for user, offs in enumerate(data):
+        t = 0
+        for o in offs:
+            t += o
+            rows.append((eid, user, t0 + dt.timedelta(seconds=t), 1.0))
+            eid += 1
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts timestamp_ntz, value double"
+    )
+    out = sessionize_events(df, gap_seconds=GAP).collect()
+
+    per_user_events = {u: len(o) for u, o in enumerate(data)}
+    got_counts: dict[int, int] = {}
+    by_user: dict[int, list] = {}
+    for r in out:
+        got_counts[r.user_id] = got_counts.get(r.user_id, 0) + r.n_events
+        by_user.setdefault(r.user_id, []).append(r)
+        span = (r.session_end - r.session_start).total_seconds()
+        assert span <= (r.n_events - 1) * GAP  # no internal gap > GAP
+        assert r.n_events >= 1
+    assert got_counts == per_user_events  # sessions partition the events
+
+    for sessions in by_user.values():
+        sessions.sort(key=lambda r: r.session_start)
+        for a, b in zip(sessions, sessions[1:]):
+            gap = (b.session_start - a.session_end).total_seconds()
+            assert gap > GAP  # boundaries really are silences
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    ids=st.lists(st.integers(min_value=0, max_value=10**9), min_size=1, max_size=50)
+)
+def test_hash_split_is_stable_under_subsetting(spark, ids):
+    """The hash-gate split assigns by row identity alone: computing the split
+    on any subset gives each row the same membership as on the full set —
+    the incremental-ingest guarantee random sampling cannot offer."""
+    full = spark.createDataFrame([(i,) for i in set(ids)], "doc_id long")
+    split_expr = F.expr(
+        "CASE WHEN substr(md5(CAST(doc_id AS STRING)), 1, 1) < 'd' "
+        "THEN 'train' ELSE 'test' END"
+    ).alias("split")
+    whole = {r.doc_id: r.split for r in full.select("doc_id", split_expr).collect()}
+    half = full.filter(F.col("doc_id") % 2 == 0)
+    sub = {r.doc_id: r.split for r in half.select("doc_id", split_expr).collect()}
+    assert all(whole[k] == v for k, v in sub.items())
+
+
+@settings(
+    max_examples=6,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(
+    vals=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=3),  # group key
+            st.decimals(
+                min_value=-1000, max_value=1000, places=3, allow_nan=False
+            ),
+        ),
+        min_size=1,
+        max_size=60,
+    )
+)
+def test_salted_agg_equals_direct_agg(spark, vals):
+    """Salting is invisible: partial-on-(key,salt) -> final-on-key equals the
+    direct group-by for associative aggregates, for any distribution
+    (including everything on one hot key)."""
+    df = spark.createDataFrame(
+        [(k, float(v)) for k, v in vals], "k long, value double"
+    )
+    direct = {
+        (r.k): (r.n, r.s)
+        for r in df.groupBy("k")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr("CAST(SUM(CAST(value AS DECIMAL(18,6))) AS DOUBLE)").alias("s"),
+        )
+        .collect()
+    }
+    salted = (
+        df.withColumn("salt", F.pmod(F.monotonically_increasing_id(), F.lit(7)))
+        .groupBy("k", "salt")
+        .agg(
+            F.count(F.lit(1)).alias("pn"),
+            F.expr("SUM(CAST(value AS DECIMAL(18,6)))").alias("pv"),
+        )
+        .groupBy("k")
+        .agg(
+            F.sum("pn").alias("n"),
+            F.expr("CAST(SUM(pv) AS DOUBLE)").alias("s"),
+        )
+    )
+    got = {(r.k): (r.n, r.s) for r in salted.collect()}
+    assert got == direct
