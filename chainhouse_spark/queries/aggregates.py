@@ -233,3 +233,33 @@ def agg_salted_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("pn").alias("n_events"),
         F.expr("CAST(SUM(pv) AS DOUBLE)").alias("total_value"),
     )
+
+
+@register(
+    "agg_unpivot",
+    oracle="""
+    WITH m AS (
+      SELECT l_returnflag,
+             CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+             CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_price
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l_returnflag, 'sum_qty' AS metric, sum_qty AS metric_value FROM m
+    UNION ALL
+    SELECT l_returnflag, 'sum_price' AS metric, sum_price AS metric_value FROM m
+    """,
+)
+def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wide-to-long reshape (the inverse of pivot) via UNPIVOT/stack — the
+    export shape metric stores want. Map-side expansion of the already-small
+    aggregate, no extra shuffle."""
+    li = load_table(spark, sf_dir, "lineitem")
+    m = li.groupBy("l_returnflag").agg(
+        F.expr("CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE)").alias("sum_qty"),
+        F.expr("CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE)").alias(
+            "sum_price"
+        ),
+    )
+    return m.unpivot(
+        ["l_returnflag"], ["sum_qty", "sum_price"], "metric", "metric_value"
+    )

@@ -337,3 +337,85 @@ def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(aggregate(transform({seq}, x -> x * x), 0L, (acc, x) -> acc + x) AS BIGINT)"
         ).alias("sq_sum"),
     )
+
+
+@register(
+    "scalar_variant_json",
+    oracle="""
+    SELECT event_id,
+           CAST(json_extract(props, '$.k') AS BIGINT) AS k_val,
+           CAST(json_extract(props, '$.missing') AS BIGINT) AS missing_val,
+           CAST(json_extract('{"a": {"b": [10, 20, 30]}}', '$.a.b[1]') AS BIGINT) AS nested_val
+    FROM events
+    WHERE event_id < 200
+    """,
+)
+def scalar_variant_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-structured access through Spark 4's VARIANT type: parse once,
+    extract typed values by path (missing paths -> NULL). VARIANT keeps a
+    binary-encoded tree — repeated path access avoids re-parsing the JSON
+    text, the scale answer for wide semi-structured columns; the oracle's
+    json_extract is the text-path equivalent."""
+    e = load_table(spark, sf_dir, "events").filter(F.col("event_id") < 200)
+    return e.select(
+        "event_id",
+        F.expr("variant_get(parse_json(props), '$.k', 'bigint')").alias("k_val"),
+        F.expr("variant_get(parse_json(props), '$.missing', 'bigint')").alias(
+            "missing_val"
+        ),
+        F.expr(
+            "variant_get(parse_json('{\"a\": {\"b\": [10, 20, 30]}}'), '$.a.b[1]', 'bigint')"
+        ).alias("nested_val"),
+    )
+
+
+@register(
+    "scalar_regex",
+    oracle="""
+    SELECT doc_id,
+           regexp_extract(text, '([a-z]{6,})', 1) AS first_long_word,
+           regexp_replace(text, '[aeiou]', '_', 'g') AS devoweled_head,
+           regexp_matches(text, 'the|and') AS has_common,
+           len(regexp_extract_all(text, '[a-z]{6,}')) AS n_long_words
+    FROM (SELECT doc_id, substr(text, 1, 80) AS text FROM documents) t
+    """,
+)
+def scalar_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Regex surface: extract / global replace / match test / extract-all.
+    Patterns stay in the RE2-compatible subset both engines agree on."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "doc_id", F.substring("text", 1, 80).alias("text")
+    )
+    return d.select(
+        "doc_id",
+        F.regexp_extract("text", "([a-z]{6,})", 1).alias("first_long_word"),
+        F.regexp_replace("text", "[aeiou]", "_").alias("devoweled_head"),
+        F.expr("text RLIKE 'the|and'").alias("has_common"),
+        F.size(F.expr("regexp_extract_all(text, '[a-z]{6,}', 0)")).alias("n_long_words"),
+    )
+
+
+@register(
+    "scalar_null_semantics",
+    oracle="""
+    SELECT o_orderkey,
+           NULLIF(o_orderstatus, 'O') AS status_or_null,
+           COALESCE(NULLIF(o_orderstatus, 'O'), 'open') AS status_filled,
+           (NULLIF(o_orderstatus, 'O') IS NOT DISTINCT FROM NULL) AS is_open,
+           (o_orderstatus IS NOT DISTINCT FROM NULLIF(o_orderstatus, 'O')) AS nullsafe_self
+    FROM orders
+    WHERE o_orderkey < 400
+    """,
+)
+def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Three-valued-logic surface: NULLIF / COALESCE / null-safe equality
+    (IS NOT DISTINCT FROM == Spark's <=>) — the semantics dedup keys and
+    join keys silently depend on."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    return o.select(
+        "o_orderkey",
+        F.expr("NULLIF(o_orderstatus, 'O')").alias("status_or_null"),
+        F.expr("COALESCE(NULLIF(o_orderstatus, 'O'), 'open')").alias("status_filled"),
+        F.expr("NULLIF(o_orderstatus, 'O') <=> NULL").alias("is_open"),
+        F.expr("o_orderstatus <=> NULLIF(o_orderstatus, 'O')").alias("nullsafe_self"),
+    )

@@ -41,3 +41,34 @@ def sql_frontend_passthrough(spark: SparkSession, sf_dir: str) -> DataFrame:
     registered table views — frontend parity with zero translation."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL)
+
+
+# Recursive CTE (Spark 4 native): a generated month spine joined to order
+# totals — identical bytes on both engines. The recursion is depth-bounded
+# (24 iterations) and the per-step relation is one row, so the Spark
+# execution is 24 tiny local steps + one aggregate over orders: the
+# recursive part never scans the fact table.
+_SQL_RECURSIVE = """
+    WITH RECURSIVE months(m) AS (
+        SELECT TIMESTAMP '1995-01-01 00:00:00'
+        UNION ALL
+        SELECT m + INTERVAL 1 MONTH FROM months
+        WHERE m < TIMESTAMP '1996-12-01 00:00:00'
+    )
+    SELECT m AS month,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(14,2))) AS DOUBLE) AS total_price
+    FROM months
+    LEFT JOIN orders ON date_trunc('month', o_orderdate) = m
+    GROUP BY m
+"""
+
+
+@register("sql_recursive_cte_spine", oracle=_SQL_RECURSIVE)
+def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """WITH RECURSIVE through spark.sql(): a 24-month spine built by
+    recursion, left-joined to monthly order totals (months with no orders
+    survive as zero rows). Proof that the recursive-SQL surface of the
+    oracle engines is available natively on Spark 4."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_RECURSIVE)
