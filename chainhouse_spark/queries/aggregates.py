@@ -11,6 +11,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chainhouse_spark.operators.partitioning import spread
 from chainhouse_spark.queries.registry import register
 from chainhouse_spark.tables import load_table
 
@@ -54,8 +55,10 @@ def agg_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Hierarchical subtotals; GROUPING() disambiguates subtotal rows from
-    genuine NULL group keys."""
-    li = load_table(spark, sf_dir, "lineitem")
+    genuine NULL group keys. The N+1-way Expand makes this CPU-heavy, so the
+    under-partitioned local scan is spread() first (identity at real scale;
+    ~20% faster at sf0.1)."""
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     return li.rollup("l_returnflag", "l_linestatus").agg(
         F.grouping("l_returnflag").cast("int").alias("g_flag"),
         F.grouping("l_linestatus").cast("int").alias("g_status"),
@@ -104,7 +107,7 @@ def agg_cube(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def agg_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = load_table(spark, sf_dir, "lineitem")
+    li = spread(load_table(spark, sf_dir, "lineitem"))
     li.select(
         "l_returnflag",
         F.date_trunc("month", F.col("l_shipdate")).alias("l_shipmonth"),
