@@ -1,0 +1,80 @@
+"""Dimension-maintenance queries: SCD Type-2 history merge over the customer
+dimension (operators/scd2.py). The update batch is synthesized
+deterministically from the table itself so the query is self-contained:
+
+  - customers in nations ≡ 0 (mod 5): balance +100  -> change (close + open)
+  - customers in nations ≡ 1 (mod 5): same balance  -> no-op update
+  - synthetic new keys (custkey + 10,000,000)       -> fresh inserts
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.operators.scd2 import scd2_apply
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+_T0 = "1995-01-01 00:00:00"
+_T1 = "2000-01-01 00:00:00"
+
+
+@register(
+    "scd2_customer_merge",
+    oracle=f"""
+    WITH cur AS (
+      SELECT c_custkey, c_acctbal,
+             TIMESTAMP '{_T0}' AS valid_from,
+             CAST(NULL AS TIMESTAMP) AS valid_to
+      FROM customer
+    ),
+    chg AS (
+      SELECT c_custkey, c_acctbal + 100 AS new_bal
+      FROM customer WHERE c_nationkey % 5 = 0
+    ),
+    fresh AS (
+      SELECT c_custkey + 10000000 AS c_custkey, 42.0 AS c_acctbal
+      FROM customer WHERE c_nationkey % 5 = 2
+    )
+    SELECT c_custkey, c_acctbal, valid_from, valid_to
+    FROM cur WHERE c_custkey NOT IN (SELECT c_custkey FROM chg)
+    UNION ALL
+    SELECT c.c_custkey, c.c_acctbal, c.valid_from, TIMESTAMP '{_T1}' AS valid_to
+    FROM cur c JOIN chg USING (c_custkey)
+    UNION ALL
+    SELECT c_custkey, new_bal AS c_acctbal,
+           TIMESTAMP '{_T1}' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM chg
+    UNION ALL
+    SELECT c_custkey, c_acctbal,
+           TIMESTAMP '{_T1}' AS valid_from, CAST(NULL AS TIMESTAMP) AS valid_to
+    FROM fresh
+    """,
+)
+def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 merge: changed keys close-and-reopen, no-op updates pass through,
+    new keys insert — the full output dimension table, hash-checked."""
+    c = load_table(spark, sf_dir, "customer")
+    cur = c.select(
+        "c_custkey",
+        "c_acctbal",
+        F.expr(f"TIMESTAMP_NTZ '{_T0}'").alias("valid_from"),
+        F.lit(None).cast("timestamp_ntz").alias("valid_to"),
+    )
+    upd = (
+        c.filter(F.col("c_nationkey") % 5 == 0)
+        .select("c_custkey", (F.col("c_acctbal") + 100).alias("c_acctbal"))
+        .unionByName(
+            c.filter(F.col("c_nationkey") % 5 == 1).select("c_custkey", "c_acctbal")
+        )
+        .unionByName(
+            c.filter(F.col("c_nationkey") % 5 == 2).select(
+                (F.col("c_custkey") + 10_000_000).alias("c_custkey"),
+                F.lit(42.0).alias("c_acctbal"),
+            )
+        )
+    )
+    return scd2_apply(
+        cur, upd, keys=["c_custkey"], attrs=["c_acctbal"], effective_ts=_T1
+    )

@@ -17,6 +17,10 @@ from tests.conftest import SF_DIR
 
 def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     con = duckdb.connect()
+    # Cap + spill dir: under concurrent JVM memory pressure duckdb's default
+    # 80%-of-RAM limit can fail with a hard bad_alloc; capped, it spills.
+    con.execute("SET memory_limit='16GB'")
+    con.execute("SET temp_directory='/tmp/duckdb_spill'")
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",

@@ -210,3 +210,40 @@ def test_cli_surface(capsys):
     out = capsys.readouterr().out
     assert "CREATE DATABASE IF NOT EXISTS ethereum" in out
     assert out.count("CREATE TABLE") == 4
+
+
+def test_jsonl_source_quarantines_corrupt_lines(spark, tmp_path):
+    """Schema-enforced JSONL: clean rows parse, malformed lines are captured
+    whole in _corrupt_record instead of failing the job."""
+    from pyspark.sql.types import LongType, StringType, StructField, StructType
+
+    from chainhouse_spark.sources.files import read_jsonl, split_quarantine
+
+    p = tmp_path / "landing.jsonl"
+    p.write_text(
+        '{"number": 1, "miner": "0xabc"}\n'
+        '{"number": 2, "miner": "0xdef"}\n'
+        "THIS IS NOT JSON\n"
+        '{"number": 3, "miner": "0x123"}\n'
+    )
+    schema = StructType(
+        [StructField("number", LongType()), StructField("miner", StringType())]
+    )
+    df = read_jsonl(spark, str(p), schema)
+    clean, bad = split_quarantine(df)
+    assert {r.number for r in clean.collect()} == {1, 2, 3}
+    assert bad.count() == 1
+    assert "NOT JSON" in bad.collect()[0][0]
+
+
+def test_csv_source_schema_and_quarantine(spark, tmp_path):
+    from pyspark.sql.types import DoubleType, LongType, StructField, StructType
+
+    from chainhouse_spark.sources.files import read_csv, split_quarantine
+
+    p = tmp_path / "t.csv"
+    p.write_text("a,b\n1,2.5\n2,3.5\nnot_a_number,oops\n")
+    schema = StructType([StructField("a", LongType()), StructField("b", DoubleType())])
+    clean, bad = split_quarantine(read_csv(spark, str(p), schema))
+    assert {(r.a, r.b) for r in clean.collect()} == {(1, 2.5), (2, 3.5)}
+    assert bad.count() == 1
