@@ -86,3 +86,29 @@ def wei_to_eth(col: str | Column) -> Column:
         "decimal(19,18)"  # value < 1; tight int-digits keep the sum at (38,18)
     )
     return q + frac
+
+
+def word_u120_sql(data_col: str, word: int = 0) -> str:
+    """SQL expression decoding the LOW 120 BITS of the `word`-th 32-byte ABI
+    word of a binary column into DECIMAL(38,0), entirely JVM-side.
+
+    `conv(hex, 16, 10)` only covers 64 bits, so the low 15 bytes are decoded
+    as a 7-byte high chunk and an 8-byte low chunk recombined in exact
+    decimal arithmetic (hi * 2^64 + lo; 2^120 ≈ 1.3e36 fits (38,0)).
+    120 bits cover every realistic ERC-20 amount (≈ 1.3e18 whole tokens at
+    18 decimals); amounts using the upper 136 bits of the word need the
+    vectorized full-width decoder (functions/u256.py::hex_to_decimal).
+    Bytes 1..17 of the word are the truncated high part — callers that must
+    detect overflow can test `substring(word, 1, 17) <> X'00...'`.
+    """
+    base = word * 32
+    hi = f"CAST(conv(hex(substring({data_col}, {base + 18}, 7)), 16, 10) AS DECIMAL(17,0))"
+    lo = f"CAST(conv(hex(substring({data_col}, {base + 25}, 8)), 16, 10) AS DECIMAL(20,0))"
+    return (
+        f"CAST({hi} * CAST(18446744073709551616 AS DECIMAL(20,0)) + {lo} AS DECIMAL(38,0))"
+    )
+
+
+def topic_address_hex(col: Column) -> Column:
+    """Topic (32-byte left-padded address) -> lowercase 0x hex address."""
+    return F.concat(F.lit("0x"), F.lower(F.hex(F.substring(col, 13, 20))))

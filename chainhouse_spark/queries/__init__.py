@@ -28,3 +28,4 @@ from chainhouse_spark.queries import sql_frontend  # noqa: E402,F401
 from chainhouse_spark.queries import llm_pipeline  # noqa: E402,F401
 from chainhouse_spark.queries import llm_sampling  # noqa: E402,F401
 from chainhouse_spark.queries import dimension  # noqa: E402,F401
+from chainhouse_spark.queries import llm_corpus  # noqa: E402,F401

@@ -168,3 +168,32 @@ def eth_log_address_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_logs"), F.asc("address_hex"))
         .limit(20)
     )
+
+
+@register("eth_erc20_transfer_decode")
+def eth_erc20_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ABI-decode Transfer-shaped events (3 topics): emitting contract,
+    from/to addresses from the indexed topics, amount from the data word —
+    all JVM-side (`functions/bytes.py::word_u120_sql`), no Python.
+
+    In production the filter is `topics[0] = keccak('Transfer(address,
+    address,uint256)')`; the deterministic fixtures carry random topics, so
+    shape (exactly 3 topics) stands in for the signature match — the decode
+    mechanics are identical. Rows-only gate; exact decode values are pinned
+    by tests/test_bytes_functions.py on crafted words.
+    """
+    from chainhouse_spark.functions.bytes import topic_address_hex, word_u120_sql
+
+    ev = _tables(spark)["events"]
+    return (
+        ev.filter(F.size("topics") == 3)
+        .select(
+            F.col("logIndex"),
+            F.col("transactionHash"),
+            F.concat(F.lit("0x"), F.lower(F.hex(F.col("address")))).alias("token"),
+            topic_address_hex(F.element_at("topics", 2)).alias("from_addr"),
+            topic_address_hex(F.element_at("topics", 3)).alias("to_addr"),
+            F.expr(word_u120_sql("data", 0)).alias("amount_u120"),
+        )
+        .orderBy("transactionHash", "logIndex")
+    )

@@ -79,3 +79,31 @@ def test_wei_to_eth_exact(spark):
 def test_odd_hex_literal_rejected():
     with pytest.raises(ValueError):
         eq_hex("h", "0xabc")
+
+
+def test_word_u120_decode_known_values(spark):
+    """ABI-word decode: known amounts round-trip through the 2-chunk
+    conv() path, including values above 64 bits."""
+    from chainhouse_spark.functions.bytes import word_u120_sql
+
+    from decimal import Decimal
+
+    vals = [0, 1, 255, 2**64 - 1, 2**64, 123456789012345678901234567, 2**120 - 1]
+    rows = [(i, v.to_bytes(32, "big")) for i, v in enumerate(vals)]
+    df = spark.createDataFrame(rows, "i int, data binary")
+    got = {r.i: r.v for r in df.selectExpr("i", f"{word_u120_sql('data', 0)} AS v").collect()}
+    for i, v in enumerate(vals):
+        assert got[i] == Decimal(v), f"value {v} decoded as {got[i]}"
+
+
+def test_word_u120_second_word(spark):
+    from chainhouse_spark.functions.bytes import word_u120_sql
+
+    from decimal import Decimal
+
+    data = (7).to_bytes(32, "big") + (99).to_bytes(32, "big")
+    df = spark.createDataFrame([(data,)], "data binary")
+    r = df.selectExpr(
+        f"{word_u120_sql('data', 0)} AS w0", f"{word_u120_sql('data', 1)} AS w1"
+    ).collect()[0]
+    assert (r.w0, r.w1) == (Decimal(7), Decimal(99))
