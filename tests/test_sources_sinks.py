@@ -247,3 +247,29 @@ def test_csv_source_schema_and_quarantine(spark, tmp_path):
     clean, bad = split_quarantine(read_csv(spark, str(p), schema))
     assert {(r.a, r.b) for r in clean.collect()} == {(1, 2.5), (2, 3.5)}
     assert bad.count() == 1
+
+
+def test_compaction_heals_duplicate_slices(spark, tmp_path):
+    """Append the same slice twice (at-least-once ingest), compact, and the
+    at-rest table is exactly-once again without read-side dedup."""
+    from chainhouse_spark.sinks.parquet import (
+        compact_table,
+        read_table,
+        write_all,
+    )
+    from chainhouse_spark.sources.fixtures import raw_blocks_df
+    from chainhouse_spark.transforms import all_tables_from_raw
+
+    base = str(tmp_path / "warehouse")
+    tables = all_tables_from_raw(raw_blocks_df(spark, n_blocks=6, seed=42))
+    write_all(tables, base, mode="overwrite")
+    write_all(tables, base, mode="append")  # duplicate slice
+
+    n_expected = tables["transactions"].count()
+    assert read_table(spark, "transactions", base).count() == 2 * n_expected
+
+    compact_table(spark, "transactions", base)
+    after = read_table(spark, "transactions", base)
+    assert after.count() == n_expected
+    hashes = [r.hash for r in after.select("hash").collect()]
+    assert len(hashes) == len(set(hashes))
