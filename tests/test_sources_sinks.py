@@ -273,3 +273,38 @@ def test_compaction_heals_duplicate_slices(spark, tmp_path):
     assert after.count() == n_expected
     hashes = [r.hash for r in after.select("hash").collect()]
     assert len(hashes) == len(set(hashes))
+
+
+def test_orc_roundtrip_preserves_schema(spark, tmp_path):
+    """ORC as an alternative columnar at-rest format: binary/decimal/array
+    chain types round-trip exactly (both formats are fine at 100 TB; parquet
+    is the default for its wider ecosystem and the same pruning applies)."""
+    from chainhouse_spark.sources.fixtures import raw_blocks_df
+    from chainhouse_spark.transforms import transactions_from_raw
+
+    tx = transactions_from_raw(raw_blocks_df(spark, n_blocks=4, seed=42))
+    path = str(tmp_path / "tx_orc")
+    tx.write.mode("overwrite").orc(path)
+    back = spark.read.orc(path)
+    assert back.schema == tx.schema
+    assert back.count() == tx.count()
+    a = {r.hash for r in tx.select("hash").collect()}
+    b = {r.hash for r in back.select("hash").collect()}
+    assert a == b
+
+
+def test_parquet_schema_evolution_merge(spark, tmp_path):
+    """Column-add evolution: old slices lack the new column; mergeSchema
+    reads both generations with NULLs backfilled — the at-rest contract for
+    a chain that adds fields at a fork (e.g. blobGasUsed at Cancun)."""
+    p = str(tmp_path / "evolving")
+    spark.createDataFrame([(1, "a")], "id long, v string").write.mode(
+        "overwrite"
+    ).parquet(p)
+    spark.createDataFrame(
+        [(2, "b", 99)], "id long, v string, blob_gas long"
+    ).write.mode("append").parquet(p)
+    df = spark.read.option("mergeSchema", "true").parquet(p)
+    assert set(df.columns) == {"id", "v", "blob_gas"}
+    rows = {r.id: r.blob_gas for r in df.collect()}
+    assert rows == {1: None, 2: 99}
