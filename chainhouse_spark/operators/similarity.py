@@ -136,3 +136,52 @@ def embedding_near_pairs(
         )
         .filter(F.col("cos_sim") >= threshold)
     )
+
+
+def lsh_multiprobe_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    nbits: int = 8,
+) -> DataFrame:
+    """Multi-probe LSH top-k: each query probes its own bucket PLUS every
+    1-bit-flip neighbor (nbits+1 probes). Sign-LSH's failure mode is a
+    near-neighbor landing just across one hyperplane — exactly the buckets
+    multi-probe visits — so recall rises steeply while cost stays
+    (nbits+1)/2^nbits of the corpus per query, still an equality join.
+
+    The probe expansion happens on the (broadcast) QUERY side only; the
+    corpus is bucketed once and never replicated — the property that matters
+    when the corpus is the 100 TB side.
+    """
+    probes = F.expr(
+        f"explode(array_union(array(bucket), "
+        f"transform(sequence(0, {nbits - 1}), i -> bucket ^ shiftleft(1, i))))"
+    )
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        sign_bucket(vec_col, nbits).alias("bucket"),
+    ).select("query_id", "q_vec", probes.alias("bucket"))
+    c = spread(corpus, id_col).select(
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        sign_bucket(vec_col, nbits).alias("bucket"),
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )

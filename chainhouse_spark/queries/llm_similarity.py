@@ -193,3 +193,39 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     res = ivf_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, n_cells=16, n_probe=4)
     return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "ann_lsh_multiprobe_topk",
+    oracle=f"""
+    WITH dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_DOT} AS dot, {_QQ} AS qq, {_CC} AS cc
+        FROM embeddings q, embeddings c, {_IDX}
+        WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+          AND bit_count(xor({_DUCK_BUCKET_Q}, {_DUCK_BUCKET_C})) <= 1
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id,
+               dot / (sqrt(qq) * sqrt(cc)) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, cand_id
+               ) AS rank
+        FROM dots
+    )
+    SELECT query_id, cand_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-probe LSH: the query's bucket + every 1-bit-flip neighbor
+    (membership == bucket Hamming distance <= 1, which is what the oracle
+    states declaratively; the Spark side expands probes to keep the
+    equality join)."""
+    from chainhouse_spark.operators.similarity import lsh_multiprobe_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    res = lsh_multiprobe_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, nbits=8)
+    return res.withColumn("rank", F.col("rank").cast("int"))

@@ -100,3 +100,32 @@ def test_simhash_hamming_correlates_with_jaccard(spark):
         .collect()
     ]
     assert statistics.mean(near_h) < statistics.mean(rand_h) - 2
+
+
+def test_multiprobe_recall_dominates_single_probe(spark):
+    """Multi-probe at the SAME nbits must never lose to single-probe and
+    must deliver a usable floor at nbits=8 (single-probe measured 0.00
+    there — the whole point of probing the 1-flip neighborhood)."""
+    from chainhouse_spark.operators.similarity import (
+        brute_force_topk,
+        lsh_multiprobe_topk,
+        lsh_topk,
+    )
+    from chainhouse_spark.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    exact = {
+        (r.query_id, r.cand_id) for r in brute_force_topk(emb, q, k=10).collect()
+    }
+    single = {
+        (r.query_id, r.cand_id) for r in lsh_topk(emb, q, k=10, nbits=8).collect()
+    }
+    multi = {
+        (r.query_id, r.cand_id)
+        for r in lsh_multiprobe_topk(emb, q, k=10, nbits=8).collect()
+    }
+    r_single = len(exact & single) / len(exact)
+    r_multi = len(exact & multi) / len(exact)
+    assert r_multi >= r_single
+    assert r_multi >= 0.1, f"multiprobe recall floor broken: {r_multi:.2f}"
