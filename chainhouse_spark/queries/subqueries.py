@@ -167,3 +167,42 @@ def agg_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("F", "closed_total")
         .withColumnRenamed("P", "pending_total")
     )
+
+
+@register(
+    "lateral_topk_per_customer",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice
+    FROM customer,
+    LATERAL (
+      SELECT o_orderkey, o_totalprice FROM orders
+      WHERE o_custkey = c_custkey
+      ORDER BY o_totalprice DESC, o_orderkey
+      LIMIT 2
+    ) t
+    WHERE c_custkey < 300
+    """,
+)
+def lateral_topk_per_customer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Correlated LATERAL subquery: each customer's 2 biggest orders —
+    the per-row-subquery formulation of top-k-per-group. Spark plans the
+    correlation as a join + ranking (same physical shape as the window
+    form in windows.py::window_topn_per_group — the two surfaces converge,
+    which is exactly why exposing both costs nothing at scale).
+    """
+    from chainhouse_spark.tables import register_views
+
+    register_views(spark, sf_dir)
+    return spark.sql(
+        """
+        SELECT c_custkey, o_orderkey, o_totalprice
+        FROM customer,
+        LATERAL (
+          SELECT o_orderkey, o_totalprice FROM orders
+          WHERE o_custkey = c_custkey
+          ORDER BY o_totalprice DESC, o_orderkey
+          LIMIT 2
+        ) t
+        WHERE c_custkey < 300
+        """
+    )

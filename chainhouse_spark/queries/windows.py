@@ -247,3 +247,28 @@ def window_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.cume_dist().over(w).alias("cume"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
     )
+
+
+@register(
+    "window_ignore_nulls",
+    oracle="""
+    SELECT o_orderkey,
+           last_value(CASE WHEN o_orderstatus = 'F' THEN o_orderkey END IGNORE NULLS)
+             OVER (ORDER BY o_orderkey ROWS UNBOUNDED PRECEDING) AS last_finalized_key
+    FROM orders
+    WHERE o_orderkey < 500
+    """,
+)
+def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IGNORE NULLS window semantics: carry the most recent finalized order
+    key forward across non-finalized rows — the last-observation-carried-
+    forward (LOCF) pattern gap-filling pipelines rely on."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 500)
+    w = Window.orderBy("o_orderkey").rowsBetween(Window.unboundedPreceding, 0)
+    return o.select(
+        "o_orderkey",
+        F.last(
+            F.when(F.col("o_orderstatus") == "F", F.col("o_orderkey")),
+            ignorenulls=True,
+        ).over(w).alias("last_finalized_key"),
+    )
