@@ -419,3 +419,27 @@ def scalar_null_semantics(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("NULLIF(o_orderstatus, 'O') <=> NULL").alias("is_open"),
         F.expr("o_orderstatus <=> NULLIF(o_orderstatus, 'O')").alias("nullsafe_self"),
     )
+
+
+@register(
+    "scalar_try_safety",
+    oracle="""
+    SELECT o_orderkey,
+           o_totalprice / NULLIF(o_orderkey % 7, 0) AS safe_div,
+           TRY_CAST(o_orderpriority AS BIGINT) AS bad_cast,
+           TRY_CAST(substr(o_orderpriority, 1, 1) AS BIGINT) AS good_cast
+    FROM orders
+    WHERE o_orderkey < 400
+    """,
+)
+def scalar_try_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Error-safe arithmetic: try_divide / try_cast return NULL instead of
+    failing the 1000-executor job 6 hours in because one row divides by
+    zero — the oracle states the same contract as NULLIF guards."""
+    o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 400)
+    return o.select(
+        "o_orderkey",
+        F.expr("try_divide(o_totalprice, o_orderkey % 7)").alias("safe_div"),
+        F.expr("try_cast(o_orderpriority AS BIGINT)").alias("bad_cast"),
+        F.expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)").alias("good_cast"),
+    )
