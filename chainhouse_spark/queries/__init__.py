@@ -29,3 +29,4 @@ from chainhouse_spark.queries import llm_pipeline  # noqa: E402,F401
 from chainhouse_spark.queries import llm_sampling  # noqa: E402,F401
 from chainhouse_spark.queries import dimension  # noqa: E402,F401
 from chainhouse_spark.queries import llm_corpus  # noqa: E402,F401
+from chainhouse_spark.queries import llm_quality  # noqa: E402,F401

@@ -1,0 +1,174 @@
+"""Gopher/C4-style document quality filters: word-level repetition metrics
+and a thresholded corpus quality gate.
+
+The reference pipeline has no quality filtering (it is an ETL loader); these
+are the beyond-parity operators a training-data pipeline runs between ingest
+and dedup (Rae et al. 2021 "Gopher" §A.1.1 repetition filters; Raffel et al.
+2020 "C4" heuristics), re-expressed as pure Spark column expressions.
+
+Scale notes:
+  - Both queries are a single map-only pass over `documents` (no shuffle for
+    the per-doc metrics; the gate aggregates by `source`, one partial-agg
+    shuffle). At 100 TB this is scan-bound, exactly what you want.
+  - The per-doc mode (most-frequent word / bigram) is computed INSIDE the row
+    via higher-order lambdas — O(distinct × words) per doc stays cheap for
+    real document sizes and avoids an explode + groupBy(doc_id, word) shuffle
+    whose key cardinality would be corpus_words ≈ tokens-in-corpus.
+  - The token array is bound once per document via the single-element
+    `transform(array(split(...)), t -> ...)` trick; inlining `split` into the
+    inner lambdas would re-tokenize per distinct word (quadratic blowup).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+# Per-doc repetition facts as a single bound-lambda struct:
+#   t = token array (bound once), b = word-bigram array (bound once).
+# Counts are integers; every derived fraction is a SINGLE float division of
+# two integers, so Spark and DuckDB produce bit-identical doubles.
+_METRICS_SQL = """
+element_at(transform(array(split(text, ' ')), t ->
+  element_at(transform(array(CASE WHEN size(t) >= 2
+      THEN transform(sequence(1, size(t) - 1),
+                     i -> concat(element_at(t, i), ' ', element_at(t, i + 1)))
+      ELSE array() END), b ->
+    named_struct(
+      'n_words', size(t),
+      'distinct_words', size(array_distinct(t)),
+      'top_word_cnt',
+        array_max(transform(array_distinct(t), w -> size(filter(t, x -> x = w)))),
+      'n_bigrams', size(b),
+      'distinct_bigrams', size(array_distinct(b)),
+      'top_bigram_cnt',
+        CASE WHEN size(b) > 0
+             THEN array_max(transform(array_distinct(b),
+                                      u -> size(filter(b, x -> x = u))))
+             ELSE 0 END
+    )), 1)), 1)
+"""
+
+_DUCK_METRICS_CTE = """
+WITH toks AS (
+    SELECT doc_id, source, string_split(text, ' ') AS t FROM documents
+), big AS (
+    SELECT doc_id, source, t,
+           CASE WHEN len(t) >= 2
+                THEN list_transform(generate_series(1, len(t) - 1),
+                                    i -> t[i] || ' ' || t[i + 1])
+                ELSE CAST([] AS VARCHAR[]) END AS b
+    FROM toks
+), m AS (
+    SELECT doc_id, source,
+           len(t) AS n_words,
+           len(list_distinct(t)) AS distinct_words,
+           list_max(list_transform(list_distinct(t),
+                                   w -> len(list_filter(t, x -> x = w)))) AS top_word_cnt,
+           len(b) AS n_bigrams,
+           len(list_distinct(b)) AS distinct_bigrams,
+           CASE WHEN len(b) > 0
+                THEN list_max(list_transform(list_distinct(b),
+                                             u -> len(list_filter(b, x -> x = u))))
+                ELSE 0 END AS top_bigram_cnt
+    FROM big
+)
+"""
+
+# Gopher-style keep thresholds, expressed over INTEGERS (no float boundary
+# risk): >=20 words, >=40% distinct words, most-frequent word <=15% of tokens.
+_KEEP_SQL = (
+    "n_words >= 20 AND distinct_words * 10 >= n_words * 4 "
+    "AND top_word_cnt * 100 <= n_words * 15"
+)
+
+
+@register(
+    "text_repetition_metrics",
+    oracle=_DUCK_METRICS_CTE
+    + """
+    SELECT doc_id,
+           n_words,
+           CAST(distinct_words AS DOUBLE) / n_words AS distinct_word_frac,
+           CAST(top_word_cnt AS DOUBLE) / n_words AS top_word_frac,
+           CASE WHEN n_bigrams > 0
+                THEN 1.0 - CAST(distinct_bigrams AS DOUBLE) / n_bigrams
+                ELSE 0.0 END AS dup_bigram_frac,
+           CASE WHEN n_bigrams > 0
+                THEN CAST(top_bigram_cnt AS DOUBLE) / n_bigrams
+                ELSE 0.0 END AS top_bigram_frac
+    FROM m
+    """,
+)
+def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher repetition filters per document: distinct-word fraction,
+    most-frequent-word fraction, duplicate/most-frequent bigram fractions.
+    Map-only single pass — no shuffle, no Python."""
+    d = load_table(spark, sf_dir, "documents")
+    m = F.expr(_METRICS_SQL)
+    return d.select("doc_id", m.alias("m")).select(
+        "doc_id",
+        F.col("m.n_words").alias("n_words"),
+        (F.col("m.distinct_words").cast("double") / F.col("m.n_words")).alias(
+            "distinct_word_frac"
+        ),
+        (F.col("m.top_word_cnt").cast("double") / F.col("m.n_words")).alias(
+            "top_word_frac"
+        ),
+        F.when(
+            F.col("m.n_bigrams") > 0,
+            F.lit(1.0) - F.col("m.distinct_bigrams").cast("double") / F.col("m.n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("dup_bigram_frac"),
+        F.when(
+            F.col("m.n_bigrams") > 0,
+            F.col("m.top_bigram_cnt").cast("double") / F.col("m.n_bigrams"),
+        )
+        .otherwise(F.lit(0.0))
+        .alias("top_bigram_frac"),
+    )
+
+
+@register(
+    "filter_quality_gate_by_source",
+    oracle=_DUCK_METRICS_CTE
+    + f"""
+    SELECT source,
+           count(*) AS n_docs,
+           CAST(sum(CASE WHEN {_KEEP_SQL} THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+           CAST(sum(CASE WHEN {_KEEP_SQL} THEN 1 ELSE 0 END) AS DOUBLE)
+             / count(*) AS kept_frac,
+           CAST(sum(top_word_cnt) AS BIGINT) AS sum_top_word_cnt,
+           CAST(sum(n_words) AS BIGINT) AS sum_words,
+           CAST(sum(top_word_cnt) AS DOUBLE) / sum(n_words) AS micro_top_word_frac
+    FROM m
+    GROUP BY source
+    """,
+)
+def filter_quality_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Thresholded quality gate aggregated per source: how much of each
+    source survives the Gopher-style repetition filters, plus the
+    micro-averaged top-word fraction (ratio of integer sums — deterministic,
+    unlike an avg of per-doc doubles). One partial-agg shuffle on `source`."""
+    d = load_table(spark, sf_dir, "documents")
+    m = d.select("source", F.expr(_METRICS_SQL).alias("m")).select(
+        "source",
+        F.col("m.n_words").alias("n_words"),
+        F.col("m.distinct_words").alias("distinct_words"),
+        F.col("m.top_word_cnt").alias("top_word_cnt"),
+    )
+    keep = F.expr(_KEEP_SQL).cast("long")
+    return m.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum(keep).alias("n_kept"),
+        (F.sum(keep).cast("double") / F.count(F.lit(1))).alias("kept_frac"),
+        F.sum("top_word_cnt").alias("sum_top_word_cnt"),
+        F.sum("n_words").alias("sum_words"),
+        (F.sum("top_word_cnt").cast("double") / F.sum("n_words")).alias(
+            "micro_top_word_frac"
+        ),
+    )
