@@ -44,6 +44,15 @@ def build_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Runtime bloom-filter join pruning: when a shuffle join's build side
+        # carries a selective filter, Spark injects a bloom filter on the
+        # probe-side scan. At 100 TB the default thresholds (build side
+        # <=10 MB after filter, probe scan >=10 GB) fire on every
+        # dim-filtered fact join and cut the shuffled fact rows before the
+        # exchange. Locally the probe threshold keeps it off (scans are MBs);
+        # tests/test_plans.py::test_runtime_bloom_filter_injection lowers the
+        # thresholds to prove the injection works.
+        .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         # Keep scans right-sized: at 100 TB this is what bounds task count;
         # locally it keeps small files from over-splitting.

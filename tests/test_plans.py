@@ -194,3 +194,39 @@ def test_salted_agg_two_exchanges(spark):
     # the salt fans the hot key over 16 reducers: partial agg + final agg,
     # exactly two exchanges, nothing else.
     assert plan_facts(q(spark, "agg_salted_two_phase")).shuffle_exchanges == 2
+
+
+def test_runtime_bloom_filter_injection(spark):
+    # At 100 TB the default thresholds (build <=10 MB post-filter, probe
+    # scan >=10 GB) inject a bloom filter on the fact scan of every
+    # dim-filtered shuffle join, cutting shuffled rows pre-exchange. Locally
+    # the probe scan is tiny, so lower the thresholds to prove the
+    # injection machinery works end-to-end.
+    from pyspark.sql import functions as F
+
+    from chainhouse_spark.plans.audit import explain_formatted
+
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    saved = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        o = spark.read.parquet(f"{SF}/orders.parquet").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        l = spark.read.parquet(f"{SF}/lineitem.parquet")
+        j = (
+            l.join(o, l.l_orderkey == o.o_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(F.sum("l_quantity").alias("sum_qty"))
+        )
+        text = explain_formatted(j)
+        assert "might_contain" in text, "bloom filter not injected on probe side"
+        # the filter must reach the fact scan's data filters, not sit above it
+        assert "bloom" in text.lower()
+    finally:
+        for k, v in saved.items():
+            spark.conf.set(k, v)
