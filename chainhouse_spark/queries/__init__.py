@@ -30,3 +30,10 @@ from chainhouse_spark.queries import llm_sampling  # noqa: E402,F401
 from chainhouse_spark.queries import dimension  # noqa: E402,F401
 from chainhouse_spark.queries import llm_corpus  # noqa: E402,F401
 from chainhouse_spark.queries import llm_quality  # noqa: E402,F401
+from chainhouse_spark.queries import incremental  # noqa: E402,F401
+from chainhouse_spark.queries import funnel  # noqa: E402,F401
+from chainhouse_spark.queries import statistics  # noqa: E402,F401
+from chainhouse_spark.queries import collections  # noqa: E402,F401
+from chainhouse_spark.queries import sketches  # noqa: E402,F401
+from chainhouse_spark.queries import llm_chunking  # noqa: E402,F401
+from chainhouse_spark.queries import graph  # noqa: E402,F401

@@ -1,0 +1,211 @@
+"""Behavioral analytics — ClickHouse funnel/retention parity surface.
+
+The reference delegates all analytics to ClickHouse (SURVEY.md §2.6,
+`/root/reference/src/main.rs:56-161` is the full query-facing contract), and
+ClickHouse's signature event-analytics aggregates are `windowFunnel`,
+`retention`, and `sequenceCount`. These re-express each one as declarative
+Spark over the `events` table, with exact DuckDB oracles.
+
+Semantics pinned here (the ClickHouse versions have modes; we document ours):
+
+- funnel: step k+1 must occur strictly after step k and within WINDOW_DAYS of
+  the user's FIRST step-1 event (windowFunnel 'strict_order'-ish, window
+  anchored at step 1).
+- retention: cohort = week of a user's first event; a user counts for offset
+  k if they have any event in cohort-week + k.
+- sequence pairs: per user, the number of (A, B) ordered pairs with
+  ts_A < ts_B — ClickHouse sequenceCount('(?1).*(?2)') over non-distinct
+  matches.
+
+Scale: every stage shuffles on user_id only, so the per-step aggregates and
+the step-to-step joins all reuse ONE exchange layout; per-step inputs are
+filtered before the shuffle (events at 100 TB reduce to |users| rows per
+step before any join).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+WINDOW_DAYS = 14
+
+_FUNNEL_CTES = f"""
+    WITH s1 AS (
+        SELECT user_id, MIN(ts) AS t0 FROM events
+        WHERE event_type = 'signup' GROUP BY user_id
+    ),
+    s2 AS (
+        SELECT e.user_id, MIN(e.ts) AS t1
+        FROM events e JOIN s1 ON e.user_id = s1.user_id
+        WHERE e.event_type = 'view'
+          AND e.ts > s1.t0 AND e.ts <= s1.t0 + INTERVAL {WINDOW_DAYS} DAY
+        GROUP BY e.user_id
+    ),
+    s3 AS (
+        SELECT e.user_id, MIN(e.ts) AS t2
+        FROM events e
+        JOIN s1 ON e.user_id = s1.user_id
+        JOIN s2 ON e.user_id = s2.user_id
+        WHERE e.event_type = 'purchase'
+          AND e.ts > s2.t1 AND e.ts <= s1.t0 + INTERVAL {WINDOW_DAYS} DAY
+        GROUP BY e.user_id
+    )
+"""
+
+
+def _funnel_stages(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, ...]:
+    e = load_table(spark, sf_dir, "events")
+    s1 = (
+        e.filter(F.col("event_type") == "signup")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t0"))
+    )
+    deadline = F.col("t0") + F.expr(f"INTERVAL {WINDOW_DAYS} DAYS")
+    s2 = (
+        e.filter(F.col("event_type") == "view")
+        .join(s1, "user_id")
+        .filter((F.col("ts") > F.col("t0")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t1"))
+    )
+    s3 = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(s1, "user_id")
+        .join(s2, "user_id")
+        .filter((F.col("ts") > F.col("t1")) & (F.col("ts") <= deadline))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("t2"))
+    )
+    return s1, s2, s3
+
+
+@register(
+    "funnel_steps",
+    oracle=_FUNNEL_CTES
+    + """
+    SELECT 1 AS step, 'signup' AS step_name, COUNT(*) AS n_users FROM s1
+    UNION ALL
+    SELECT 2 AS step, 'view' AS step_name, COUNT(*) AS n_users FROM s2
+    UNION ALL
+    SELECT 3 AS step, 'purchase' AS step_name, COUNT(*) AS n_users FROM s3
+    """,
+)
+def funnel_steps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """windowFunnel analogue: users surviving each step of
+    signup -> view -> purchase, window anchored at first signup."""
+    s1, s2, s3 = _funnel_stages(spark, sf_dir)
+    rows = [
+        s1.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(1).alias("step"), F.lit("signup").alias("step_name"), "n_users"
+        ),
+        s2.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(2).alias("step"), F.lit("view").alias("step_name"), "n_users"
+        ),
+        s3.agg(F.count(F.lit(1)).alias("n_users")).select(
+            F.lit(3).alias("step"), F.lit("purchase").alias("step_name"), "n_users"
+        ),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionAll(r)
+    return out
+
+
+@register(
+    "funnel_depth_histogram",
+    oracle=_FUNNEL_CTES
+    + """
+    SELECT depth, COUNT(*) AS n_users FROM (
+        SELECT s1.user_id,
+               1 + (s2.user_id IS NOT NULL)::INT + (s3.user_id IS NOT NULL)::INT
+                 AS depth
+        FROM s1
+        LEFT JOIN s2 ON s1.user_id = s2.user_id
+        LEFT JOIN s3 ON s1.user_id = s3.user_id
+    ) GROUP BY depth
+    """,
+)
+def funnel_depth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user deepest funnel step reached -> histogram. The three stage
+    aggregates and both left joins share the user_id hash partitioning, so
+    Catalyst reuses a single exchange across the whole plan."""
+    s1, s2, s3 = _funnel_stages(spark, sf_dir)
+    depth = (
+        s1.join(s2, "user_id", "left")
+        .join(s3, "user_id", "left")
+        .select(
+            (
+                F.lit(1)
+                + F.col("t1").isNotNull().cast("int")
+                + F.col("t2").isNotNull().cast("int")
+            ).alias("depth")
+        )
+    )
+    return depth.groupBy("depth").agg(F.count(F.lit(1)).alias("n_users"))
+
+
+@register(
+    "retention_weekly",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS d0 FROM events GROUP BY user_id
+    )
+    SELECT
+        CAST(date_trunc('week', f.d0) AS TIMESTAMP) AS cohort_week,
+        CAST(FLOOR(date_diff('day', f.d0, CAST(e.ts AS DATE)) / 7) AS BIGINT)
+          AS week_offset,
+        COUNT(DISTINCT e.user_id) AS n_active
+    FROM events e JOIN first_seen f ON e.user_id = f.user_id
+    GROUP BY 1, 2
+    """,
+)
+def retention_weekly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse retention() analogue as a cohort matrix: users grouped by
+    first-seen week, counted distinct in each subsequent week offset.
+    Day arithmetic runs on DATE (timezone-free) so both engines agree."""
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(F.min(F.col("ts").cast("date")).alias("d0"))
+    return (
+        e.join(first_seen, "user_id")
+        .select(
+            F.date_trunc("week", F.col("d0")).cast("timestamp_ntz").alias("cohort_week"),
+            F.floor(F.datediff(F.col("ts").cast("date"), F.col("d0")) / 7).alias(
+                "week_offset"
+            ),
+            "user_id",
+        )
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+    )
+
+
+@register(
+    "sequence_pairs_click_purchase",
+    oracle="""
+    SELECT c.user_id, COUNT(*) AS n_pairs
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id AND c.ts < p.ts
+    GROUP BY c.user_id
+    """,
+)
+def sequence_pairs_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """sequenceCount('(?1).*(?2)') analogue: ordered (click, purchase) pairs
+    per user. Equi-join on user_id with the ts inequality as a post-join
+    predicate — pair expansion happens inside each user's partition, never
+    across users."""
+    e = load_table(spark, sf_dir, "events")
+    c = e.filter(F.col("event_type") == "click").select("user_id", F.col("ts").alias("c_ts"))
+    p = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("ts").alias("p_ts")
+    )
+    return (
+        c.join(p, "user_id")
+        .filter(F.col("c_ts") < F.col("p_ts"))
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n_pairs"))
+    )

@@ -1,0 +1,152 @@
+"""Graph analytics over a derived co-purchase graph.
+
+Nodes are parts; an undirected edge (a, b), a < b, exists when both parts
+appear in the same order. Edge derivation, degree distribution, and triangle
+counting are all plain relational algebra — exactly how ClickHouse users do
+graph-shaped rollups over the reference's event tables — so they get full
+DuckDB oracles. PageRank is genuinely iterative (driver-side loop over
+DataFrame steps), which SQL can't express without recursion over floats;
+it registers rows-only.
+
+Scale notes:
+- Edges: the self-join is per-order (co-partitioned on l_orderkey); output
+  is sum-of-squares of order sizes, bounded because order size is bounded.
+- Triangles: wedge-join on the shared endpoint then closure probe against
+  the edge set. Production systems orient edges by degree (lo-degree ->
+  hi-degree) to bound wedge fan-out under skew; id-orientation here keeps
+  the oracle identical and the testdata degree distribution is flat.
+- PageRank: each iteration is one shuffle (contributions grouped by dst);
+  ranks localCheckpoint'ed every few iterations so the lineage/plan stays
+  constant-size instead of growing per iteration.
+
+Connected components (the other standard graph op) already powers
+semantic/minhash dedup clustering: `operators/components.py`, oracle-checked
+via a recursive-CTE fixpoint in `llm_pipeline.py`.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+_EDGE_CTE = """
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    )
+"""
+
+
+def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a = op.alias("a")
+    b = op.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
+        .distinct()
+    )
+
+
+@register(
+    "graph_degree_distribution",
+    oracle=_EDGE_CTE
+    + """
+    , deg AS (
+        SELECT node, COUNT(*) AS degree FROM (
+            SELECT src AS node FROM e
+            UNION ALL
+            SELECT dst AS node FROM e
+        ) GROUP BY node
+    )
+    SELECT degree, COUNT(*) AS n_nodes FROM deg GROUP BY degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree histogram of the co-purchase graph (each undirected edge
+    contributes one degree to both endpoints)."""
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).alias("degree"))
+    return deg.groupBy("degree").agg(F.count(F.lit(1)).alias("n_nodes"))
+
+
+@register(
+    "graph_triangle_count",
+    oracle=_EDGE_CTE
+    + """
+    SELECT
+        (SELECT COUNT(*) FROM e) AS n_edges,
+        (SELECT COUNT(*) FROM (
+            SELECT 1 FROM e e1
+            JOIN e e2 ON e1.dst = e2.src
+            JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+        )) AS n_triangles
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Triangle count: wedges (a<b<c via id-ordered edges) closed against
+    the edge set. Two hash joins; every triangle is counted exactly once
+    because edges are oriented low-id -> high-id."""
+    e = _edges(spark, sf_dir).cache()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+    )
+    return e.agg(F.count(F.lit(1)).alias("n_edges")).crossJoin(
+        tri.agg(F.count(F.lit(1)).alias("n_triangles"))
+    )
+
+
+@register("graph_pagerank")  # rows-only: iterative float fixpoint, not SQL
+def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PageRank (damping 0.85, 5 iterations) on the co-purchase graph,
+    top-20 nodes. Each iteration: contributions = rank/degree sent along
+    both edge directions, grouped by destination — one shuffle per
+    iteration, partitioned on the node key throughout."""
+    e = _edges(spark, sf_dir)
+    # Undirected: materialize both directions once.
+    edges = (
+        e.select("src", "dst")
+        .unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+        .cache()
+    )
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).cache()
+    n_nodes = deg.count()
+    ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("rank"))
+    for i in range(5):
+        contribs = (
+            edges.join(ranks, "src")
+            .join(deg, "src")
+            .select(F.col("dst").alias("src"), (F.col("rank") / F.col("degree")).alias("c"))
+            .groupBy("src")
+            .agg(F.sum("c").alias("inflow"))
+        )
+        ranks = deg.select("src").join(contribs, "src", "left").select(
+            "src",
+            (
+                F.lit(0.15 / n_nodes)
+                + F.lit(0.85) * F.coalesce(F.col("inflow"), F.lit(0.0))
+            ).alias("rank"),
+        )
+        if i % 2 == 1:
+            ranks = ranks.localCheckpoint(eager=False)
+    return (
+        ranks.select(F.col("src").alias("node"), F.round("rank", 8).alias("rank"))
+        .orderBy(F.desc("rank"), F.asc("node"))
+        .limit(20)
+    )
