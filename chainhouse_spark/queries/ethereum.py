@@ -1,8 +1,15 @@
 """Ethereum ETL pipeline queries — the reference-parity dataflow run
 end-to-end (deterministic fixture blocks -> transforms -> four tables ->
-analytics). Rows-only driver gate: the fixture tables are not among the
-DuckDB-registered views, so there is no SQL oracle; correctness is covered
-by tests/test_transforms.py invariants instead (SURVEY.md §5).
+analytics).
+
+Oracle strategy: the raw fixture blocks are ALSO serialized as JSONL (pure
+Python, at import time), and each oracle makes DuckDB independently replay
+the flatten from the nested JSON — read_json -> parallel (positional)
+unnest of transactions/receipts (the F2 join, reference src/main.rs:210) ->
+aggregate. That cross-checks the flatten/denormalize core (SURVEY.md §2.3
+F1-F6) against a second engine, not just the final aggregates.
+`eth_blocks_table` (21-column full dump) and the ABI decode stay rows-only:
+covered by tests/test_transforms.py goldens and test_bytes_functions.py.
 
 sf_dir is accepted per the driver contract but unused — block count scales
 with nothing here; the live-source path (sources/rpc.py) is where volume
@@ -11,14 +18,49 @@ comes from in production.
 
 from __future__ import annotations
 
+import os
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chainhouse_spark.queries.registry import register
-from chainhouse_spark.sources.fixtures import raw_blocks_df
+from chainhouse_spark.sources.fixtures import raw_blocks_df, write_raw_blocks_jsonl
 from chainhouse_spark.transforms import all_tables_from_raw
 
 _N_BLOCKS = 8
+_JSONL_PATH = os.path.join(
+    tempfile.gettempdir(), f"chainhouse_eth_raw_blocks_{_N_BLOCKS}_42.jsonl"
+)
+try:  # written at import so the oracle file exists whichever side runs first
+    write_raw_blocks_jsonl(_JSONL_PATH, n_blocks=_N_BLOCKS, seed=42)
+except OSError:  # tmp unwritable: queries still run, oracles would fail loudly
+    pass
+
+# DuckDB view of the raw nested blocks. u256-ish values travel as digit
+# strings (JSON int64 would overflow) and are cast back to DECIMAL in each
+# oracle; hashes/addresses are 0x-lowercase-hex strings, the same encoding
+# functions/bytes.py::to_hex emits.
+_RAW = f"""
+    read_json('{_JSONL_PATH}', format='newline_delimited', columns={{
+      'number': 'BIGINT',
+      'hash': 'VARCHAR',
+      'timestamp': 'VARCHAR',
+      'transactions': 'STRUCT("hash" VARCHAR, "transactionIndex" BIGINT,
+         "type" BIGINT, "from" VARCHAR, "to" VARCHAR, "value" VARCHAR,
+         "gas" VARCHAR, "gasPrice" VARCHAR, "maxFeePerGas" VARCHAR,
+         "maxPriorityFeePerGas" VARCHAR, "nonce" VARCHAR, "v" BIGINT,
+         "chainId" VARCHAR, "accessList" VARCHAR)[]',
+      'receipts': 'STRUCT("transactionHash" VARCHAR,
+         "contractAddress" VARCHAR, "cumulativeGasUsed" VARCHAR,
+         "effectiveGasPrice" VARCHAR, "gasUsed" VARCHAR, "root" VARCHAR,
+         "status" BIGINT, "logs" STRUCT("address" VARCHAR,
+         "logIndex" VARCHAR, "removed" BOOLEAN, "topics" VARCHAR[],
+         "data" VARCHAR)[])[]',
+      'withdrawals': 'STRUCT("index" BIGINT, "validatorIndex" BIGINT,
+         "address" VARCHAR, "amount" VARCHAR)[]'
+    }})
+"""
 
 
 def _tables(spark: SparkSession):
@@ -31,7 +73,17 @@ def eth_blocks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _tables(spark)["blocks"]
 
 
-@register("eth_gas_by_block")
+@register(
+    "eth_gas_by_block",
+    oracle=f"""
+    WITH rb AS (SELECT number, unnest(receipts) AS r FROM {_RAW})
+    SELECT number AS blockNumber,
+           CAST(SUM(CAST(r.gasUsed AS DECIMAL(38,0))) AS VARCHAR) AS total_gas,
+           COUNT(*) AS n_tx,
+           COUNT(*) FILTER (WHERE r.status = 1) AS n_success
+    FROM rb GROUP BY number
+    """,
+)
 def eth_gas_by_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SURVEY §7.3's end-to-end slice: per-block gas totals over the
     pipeline's transactions table."""
@@ -47,7 +99,21 @@ def eth_gas_by_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eth_event_topics")
+@register(
+    "eth_event_topics",
+    oracle=f"""
+    WITH lg AS (
+        SELECT unnest(r.logs) AS l
+        FROM (SELECT unnest(receipts) AS r FROM {_RAW})
+    )
+    SELECT CAST(len(l.topics) AS INT) AS n_topics,
+           COUNT(*) AS n_events,
+           COUNT(DISTINCT CASE WHEN len(l.topics) > 0
+                               THEN upper(substr(l.topics[1], 3)) END)
+             AS n_distinct_topic0
+    FROM lg GROUP BY 1
+    """,
+)
 def eth_event_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event analytics: rows per topic-count, hex-encoded first topic
     (P2's hex ergonomics, SURVEY §1.2)."""
@@ -68,7 +134,16 @@ def eth_event_topics(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eth_withdrawal_totals")
+@register(
+    "eth_withdrawal_totals",
+    oracle=f"""
+    WITH wd AS (SELECT number, unnest(withdrawals) AS w FROM {_RAW})
+    SELECT number AS blockNumber,
+           CAST(SUM(CAST(w.amount AS DECIMAL(38,0))) AS VARCHAR) AS total_amount,
+           COUNT(*) AS n_withdrawals
+    FROM wd GROUP BY number
+    """,
+)
 def eth_withdrawal_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-block withdrawal totals (post-Shanghai blocks only, F4)."""
     w = _tables(spark)["withdraws"]
@@ -82,7 +157,33 @@ def eth_withdrawal_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eth_top_senders")
+@register(
+    "eth_top_senders",
+    oracle=f"""
+    WITH txr AS (SELECT unnest(transactions) AS t, unnest(receipts) AS r FROM {_RAW}),
+    agg AS (
+        SELECT t."from" AS sender_hex,
+               SUM(CAST(t."value" AS DECIMAL(38,0))) AS total_wei,
+               COUNT(*) AS n_tx,
+               SUM(CAST(r.gasUsed AS DECIMAL(38,0))) AS total_gas
+        FROM txr GROUP BY 1
+    )
+    SELECT sender_hex, CAST(total_eth AS VARCHAR) AS total_eth, n_tx,
+           CAST(total_gas AS VARCHAR) AS total_gas
+    FROM (
+        SELECT sender_hex,
+               CAST(CAST(CAST(total_wei AS HUGEINT) // 1000000000000000000 AS DECIMAL(38,18))
+                    + CAST(CAST(total_wei AS HUGEINT) % 1000000000000000000 AS DECIMAL(20,0))
+                      * CAST('0.000000000000000001' AS DECIMAL(18,18))
+                 AS DECIMAL(38,18)) AS total_eth,
+               n_tx,
+               total_gas
+        FROM agg
+        ORDER BY total_eth DESC, sender_hex ASC
+        LIMIT 20
+    )
+    """,
+)
 def eth_top_senders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Top senders by total transferred value: binary address shown as
     0x-hex (functions.bytes), wei totals as exact Decimal(38,18) ether."""
@@ -107,7 +208,19 @@ def eth_top_senders(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eth_contract_creations")
+@register(
+    "eth_contract_creations",
+    oracle=f"""
+    WITH txr AS (SELECT number, unnest(transactions) AS t, unnest(receipts) AS r
+                 FROM {_RAW})
+    SELECT number AS blockNumber,
+           t.hash AS tx_hash,
+           r.contractAddress AS contract_hex,
+           CAST(CAST(r.gasUsed AS DECIMAL(38,0)) AS VARCHAR) AS gas_used
+    FROM txr
+    WHERE t."to" IS NULL AND r.contractAddress IS NOT NULL
+    """,
+)
 def eth_contract_creations(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Contract-creation transactions (`to` NULL, contractAddress set —
     src/main.rs:221,242-244 semantics), one row per creation."""
@@ -126,7 +239,20 @@ def eth_contract_creations(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eth_type2_fee_stats")
+@register(
+    "eth_type2_fee_stats",
+    oracle=f"""
+    WITH tx AS (SELECT number, unnest(transactions) AS t FROM {_RAW})
+    SELECT number AS blockNumber,
+           COUNT(*) AS n_tx,
+           COUNT(*) FILTER (WHERE t."type" = 2) AS n_type2,
+           CAST(MAX(CAST(t.maxPriorityFeePerGas AS DECIMAL(38,0))) AS VARCHAR)
+             AS max_priority_fee,
+           CAST(COUNT(*) FILTER (WHERE t."type" = 2) AS DOUBLE) / COUNT(*)
+             AS type2_share
+    FROM tx GROUP BY number
+    """,
+)
 def eth_type2_fee_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     """EIP-1559 adoption per block: type-2 share and priority-fee stats
     where present (pre/post-1559 era mix from the fixtures, P4)."""
@@ -148,7 +274,23 @@ def eth_type2_fee_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eth_log_address_activity")
+@register(
+    "eth_log_address_activity",
+    oracle=f"""
+    WITH lg AS (
+        SELECT r.transactionHash AS txh, unnest(r.logs) AS l
+        FROM (SELECT unnest(receipts) AS r FROM {_RAW})
+    )
+    SELECT l.address AS address_hex,
+           COUNT(*) AS n_logs,
+           COUNT(DISTINCT CASE WHEN len(l.topics) > 0 THEN l.topics[1] END)
+             AS n_topic0,
+           COUNT(DISTINCT txh) AS n_txs
+    FROM lg GROUP BY 1
+    ORDER BY n_logs DESC, address_hex ASC
+    LIMIT 20
+    """,
+)
 def eth_log_address_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Most active log-emitting contracts with their distinct topic0 count —
     the event-indexing workload shape."""

@@ -178,3 +178,27 @@ def raw_blocks_df(
     spark: SparkSession, n_blocks: int = 5, seed: int = 42
 ) -> DataFrame:
     return spark.createDataFrame(generate_raw_blocks(n_blocks, seed), RAW_BLOCK)
+
+
+def _json_safe(v):
+    """JSON encoding of a raw block: bytes -> 0x-hex, Decimal -> digit string
+    (u256 values overflow JSON readers' int64 path; strings round-trip)."""
+    if isinstance(v, bytes):
+        return "0x" + v.hex()
+    if isinstance(v, Decimal):
+        return str(int(v))
+    if isinstance(v, list):
+        return [_json_safe(x) for x in v]
+    if isinstance(v, dict):
+        return {k: _json_safe(x) for k, x in v.items()}
+    return v
+
+
+def write_raw_blocks_jsonl(path: str, n_blocks: int = 5, seed: int = 42) -> str:
+    """Serialize the deterministic raw fixture blocks as JSONL so an
+    independent engine (DuckDB read_json) can replay the flatten pipeline
+    as an oracle — see queries/ethereum.py."""
+    with open(path, "w") as f:
+        for b in generate_raw_blocks(n_blocks, seed):
+            f.write(json.dumps(_json_safe(b)) + "\n")
+    return path
