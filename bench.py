@@ -44,6 +44,12 @@ BENCH_QUERIES = [
     "text_quality_scores",
     "mm_image_features",
     "mm_frame_sample",
+    "funnel_depth_histogram",
+    "retention_weekly",
+    "topk_heavy_hitters",
+    "stat_corr_regression",
+    "ts_ohlc_bars",
+    "text_chunk_words",
 ]
 
 RUNS_PER_QUERY = 2

@@ -240,3 +240,106 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select(
         "doc_id", fp.alias("fp"), F.substring(fp, 1, 4).alias("fp_bucket")
     )
+
+
+_PII_EMAIL = "[a-zA-Z0-9._%+-]+@[a-zA-Z0-9.-]+\\.[a-zA-Z]{2,}"
+_PII_PHONE = "\\b[0-9]{3}-[0-9]{3}-[0-9]{4}\\b"
+
+
+@register(
+    "text_pii_redaction",
+    oracle=f"""
+    WITH enriched AS (
+        SELECT doc_id,
+               text || ' contact user' || CAST(doc_id AS VARCHAR)
+                    || '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                    || '-' || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS text
+        FROM documents
+    )
+    SELECT doc_id,
+           len(regexp_extract_all(text, '{_PII_EMAIL}')) AS n_emails,
+           len(regexp_extract_all(text, '{_PII_PHONE}')) AS n_phones,
+           regexp_replace(regexp_replace(text, '{_PII_EMAIL}', '<EMAIL>', 'g'),
+                          '{_PII_PHONE}', '<PHONE>', 'g') AS redacted
+    FROM enriched
+    """,
+)
+def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PII scrubbing — the mandatory pre-training redaction pass. Emails and
+    phone-shaped tokens are counted then masked with regexp_replace. The
+    fixture corpus carries no PII, so deterministic synthetic contact lines
+    are appended per doc first (same construction in the oracle); patterns
+    stay in the RE2 ∩ Java-regex common subset (no lookarounds/backrefs) so
+    both engines match identically. Map-only: zero shuffles at any scale."""
+    d = load_table(spark, sf_dir, "documents")
+    enriched = d.select(
+        "doc_id",
+        F.expr(
+            "text || ' contact user' || CAST(doc_id AS STRING)"
+            " || '@example.com or 555-' || lpad(CAST(doc_id % 1000 AS STRING), 3, '0')"
+            " || '-' || lpad(CAST(doc_id % 10000 AS STRING), 4, '0')"
+        ).alias("text"),
+    )
+    # Column-API regex (not F.expr): Spark SQL string literals process
+    # backslash escapes, which would corrupt \b in an inline pattern.
+    return enriched.select(
+        "doc_id",
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), F.lit(0))
+        ).alias("n_emails"),
+        F.size(
+            F.regexp_extract_all(F.col("text"), F.lit(_PII_PHONE), F.lit(0))
+        ).alias("n_phones"),
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+            _PII_PHONE,
+            "<PHONE>",
+        ).alias("redacted"),
+    )
+
+
+@register(
+    "vocab_build",
+    oracle="""
+    WITH tok AS (
+        SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    df AS (
+        SELECT token, COUNT(*) AS doc_freq FROM tok
+        WHERE token <> '' GROUP BY token
+    )
+    SELECT CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, token ASC) - 1 AS INT)
+             AS token_id,
+           token, doc_freq
+    FROM df
+    ORDER BY token_id
+    LIMIT 1000
+    """,
+)
+def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frequency-ranked vocabulary construction (tokenizer prep): document
+    frequency per token, ids assigned by (df DESC, token ASC) — a total
+    order, so ids are reproducible. The distinct and the count share one
+    token-hash partitioning; the final rank of |vocab| rows is a single
+    ordered window (at 100 TB: cap the vocab before ranking, exactly as
+    here, so the single-partition window sees only the head)."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .distinct()
+    )
+    df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("token"))
+    return (
+        df_counts.select(
+            (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+            "token",
+            "doc_freq",
+        )
+        .orderBy("token_id")
+        .limit(1000)
+    )

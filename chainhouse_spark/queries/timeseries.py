@@ -244,3 +244,148 @@ def ts_hopping_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("w.start").alias("window_start"), "n", "sum_value")
     )
+
+
+@register(
+    "ts_ohlc_bars",
+    oracle=f"""
+    SELECT event_type,
+           date_trunc('hour', ts) AS bar_hour,
+           arg_min(value, ts) AS open,
+           MAX(value) AS high,
+           MIN(value) AS low,
+           arg_max(value, ts) AS close,
+           COUNT(*) AS volume,
+           CAST(SUM({_VAL}) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def ts_ohlc_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """OHLC resampling (the financial-bar shape ClickHouse users build with
+    argMin/argMax): per type and hour, first/last value by (ts, event_id)
+    total order plus high/low/volume. ts is unique per series in this data
+    (asserted by the oracle match); under timestamp ties, swap the ordering
+    key for a composite scalar (epoch_micros * K + event_id) — min_by needs
+    a single comparable both engines agree on. One shuffle: all six
+    aggregates share the group-by."""
+    e = load_table(spark, sf_dir, "events")
+    return e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("bar_hour")
+    ).agg(
+        F.expr("MIN_BY(value, ts)").alias("open"),
+        F.max("value").alias("high"),
+        F.min("value").alias("low"),
+        F.expr("MAX_BY(value, ts)").alias("close"),
+        F.count(F.lit(1)).alias("volume"),
+        F.expr(f"CAST(SUM({_VAL}) AS DOUBLE)").alias("total_value"),
+    )
+
+
+# Linear interpolation over a gappy hourly series. The interpolation weight
+# and blend are the same float expression text in both engines over
+# bit-identical inputs (exact-decimal hourly sums -> one division), so the
+# filled values hash-match. prev/next neighbors come from IGNORE NULLS
+# window frames; edges fall back to nearest-neighbor (bfill/ffill).
+_INTERP = """
+    CASE
+      WHEN v IS NOT NULL THEN v
+      WHEN prev_v IS NULL THEN next_v
+      WHEN next_v IS NULL THEN prev_v
+      ELSE prev_v + (next_v - prev_v)
+           * (CAST(idx - prev_i AS DOUBLE) / CAST(next_i - prev_i AS DOUBLE))
+    END
+"""
+
+
+@register(
+    "ts_interpolate_linear",
+    oracle=f"""
+    WITH spine AS (
+        SELECT UNNEST(generate_series(TIMESTAMP '2024-01-05 00:00:00',
+                                      TIMESTAMP '2024-01-05 23:00:00',
+                                      INTERVAL 1 HOUR)) AS hour
+    ),
+    hourly AS (
+        SELECT date_trunc('hour', ts) AS hour,
+               CAST(SUM({_VAL}) AS DOUBLE) / COUNT(*) AS hv
+        FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '2024-01-05 00:00:00'
+          AND ts < TIMESTAMP '2024-01-06 00:00:00'
+        GROUP BY 1
+    ),
+    base AS (
+        SELECT spine.hour,
+               CAST(date_part('hour', spine.hour) AS BIGINT) AS idx,
+               hourly.hv AS v
+        FROM spine LEFT JOIN hourly ON spine.hour = hourly.hour
+    ),
+    nb AS (
+        SELECT hour, idx, v,
+            last_value(v IGNORE NULLS) OVER
+              (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+            last_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER
+              (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_i,
+            first_value(v IGNORE NULLS) OVER
+              (ORDER BY idx ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+            first_value(CASE WHEN v IS NOT NULL THEN idx END IGNORE NULLS) OVER
+              (ORDER BY idx ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_i
+        FROM base
+    )
+    SELECT hour, v AS observed, {_INTERP} AS filled FROM nb
+    """,
+)
+def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-filled hourly series with LINEAR interpolation between observed
+    neighbors (TimescaleDB `interpolate()` / ClickHouse WITH FILL analogue).
+    Spine + one windowed pass: the IGNORE NULLS frames find each gap's
+    bracketing observations without a self-join; a 24-row series per day
+    means the window state is trivially bounded at any scale when
+    partitioned by (series, day)."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.filter(
+            (F.col("event_type") == "purchase")
+            & (F.col("ts") >= F.expr("TIMESTAMP_NTZ '2024-01-05 00:00:00'"))
+            & (F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-06 00:00:00'"))
+        )
+        .groupBy(F.date_trunc("hour", F.col("ts")).alias("h_hour"))
+        .agg(
+            F.expr(f"CAST(SUM({_VAL}) AS DOUBLE) / COUNT(*)").alias("hv"),
+        )
+    )
+    spine = spark.range(1).select(
+        F.explode(
+            F.expr(
+                "sequence(TIMESTAMP_NTZ '2024-01-05 00:00:00', "
+                "TIMESTAMP_NTZ '2024-01-05 23:00:00', INTERVAL 1 HOUR)"
+            )
+        ).alias("hour")
+    )
+    base = (
+        spine.join(hourly, spine["hour"] == hourly["h_hour"], "left_outer")
+        .select(
+            "hour",
+            F.expr("CAST(date_part('HOUR', hour) AS BIGINT)").alias("idx"),
+            F.col("hv").alias("v"),
+        )
+    )
+    base.createOrReplaceTempView("_ts_interp_base")
+    return spark.sql(
+        f"""
+        WITH nb AS (
+            SELECT hour, idx, v,
+                last_value(v) IGNORE NULLS OVER
+                  (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_v,
+                last_value(CASE WHEN v IS NOT NULL THEN idx END) IGNORE NULLS OVER
+                  (ORDER BY idx ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prev_i,
+                first_value(v) IGNORE NULLS OVER
+                  (ORDER BY idx ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_v,
+                first_value(CASE WHEN v IS NOT NULL THEN idx END) IGNORE NULLS OVER
+                  (ORDER BY idx ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_i
+            FROM _ts_interp_base
+        )
+        SELECT hour, v AS observed, {_INTERP} AS filled FROM nb
+        """
+    )

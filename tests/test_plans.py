@@ -230,3 +230,63 @@ def test_runtime_bloom_filter_injection(spark):
     finally:
         for k, v in saved.items():
             spark.conf.set(k, v)
+
+
+def test_chunking_is_map_only(spark):
+    # sequence+explode chunk generators are pure row functions — an Exchange
+    # would mean the generator accidentally aggregated or repartitioned.
+    for name in ("text_chunk_chars", "text_chunk_words", "text_pii_redaction"):
+        f = plan_facts(q(spark, name))
+        assert f.shuffle_exchanges == 0, f"{name} shuffles"
+        assert f.python_evals == 0, f"{name} left JVM"
+
+
+def test_statistics_single_shuffle(spark):
+    # moment sketches are algebraic: scan → partial agg → 1 exchange → final
+    # agg → float formulas on the aggregate rows only.
+    for name in ("stat_corr_regression", "stat_moments",
+                 "stat_histogram_fixed_bins", "agg_conditional_bool"):
+        f = plan_facts(q(spark, name))
+        assert f.shuffle_exchanges == 1, f"{name}: {f.shuffle_exchanges} shuffles"
+        assert f.python_evals == 0
+
+
+def test_topk_uses_ordered_limit_not_global_sort(spark):
+    # TakeOrderedAndProject pushes the limit into the sort: per-partition
+    # top-k then a k-row merge — never a full global sort of the aggregate.
+    from chainhouse_spark.plans.audit import explain_formatted
+    df = q(spark, "topk_heavy_hitters")
+    text = explain_formatted(df)
+    assert "TakeOrderedAndProject" in text
+    f = plan_facts(df)
+    assert f.shuffle_exchanges == 1  # the count aggregate's exchange only
+
+
+def test_funnel_reuses_user_partitioning(spark):
+    # All three funnel stages and both left joins hash on user_id; Catalyst
+    # must plan the whole funnel with a bounded number of exchanges (the
+    # per-stage aggregates), not re-shuffle per join edge.
+    f = plan_facts(q(spark, "funnel_depth_histogram"))
+    assert f.cartesian_products == 0
+    assert f.python_evals == 0
+    # stage aggs + joins + final histogram; > 8 means partitioning reuse broke
+    assert f.shuffle_exchanges <= 8, f.shuffle_exchanges
+
+
+def test_ohlc_single_shuffle(spark):
+    f = plan_facts(q(spark, "ts_ohlc_bars"))
+    assert f.shuffle_exchanges == 1
+    assert f.python_evals == 0
+
+
+def test_graph_edges_join_on_orderkey_no_cartesian(spark):
+    # the pair self-join must be an equi-join on l_orderkey (the < predicate
+    # as post-join condition), never a nested-loop cartesian.
+    f = plan_facts(q(spark, "graph_degree_distribution"))
+    assert f.cartesian_products == 0
+    assert f.nested_loop_joins == 0
+    # triangle count: the wedge/closure joins must be equi (hash) joins; the
+    # only allowed nested-loop is the final 1-row × 1-row scalar combine.
+    f = plan_facts(q(spark, "graph_triangle_count"))
+    assert f.cartesian_products + f.nested_loop_joins <= 1
+    assert f.broadcast_joins + f.sortmerge_joins + f.shuffled_hash_joins >= 2
