@@ -209,3 +209,76 @@ def sequence_pairs_click_purchase(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("user_id")
         .agg(F.count(F.lit(1)).alias("n_pairs"))
     )
+
+
+@register(
+    "attribution_last_click",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_type, event_id FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    locf AS (
+        SELECT user_id, ts, event_type,
+               last_value(CASE WHEN event_type = 'click' THEN ts END IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_click_ts
+        FROM u
+    )
+    SELECT user_id, ts AS purchase_ts, last_click_ts,
+           epoch_us(ts) - epoch_us(last_click_ts) AS gap_us
+    FROM locf WHERE event_type = 'purchase'
+    """,
+)
+def attribution_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Last-touch attribution: for every purchase, the user's most recent
+    strictly-earlier click — a per-key pandas merge_asof through the
+    COGROUPED applyInPandas surface (two grouped relations, one Python
+    stage, Arrow both ways). The oracle states the same join as an
+    IGNORE NULLS LOCF window, exact because (user_id, ts) is unique in this
+    data. At scale both inputs hash-partition on user_id once; Python state
+    is one user's clicks+purchases at a time."""
+    import pandas as pd
+
+    e = load_table(spark, sf_dir, "events")
+    clicks = e.filter(F.col("event_type") == "click").select("user_id", "ts")
+    purchases = e.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+
+    def merge(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        # left: one user's clicks; right: the same user's purchases.
+        if right.empty:
+            return pd.DataFrame(
+                {
+                    "user_id": pd.Series([], dtype="int64"),
+                    "purchase_ts": pd.Series([], dtype="datetime64[us]"),
+                    "last_click_ts": pd.Series([], dtype="datetime64[us]"),
+                    "gap_us": pd.Series([], dtype="Int64"),
+                }
+            )
+        p = right.sort_values("ts").rename(columns={"ts": "purchase_ts"})
+        p["purchase_ts"] = p["purchase_ts"].astype("datetime64[us]")
+        c = (
+            left.sort_values("ts")[["ts"]]
+            .rename(columns={"ts": "last_click_ts"})
+            .astype({"last_click_ts": "datetime64[us]"})
+        )
+        merged = pd.merge_asof(
+            p,
+            c,
+            left_on="purchase_ts",
+            right_on="last_click_ts",
+            direction="backward",
+            allow_exact_matches=False,
+        )
+        gap_ns = merged["purchase_ts"] - merged["last_click_ts"]
+        merged["gap_us"] = (
+            (gap_ns.dt.total_seconds() * 1_000_000).round().astype("Int64")
+        )
+        return merged[["user_id", "purchase_ts", "last_click_ts", "gap_us"]]
+
+    return clicks.groupBy("user_id").cogroup(purchases.groupBy("user_id")).applyInPandas(
+        merge,
+        schema="user_id bigint, purchase_ts timestamp_ntz, "
+        "last_click_ts timestamp_ntz, gap_us bigint",
+    )

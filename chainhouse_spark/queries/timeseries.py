@@ -389,3 +389,47 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT hour, v AS observed, {_INTERP} AS filled FROM nb
         """
     )
+
+
+@register(
+    "ts_session_window_builtin",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    isl AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           COUNT(*) AS n_events
+    FROM isl GROUP BY user_id, sid
+    """,
+)
+def ts_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Batch F.session_window (30-minute inactivity gap) — the built-in twin
+    of the hand-rolled gaps-and-islands `sessionize_batch`. The oracle
+    reconstructs identical sessions via lag + running island sum, proving
+    the built-in's window semantics (end = last event + gap) against first
+    principles. One shuffle on user_id; Spark merges overlapping candidate
+    windows inside the aggregate."""
+    e = load_table(spark, sf_dir, "events")
+    return (
+        e.groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("session_window.start").alias("session_start"),
+            F.col("session_window.end").alias("session_end"),
+            "n_events",
+        )
+    )

@@ -103,3 +103,73 @@ def test_sessionize_single_event_and_identical_timestamps(spark):
         by_user.setdefault(r.user_id, []).append(r)
     assert len(by_user[1]) == 1 and by_user[1][0].n_events == 1
     assert len(by_user[2]) == 1 and by_user[2][0].n_events == 3  # one session
+
+
+def test_chunking_reconstructs_document(spark, sf_dir):
+    """Non-overlapping prefixes of consecutive char chunks concatenate back
+    to the original text — no byte lost or duplicated by the windowing."""
+    from chainhouse_spark.queries.llm_chunking import (
+        CHAR_STRIDE,
+        text_chunk_chars,
+    )
+    from chainhouse_spark.tables import load_table
+
+    chunks = text_chunk_chars(spark, sf_dir).orderBy("doc_id", "chunk_id").collect()
+    docs = {
+        r["doc_id"]: r["text"]
+        for r in load_table(spark, sf_dir, "documents").select("doc_id", "text").collect()
+    }
+    rebuilt: dict[int, str] = {}
+    last_chunk: dict[int, str] = {}
+    for r in chunks:
+        rebuilt[r["doc_id"]] = rebuilt.get(r["doc_id"], "") + r["chunk"][:CHAR_STRIDE]
+        last_chunk[r["doc_id"]] = r["chunk"]
+    for doc_id, text in docs.items():
+        # prefix sum covers all but the final chunk's tail beyond one stride
+        full = rebuilt[doc_id][: len(text)] if len(text) else rebuilt[doc_id]
+        tail = last_chunk[doc_id]
+        assert text.startswith(full[: max(len(full) - len(tail), 0)] or "")
+        assert text == (full if len(full) >= len(text) else full + text[len(full):])
+        # every chunk tail must be a suffix of the doc
+        assert text.endswith(tail)
+
+
+def test_vocab_ids_are_dense_and_rank_ordered(spark, sf_dir):
+    from chainhouse_spark.queries.llm_text import vocab_build
+
+    rows = vocab_build(spark, sf_dir).collect()
+    ids = [r["token_id"] for r in rows]
+    assert ids == list(range(len(rows)))
+    freqs = [r["doc_freq"] for r in rows]
+    assert freqs == sorted(freqs, reverse=True)
+
+
+def test_attribution_gaps_strictly_positive(spark, sf_dir):
+    """merge_asof with allow_exact_matches=False: every attributed click is
+    strictly earlier than its purchase; unattributed rows carry NULLs."""
+    from chainhouse_spark.queries.funnel import attribution_last_click
+
+    rows = attribution_last_click(spark, sf_dir).collect()
+    assert rows
+    attributed = [r for r in rows if r["last_click_ts"] is not None]
+    assert attributed, "fixture data should attribute at least one purchase"
+    for r in attributed:
+        assert r["last_click_ts"] < r["purchase_ts"]
+        assert r["gap_us"] > 0
+
+
+def test_interpolation_bounds(spark, sf_dir):
+    """Filled values lie within [min, max] of observed values (linear blend
+    can't overshoot its bracketing neighbors) and observed hours pass
+    through unchanged."""
+    from chainhouse_spark.queries.timeseries import ts_interpolate_linear
+
+    rows = ts_interpolate_linear(spark, sf_dir).collect()
+    assert len(rows) == 24
+    observed = [r["observed"] for r in rows if r["observed"] is not None]
+    lo, hi = min(observed), max(observed)
+    for r in rows:
+        if r["observed"] is not None:
+            assert r["filled"] == r["observed"]
+        elif r["filled"] is not None:
+            assert lo - 1e-9 <= r["filled"] <= hi + 1e-9
