@@ -12,8 +12,10 @@ Three tiers:
   precomputable per partition/day; re-aggregation never rescans rows.
   Rows-only gate (sketch estimates are engine-specific by design; the exact
   twin `agg_distinct` is oracle-checked).
-- `sketch_freq_count_min`: count-min sketch + freqItems estimates with
-  deterministic seeds. Rows-only for the same reason.
+- `sketch_freq_items`: freqItems candidate sketch + exact scoring pass.
+- `sketch_approx_percentile`: Greenwald-Khanna mergeable quantile sketch.
+  Both rows-only for the same reason; each names its exact oracle-checked
+  twin in its docstring.
 """
 
 from __future__ import annotations
@@ -100,4 +102,20 @@ def sketch_freq_items(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("exact_count"))
         .orderBy(F.desc("exact_count"), F.asc("l_suppkey"))
         .limit(TOP_K)
+    )
+
+
+@register("sketch_approx_percentile")  # rows-only: sketch quantiles differ
+def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """approx_percentile (Greenwald-Khanna) — the single-pass mergeable
+    quantile sketch for 100 TB (exact twin: agg_percentiles /
+    stat_median_iqr, both oracle-checked). accuracy=10000 bounds rank error
+    at 1/10000 of the partition; sketches merge across partitions without
+    a second pass."""
+    li = load_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.expr(
+            "approx_percentile(l_extendedprice, array(0.5, 0.9, 0.99), 10000)"
+        ).alias("approx_p50_p90_p99"),
+        F.expr("approx_percentile(l_quantity, 0.5, 10000)").alias("approx_median_qty"),
     )

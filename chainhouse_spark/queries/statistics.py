@@ -203,3 +203,58 @@ def stat_median_iqr(spark: SparkSession, sf_dir: str) -> DataFrame:
             "iqr_qty"
         ),
     )
+
+
+@register(
+    "stat_weighted_median",
+    oracle="""
+    WITH w AS (
+        SELECT l_returnflag,
+               l_extendedprice AS x,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS wt
+        FROM lineitem
+    ),
+    cum AS (
+        SELECT l_returnflag, x, wt,
+               SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY x, wt
+                             ROWS UNBOUNDED PRECEDING) AS cw,
+               SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+        FROM w
+    )
+    SELECT l_returnflag, MIN(x) AS weighted_median
+    FROM cum WHERE cw * 2 >= tw
+    GROUP BY l_returnflag
+    """,
+)
+def stat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted (lower) median: smallest x whose cumulative weight reaches
+    half the total — ClickHouse quantileExactWeighted(0.5). Weights are
+    integral (quantity), so the threshold test is exact integer arithmetic;
+    value ties are broken inside the cumulative ordering and MIN(x) makes
+    the pick order-insensitive. One windowed pass per group; at 100 TB the
+    same shape runs per (group, day) partition, never a global sort."""
+    from pyspark.sql import Window
+
+    li = load_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.col("l_extendedprice").alias("x"),
+        F.round("l_quantity", 0).cast("bigint").alias("wt"),
+    )
+    cum = w.select(
+        "l_returnflag",
+        "x",
+        F.sum("wt")
+        .over(
+            Window.partitionBy("l_returnflag")
+            .orderBy("x", "wt")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        .alias("cw"),
+        F.sum("wt").over(Window.partitionBy("l_returnflag")).alias("tw"),
+    )
+    return (
+        cum.filter(F.col("cw") * 2 >= F.col("tw"))
+        .groupBy("l_returnflag")
+        .agg(F.min("x").alias("weighted_median"))
+    )

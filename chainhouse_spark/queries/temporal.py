@@ -8,7 +8,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chainhouse_spark.operators.asof import asof_join, range_join
+from chainhouse_spark.operators.asof import asof_join, asof_join_forward, range_join
 from chainhouse_spark.queries.registry import register
 from chainhouse_spark.tables import load_table
 
@@ -89,4 +89,70 @@ def range_join_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.unix_seconds(F.col("r.ts").cast("timestamp"))
             - F.unix_seconds(F.col("l.ts").cast("timestamp"))
         ).alias("secs_between"),
+    )
+
+
+@register(
+    "interval_join_binned",
+    oracle="""
+    WITH iv AS (
+        SELECT i AS interval_id,
+               TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 12 HOUR AS w_start,
+               TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 12 HOUR
+                 + INTERVAL 45 MINUTE AS w_end
+        FROM (SELECT unnest(generate_series(0, 59)) AS i)
+    )
+    SELECT iv.interval_id,
+           COUNT(e.event_id) AS n_events,
+           MIN(e.ts) AS first_ts,
+           MAX(e.ts) AS last_ts
+    FROM iv JOIN events e ON e.ts >= iv.w_start AND e.ts < iv.w_end
+    GROUP BY iv.interval_id
+    """,
+)
+def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """KEY-LESS interval containment join (events ⨝ maintenance windows with
+    no shared equi key) via the binning rewrite: both sides map to 1-hour
+    epoch bins — intervals exploding into every bin they touch — so the
+    planner gets an EQUI join on the bin instead of a nested-loop over the
+    inequality. The containment predicate stays as a post-join filter for
+    exactness. At 100 TB this is the difference between a hash join and an
+    O(|events| × |intervals|) nested loop; with tiny interval sets Spark
+    would broadcast-NL fine, but the bin key keeps the plan hash-joinable at
+    ANY interval-set size. The oracle states the raw inequality join."""
+    e = load_table(spark, sf_dir, "events")
+    iv = spark.range(60).select(
+        F.col("id").cast("int").alias("interval_id"),
+        F.expr(
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00' + id * INTERVAL 12 HOUR"
+        ).alias("w_start"),
+        F.expr(
+            "TIMESTAMP_NTZ '2024-01-01 00:00:00' + id * INTERVAL 12 HOUR"
+            " + INTERVAL 45 MINUTE"
+        ).alias("w_end"),
+    )
+    bin_sec = 3600
+    iv_binned = iv.select(
+        "*",
+        F.explode(
+            F.sequence(
+                (F.unix_seconds(F.col("w_start").cast("timestamp")) / bin_sec).cast("long"),
+                (F.unix_seconds(F.col("w_end").cast("timestamp")) / bin_sec).cast("long"),
+            )
+        ).alias("bin"),
+    )
+    e_binned = e.select(
+        "event_id",
+        "ts",
+        (F.unix_seconds(F.col("ts").cast("timestamp")) / bin_sec).cast("long").alias("bin"),
+    )
+    return (
+        e_binned.join(iv_binned, "bin")
+        .filter((F.col("ts") >= F.col("w_start")) & (F.col("ts") < F.col("w_end")))
+        .groupBy("interval_id")
+        .agg(
+            F.count("event_id").alias("n_events"),
+            F.min("ts").alias("first_ts"),
+            F.max("ts").alias("last_ts"),
+        )
     )

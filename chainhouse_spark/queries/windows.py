@@ -272,3 +272,46 @@ def window_ignore_nulls(spark: SparkSession, sf_dir: str) -> DataFrame:
             ignorenulls=True,
         ).over(w).alias("last_finalized_key"),
     )
+
+
+@register(
+    "window_cumulative_distinct_users",
+    oracle="""
+    WITH first_seen AS (
+        SELECT user_id,
+               CAST(date_trunc('week', MIN(ts)) AS TIMESTAMP) AS first_week
+        FROM events GROUP BY user_id
+    ),
+    weekly AS (
+        SELECT first_week, COUNT(*) AS new_users
+        FROM first_seen GROUP BY first_week
+    )
+    SELECT first_week AS week,
+           new_users,
+           CAST(SUM(new_users) OVER (ORDER BY first_week
+                                     ROWS UNBOUNDED PRECEDING) AS BIGINT)
+             AS total_distinct_users
+    FROM weekly
+    """,
+)
+def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Running DISTINCT count — the window SQL can't express directly
+    (COUNT(DISTINCT) OVER is unsupported in both engines). The scalable
+    rewrite: distinct collapses to each key's FIRST occurrence (one
+    aggregate), then a cumulative sum of first-occurrences-per-bucket. The
+    expensive distinct shuffles once on user_id; the running sum runs over
+    |weeks| rows, not |events|."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    first_seen = e.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("first_week")
+    )
+    weekly = first_seen.groupBy("first_week").agg(F.count(F.lit(1)).alias("new_users"))
+    return weekly.select(
+        F.col("first_week").alias("week"),
+        "new_users",
+        F.sum("new_users")
+        .over(Window.orderBy("first_week").rowsBetween(Window.unboundedPreceding, 0))
+        .alias("total_distinct_users"),
+    )

@@ -290,3 +290,13 @@ def test_graph_edges_join_on_orderkey_no_cartesian(spark):
     f = plan_facts(q(spark, "graph_triangle_count"))
     assert f.cartesian_products + f.nested_loop_joins <= 1
     assert f.broadcast_joins + f.sortmerge_joins + f.shuffled_hash_joins >= 2
+
+
+def test_interval_join_binned_is_equi_join(spark):
+    # the binning rewrite must give the planner a hash-joinable equi key —
+    # a nested-loop/cartesian here means the containment predicate leaked
+    # back into the join condition as the ONLY condition.
+    f = plan_facts(q(spark, "interval_join_binned"))
+    assert f.cartesian_products == 0
+    assert f.nested_loop_joins == 0
+    assert f.broadcast_joins + f.sortmerge_joins + f.shuffled_hash_joins >= 1

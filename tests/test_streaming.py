@@ -278,3 +278,99 @@ def test_foreach_batch_upsert_idempotent(spark, tmp_path, landing):
     assert got.count() == n1  # no duplicate rows appended
     hashes = [r.hash for r in got.select("hash").collect()]
     assert len(hashes) == len(set(hashes))
+
+
+def test_funnel_tracker_logic():
+    """The stateful funnel tracker, driven directly: advances only on
+    in-order step events within the window, anchored at first signup."""
+    import datetime as dt
+
+    import pandas as pd
+
+    from chainhouse_spark.streaming.funnel import make_funnel_tracker
+
+    class FakeState:
+        def __init__(self):
+            self.exists = False
+            self.hasTimedOut = False
+            self._v = None
+
+        @property
+        def get(self):
+            return self._v
+
+        def update(self, v):
+            self._v = v
+            self.exists = True
+
+        def setTimeoutDuration(self, ms):
+            pass
+
+        def remove(self):
+            self.exists = False
+
+    t0 = dt.datetime(2024, 1, 1)
+    fn = make_funnel_tracker(window_days=14)
+    state = FakeState()
+
+    def feed(events):
+        pdf = pd.DataFrame(
+            {"ts": [e[0] for e in events], "event_type": [e[1] for e in events]}
+        )
+        return list(fn((7,), iter([pdf]), state))
+
+    # view before signup is ignored; signup anchors; view advances
+    out = feed([(t0, "view"), (t0 + dt.timedelta(hours=1), "signup"),
+                (t0 + dt.timedelta(hours=2), "view")])
+    got = pd.concat(out, ignore_index=True)
+    assert list(got["step"]) == [1, 2]
+
+    # purchase in a LATER batch advances from carried state
+    out = feed([(t0 + dt.timedelta(hours=3), "purchase")])
+    got = pd.concat(out, ignore_index=True)
+    assert list(got["step"]) == [3]
+    assert state.get[0] == 3
+
+    # beyond the window: no advance for a fresh user
+    state2 = FakeState()
+    fn2 = make_funnel_tracker(window_days=14)
+    pdf = pd.DataFrame(
+        {
+            "ts": [t0, t0 + dt.timedelta(days=20)],
+            "event_type": ["signup", "view"],
+        }
+    )
+    out = list(fn2((8,), iter([pdf]), state2))
+    got = pd.concat(out, ignore_index=True)
+    assert list(got["step"]) == [1]  # the late view must NOT advance
+
+
+def test_funnel_streaming_matches_batch(spark, tmp_path):
+    """The live funnel over two time-ordered micro-batches reaches the same
+    per-step user counts as the batch funnel_steps query on the same data."""
+    from chainhouse_spark.queries.funnel import funnel_steps
+    from chainhouse_spark.streaming.funnel import funnel_advances
+    from chainhouse_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_type")
+    cut = e.selectExpr("percentile(CAST(unix_seconds(CAST(ts AS TIMESTAMP)) AS DOUBLE), 0.5) p").collect()[0]["p"]
+    src = str(tmp_path / "funnel_events")
+    import pyspark.sql.functions as F  # noqa: N812
+
+    epoch = F.unix_seconds(F.col("ts").cast("timestamp"))
+    e.filter(epoch <= cut).coalesce(1).write.mode("overwrite").parquet(src)
+    e.filter(epoch > cut).coalesce(1).write.mode("append").parquet(src)
+
+    stream = spark.readStream.schema(
+        "user_id long, ts timestamp_ntz, event_type string"
+    ).option("maxFilesPerTrigger", "1").parquet(src)
+    q = run_to_memory(funnel_advances(stream), "funnel_advances_t")
+    q.awaitTermination(180)
+    got = spark.table("funnel_advances_t").groupBy("step").count().collect()
+    streamed = {r["step"]: r["count"] for r in got}
+
+    batch = {
+        r["step"]: r["n_users"] for r in funnel_steps(spark, sf_dir).collect()
+    }
+    assert streamed == batch
