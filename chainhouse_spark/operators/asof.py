@@ -36,6 +36,34 @@ def asof_join(
     deterministic when several right rows share one timestamp (the row with
     the greatest (ts, tie_col) wins).
     """
+    return _asof_union_carry(left, right, by, ts, right_payload, tie_col, forward=False)
+
+
+def asof_join_forward(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    right_payload: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Forward as-of join: for each left row, the EARLIEST right row
+    at-or-after its timestamp in the same key group (time-to-next-event
+    analytics: next failure, next restock, next price print). Same
+    union-and-carry construction as `asof_join` with the scan direction
+    reversed — still ONE shuffle on the key, never an inequality join."""
+    return _asof_union_carry(left, right, by, ts, right_payload, tie_col, forward=True)
+
+
+def _asof_union_carry(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    right_payload: list[str],
+    tie_col: str | None,
+    forward: bool,
+) -> DataFrame:
     lcols = left.columns
     payload_struct = F.struct(*[F.col(c) for c in right_payload])
 
@@ -58,9 +86,18 @@ def asof_join(
         payload_struct.alias("__r"),
     )
 
+    # Scan order: backward walks time ascending (carry = latest right row at
+    # or before me); forward walks time DESCENDING (carry = earliest right
+    # row at or after me). Either way the right side sorts before the left
+    # at equal timestamps so ties match, and the tie column makes the
+    # carried pick total-ordered.
+    if forward:
+        order = [F.col("__ts").desc(), F.col("__side").asc(), F.col("__tie").desc()]
+    else:
+        order = [F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc()]
     w = (
         Window.partitionBy("__k")
-        .orderBy(F.col("__ts").asc(), F.col("__side").asc(), F.col("__tie").asc())
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     )
     merged = l.unionByName(r).withColumn(

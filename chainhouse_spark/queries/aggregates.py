@@ -266,3 +266,40 @@ def agg_unpivot(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.unpivot(
         ["l_returnflag"], ["sum_qty", "sum_price"], "metric", "metric_value"
     )
+
+
+@register(
+    "agg_mode_deterministic",
+    oracle="""
+    WITH c AS (
+        SELECT o_orderpriority, o_orderstatus, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM orders GROUP BY o_orderpriority, o_orderstatus
+    ),
+    r AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                     ORDER BY cnt DESC, o_orderstatus DESC) AS rn
+        FROM c
+    )
+    SELECT o_orderpriority, o_orderstatus AS modal_status,
+           CAST(cnt AS BIGINT) AS modal_count
+    FROM r WHERE rn = 1
+    """,
+)
+def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mode with a total-order tie-break. The built-in `mode()` (Spark 4 and
+    DuckDB both have one) picks an ARBITRARY value among tied candidates —
+    un-oracle-able and irreproducible across partitionings. The scalable
+    deterministic rewrite: count per (group, value) — one shuffle, map-side
+    combinable — then max_by on the (count, value) pair. The second element
+    of the pair makes ties resolve to the lexicographically greatest value
+    on every engine and every partitioning."""
+    o = load_table(spark, sf_dir, "orders")
+    c = o.groupBy("o_orderpriority", "o_orderstatus").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    return c.groupBy("o_orderpriority").agg(
+        F.expr("MAX_BY(o_orderstatus, struct(cnt, o_orderstatus))").alias(
+            "modal_status"
+        ),
+        F.max("cnt").cast("bigint").alias("modal_count"),
+    )

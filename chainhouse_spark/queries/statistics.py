@@ -258,3 +258,165 @@ def stat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("l_returnflag")
         .agg(F.min("x").alias("weighted_median"))
     )
+
+@register(
+    "stat_time_weighted_avg",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v_cents,
+               event_id
+        FROM events
+    ),
+    seg AS (
+        SELECT event_type, v_cents,
+               LEAD(t) OVER (PARTITION BY event_type ORDER BY t, event_id) - t
+                 AS dt
+        FROM pts
+    )
+    SELECT event_type,
+           CAST(SUM(v_cents * dt) AS DOUBLE)
+             / (CAST(SUM(dt) AS DOUBLE) * 100.0) AS tw_avg,
+           CAST(SUM(dt) AS BIGINT) AS covered_sec
+    FROM seg WHERE dt IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def stat_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-weighted average (TimescaleDB `time_weight('LOCF')` analogue):
+    each observation holds until the next one, so the mean is
+    sum(v_i * (t_{i+1}-t_i)) / sum(dt) per signal. Everything before the
+    final division is INTEGER arithmetic (cents x seconds), so partition
+    merge order can't move the result — the float appears exactly once.
+    One shuffle (the per-signal window); at 100 TB the same window runs
+    per (signal, day) with a boundary-row carry, never a global sort."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("t"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v_cents"),
+        "event_id",
+    )
+    seg = pts.select(
+        "event_type",
+        "v_cents",
+        (
+            F.lead("t").over(
+                Window.partitionBy("event_type").orderBy("t", "event_id")
+            )
+            - F.col("t")
+        ).alias("dt"),
+    ).filter(F.col("dt").isNotNull())
+    return seg.groupBy("event_type").agg(
+        (
+            F.sum(F.col("v_cents") * F.col("dt")).cast("double")
+            / (F.sum("dt").cast("double") * F.lit(100.0))
+        ).alias("tw_avg"),
+        F.sum("dt").cast("bigint").alias("covered_sec"),
+    )
+
+
+@register(
+    "stat_chi_square",
+    oracle="""
+    WITH cells AS (
+        SELECT event_type, CAST(hour(ts) AS INTEGER) AS hr,
+               CAST(COUNT(*) AS BIGINT) AS o
+        FROM events GROUP BY event_type, hr
+    ),
+    tot AS (
+        SELECT event_type, hr, o,
+               SUM(o) OVER (PARTITION BY event_type) AS rt,
+               SUM(o) OVER (PARTITION BY hr) AS ct,
+               SUM(o) OVER () AS n
+        FROM cells
+    )
+    SELECT
+        CAST(SUM(CAST(ROUND(
+            (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+          * (CAST(o AS DOUBLE) - CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE))
+          / (CAST(rt AS DOUBLE) * CAST(ct AS DOUBLE) / CAST(n AS DOUBLE)), 6)
+          AS DECIMAL(20,6))) AS DOUBLE) AS chi2,
+        CAST((COUNT(DISTINCT event_type) - 1) * (COUNT(DISTINCT hr) - 1) AS BIGINT)
+          AS dof
+    FROM tot
+    """,
+)
+def stat_chi_square(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Chi-square independence test on the event_type x hour-of-day
+    contingency table. Observed counts are exact integers; each cell's
+    (o-e)^2/e is one identical float formula in both engines, rounded to
+    6 decimals and summed as DECIMAL so the cross-cell summation order
+    (engine/partition dependent for floats) cannot move the statistic.
+    Scale shape: one count aggregate over the fact table, then windows over
+    |cells| rows (types x 24) — the test itself costs nothing extra."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    cells = e.groupBy(
+        "event_type", F.hour(F.col("ts").cast("timestamp")).cast("int").alias("hr")
+    ).agg(F.count(F.lit(1)).alias("o"))
+    tot = cells.select(
+        "event_type",
+        "hr",
+        "o",
+        F.sum("o").over(Window.partitionBy("event_type")).alias("rt"),
+        F.sum("o").over(Window.partitionBy("hr")).alias("ct"),
+        F.sum("o").over(Window.partitionBy()).alias("n"),
+    )
+    oD, rtD, ctD, nD = [F.col(c).cast("double") for c in ("o", "rt", "ct", "n")]
+    eD = rtD * ctD / nD
+    contrib = F.round((oD - eD) * (oD - eD) / eD, 6).cast("decimal(20,6)")
+    return tot.agg(
+        F.sum(contrib).cast("double").alias("chi2"),
+        (
+            (F.countDistinct("event_type") - 1) * (F.countDistinct("hr") - 1)
+        ).cast("bigint").alias("dof"),
+    )
+
+
+@register(
+    "stat_entropy",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+        SELECT source, lang, c, SUM(c) OVER (PARTITION BY source) AS n
+        FROM cnt
+    )
+    SELECT source,
+           CAST(SUM(CAST(ROUND(
+               -(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))
+                 * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / LN(2.0), 6)
+             AS DECIMAL(20,6))) AS DOUBLE) AS lang_entropy_bits,
+           CAST(COUNT(*) AS BIGINT) AS n_langs
+    FROM tot
+    GROUP BY source
+    """,
+)
+def stat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy (bits) of each source's language distribution — the
+    corpus-mixing diagnostic (a source collapsing to one language shows
+    H -> 0). Counts are exact; each -p*log2(p) term is rounded to 6 decimals
+    and summed as DECIMAL: libm vs JVM LN may differ in the last ulp, and
+    float summation order is engine-dependent — rounding before the sum
+    absorbs both. Same count -> window -> tiny-sum shape as the chi-square:
+    one real aggregate over the data, math over |cells| rows."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source", "lang").agg(F.count(F.lit(1)).alias("c"))
+    tot = cnt.select(
+        "source", "lang", "c", F.sum("c").over(Window.partitionBy("source")).alias("n")
+    )
+    p = F.col("c").cast("double") / F.col("n").cast("double")
+    term = F.round(-p * F.log(p) / F.log(F.lit(2.0)), 6).cast("decimal(20,6)")
+    return tot.groupBy("source").agg(
+        F.sum(term).cast("double").alias("lang_entropy_bits"),
+        F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+    )

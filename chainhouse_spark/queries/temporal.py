@@ -156,3 +156,52 @@ def interval_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("ts").alias("last_ts"),
         )
     )
+
+
+@register(
+    "asof_next_error",
+    oracle="""
+    SELECT p.event_id AS purchase_id,
+           p.user_id,
+           p.ts AS purchase_ts,
+           e.ts AS next_error_ts,
+           CAST(date_diff('second', p.ts, e.ts) AS BIGINT) AS secs_to_error
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'error') e
+      ON p.user_id = e.user_id AND p.ts <= e.ts
+    """,
+)
+def asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FORWARD as-of join: for every purchase, the user's next error event
+    at-or-after it (time-to-next-failure analytics). Same union-and-carry
+    construction as the backward as-of with the scan direction reversed —
+    one shuffle on user_id, no inequality join. The oracle is DuckDB's
+    native forward ASOF (`p.ts <= e.ts`). Payload is the timestamp only, so
+    same-timestamp ties can't make the result ambiguous."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("ts"),
+    )
+    errors = e.filter(F.col("event_type") == "error").select(
+        "user_id",
+        F.col("ts").alias("ts"),
+        F.col("ts").alias("next_error_ts"),
+    )
+    return asof_join_forward(
+        purchases,
+        errors,
+        by="user_id",
+        ts="ts",
+        right_payload=["next_error_ts"],
+    ).select(
+        "purchase_id",
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        "next_error_ts",
+        (
+            F.unix_seconds(F.col("next_error_ts").cast("timestamp"))
+            - F.unix_seconds(F.col("ts").cast("timestamp"))
+        ).cast("bigint").alias("secs_to_error"),
+    )

@@ -192,3 +192,21 @@ def run_foreach_batch_upsert(
         .trigger(availableNow=True)
         .start()
     )
+
+
+def dedup_within_watermark(
+    stream: DataFrame,
+    keys: list[str],
+    event_time_col: str,
+    delay: str = "10 minutes",
+) -> DataFrame:
+    """Streaming exact dedup with BOUNDED state:
+    `dropDuplicatesWithinWatermark` keeps each key only until the watermark
+    passes its event time + delay, so the state store holds one entry per
+    key seen in the last `delay` — not one per key ever (the unbounded
+    `dropDuplicates` failure mode on an infinite stream). Replays/retries
+    inside the delay window (the at-least-once source reality) collapse to
+    one row; duplicates farther apart than `delay` are by-contract distinct."""
+    return stream.withWatermark(event_time_col, delay).dropDuplicatesWithinWatermark(
+        keys
+    )

@@ -10,6 +10,7 @@ cluster even if the sf0.01 answer is still correct.
 from __future__ import annotations
 
 import pytest
+from pyspark.sql import functions as F
 
 from chainhouse_spark.plans.audit import audit, plan_facts
 from chainhouse_spark.queries import QUERIES
@@ -300,3 +301,27 @@ def test_interval_join_binned_is_equi_join(spark):
     assert f.cartesian_products == 0
     assert f.nested_loop_joins == 0
     assert f.broadcast_joins + f.sortmerge_joins + f.shuffled_hash_joins >= 1
+
+
+def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
+    """At-rest layouts partitioned on a join key must get runtime partition
+    pruning: a selective dim-side filter becomes a dynamicpruning subquery
+    on the fact scan, so a 100 TB fact table reads only the partitions the
+    surviving dim keys touch — partition elimination decided at RUN time,
+    the Spark analogue of ClickHouse's partition pruning."""
+    from chainhouse_spark.tables import load_table
+
+    fact_dir = str(tmp_path / "orders_by_priority")
+    o = load_table(spark, SF, "orders")
+    o.write.partitionBy("o_orderpriority").mode("overwrite").parquet(fact_dir)
+
+    fact = spark.read.parquet(fact_dir)
+    dim = (
+        spark.createDataFrame(
+            [("1-URGENT", "hot"), ("5-LOW", "cold")], ["o_orderpriority", "tier"]
+        )
+        .filter(F.col("tier") == "hot")
+    )
+    joined = fact.join(dim, "o_orderpriority").groupBy("tier").count()
+    plan = joined._jdf.queryExecution().toString()
+    assert "dynamicpruning" in plan.lower()

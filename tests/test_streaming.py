@@ -374,3 +374,39 @@ def test_funnel_streaming_matches_batch(spark, tmp_path):
         r["step"]: r["n_users"] for r in funnel_steps(spark, sf_dir).collect()
     }
     assert streamed == batch
+
+
+def test_dedup_within_watermark_collapses_replays(spark, tmp_path):
+    """At-least-once replay: the same event rows delivered again in a later
+    micro-batch (within the lateness horizon) must collapse to one row —
+    with BOUNDED state, unlike plain dropDuplicates."""
+    from chainhouse_spark.streaming.ingest import dedup_within_watermark
+    from chainhouse_spark.tables import load_table
+
+    e = (
+        load_table(spark, "/root/testdata/sf0.001", "events")
+        .select("event_id", F.col("ts").cast("timestamp").alias("ts"), "user_id")
+        .orderBy("event_id")
+        .limit(500)
+    )
+    src = str(tmp_path / "dup_events")
+    # batch 1: all 500 rows; batch 2: the last 200 replayed verbatim
+    e.coalesce(1).write.mode("overwrite").parquet(src)
+    e.orderBy(F.desc("event_id")).limit(200).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema("event_id long, ts timestamp, user_id long")
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    deduped = dedup_within_watermark(
+        stream, keys=["event_id"], event_time_col="ts", delay="365 days"
+    )
+    q = run_to_memory(deduped, "dedup_replay_t")
+    q.awaitTermination(120)
+
+    got = spark.table("dedup_replay_t")
+    assert got.count() == 500  # replayed rows collapsed
+    assert got.select("event_id").distinct().count() == 500
