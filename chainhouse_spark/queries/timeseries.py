@@ -433,3 +433,148 @@ def ts_session_window_builtin(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
+
+
+@register(
+    "ts_lttb_downsample",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS x,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS y_cents,
+               event_id,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY ts, event_id) - 1
+                 AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM events
+    ),
+    b AS (
+        SELECT *, CAST(FLOOR(rn / 100.0) AS BIGINT) AS bucket,
+               CAST(FLOOR((n - 1) / 100.0) AS BIGINT) AS last_bucket
+        FROM pts
+    ),
+    bagg AS (
+        SELECT event_type, bucket,
+               CAST(SUM(x) AS DOUBLE) / COUNT(*) AS avg_x,
+               CAST(SUM(y_cents) AS DOUBLE) / (COUNT(*) * 100.0) AS avg_y
+        FROM b GROUP BY event_type, bucket
+    ),
+    anchors AS (
+        SELECT event_type, bucket,
+               LAG(avg_x)  OVER w AS px, LAG(avg_y)  OVER w AS py,
+               LEAD(avg_x) OVER w AS nx, LEAD(avg_y) OVER w AS ny
+        FROM bagg
+        WINDOW w AS (PARTITION BY event_type ORDER BY bucket)
+    ),
+    scored AS (
+        SELECT b.event_type, b.bucket, b.last_bucket, b.rn, b.event_id,
+               b.x, b.y_cents,
+               CASE WHEN a.px IS NULL OR a.nx IS NULL THEN NULL
+                    ELSE ABS( (a.px - a.nx) * (CAST(b.y_cents AS DOUBLE) / 100.0 - a.py)
+                            - (a.px - CAST(b.x AS DOUBLE)) * (a.ny - a.py) )
+               END AS area
+        FROM b JOIN anchors a
+          ON b.event_type = a.event_type AND b.bucket = a.bucket
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (
+                    PARTITION BY event_type, bucket
+                    ORDER BY CASE
+                        WHEN bucket = 0 THEN -rn
+                        WHEN bucket = last_bucket THEN rn
+                        ELSE area END DESC,
+                    event_id ASC) AS pick
+        FROM scored
+    )
+    SELECT event_type, CAST(bucket AS BIGINT) AS bucket, event_id,
+           CAST(x AS BIGINT) AS x_epoch,
+           CAST(y_cents AS DOUBLE) / 100.0 AS y
+    FROM ranked WHERE pick = 1
+    """,
+)
+def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Largest-Triangle-Three-Buckets downsampling (ClickHouse
+    `largestTriangleThreeBuckets`, Steinarsson 2013) in the fixed-anchor
+    form that distributes: the previous/next anchors are the neighbor
+    buckets' average points (not the previously-selected point, whose chain
+    dependency would serialize the whole series). Per 100-row bucket, keep
+    the point maximizing the triangle area against those anchors; first and
+    last buckets pin the series endpoints. Every anchor derives from exact
+    integer sums (epoch seconds, value cents) so both engines score
+    identical doubles; ties break on event_id. Shape at 100 TB: two
+    windows + one aggregate, all partitioned by (series, bucket-range) —
+    never a per-series sequential scan, which is the point of dropping the
+    chained anchor. The oracle states the same construction in DuckDB."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wseries = Window.partitionBy("event_type")
+    pts = e.select(
+        "event_type",
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("x"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y_cents"),
+        "event_id",
+        (F.row_number().over(wseries.orderBy("ts", "event_id")) - 1).alias("rn"),
+        F.count(F.lit(1)).over(wseries).alias("n"),
+    )
+    b = pts.select(
+        "*",
+        (F.col("rn") / 100).cast("bigint").alias("bucket"),
+        ((F.col("n") - 1) / 100).cast("bigint").alias("last_bucket"),
+    )
+    bagg = b.groupBy("event_type", "bucket").agg(
+        (F.sum("x").cast("double") / F.count(F.lit(1))).alias("avg_x"),
+        (F.sum("y_cents").cast("double") / (F.count(F.lit(1)) * 100.0)).alias(
+            "avg_y"
+        ),
+    )
+    wb = Window.partitionBy("event_type").orderBy("bucket")
+    anchors = bagg.select(
+        "event_type",
+        "bucket",
+        F.lag("avg_x").over(wb).alias("px"),
+        F.lag("avg_y").over(wb).alias("py"),
+        F.lead("avg_x").over(wb).alias("nx"),
+        F.lead("avg_y").over(wb).alias("ny"),
+    )
+    scored = b.join(anchors, ["event_type", "bucket"]).select(
+        "event_type",
+        "bucket",
+        "last_bucket",
+        "rn",
+        "event_id",
+        "x",
+        "y_cents",
+        F.when(
+            F.col("px").isNull() | F.col("nx").isNull(), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.abs(
+                (F.col("px") - F.col("nx"))
+                * (F.col("y_cents").cast("double") / 100.0 - F.col("py"))
+                - (F.col("px") - F.col("x").cast("double"))
+                * (F.col("ny") - F.col("py"))
+            )
+        )
+        .alias("area"),
+    )
+    pick_key = (
+        F.when(F.col("bucket") == 0, -F.col("rn").cast("double"))
+        .when(F.col("bucket") == F.col("last_bucket"), F.col("rn").cast("double"))
+        .otherwise(F.col("area"))
+    )
+    ranked = scored.withColumn(
+        "pick",
+        F.row_number().over(
+            Window.partitionBy("event_type", "bucket").orderBy(
+                pick_key.desc(), F.col("event_id").asc()
+            )
+        ),
+    )
+    return ranked.filter(F.col("pick") == 1).select(
+        "event_type",
+        F.col("bucket").cast("bigint").alias("bucket"),
+        "event_id",
+        F.col("x").cast("bigint").alias("x_epoch"),
+        (F.col("y_cents").cast("double") / 100.0).alias("y"),
+    )

@@ -410,3 +410,59 @@ def test_dedup_within_watermark_collapses_replays(spark, tmp_path):
     got = spark.table("dedup_replay_t")
     assert got.count() == 500  # replayed rows collapsed
     assert got.select("event_id").distinct().count() == 500
+
+
+def test_incremental_rollup_matches_batch(spark, tmp_path):
+    """Continuous-aggregate maintenance: events streamed in 3 micro-batches,
+    per-(minute, type) state merged incrementally per batch, finals read
+    from the state table — must equal a from-scratch batch rollup of the
+    same rows (the associativity contract: batch boundaries can't show)."""
+    from chainhouse_spark.operators.incremental import finalize
+    from chainhouse_spark.streaming.rollup import run_incremental_rollup
+    from chainhouse_spark.tables import load_table
+
+    sf_dir = "/root/testdata/sf0.001"
+    e = load_table(spark, sf_dir, "events").select(
+        F.date_trunc("minute", F.col("ts").cast("timestamp")).alias("minute"),
+        "event_type",
+        F.col("value").cast("decimal(18,6)").alias("v"),
+        "event_id",
+    )
+    src = str(tmp_path / "rollup_events")
+    for i in range(3):
+        e.filter(F.col("event_id") % 3 == i).coalesce(1).write.mode(
+            "append"
+        ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(
+            "minute timestamp, event_type string, v decimal(18,6), event_id long"
+        )
+        .option("maxFilesPerTrigger", "1")
+        .parquet(src)
+    )
+    state_dir = str(tmp_path / "rollup_state")
+    q = run_incremental_rollup(
+        stream,
+        state_dir,
+        checkpoint=str(tmp_path / "ckpt"),
+        keys=["minute", "event_type"],
+        measure=F.col("v"),
+    )
+    q.awaitTermination(120)
+
+    got = finalize(spark.read.parquet(state_dir)).toPandas()
+    want = (
+        finalize(
+            e.groupBy("minute", "event_type").agg(
+                F.count(F.lit(1)).alias("cnt"),
+                F.sum("v").alias("sum_m"),
+                F.min("v").alias("min_m"),
+                F.max("v").alias("max_m"),
+            )
+        )
+        .toPandas()
+    )
+    from tests.compare import compare_frames
+
+    assert not compare_frames(got, want)
