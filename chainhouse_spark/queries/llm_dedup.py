@@ -196,3 +196,60 @@ def dedup_duplicate_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), shingle_words=3, threshold=0.8
     )
     return connected_components(pairs, src="doc_a", dst="doc_b")
+
+
+@register(
+    "dedup_edit_distance_pairs",
+    oracle="""
+    SELECT a.c_custkey AS custkey_a,
+           b.c_custkey AS custkey_b,
+           a.c_name AS name_a,
+           b.c_name AS name_b,
+           CAST(levenshtein(a.c_name, b.c_name) AS INTEGER) AS edit_distance
+    FROM customer a, customer b
+    WHERE a.c_custkey < b.c_custkey
+      AND levenshtein(a.c_name, b.c_name) <= 1
+    """,
+)
+def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Edit-distance-1 near-duplicate pairs via DELETION-NEIGHBORHOOD
+    blocking (the SymSpell/PassJoin idea): each string's candidate keys are
+    itself plus every single-character deletion; any pair within edit
+    distance 1 (substitution OR indel) must share at least one key, so an
+    equi-join on the key yields a complete candidate set and the exact
+    levenshtein verifies. No quadratic compare and no reliance on shared
+    prefixes (prefix blocking degenerates when every value shares a
+    constant header, as these names do): deletion variants stay distinct
+    wherever the strings differ, so buckets stay near-singleton. Scale:
+    |rows| x (len+1) keys shuffle once; verification touches only
+    candidate pairs. The oracle is the honest quadratic self-join."""
+    c = load_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    variants = c.select(
+        "c_custkey",
+        "c_name",
+        F.explode(
+            F.array_union(
+                F.array(F.col("c_name")),
+                F.expr(
+                    "transform(sequence(1, length(c_name)),"
+                    " i -> concat(substring(c_name, 1, i - 1),"
+                    " substring(c_name, i + 1)))"
+                ),
+            )
+        ).alias("key"),
+    )
+    pairs = (
+        variants.alias("a")
+        .join(variants.alias("b"), "key")
+        .filter(F.col("a.c_custkey") < F.col("b.c_custkey"))
+        .select(
+            F.col("a.c_custkey").alias("custkey_a"),
+            F.col("b.c_custkey").alias("custkey_b"),
+            F.col("a.c_name").alias("name_a"),
+            F.col("b.c_name").alias("name_b"),
+        )
+        .distinct()
+    )
+    return pairs.filter(F.levenshtein("name_a", "name_b") <= 1).withColumn(
+        "edit_distance", F.levenshtein("name_a", "name_b").cast("int")
+    )

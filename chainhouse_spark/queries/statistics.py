@@ -420,3 +420,76 @@ def stat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(term).cast("double").alias("lang_entropy_bits"),
         F.count(F.lit(1)).cast("bigint").alias("n_langs"),
     )
+
+
+@register(
+    "stat_welch_ttest",
+    oracle="""
+    WITH m AS (
+        SELECT
+            CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS n1,
+            CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS DOUBLE) AS n2,
+            CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                 FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS s1,
+            CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                 FILTER (WHERE event_type = 'error') AS DOUBLE) AS s2,
+            CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                   * CAST(ROUND(value * 100, 0) AS BIGINT))
+                 FILTER (WHERE event_type = 'purchase') AS DOUBLE) AS q1,
+            CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                   * CAST(ROUND(value * 100, 0) AS BIGINT))
+                 FILTER (WHERE event_type = 'error') AS DOUBLE) AS q2
+        FROM events WHERE event_type IN ('purchase', 'error')
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a,
+           CAST(n2 AS BIGINT) AS n_b,
+           (s1 / n1 - s2 / n2) / 100.0 AS mean_diff,
+           (s1 / n1 - s2 / n2)
+             / SQRT( ((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1
+                   + ((q2 - s2 * s2 / n2) / (n2 - 1.0)) / n2 ) AS t_stat,
+           ( ((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1
+           + ((q2 - s2 * s2 / n2) / (n2 - 1.0)) / n2 )
+           * ( ((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1
+             + ((q2 - s2 * s2 / n2) / (n2 - 1.0)) / n2 )
+           / ( ((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1
+               * (((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1) / (n1 - 1.0)
+             + ((q2 - s2 * s2 / n2) / (n2 - 1.0)) / n2
+               * (((q2 - s2 * s2 / n2) / (n2 - 1.0)) / n2) / (n2 - 1.0) )
+             AS welch_dof
+    FROM m
+    """,
+)
+def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Welch's unequal-variance t-test between two event populations (the
+    A/B-test primitive) in ONE scan: both groups' exact integer power sums
+    come from FILTER-ed aggregates over a single pass, then the t statistic
+    and Welch-Satterthwaite dof are one shared float formula on the
+    6-number aggregate row. Note the mean-difference uses cents/100 — the
+    t statistic is scale-invariant so cents cancel there. At 100 TB an A/B
+    readout costs exactly one filtered scan, no shuffle beyond the global
+    6-column partial-agg merge."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    is_a = F.col("event_type") == "purchase"
+    is_b = F.col("event_type") == "error"
+    m = e.agg(
+        F.count(F.when(is_a, 1)).cast("double").alias("n1"),
+        F.count(F.when(is_b, 1)).cast("double").alias("n2"),
+        F.sum(F.when(is_a, cents)).cast("double").alias("s1"),
+        F.sum(F.when(is_b, cents)).cast("double").alias("s2"),
+        F.sum(F.when(is_a, cents * cents)).cast("double").alias("q1"),
+        F.sum(F.when(is_b, cents * cents)).cast("double").alias("q2"),
+    )
+    v1 = "((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1"
+    v2 = "((q2 - s2 * s2 / n2) / (n2 - 1.0)) / n2"
+    return m.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_a",
+        "CAST(n2 AS BIGINT) AS n_b",
+        "(s1 / n1 - s2 / n2) / 100.0 AS mean_diff",
+        f"(s1 / n1 - s2 / n2) / SQRT({v1} + {v2}) AS t_stat",
+        f"({v1} + {v2}) * ({v1} + {v2})"
+        f" / ({v1} * ({v1}) / (n1 - 1.0) + {v2} * ({v2}) / (n2 - 1.0))"
+        " AS welch_dof",
+    )

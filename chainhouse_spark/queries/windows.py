@@ -315,3 +315,89 @@ def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
         .over(Window.orderBy("first_week").rowsBetween(Window.unboundedPreceding, 0))
         .alias("total_distinct_users"),
     )
+
+
+@register(
+    "window_rolling_corr",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS y,
+               event_id
+        FROM events
+    ),
+    lagged AS (
+        SELECT event_type, t, event_id, y,
+               LAG(y) OVER (PARTITION BY event_type ORDER BY t, event_id) AS x
+        FROM pts
+    ),
+    roll AS (
+        SELECT event_type, t, event_id,
+               COUNT(*)    OVER w AS n,
+               SUM(x)      OVER w AS sx,
+               SUM(y)      OVER w AS sy,
+               SUM(x * x)  OVER w AS sxx,
+               SUM(y * y)  OVER w AS syy,
+               SUM(x * y)  OVER w AS sxy
+        FROM lagged WHERE x IS NOT NULL
+        WINDOW w AS (PARTITION BY event_type ORDER BY t, event_id
+                     ROWS BETWEEN 29 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, t, event_id,
+           CAST(n AS BIGINT) AS n_window,
+           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+              - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+           / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                     - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+            * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                     - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
+             AS rolling_corr
+    FROM roll WHERE n = 30
+    """,
+)
+def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """30-observation rolling autocorrelation (value vs previous value) per
+    signal — the moments pattern lifted into a sliding ROWS frame. The six
+    frame sums are exact integers (cents), so frame evaluation order is
+    irrelevant; the Pearson formula runs once per row on those sums. At
+    100 TB this is one shuffle on the series key; the frame never
+    materializes more than 30 rows of state per partition."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.unix_seconds(F.col("ts").cast("timestamp")).alias("t"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+        "event_id",
+    )
+    ws = Window.partitionBy("event_type").orderBy("t", "event_id")
+    lagged = pts.select(
+        "event_type", "t", "event_id", "y", F.lag("y").over(ws).alias("x")
+    ).filter(F.col("x").isNotNull())
+    wf = ws.rowsBetween(-29, Window.currentRow)
+    roll = lagged.select(
+        "event_type",
+        "t",
+        "event_id",
+        F.count(F.lit(1)).over(wf).alias("n"),
+        F.sum("x").over(wf).alias("sx"),
+        F.sum("y").over(wf).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(wf).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).over(wf).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).over(wf).alias("sxy"),
+    ).filter(F.col("n") == 30)
+    nD, sxD, syD, sxxD, syyD, sxyD = [
+        F.col(c).cast("double") for c in ("n", "sx", "sy", "sxx", "syy", "sxy")
+    ]
+    corr = (nD * sxyD - sxD * syD) / (
+        F.sqrt(nD * sxxD - sxD * sxD) * F.sqrt(nD * syyD - syD * syD)
+    )
+    return roll.select(
+        "event_type",
+        "t",
+        "event_id",
+        F.col("n").cast("bigint").alias("n_window"),
+        corr.alias("rolling_corr"),
+    )
