@@ -78,3 +78,74 @@ def scd2_customer_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scd2_apply(
         cur, upd, keys=["c_custkey"], attrs=["c_acctbal"], effective_ts=_T1
     )
+
+
+@register(
+    "cdc_snapshot_diff",
+    oracle="""
+    WITH old AS (
+        SELECT o_orderkey, CAST(o_totalprice AS DECIMAL(14,2)) AS price
+        FROM orders WHERE o_orderkey % 11 != 0
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 5 = 0
+                    THEN CAST(o_totalprice AS DECIMAL(14,2)) * 2
+                    ELSE CAST(o_totalprice AS DECIMAL(14,2)) END AS price
+        FROM orders WHERE o_orderkey % 13 != 0
+    )
+    SELECT COALESCE(old.o_orderkey, new.o_orderkey) AS o_orderkey,
+           CASE WHEN old.o_orderkey IS NULL THEN 'insert'
+                WHEN new.o_orderkey IS NULL THEN 'delete'
+                ELSE 'update' END AS change_type,
+           CAST(old.price AS DOUBLE) AS old_price,
+           CAST(new.price AS DOUBLE) AS new_price
+    FROM old FULL OUTER JOIN new ON old.o_orderkey = new.o_orderkey
+    WHERE old.o_orderkey IS NULL OR new.o_orderkey IS NULL
+       OR old.price != new.price
+    """,
+)
+def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot differencing (CDC without a log): two table versions
+    full-outer-joined on the key, rows classified insert / delete / update,
+    unchanged rows dropped. This is how a ReplacingMergeTree world computes
+    what changed between loads when the source can't emit a changelog. The
+    two snapshots here are deterministic slices/mutations of `orders` so
+    both engines derive identical versions. Scale: one co-partitioned
+    full-outer join on the key — with both snapshots bucketed on the key at
+    rest the diff is shuffle-free; payload equality compares exact
+    decimals, never floats."""
+    o = load_table(spark, sf_dir, "orders")
+    price = F.col("o_totalprice").cast("decimal(14,2)")
+    old = o.filter(F.col("o_orderkey") % 11 != 0).select(
+        "o_orderkey", price.alias("price")
+    )
+    new = o.filter(F.col("o_orderkey") % 13 != 0).select(
+        "o_orderkey",
+        F.when(F.col("o_orderkey") % 5 == 0, price * 2)
+        .otherwise(price)
+        .alias("price"),
+    )
+    j = old.alias("old").join(
+        new.alias("new"),
+        F.col("old.o_orderkey") == F.col("new.o_orderkey"),
+        "full_outer",
+    )
+    return (
+        j.select(
+            F.coalesce(F.col("old.o_orderkey"), F.col("new.o_orderkey")).alias(
+                "o_orderkey"
+            ),
+            F.when(F.col("old.o_orderkey").isNull(), F.lit("insert"))
+            .when(F.col("new.o_orderkey").isNull(), F.lit("delete"))
+            .otherwise(F.lit("update"))
+            .alias("change_type"),
+            F.col("old.price").cast("double").alias("old_price"),
+            F.col("new.price").cast("double").alias("new_price"),
+        )
+        .filter(
+            F.col("old_price").isNull()
+            | F.col("new_price").isNull()
+            | (F.col("old_price") != F.col("new_price"))
+        )
+    )

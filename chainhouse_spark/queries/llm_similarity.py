@@ -229,3 +229,72 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     res = lsh_multiprobe_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, nbits=8)
     return res.withColumn("rank", F.col("rank").cast("int"))
+
+
+@register(
+    "ann_knn_classify",
+    oracle=f"""
+    WITH dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
+               {_DOT} AS dot, {_QQ} AS qq, {_CC} AS cc
+        FROM embeddings q, embeddings c, {_IDX}
+        WHERE q.vec_id % 10 = 1 AND q.vec_id < 300 AND c.vec_id % 10 = 0
+        GROUP BY q.vec_id, c.vec_id, c.label
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, cand_label,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, cand_id
+               ) AS rank
+        FROM dots
+    ),
+    votes AS (
+        SELECT query_id, cand_label, COUNT(*) AS n_votes
+        FROM ranked WHERE rank <= 5
+        GROUP BY query_id, cand_label
+    ),
+    winner AS (
+        SELECT query_id, cand_label, n_votes,
+               ROW_NUMBER() OVER (PARTITION BY query_id
+                                  ORDER BY n_votes DESC, cand_label ASC) AS pick
+        FROM votes
+    )
+    SELECT query_id, CAST(cand_label AS INT) AS predicted_label,
+           CAST(n_votes AS BIGINT) AS n_votes
+    FROM winner WHERE pick = 1
+    """,
+)
+def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-NN classification (k=5, cosine): unlabeled queries take the
+    majority label of their 5 nearest labeled reference vectors (ties →
+    smaller label). Composition of the existing exact top-k (broadcast
+    queries, map-only scoring, one rank shuffle) with a |queries x k|-row
+    vote count — the label-propagation primitive for weakly-supervised
+    corpus labeling. At 100 TB the reference set is the small side and the
+    corpus streams through map-only scoring."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    refs = emb.filter(F.col("vec_id") % 10 == 0)
+    queries = emb.filter((F.col("vec_id") % 10 == 1) & (F.col("vec_id") < 300))
+    top5 = brute_force_topk(refs, queries, k=5)
+    labeled = top5.join(
+        refs.select(F.col("vec_id").alias("cand_id"), F.col("label").alias("cand_label")),
+        "cand_id",
+    )
+    votes = labeled.groupBy("query_id", "cand_label").agg(
+        F.count(F.lit(1)).alias("n_votes")
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(
+        F.desc("n_votes"), F.asc("cand_label")
+    )
+    return (
+        votes.withColumn("pick", F.row_number().over(w))
+        .filter(F.col("pick") == 1)
+        .select(
+            "query_id",
+            F.col("cand_label").cast("int").alias("predicted_label"),
+            F.col("n_votes").cast("bigint").alias("n_votes"),
+        )
+    )

@@ -72,3 +72,27 @@ def sql_recursive_cte_spine(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle engines is available natively on Spark 4."""
     register_views(spark, sf_dir)
     return spark.sql(_SQL_RECURSIVE)
+
+
+# GROUP BY ALL / ORDER BY ALL — the modern analyst-SQL ergonomics both
+# engines added independently (Spark 4, DuckDB): every non-aggregate select
+# item becomes a group key, orderable without restating the list. Identical
+# bytes on both engines; the ordering keys are the full grouped output so
+# the result is total-ordered and hash-stable.
+_SQL_GROUP_BY_ALL = """
+    SELECT l_returnflag,
+           l_linestatus,
+           COUNT(*) AS n_rows,
+           CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty
+    FROM lineitem
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register("sql_group_by_all", oracle=_SQL_GROUP_BY_ALL)
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """GROUP BY ALL / ORDER BY ALL passthrough — dialect-shared modern SQL
+    ergonomics, one text on both engines."""
+    register_views(spark, sf_dir)
+    return spark.sql(_SQL_GROUP_BY_ALL)

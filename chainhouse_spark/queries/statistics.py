@@ -493,3 +493,47 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         f" / ({v1} * ({v1}) / (n1 - 1.0) + {v2} * ({v2}) / (n2 - 1.0))"
         " AS welch_dof",
     )
+
+
+@register(
+    "stat_zscore_outliers",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) AS s,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                      * CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE) AS q
+        FROM events GROUP BY event_type
+    )
+    SELECT e.event_id, e.event_type, e.value,
+           (CAST(CAST(ROUND(e.value * 100, 0) AS BIGINT) AS DOUBLE) - m.s / m.n)
+             / SQRT(m.q / m.n - (m.s / m.n) * (m.s / m.n)) AS zscore
+    FROM events e JOIN m ON e.event_type = m.event_type
+    WHERE ABS(
+        (CAST(CAST(ROUND(e.value * 100, 0) AS BIGINT) AS DOUBLE) - m.s / m.n)
+          / SQRT(m.q / m.n - (m.s / m.n) * (m.s / m.n))
+    ) > 2.5
+    """,
+)
+def stat_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-group z-score anomaly flagging: group mean/std from exact integer
+    power sums (one tiny aggregate), broadcast back onto the rows, flag
+    |z| > 2.5. The z formula is identical IEEE ops in both engines, in
+    cents scale so the threshold compare sees bit-identical doubles. At
+    100 TB: one scan + one |groups|-row broadcast — anomaly detection as a
+    map-only second pass, no row shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    m = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum(cents).cast("double").alias("s"),
+        F.sum(cents * cents).cast("double").alias("q"),
+    )
+    joined = e.join(F.broadcast(m), "event_type")
+    z = (cents.cast("double") - F.col("s") / F.col("n")) / F.sqrt(
+        F.col("q") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
+    )
+    return joined.filter(F.abs(z) > 2.5).select(
+        "event_id", "event_type", "value", z.alias("zscore")
+    )
