@@ -325,3 +325,29 @@ def test_dynamic_partition_pruning_on_partitioned_layout(spark, tmp_path):
     joined = fact.join(dim, "o_orderpriority").groupBy("tier").count()
     plan = joined._jdf.queryExecution().toString()
     assert "dynamicpruning" in plan.lower()
+
+
+def test_lttb_no_cartesian_no_python(spark):
+    # LTTB is windows + one aggregate + an equi-join on (series, bucket) —
+    # a cartesian or Python stage means the rewrite leaked.
+    f = plan_facts(q(spark, "ts_lttb_downsample"))
+    assert f.cartesian_products == 0 and f.nested_loop_joins == 0
+    assert f.python_evals == 0
+
+
+def test_edit_distance_blocking_is_equi_join(spark):
+    # deletion-neighborhood blocking must reach the planner as a plain
+    # equi-join on the variant key — never a quadratic nested loop.
+    f = plan_facts(q(spark, "dedup_edit_distance_pairs"))
+    assert f.cartesian_products == 0
+    assert f.nested_loop_joins == 0
+    assert f.broadcast_joins + f.sortmerge_joins + f.shuffled_hash_joins >= 1
+
+
+def test_zscore_outliers_broadcasts_moments(spark):
+    # group moments are a |groups|-row aggregate broadcast back onto the
+    # fact rows: flagging is map-only after one tiny agg.
+    f = plan_facts(q(spark, "stat_zscore_outliers"))
+    assert f.broadcast_joins >= 1
+    assert f.sortmerge_joins == 0
+    assert f.python_evals == 0
