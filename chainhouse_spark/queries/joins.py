@@ -188,3 +188,39 @@ def join_self(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("b.l_linenumber").alias("line_b"),
         )
     )
+
+
+@register(
+    "join_salted_skew",
+    oracle="""
+    SELECT l.l_orderkey, l.l_linenumber, o.o_orderpriority,
+           CAST(l.l_extendedprice AS DOUBLE) AS price
+    FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    WHERE o.o_orderstatus = 'F'
+    """,
+)
+def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicitly salted fact join (operators/skew.py): the big side salts
+    on a row-unique column, the small side replicates k ways, the join key
+    becomes (key, salt) — a hot orderkey now spreads over k tasks instead
+    of flooding one. Semantics are provably unchanged (each match meets on
+    exactly one salt), which is what the plain-join oracle checks. This is
+    the answer when AQE's runtime skew splitting can't help: shuffled-hash
+    joins, or single keys too hot for one split."""
+    from chainhouse_spark.operators.skew import salted_join
+
+    li = load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_extendedprice"
+    )
+    o = (
+        load_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "F")
+        .select(F.col("o_orderkey").alias("l_orderkey"), "o_orderpriority")
+    )
+    out = salted_join(li, o, on=["l_orderkey"], salt_src="l_linenumber", k=8)
+    return out.select(
+        "l_orderkey",
+        "l_linenumber",
+        "o_orderpriority",
+        F.col("l_extendedprice").cast("double").alias("price"),
+    )

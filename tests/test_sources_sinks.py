@@ -308,3 +308,34 @@ def test_parquet_schema_evolution_merge(spark, tmp_path):
     assert set(df.columns) == {"id", "v", "blob_gas"}
     rows = {r.id: r.blob_gas for r in df.collect()}
     assert rows == {1: None, 2: 99}
+
+
+def test_xml_roundtrip_flat_projection(spark, tmp_path):
+    """Spark-4 native XML source/sink: a flat (scalar-typed) projection of
+    the blocks table round-trips through XML exactly. Binary columns are
+    hex-encoded at the boundary (XML has no binary type); XML is the
+    interchange-format edge of the source matrix — parquet/ORC stay the
+    at-rest formats."""
+    from chainhouse_spark.sources.fixtures import raw_blocks_df
+    from chainhouse_spark.transforms import blocks_from_raw
+
+    b = blocks_from_raw(raw_blocks_df(spark, n_blocks=4, seed=42)).select(
+        F.hex("hash").alias("hash_hex"),
+        F.col("number").cast("long").alias("number"),
+        F.col("gasUsed").cast("long").alias("gas_used"),
+        F.col("timestamp").cast("long").alias("ts"),
+    )
+    path = str(tmp_path / "blocks_xml")
+    b.write.format("xml").option("rootTag", "blocks").option(
+        "rowTag", "block"
+    ).mode("overwrite").save(path)
+    back = (
+        spark.read.format("xml")
+        .option("rowTag", "block")
+        .schema("hash_hex string, number long, gas_used long, ts long")
+        .load(path)
+    )
+    assert back.count() == b.count()
+    a = {tuple(r) for r in b.collect()}
+    c = {tuple(r) for r in back.collect()}
+    assert a == c
