@@ -185,3 +185,66 @@ def lsh_multiprobe_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+def brute_force_topk_gemm(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """BLAS path for exact cosine top-k: the query matrix is collected once
+    (queries ≪ corpus, same contract as `brute_force_topk`), broadcast as a
+    normalized numpy array, and each Arrow batch of corpus vectors scores
+    against ALL queries with one float64 GEMM inside `mapInPandas` — then a
+    per-partition top-k and the global k-row merge.
+
+    Same answer as the SQL-aggregate form (modulo last-ulp float summation
+    order — numpy reduces pairwise, the SQL fold is sequential), ~10-50×
+    less per-pair overhead: one matrix multiply per batch instead of one
+    higher-order-lambda evaluation per pair. This is the 100 TB shape for
+    similarity scoring: corpus streams through a single Python stage in
+    Arrow batches, compute is vendored to BLAS, and only |partitions|·k·|q|
+    candidate rows reach the shuffle."""
+    import numpy as np
+    import pandas as pd
+
+    q_rows = queries.select(id_col, vec_col).collect()
+    q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    qm = np.array([r[1] for r in q_rows], dtype=np.float64)
+    qm /= np.linalg.norm(qm, axis=1, keepdims=True)
+    sc = corpus.sparkSession.sparkContext
+    bq = sc.broadcast((q_ids, qm))
+
+    def score(batches):
+        ids, mat = bq.value
+        for pdf in batches:
+            cv = np.array(list(pdf[vec_col]), dtype=np.float64)
+            cv /= np.linalg.norm(cv, axis=1, keepdims=True)
+            sims = cv @ mat.T  # (batch, n_queries)
+            cand = pdf[id_col].to_numpy(dtype=np.int64)
+            out_q, out_c, out_s = [], [], []
+            for j in range(len(ids)):
+                col = sims[:, j]
+                mask = cand != ids[j]
+                cc, ss = cand[mask], col[mask]
+                if len(cc) > k:  # partial top-k per partition, then global merge
+                    idx = np.argpartition(-ss, k)[: k]
+                    cc, ss = cc[idx], ss[idx]
+                out_q.extend([ids[j]] * len(cc))
+                out_c.extend(cc.tolist())
+                out_s.extend(ss.tolist())
+            yield pd.DataFrame(
+                {"query_id": out_q, "cand_id": out_c, "cos_sim": out_s}
+            )
+
+    scored = spread(corpus, id_col).select(id_col, vec_col).mapInPandas(
+        score, schema="query_id long, cand_id long, cos_sim double"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )

@@ -298,3 +298,18 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("n_votes").cast("bigint").alias("n_votes"),
         )
     )
+
+
+@register("ann_bruteforce_gemm")  # rows-only: last-ulp float summation order
+def ann_bruteforce_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BLAS-vectorized exact top-k (operators/similarity.py::
+    brute_force_topk_gemm) — same queries as `ann_bruteforce_topk` (its
+    oracle-checked twin; tests/test_ivf.py pins that the two agree). Rows
+    only because numpy's pairwise reduction and the SQL fold differ in the
+    last float ulp."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    from chainhouse_spark.operators.similarity import brute_force_topk_gemm
+
+    return brute_force_topk_gemm(
+        emb, emb.filter(F.col("vec_id") < 5), k=10
+    )

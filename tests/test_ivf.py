@@ -44,3 +44,26 @@ def test_ivf_deterministic(spark):
     a = {(r.query_id, r.cand_id, r.rank) for r in ivf_topk(emb, q, k=5).collect()}
     b = {(r.query_id, r.cand_id, r.rank) for r in ivf_topk(emb, q, k=5).collect()}
     assert a == b
+
+
+def test_gemm_topk_matches_aggregate_topk(spark, sf_dir):
+    """The BLAS path must return the same top-10 per query as the
+    SQL-aggregate exact form; cosine values agree to 1e-9 (both are exact
+    float64 — only summation order differs)."""
+    from chainhouse_spark.operators.similarity import (
+        brute_force_topk,
+        brute_force_topk_gemm,
+    )
+    from chainhouse_spark.tables import load_table
+    import pyspark.sql.functions as F  # noqa: N812
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    a = brute_force_topk(emb, q, k=10).toPandas()
+    b = brute_force_topk_gemm(emb, q, k=10).toPandas()
+    for qid in a["query_id"].unique():
+        sa = set(a[a.query_id == qid]["cand_id"])
+        sb = set(b[b.query_id == qid]["cand_id"])
+        assert sa == sb, f"query {qid}: {sa ^ sb}"
+    m = a.merge(b, on=["query_id", "cand_id"], suffixes=("_a", "_b"))
+    assert (m["cos_sim_a"] - m["cos_sim_b"]).abs().max() < 1e-9
