@@ -37,3 +37,4 @@ from chainhouse_spark.queries import collections  # noqa: E402,F401
 from chainhouse_spark.queries import sketches  # noqa: E402,F401
 from chainhouse_spark.queries import llm_chunking  # noqa: E402,F401
 from chainhouse_spark.queries import graph  # noqa: E402,F401
+from chainhouse_spark.queries import web_geo  # noqa: E402,F401

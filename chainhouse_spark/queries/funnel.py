@@ -282,3 +282,58 @@ def attribution_last_click(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="user_id bigint, purchase_ts timestamp_ntz, "
         "last_click_ts timestamp_ntz, gap_us bigint",
     )
+
+
+# --------------------------------------------------------------------------
+# sequenceMatch — regex over a user's ordered event-type string
+# --------------------------------------------------------------------------
+
+_SEQ_PATTERN = "s.*v.*p"  # signup, then view, then purchase — any gaps
+
+
+@register(
+    "sequence_match_regex",
+    oracle=f"""
+    WITH seqs AS (
+        SELECT user_id,
+               string_agg(substr(event_type, 1, 1), '' ORDER BY ts, event_id)
+                 AS seq
+        FROM events GROUP BY user_id
+    )
+    SELECT regexp_matches(seq, '{_SEQ_PATTERN}') AS matched,
+           COUNT(*) AS n_users
+    FROM seqs GROUP BY matched
+    """,
+)
+def sequence_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``sequenceMatch('(?1).*(?2).*(?3)')`` analogue: per user,
+    concatenate the first letter of each event type in (ts, event_id) order
+    (the five types have distinct initials) and regex-match the pattern.
+
+    Spark shape: one shuffle on user_id; the per-user sequence is built with
+    ``array_sort(collect_list(struct(...)))`` — sorting happens inside the
+    aggregation buffer, not as a global sort.  At 100 TB the collected
+    per-user event string is the only state, bounded by events-per-user.
+    """
+    e = load_table(spark, sf_dir, "events")
+    seq = F.concat_ws(
+        "",
+        F.transform(
+            F.array_sort(
+                F.collect_list(
+                    F.struct(
+                        F.col("ts"), F.col("event_id"),
+                        F.substring("event_type", 1, 1).alias("code"),
+                    )
+                )
+            ),
+            lambda x: x["code"],
+        ),
+    )
+    return (
+        e.groupBy("user_id")
+        .agg(seq.alias("seq"))
+        .select(F.col("seq").rlike(_SEQ_PATTERN).alias("matched"))
+        .groupBy("matched")
+        .agg(F.count(F.lit(1)).alias("n_users"))
+    )

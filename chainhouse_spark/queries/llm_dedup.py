@@ -253,3 +253,56 @@ def dedup_edit_distance_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.filter(F.levenshtein("name_a", "name_b") <= 1).withColumn(
         "edit_distance", F.levenshtein("name_a", "name_b").cast("int")
     )
+
+
+# --------------------------------------------------------------------------
+# Exact-substring dedup (Lee et al. 2022, "Deduplicating Training Data
+# Makes Language Models Better" — the suffix-array ExactSubstr variant,
+# approximated with strided fixed-width shingles)
+# --------------------------------------------------------------------------
+
+_SPAN_LEN = 40   # characters per shingle
+_SPAN_STRIDE = 10
+
+
+@register(
+    "dedup_substring_spans",
+    oracle=f"""
+    SELECT md5(shingle) AS shingle_md5, COUNT(DISTINCT doc_id) AS n_docs
+    FROM (
+        SELECT doc_id, substr(text, p + 1, {_SPAN_LEN}) AS shingle
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, length(text) - {_SPAN_LEN},
+                                          {_SPAN_STRIDE})) AS p
+            FROM documents WHERE length(text) >= {_SPAN_LEN}
+        )
+    )
+    GROUP BY shingle HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+)
+def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-document duplicated text spans: every {40}-char shingle (stride
+    10) that occurs in >= 2 distinct documents.  This is the scalable stand-in
+    for suffix-array exact-substring dedup: shingle generation is map-only
+    (sequence + transform + explode, no Python), and the only shuffle is the
+    hash aggregate on the shingle — at 100 TB you'd hash the shingle to 16
+    bytes before the shuffle (here md5 is applied at output for a compact,
+    engine-portable key).
+    """
+    d = load_table(spark, sf_dir, "documents")
+    shingles = d.filter(F.length("text") >= _SPAN_LEN).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, length(text) - {_SPAN_LEN},"
+                f" {_SPAN_STRIDE}), p -> substr(text, p + 1, {_SPAN_LEN}))"
+            )
+        ).alias("shingle"),
+    )
+    return (
+        shingles.groupBy("shingle")
+        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .filter(F.col("n_docs") >= 2)
+        .select(F.md5("shingle").alias("shingle_md5"), "n_docs")
+    )

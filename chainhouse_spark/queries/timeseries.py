@@ -578,3 +578,68 @@ def ts_lttb_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x").cast("bigint").alias("x_epoch"),
         (F.col("y_cents").cast("double") / 100.0).alias("y"),
     )
+
+
+# --------------------------------------------------------------------------
+# Exponential moving average (ClickHouse exponentialMovingAverage analogue)
+# --------------------------------------------------------------------------
+
+_EMA_K = 8       # trailing window length
+_EMA_ALPHA = 0.3  # decay: weight (1-alpha)^k for the k-th most recent value
+
+# Embed the exact double literals for (1-alpha)^k so BOTH engines multiply
+# by the bit-identical constant — pow() libm implementations may differ in
+# the last ulp; Python repr round-trips the exact IEEE value.
+_EMA_W = [repr((1.0 - _EMA_ALPHA) ** k) for k in range(_EMA_K)]
+
+
+def _ema_terms(lag_fmt: str, rn: str) -> tuple[str, str]:
+    """(numerator, denominator) SQL: sum of w_k * lag(value,k) over available
+    rows, summed left-to-right in a fixed order on both engines."""
+    num = " + ".join(
+        f"({_EMA_W[k]} * COALESCE({lag_fmt.format(k=k)}, 0.0))"
+        for k in range(_EMA_K)
+    )
+    den = " + ".join(
+        f"({_EMA_W[k]} * (CASE WHEN {rn} > {k} THEN 1.0 ELSE 0.0 END))"
+        for k in range(_EMA_K)
+    )
+    return num, den
+
+
+_EMA_NUM_DUCK, _EMA_DEN_DUCK = _ema_terms(
+    "lag(value, {k}) OVER w", "row_number() OVER w"
+)
+
+
+@register(
+    "ts_ema_trailing",
+    oracle=f"""
+    SELECT user_id, event_id,
+           ROUND(({_EMA_NUM_DUCK}) / ({_EMA_DEN_DUCK}), 6) AS ema
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    """,
+)
+def ts_ema_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Trailing-8 exponentially weighted moving average per user
+    (ClickHouse ``exponentialMovingAverage`` analogue, finite-window form:
+    ema_t = Σ w_k·x_{{t-k}} / Σ w_k, w_k = (1-α)^k over the rows that exist).
+
+    The recursive EMA is a sequential scan per series; the finite-window
+    form is a fixed fan-in of window lags — embarrassingly parallel after
+    ONE shuffle on user_id, and every lag shares the same window frame so
+    Spark evaluates them in a single pass.  Weights are embedded as exact
+    double literals so Spark and DuckDB multiply bit-identical constants
+    in the same left-to-right order.
+    """
+    e = load_table(spark, sf_dir, "events")
+    num, den = _ema_terms(
+        "lag(value, {k}) OVER (PARTITION BY user_id ORDER BY ts, event_id)",
+        "row_number() OVER (PARTITION BY user_id ORDER BY ts, event_id)",
+    )
+    return e.select(
+        "user_id",
+        "event_id",
+        F.round(F.expr(f"({num}) / ({den})"), 6).alias("ema"),
+    )
