@@ -303,3 +303,26 @@ def agg_mode_deterministic(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("cnt").cast("bigint").alias("modal_count"),
     )
+
+
+@register(
+    "agg_uniq_up_to",
+    oracle="""
+    SELECT o_orderpriority,
+           LEAST(COUNT(DISTINCT o_custkey), 6) AS uniq_up_to_5,
+           COUNT(DISTINCT o_custkey) > 5 AS saturated
+    FROM orders GROUP BY o_orderpriority
+    """,
+)
+def agg_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse ``uniqUpTo(5)``: exact distinct count capped at N+1 —
+    "more than N" is all the answer some gates need.  Expressed as
+    LEAST(COUNT(DISTINCT), N+1); at 100 TB the cap means the per-group
+    distinct state can stop growing at N+1 entries (ClickHouse's actual
+    trick), and Spark's partial aggregation bounds the same way when the
+    distinct key set is small."""
+    o = load_table(spark, sf_dir, "orders")
+    return o.groupBy("o_orderpriority").agg(
+        F.least(F.countDistinct("o_custkey"), F.lit(6)).alias("uniq_up_to_5"),
+        (F.countDistinct("o_custkey") > 5).alias("saturated"),
+    )

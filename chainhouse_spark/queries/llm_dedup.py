@@ -289,6 +289,12 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash aggregate on the shingle — at 100 TB you'd hash the shingle to 16
     bytes before the shuffle (here md5 is applied at output for a compact,
     engine-portable key).
+
+    ``size(collect_set(doc_id))`` instead of ``countDistinct``: the distinct
+    rewrite costs TWO exchanges ((shingle, doc) pre-dedup, then shingle);
+    collect_set partials merge map-side and shuffle ONCE on the shingle,
+    with state bounded by docs-per-shingle (small by construction — a
+    shingle shared by the whole corpus is exactly what the filter reports).
     """
     d = load_table(spark, sf_dir, "documents")
     shingles = d.filter(F.length("text") >= _SPAN_LEN).select(
@@ -302,7 +308,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         shingles.groupBy("shingle")
-        .agg(F.countDistinct("doc_id").alias("n_docs"))
+        .agg(F.size(F.collect_set("doc_id")).cast("long").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
         .select(F.md5("shingle").alias("shingle_md5"), "n_docs")
     )

@@ -21,7 +21,7 @@ ship moments.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chainhouse_spark.queries.registry import register
@@ -536,4 +536,40 @@ def stat_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return joined.filter(F.abs(z) > 2.5).select(
         "event_id", "event_type", "value", z.alias("zscore")
+    )
+
+
+@register(
+    "stat_equidepth_histogram",
+    oracle="""
+    SELECT bucket,
+           COUNT(*) AS n,
+           MIN(o_totalprice) AS lo,
+           MAX(o_totalprice) AS hi
+    FROM (
+        SELECT o_totalprice,
+               NTILE(10) OVER (ORDER BY o_totalprice, o_orderkey) AS bucket
+        FROM orders
+    )
+    GROUP BY bucket
+    """,
+)
+def stat_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Equi-DEPTH histogram (ClickHouse quantile grid / equi-height
+    buckets): NTILE assigns equal-population buckets, then per-bucket count
+    and value range.  The (value, key) total order makes bucket boundaries
+    deterministic on any engine.  Scale: a single global sort is the honest
+    cost of exact equi-depth; the approximate path at 100 TB is
+    approx_percentile bucket edges + a map-only bucketize, pinned elsewhere
+    (`sketch_approx_percentile`)."""
+    o = load_table(spark, sf_dir, "orders")
+    w = Window.orderBy(F.col("o_totalprice"), F.col("o_orderkey"))
+    return (
+        o.select("o_orderkey", "o_totalprice", F.ntile(10).over(w).alias("bucket"))
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.min("o_totalprice").alias("lo"),
+            F.max("o_totalprice").alias("hi"),
+        )
     )

@@ -401,3 +401,51 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("bigint").alias("n_window"),
         corr.alias("rolling_corr"),
     )
+
+
+@register(
+    "window_moving_median",
+    oracle="""
+    SELECT user_id, event_id,
+           MEDIAN(value) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN 14 PRECEDING AND CURRENT ROW
+           ) AS med15
+    FROM events
+    """,
+)
+def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact moving median over a trailing 15-row frame per user (the
+    robust-smoothing twin of the moving average).  Exact medians are
+    order-insensitive within the frame, and the frame itself is pinned by
+    the (ts, event_id) total order, so the result is engine-independent
+    (even-sized frames average the two middle DOUBLEs — one float op, same
+    on both engines).  Spark refuses aggregate ``median`` over a framed
+    window, so the frame is materialized with ``collect_list`` (15 values
+    max — constant state) and the middle is read off the sorted array.
+    Scale: one shuffle on user_id; the frame bound keeps per-row state at
+    15 values regardless of series length."""
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts"), F.col("event_id"))
+        .rowsBetween(-14, Window.currentRow)
+    )
+    arr = F.array_sort(F.collect_list("value").over(w))
+    n = F.size(arr)
+    return e.select(
+        "user_id",
+        "event_id",
+        F.when(
+            n % 2 == 1,
+            F.element_at(arr, ((n + F.lit(1)) / F.lit(2)).cast("int")),
+        )
+        .otherwise(
+            (
+                F.element_at(arr, (n / F.lit(2)).cast("int"))
+                + F.element_at(arr, (n / F.lit(2)).cast("int") + 1)
+            )
+            / 2.0
+        )
+        .alias("med15"),
+    )

@@ -351,3 +351,49 @@ def test_zscore_outliers_broadcasts_moments(spark):
     assert f.broadcast_joins >= 1
     assert f.sortmerge_joins == 0
     assert f.python_evals == 0
+
+
+def test_geo_near_pairs_is_equi_join(spark):
+    # Band blocking must compile to a hash/sort-merge EQUI join — a
+    # BroadcastNestedLoop or CartesianProduct here means the candidate
+    # generation degraded to all-pairs and would never finish at scale.
+    f = plan_facts(q(spark, "geo_grid_near_pairs"))
+    assert f.cartesian_products == 0
+    assert f.nested_loop_joins == 0
+    assert f.broadcast_joins + f.sortmerge_joins + f.shuffled_hash_joins >= 1
+    assert f.python_evals == 0
+
+
+def test_substring_spans_single_shuffle(spark):
+    # Shingle generation is map-only (sequence+transform+explode, JVM-side);
+    # the only exchange is the hash aggregate on the shingle.
+    f = plan_facts(q(spark, "dedup_substring_spans"))
+    assert f.shuffle_exchanges <= 1
+    assert f.python_evals == 0
+
+
+def test_sequence_match_single_shuffle(spark):
+    # One shuffle on user_id builds the per-user event string; the regex
+    # match and final count are a rollup of that layout.
+    f = plan_facts(q(spark, "sequence_match_regex"))
+    assert f.shuffle_exchanges <= 2  # user_id agg + final matched rollup
+    assert f.python_evals == 0
+
+
+def test_ema_and_moving_median_single_shuffle(spark):
+    # Fixed-fan-in window math: one exchange on user_id, all lags/frames
+    # evaluated in a single Window pass, no Python.
+    for name in ("ts_ema_trailing", "window_moving_median"):
+        f = plan_facts(q(spark, name))
+        assert f.shuffle_exchanges <= 1, name
+        assert f.python_evals == 0, name
+
+
+def test_url_ip_queries_stay_jvm_side(spark):
+    # parse_url / split / conv are all built-ins — no Python stage; the URL
+    # projection is map-only, the IP rollup shuffles only on its group key.
+    f_url = plan_facts(q(spark, "scalar_url_funcs"))
+    assert f_url.shuffle_exchanges == 0
+    assert f_url.python_evals == 0
+    f_ip = plan_facts(q(spark, "scalar_ip_funcs"))
+    assert f_ip.python_evals == 0
