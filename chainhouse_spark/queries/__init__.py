@@ -38,3 +38,4 @@ from chainhouse_spark.queries import sketches  # noqa: E402,F401
 from chainhouse_spark.queries import llm_chunking  # noqa: E402,F401
 from chainhouse_spark.queries import graph  # noqa: E402,F401
 from chainhouse_spark.queries import web_geo  # noqa: E402,F401
+from chainhouse_spark.queries import search  # noqa: E402,F401

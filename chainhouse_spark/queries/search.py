@@ -1,0 +1,300 @@
+"""Lexical + hybrid retrieval over the documents corpus: inverted-index
+build, Okapi BM25 top-k, and reciprocal-rank-fusion of the lexical and
+vector rankers.
+
+The reference delegates its query surface to ClickHouse
+(`/root/reference/src/main.rs:56-161`); full-text retrieval there is the
+`tokenbf` skip-index + `hasToken` path.  Here the retrieval stack is built
+from first principles as declarative Spark, completing the similarity
+story: vector ANN (llm_similarity.py / operators/ivf.py) covers the dense
+side, these cover the sparse/lexical side, and RRF fuses the two — the
+standard hybrid-retrieval recipe for RAG corpora.
+
+Determinism: token counts, document lengths, and ranks are exact integers.
+BM25's float math runs on those integers through IDENTICAL expression trees
+in Spark and DuckDB (k1/b embedded as literals both engines parse to the
+same doubles); distinct (tf, dl, df) inputs yield score gaps orders of
+magnitude above any last-ulp libm divergence, and exact ties produce
+bit-identical doubles tie-broken by doc_id.  Output scores are rounded.
+
+Scale: the BM25 scorer is ONE map-only pass over documents (per-term tf via
+`filter()` on the token array — no explode, no join) + a single-row global
+aggregate broadcast back; top-k compiles to TakeOrderedAndProject.  The
+inverted index shuffles once on the term.  At 100 TB the per-term posting
+lists are the only large state, and they partition by term hash.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.functions.vector import cosine_sql
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+_QUERY_TERMS = ["spark", "table", "hash"]
+_K1 = 1.2
+_B = 0.75
+_TOPK = 10
+
+
+# --------------------------------------------------------------------------
+# Inverted index build
+# --------------------------------------------------------------------------
+
+@register(
+    "search_inverted_index",
+    oracle="""
+    WITH tf AS (
+        SELECT term, doc_id, COUNT(*) AS tf
+        FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+              FROM documents)
+        GROUP BY term, doc_id
+    )
+    SELECT term,
+           COUNT(*) AS df,
+           CAST(SUM(tf) AS BIGINT) AS cf,
+           array_to_string(
+               (list(concat(doc_id, ':', tf) ORDER BY -tf, doc_id))[1:3],
+               ',') AS top_postings
+    FROM tf GROUP BY term
+    """,
+)
+def search_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """term -> (document frequency, collection frequency, top-3 postings by
+    tf).  Tokenize+count is map-side; the single shuffle is the term-keyed
+    aggregate whose value state is the bounded top-3 posting prefix plus two
+    counters (full posting lists would partition by term hash at scale)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select(
+            "doc_id", F.explode(F.split(F.col("text"), " ")).alias("term")
+        )
+        .groupBy("term", "doc_id")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    posting = F.struct(
+        (-F.col("tf")).alias("s"),
+        F.col("doc_id").alias("d"),
+        F.concat_ws(":", F.col("doc_id"), F.col("tf")).alias("p"),
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("df"),
+            F.sum("tf").alias("cf"),
+            F.concat_ws(
+                ",",
+                F.transform(
+                    F.slice(F.array_sort(F.collect_list(posting)), 1, 3),
+                    lambda x: x["p"],
+                ),
+            ).alias("top_postings"),
+        )
+    )
+
+
+# --------------------------------------------------------------------------
+# Okapi BM25 top-k
+# --------------------------------------------------------------------------
+
+def _bm25_stats_sql(split_fn: str) -> str:
+    """Per-doc token stats: dl + per-query-term tf, engine-portable."""
+    tfs = ", ".join(
+        f"len(list_filter({split_fn}, x -> x = '{t}')) AS tf_{t}"
+        for t in _QUERY_TERMS
+    )
+    return f"SELECT doc_id, len({split_fn}) AS dl, {tfs} FROM documents"
+
+
+def _bm25_score_sql() -> str:
+    """Σ_t idf_t · tf·(k1+1) / (tf + k1·(1-b+b·dl/avgdl)) — term order fixed."""
+    terms = []
+    for t in _QUERY_TERMS:
+        idf = f"ln((n - df_{t} + 0.5) / (df_{t} + 0.5) + 1.0)"
+        terms.append(
+            f"({idf} * (tf_{t} * ({_K1} + 1.0)) /"
+            f" (tf_{t} + {_K1} * (1.0 - {_B} + {_B} * dl / avgdl)))"
+        )
+    return " + ".join(terms)
+
+
+_BM25_GLOBALS = (
+    "SELECT COUNT(*) AS n, CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl, "
+    + ", ".join(
+        f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+        for t in _QUERY_TERMS
+    )
+    + " FROM stats"
+)
+
+
+@register(
+    "search_bm25_topk",
+    oracle=f"""
+    WITH stats AS ({_bm25_stats_sql("string_split(text, ' ')")}),
+    g AS ({_BM25_GLOBALS})
+    SELECT doc_id, ROUND({_bm25_score_sql()}, 6) AS score
+    FROM stats, g
+    WHERE {" + ".join(f"tf_{t}" for t in _QUERY_TERMS)} > 0
+    ORDER BY {_bm25_score_sql()} DESC, doc_id
+    LIMIT {_TOPK}
+    """,
+)
+def search_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BM25 top-10 for the fixed query terms (spark, table, hash).
+
+    Shape: per-term tf comes from ``filter()`` over the token array — the
+    whole scorer is one map-only scan (NO explode, NO per-term join), plus
+    a single-row global aggregate (N, avgdl, df per term) broadcast back
+    via crossJoin, then TakeOrderedAndProject for the top-k."""
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS dl",
+        *[
+            f"size(filter(split(text, ' '), x -> x = '{t}')) AS tf_{t}"
+            for t in _QUERY_TERMS
+        ],
+    )
+    g = stats.selectExpr(
+        "COUNT(*) AS n",
+        "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl",
+        *[
+            f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+            for t in _QUERY_TERMS
+        ],
+    )
+    score = _bm25_score_sql()
+    return (
+        stats.crossJoin(F.broadcast(g))
+        .filter(F.expr(" + ".join(f"tf_{t}" for t in _QUERY_TERMS)) > 0)
+        .select(
+            "doc_id",
+            F.round(F.expr(score), 6).alias("score"),
+            F.expr(score).alias("__raw"),
+        )
+        .orderBy(F.desc("__raw"), F.asc("doc_id"))
+        .limit(_TOPK)
+        .drop("__raw")
+    )
+
+
+# --------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion of BM25 and cosine rankers
+# --------------------------------------------------------------------------
+
+_RRF_K = 60
+
+
+@register(
+    "search_hybrid_rrf",
+    oracle=f"""
+    WITH stats AS ({_bm25_stats_sql("string_split(text, ' ')")}),
+    g AS ({_BM25_GLOBALS}),
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_bm25_score_sql()} DESC, doc_id
+               ) AS lex_rank
+        FROM stats, g
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    idx AS (SELECT UNNEST(range(1, 65)) AS i),
+    sims AS (
+        SELECT c.vec_id AS doc_id,
+               SUM(CAST(q.embedding[idx.i] AS DOUBLE)
+                   * CAST(c.embedding[idx.i] AS DOUBLE) ORDER BY idx.i)
+               / (sqrt(SUM(CAST(q.embedding[idx.i] AS DOUBLE)
+                           * CAST(q.embedding[idx.i] AS DOUBLE) ORDER BY idx.i))
+                  * sqrt(SUM(CAST(c.embedding[idx.i] AS DOUBLE)
+                             * CAST(c.embedding[idx.i] AS DOUBLE) ORDER BY idx.i)))
+                 AS cos_sim
+        FROM embeddings c, q, idx
+        GROUP BY c.vec_id
+    ),
+    vec AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank
+        FROM sims
+    )
+    SELECT lex.doc_id,
+           CAST(lex_rank AS INT) AS lex_rank,
+           CAST(vec_rank AS INT) AS vec_rank,
+           ROUND(1.0 / ({_RRF_K} + lex_rank) + 1.0 / ({_RRF_K} + vec_rank), 6)
+             AS rrf
+    FROM lex JOIN vec ON lex.doc_id = vec.doc_id
+    ORDER BY 1.0 / ({_RRF_K} + lex_rank) + 1.0 / ({_RRF_K} + vec_rank) DESC,
+             lex.doc_id
+    LIMIT {_TOPK}
+    """,
+)
+def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval: rank all docs by BM25 AND by cosine to the query
+    embedding (vec_id 0; doc_id == vec_id), fuse with reciprocal-rank
+    fusion 1/(60+r_lex) + 1/(60+r_vec), return the fused top-10.
+
+    Ranks are exact integers (total order with doc_id tie-break), so the
+    fusion sum is two fixed-order float terms — engine-exact.  Scale: both
+    rankers are map-only scoring passes + one rank window each; the fuse is
+    an equi-join on doc_id of two |corpus|-row rank tables."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    stats = d.selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS dl",
+        *[
+            f"size(filter(split(text, ' '), x -> x = '{t}')) AS tf_{t}"
+            for t in _QUERY_TERMS
+        ],
+    )
+    g = stats.selectExpr(
+        "COUNT(*) AS n",
+        "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl",
+        *[
+            f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+            for t in _QUERY_TERMS
+        ],
+    )
+    lex = (
+        stats.crossJoin(F.broadcast(g))
+        .select("doc_id", F.expr(_bm25_score_sql()).alias("score"))
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
+            .alias("lex_rank"),
+        )
+    )
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    sims = (
+        emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_vec"))
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"))
+    )
+    vec = sims.select(
+        "doc_id",
+        F.row_number()
+        .over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id")))
+        .alias("vec_rank"),
+    )
+    rrf = 1.0 / (F.lit(_RRF_K) + F.col("lex_rank")) + 1.0 / (
+        F.lit(_RRF_K) + F.col("vec_rank")
+    )
+    return (
+        lex.join(vec, "doc_id")
+        .select(
+            "doc_id",
+            F.col("lex_rank").cast("int").alias("lex_rank"),
+            F.col("vec_rank").cast("int").alias("vec_rank"),
+            F.round(rrf, 6).alias("rrf"),
+            rrf.alias("__raw"),
+        )
+        .orderBy(F.desc("__raw"), F.asc("doc_id"))
+        .limit(_TOPK)
+        .drop("__raw")
+    )

@@ -397,3 +397,23 @@ def test_url_ip_queries_stay_jvm_side(spark):
     assert f_url.python_evals == 0
     f_ip = plan_facts(q(spark, "scalar_ip_funcs"))
     assert f_ip.python_evals == 0
+
+
+def test_bm25_is_scan_plus_broadcast_globals(spark):
+    # The scorer must stay one map-only pass over documents: per-term tf via
+    # filter() on the token array (no explode), globals broadcast back, and
+    # the top-k as TakeOrderedAndProject — never a global sort.
+    from chainhouse_spark.plans.audit import explain_formatted
+    df = q(spark, "search_bm25_topk")
+    f = plan_facts(df)
+    assert f.python_evals == 0
+    assert f.cartesian_products == 0  # broadcast 1-row globals is BNLJ-free
+    text = explain_formatted(df)
+    assert "TakeOrderedAndProject" in text
+
+
+def test_inverted_index_bounded_shuffles(spark):
+    # tokenize+tf partials map-side; exchanges only on (term, doc) then term.
+    f = plan_facts(q(spark, "search_inverted_index"))
+    assert f.shuffle_exchanges <= 2
+    assert f.python_evals == 0
