@@ -25,15 +25,20 @@ TABLE_NAMES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
-        # events.ts is Parquet TIMESTAMP(NANOS), which Spark's reader rejects
-        # outright. Read it as raw nanos (legacy conf, runtime-settable) and
-        # convert to TIMESTAMP_NTZ at microsecond precision — lossless for
-        # this data (no sub-microsecond components) and matching what DuckDB
-        # reads. `div` keeps the arithmetic in exact integer space.
+        # events.ts has shipped as both Parquet TIMESTAMP(NANOS) — which
+        # Spark's reader rejects outright unless read as raw nanos via the
+        # legacy conf — and plain TIMESTAMP(MICROS). Normalize either to
+        # TIMESTAMP_NTZ at microsecond precision, matching what DuckDB reads.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        return spark.read.parquet(f"{sf_dir}/{name}.parquet").withColumn(
-            "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
-        )
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        ts_type = dict(df.dtypes)["ts"]
+        if ts_type == "bigint":  # nanos read as long under the legacy conf
+            df = df.withColumn(
+                "ts", F.expr("CAST(timestamp_micros(ts div 1000) AS TIMESTAMP_NTZ)")
+            )
+        else:
+            df = df.withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+        return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
 
