@@ -189,14 +189,45 @@ def agg_string_collect(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("agg_approx_distinct")  # no oracle: HLL sketches differ across engines
+@register(
+    "agg_approx_distinct",
+    oracle="""
+    SELECT l_returnflag,
+           COUNT(DISTINCT l_orderkey) AS exact_orders,
+           COUNT(DISTINCT l_partkey) AS exact_parts,
+           TRUE AS approx_orders_ok,
+           TRUE AS approx_parts_ok
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+)
 def agg_approx_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """approx_count_distinct (HLL++). Rows-only gate; exact twin is
-    `agg_distinct`. At 100 TB this is the only affordable distinct-count."""
+    """approx_count_distinct (HLL++) — at 100 TB the only affordable
+    distinct-count. HLL estimates are engine-specific, so the oracled
+    surface is the invariant: exact counts (cross-checked) plus a bool
+    asserting the sketch estimate landed within 15 % of exact (HLL++
+    default rsd is 5 %, so a pass is a real accuracy statement, and the
+    oracle's TRUE fails the hash-match if the sketch drifts)."""
     li = load_table(spark, sf_dir, "lineitem")
-    return li.groupBy("l_returnflag").agg(
+    agg = li.groupBy("l_returnflag").agg(
         F.approx_count_distinct("l_orderkey").alias("approx_orders"),
         F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_orderkey").alias("exact_orders"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+    )
+
+    def _ok(approx, exact):
+        return (
+            F.abs(F.col(approx) - F.col(exact))
+            <= F.lit(0.15) * F.col(exact).cast("double")
+        )
+
+    return agg.select(
+        "l_returnflag",
+        "exact_orders",
+        "exact_parts",
+        _ok("approx_orders", "exact_orders").alias("approx_orders_ok"),
+        _ok("approx_parts", "exact_parts").alias("approx_parts_ok"),
     )
 
 

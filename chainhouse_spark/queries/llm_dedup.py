@@ -145,13 +145,45 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     return simhash(load_table(spark, sf_dir, "documents"), nbits=32)
 
 
-@register("dedup_simhash_pairs")  # rows-only: pair set is derived, sketch is oracled above
+@register(
+    "dedup_simhash_pairs",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(list_distinct(string_split(text, ' '))) AS tok
+        FROM documents
+    ),
+    h AS (SELECT doc_id, md5(tok) AS h FROM tok),
+    bits AS (
+        SELECT doc_id, j.j AS j,
+               CASE WHEN ((instr('0123456789abcdef', substr(h, (j.j // 4) + 1, 1)) - 1)
+                          >> (j.j % 4)) & 1 = 1 THEN 1 ELSE -1 END AS vote
+        FROM h, (SELECT UNNEST(range(0, 32)) AS j) j
+    ),
+    s AS (SELECT doc_id, j, SUM(vote) AS s FROM bits GROUP BY doc_id, j),
+    sk AS (
+        SELECT doc_id,
+               CAST(SUM(CASE WHEN s > 0 THEN CAST(1 AS BIGINT) << j ELSE 0 END) AS BIGINT) AS simhash
+        FROM s GROUP BY doc_id
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+    FROM sk a JOIN sk b ON a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.simhash, b.simhash)) <= 2
+    """,
+)
 def dedup_simhash_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Near-dup pairs at Hamming ≤ 2 over the SimHash sketch, byte-banded.
 
     (≤ 2, not the usual ≤ 6: this synthetic corpus shares one small
     vocabulary, so sketches cluster tightly and a loose threshold matches
-    nearly all pairs.)"""
+    nearly all pairs.)
+
+    The Spark side only compares pairs sharing ≥1 of 4 byte-bands; by
+    pigeonhole that candidate set is COMPLETE for Hamming ≤ 3 (2 flipped
+    bits touch ≤ 2 bands, leaving ≥ 2 intact), so the banded result equals
+    the oracle's all-pairs XOR filter exactly — the oracle recomputes the
+    sketch from scratch (same md5-bit construction as `dedup_simhash`) and
+    joins all pairs, which is affordable at oracle scale only."""
     sk = simhash(load_table(spark, sf_dir, "documents"), nbits=32)
     return simhash_near_pairs(sk, max_hamming=2)
 

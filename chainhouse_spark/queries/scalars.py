@@ -241,15 +241,40 @@ def udtf_token_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("udaf_gmean_by_type")
+@register(
+    "udaf_gmean_by_type",
+    oracle="""
+    SELECT event_type, COUNT(*) AS n_events, TRUE AS gmean_ok
+    FROM events
+    GROUP BY event_type
+    """,
+)
 def udaf_gmean_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Grouped-agg pandas UDF (Python UDAF): geometric mean of event values
-    per type. Rows-only (float log-sum is engine-specific); exactness vs a
-    local pandas recompute is pinned in tests/test_python_surface.py."""
+    per type. The raw float is engine-specific (log-sum order), so the
+    oracled surface is the invariant: group count (cross-checked) + a bool
+    asserting the UDAF agrees with the JVM-side exp(avg(ln)) reference to
+    1e-9 relative. Exactness vs a local pandas recompute is additionally
+    pinned in tests/test_python_surface.py."""
     from chainhouse_spark.functions.python_surface import gmean_value
 
     e = load_table(spark, sf_dir, "events")
-    return e.groupBy("event_type").agg(gmean_value("value").alias("gmean_value"))
+    # A grouped-agg pandas UDF cannot share an Aggregate with JVM aggregates
+    # (INVALID_PANDAS_UDF_PLACEMENT) — two aggs joined on the tiny group key.
+    udaf = e.groupBy("event_type").agg(gmean_value("value").alias("gmean_value"))
+    ref = e.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.exp(F.avg(F.log(F.col("value").cast("double")))).alias("ref_gmean"),
+    )
+    g = udaf.join(ref, "event_type")
+    return g.select(
+        "event_type",
+        "n_events",
+        (
+            F.abs(F.col("gmean_value") - F.col("ref_gmean"))
+            <= F.lit(1e-9) * F.abs(F.col("ref_gmean"))
+        ).alias("gmean_ok"),
+    )
 
 
 @register(

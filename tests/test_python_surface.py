@@ -26,11 +26,17 @@ def test_udtf_counts_match_python(spark):
 
 
 def test_udaf_gmean_matches_local(spark):
+    """Raw UDAF values vs a local recompute (the registered query reduces
+    them to the oracled invariant form, so the library path is pinned
+    here)."""
+    from chainhouse_spark.functions.python_surface import gmean_value
     from chainhouse_spark.tables import load_table
 
+    e = load_table(spark, SF, "events")
     got = {r.event_type: r.gmean_value
-           for r in QUERIES["udaf_gmean_by_type"](spark, SF).collect()}
-    rows = load_table(spark, SF, "events").select("event_type", "value").collect()
+           for r in e.groupBy("event_type")
+                     .agg(gmean_value("value").alias("gmean_value")).collect()}
+    rows = e.select("event_type", "value").collect()
     by_type = {}
     for r in rows:
         if r.value is not None and r.value > 0:
