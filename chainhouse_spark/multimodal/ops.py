@@ -40,28 +40,56 @@ IMAGE_FEATURES_SCHEMA = (
 
 
 def image_features(assets: DataFrame) -> DataFrame:
-    """Per-image channel means / std / brightness from the decoded array."""
+    """Per-image channel means / std / brightness from the decoded array.
+
+    Whole-batch vectorized: every payload in the Arrow batch is concatenated
+    into ONE uint8 buffer viewed as (n_pixels_total, 3); per-image integer
+    sums (channel sums, total, sum-of-squares) come from a single
+    `np.add.reduceat` over pixel-boundary offsets — no per-image Python
+    loop, so batch cost is BLAS-ish memory bandwidth. The float finish is
+    integer-exact arithmetic followed by one correctly-rounded IEEE
+    division/multiply/sqrt chain, which a SQL engine reproduces
+    bit-for-bit — that is what makes this decode op fully DuckDB-oracle-able
+    (queries/multimodal.py) instead of rows-only:
+
+        mean_c     = s_c / n_pix
+        brightness = s_all / N            (N = 3 * n_pix)
+        std_all    = sqrt(s2_all/N - (s_all/N) * (s_all/N))
+
+    (all sums are exact in float64: s2_all <= 6144 * 255^2 < 2^53).
+    """
     img = spread(assets.filter("modality = 'image'"), "asset_id").select(
         "asset_id", "width", "height", "payload"
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            out = {k: [] for k in ("asset_id", "width", "height", "mean_r",
-                                   "mean_g", "mean_b", "std_all", "brightness")}
-            for aid, w, h, payload in zip(
-                pdf["asset_id"], pdf["width"], pdf["height"], pdf["payload"]
-            ):
-                a = decode_image(payload, int(h), int(w)).astype(np.float64)
-                out["asset_id"].append(aid)
-                out["width"].append(w)
-                out["height"].append(h)
-                out["mean_r"].append(a[:, :, 0].mean())
-                out["mean_g"].append(a[:, :, 1].mean())
-                out["mean_b"].append(a[:, :, 2].mean())
-                out["std_all"].append(a.std())
-                out["brightness"].append(a.mean())
-            yield pd.DataFrame(out)
+            if len(pdf) == 0:
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
+            sizes = np.fromiter((len(p) for p in payloads), dtype=np.int64)
+            buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
+            px = buf.reshape(-1, 3).astype(np.int64)
+            # pixel-row offset where each image starts
+            offsets = np.concatenate(([0], np.cumsum(sizes // 3)[:-1]))
+            s_rgb = np.add.reduceat(px, offsets, axis=0)  # (n_img, 3)
+            s2_all = np.add.reduceat(px * px, offsets, axis=0).sum(axis=1)
+            s_all = s_rgb.sum(axis=1)
+            n_pix = (sizes // 3).astype(np.float64)
+            n_all = n_pix * 3.0
+            mean_all = s_all / n_all
+            yield pd.DataFrame(
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "width": pdf["width"].to_numpy(),
+                    "height": pdf["height"].to_numpy(),
+                    "mean_r": s_rgb[:, 0] / n_pix,
+                    "mean_g": s_rgb[:, 1] / n_pix,
+                    "mean_b": s_rgb[:, 2] / n_pix,
+                    "std_all": np.sqrt(s2_all / n_all - mean_all * mean_all),
+                    "brightness": mean_all,
+                }
+            )
 
     return img.mapInPandas(gen, schema=IMAGE_FEATURES_SCHEMA)
 
@@ -73,7 +101,14 @@ def image_resize(assets: DataFrame, out_h: int, out_w: int) -> DataFrame:
     """Block-average resize of every image to (out_h, out_w): crop to the
     largest block multiple, then mean over blocks — deterministic, no
     interpolation library needed. Re-encodes to a payload binary with updated
-    metadata, so the output is itself a valid asset table."""
+    metadata, so the output is itself a valid asset table.
+
+    Rounding is half-UP (floor(mean + 0.5)), not numpy's default
+    half-to-even: block means are integer sums divided by the exact block
+    size, so floor(x + 0.5) is reproducible by any SQL engine with the
+    identical correctly-rounded IEEE ops — that makes the resized payload
+    byte-for-byte oracle-able (queries/multimodal.py hashes it in the hex
+    domain against a DuckDB reconstruction)."""
     img = spread(assets.filter("modality = 'image'"), "asset_id").select(
         "asset_id", "width", "height", "payload"
     )
@@ -90,7 +125,7 @@ def image_resize(assets: DataFrame, out_h: int, out_w: int) -> DataFrame:
                     raise ValueError(f"asset {aid}: cannot upscale {h}x{w} to {out_h}x{out_w}")
                 cropped = a[: bh * out_h, : bw * out_w, :]
                 blocks = cropped.reshape(out_h, bh, out_w, bw, cropped.shape[2])
-                small = blocks.mean(axis=(1, 3)).round().astype(np.uint8)
+                small = np.floor(blocks.mean(axis=(1, 3)) + 0.5).astype(np.uint8)
                 rows.append((aid, out_w, out_h, small.shape[2], encode_image(small)))
             yield pd.DataFrame(
                 rows, columns=["asset_id", "width", "height", "channels", "payload"]
@@ -106,31 +141,47 @@ AUDIO_FEATURES_SCHEMA = (
 
 
 def audio_features(assets: DataFrame) -> DataFrame:
-    """Per-clip PCM16 stats: RMS, peak amplitude, zero crossings, duration."""
+    """Per-clip PCM16 stats: RMS, peak amplitude, zero crossings, duration.
+
+    Whole-batch vectorized like `image_features`: all clips concatenate
+    into one little-endian int16 buffer; per-clip sum-of-squares /
+    peak / zero-crossing counts come from `np.*.reduceat` over clip
+    offsets (sign-change products at clip boundaries are masked out).
+    Integer sums are exact (sum(v^2) <= 1500 * 2^30 < 2^53), and the only
+    float ops — rms = sqrt(s2/n), duration = n/sr — are single
+    correctly-rounded IEEE operations, so a SQL engine reproduces every
+    output bit-for-bit (full DuckDB oracle in queries/multimodal.py)."""
     aud = spread(assets.filter("modality = 'audio'"), "asset_id").select(
         "asset_id", "sample_rate", "n_samples", "payload"
     )
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
-            rows = []
-            for aid, sr, n, payload in zip(
-                pdf["asset_id"], pdf["sample_rate"], pdf["n_samples"], pdf["payload"]
-            ):
-                s = decode_audio(payload).astype(np.float64)
-                rows.append(
-                    (
-                        aid,
-                        int(n),
-                        int(n) / int(sr),
-                        float(np.sqrt((s**2).mean())),
-                        int(np.abs(s).max()),
-                        int(((s[:-1] * s[1:]) < 0).sum()),
-                    )
-                )
+            if len(pdf) == 0:
+                continue
+            payloads = [bytes(p) for p in pdf["payload"]]
+            n = np.fromiter((len(p) // 2 for p in payloads), dtype=np.int64)
+            s = np.frombuffer(b"".join(payloads), dtype="<i2").astype(np.int64)
+            offsets = np.concatenate(([0], np.cumsum(n)[:-1]))
+            s2 = np.add.reduceat(s * s, offsets)
+            peak = np.maximum.reduceat(np.abs(s), offsets)
+            # adjacent-sample sign changes; products straddling clip
+            # boundaries are zeroed so they never count
+            prod = s[:-1] * s[1:]
+            crossing = (prod < 0).astype(np.int64)
+            crossing[offsets[1:] - 1] = 0
+            # clip lengths are >= 2 everywhere, so every offset < crossing.size
+            zc = np.add.reduceat(crossing, offsets)
+            sr = pdf["sample_rate"].to_numpy(dtype=np.float64)
             yield pd.DataFrame(
-                rows,
-                columns=["asset_id", "n_samples", "duration_s", "rms", "peak", "zero_crossings"],
+                {
+                    "asset_id": pdf["asset_id"].to_numpy(),
+                    "n_samples": n.astype(np.int32),
+                    "duration_s": n.astype(np.float64) / sr,
+                    "rms": np.sqrt(s2 / n.astype(np.float64)),
+                    "peak": peak.astype(np.int32),
+                    "zero_crossings": zc.astype(np.int32),
+                }
             )
 
     return aud.mapInPandas(gen, schema=AUDIO_FEATURES_SCHEMA)

@@ -6,8 +6,13 @@ oracle-checkable: metadata stats compare octet_length aggregates, and
 frame sampling compares per-frame md5s computed from raw bytes (Spark,
 mapInPandas) vs hex-string slices (DuckDB).
 
-image/audio feature extraction and resize decode binary via numpy — genuinely
-non-SQL — so those register rows-only (the driver records the weaker check).
+The numpy decode ops (image/audio features, resize) are fully oracled too:
+their float outputs are defined as integer-exact sums finished by a fixed
+chain of correctly-rounded IEEE-754 ops (see multimodal/ops.py), so DuckDB
+reproduces them bit-for-bit by re-expanding the payload hex string into
+byte values (`_HEXVAL`) and running the identical arithmetic. This is
+slow-by-construction oracle SQL (one row per byte) — affordable only at
+oracle scale, which is the point.
 """
 
 from __future__ import annotations
@@ -32,6 +37,40 @@ from chainhouse_spark.tables import load_table
 
 def _assets(spark: SparkSession, sf_dir: str) -> DataFrame:
     return synth_assets(load_table(spark, sf_dir, "documents"))
+
+
+def _hexval(char_expr: str) -> str:
+    """DuckDB SQL: one lowercase hex char -> 0..15."""
+    return f"(strpos('0123456789abcdef', {char_expr}) - 1)"
+
+
+def _byte_at(pos_expr: str) -> str:
+    """DuckDB SQL: byte value at 0-based byte offset `pos_expr` of
+    payload_hex."""
+    return (
+        f"({_hexval(f'substr(payload_hex, CAST({pos_expr} AS INT) * 2 + 1, 1)')} * 16"
+        f" + {_hexval(f'substr(payload_hex, CAST({pos_expr} AS INT) * 2 + 2, 1)')})"
+    )
+
+
+# Every image byte as (asset_id, width, height, bh, bw, pos, v) — the shared
+# head of the image-features and resize oracles. bh/bw are the 8x8 resize
+# block dims (unused by the features oracle).
+def _image_bytes_cte() -> str:
+    return f"""
+    assets AS ({assets_oracle_sql(with_hex=True)}),
+    img AS (
+        SELECT asset_id, width, height, nbytes, payload_hex
+        FROM assets WHERE modality = 'image'
+    ),
+    b AS (
+        SELECT asset_id, width, height,
+               (height // 8) AS bh, (width // 8) AS bw,
+               CAST(p AS BIGINT) AS pos,
+               {_byte_at("p")} AS v
+        FROM img, UNNEST(range(0, nbytes)) AS t(p)
+    )
+    """
 
 
 @register(
@@ -84,22 +123,121 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return frame_sample(_assets(spark, sf_dir), every_n=2)
 
 
-@register("mm_image_features")
+@register(
+    "mm_image_features",
+    oracle=f"""
+    WITH {_image_bytes_cte()},
+    s AS (
+        SELECT asset_id, width, height,
+               SUM(CASE WHEN pos % 3 = 0 THEN v ELSE 0 END) AS s_r,
+               SUM(CASE WHEN pos % 3 = 1 THEN v ELSE 0 END) AS s_g,
+               SUM(CASE WHEN pos % 3 = 2 THEN v ELSE 0 END) AS s_b,
+               SUM(v) AS s_all,
+               SUM(v * v) AS s2_all
+        FROM b GROUP BY asset_id, width, height
+    )
+    SELECT asset_id,
+           CAST(width AS INT) AS width,
+           CAST(height AS INT) AS height,
+           CAST(s_r AS DOUBLE) / CAST(width * height AS DOUBLE) AS mean_r,
+           CAST(s_g AS DOUBLE) / CAST(width * height AS DOUBLE) AS mean_g,
+           CAST(s_b AS DOUBLE) / CAST(width * height AS DOUBLE) AS mean_b,
+           sqrt(CAST(s2_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE)
+                - (CAST(s_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE))
+                  * (CAST(s_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE)))
+             AS std_all,
+           CAST(s_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE) AS brightness
+    FROM s
+    """,
+)
 def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Binary decode → channel means/std/brightness (numpy; rows-only check)."""
+    """Binary decode → channel means/std/brightness. Batch-vectorized numpy
+    with an integer-exact float finish, so the oracle reproduces every
+    double bit-for-bit from the payload hex (see multimodal/ops.py)."""
     return image_features(_assets(spark, sf_dir))
 
 
-@register("mm_audio_features")
+@register(
+    "mm_audio_features",
+    oracle=f"""
+    WITH assets AS ({assets_oracle_sql(with_hex=True)}),
+    aud AS (
+        SELECT asset_id, sample_rate, n_samples, payload_hex
+        FROM assets WHERE modality = 'audio'
+    ),
+    sm AS (
+        SELECT asset_id, sample_rate, n_samples, CAST(i AS BIGINT) AS idx,
+               {_byte_at("i * 2")} + {_byte_at("i * 2 + 1")} * 256 AS u
+        FROM aud, UNNEST(range(0, n_samples)) AS t(i)
+    ),
+    sv AS (
+        SELECT asset_id, sample_rate, n_samples, idx,
+               CASE WHEN u >= 32768 THEN u - 65536 ELSE u END AS v
+        FROM sm
+    ),
+    sl AS (
+        SELECT asset_id, sample_rate, n_samples, v,
+               LAG(v) OVER (PARTITION BY asset_id ORDER BY idx) AS pv
+        FROM sv
+    )
+    SELECT asset_id,
+           CAST(n_samples AS INT) AS n_samples,
+           CAST(n_samples AS DOUBLE) / CAST(sample_rate AS DOUBLE) AS duration_s,
+           sqrt(CAST(SUM(v * v) AS DOUBLE) / CAST(n_samples AS DOUBLE)) AS rms,
+           CAST(MAX(ABS(v)) AS INT) AS peak,
+           CAST(COUNT(*) FILTER (WHERE pv IS NOT NULL AND pv * v < 0) AS INT)
+             AS zero_crossings
+    FROM sl
+    GROUP BY asset_id, n_samples, sample_rate
+    """,
+)
 def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """PCM16 decode → rms/peak/zero-crossings (numpy; rows-only check)."""
+    """PCM16 decode → rms/peak/zero-crossings. Batch-vectorized numpy; the
+    oracle re-decodes little-endian int16 from the payload hex and runs
+    the identical integer-exact arithmetic (see multimodal/ops.py)."""
     return audio_features(_assets(spark, sf_dir))
 
 
-@register("mm_image_resize")
+@register(
+    "mm_image_resize",
+    oracle=f"""
+    WITH {_image_bytes_cte()},
+    px AS (
+        SELECT asset_id, bh, bw,
+               (pos // 3) // width AS y,
+               (pos // 3) % width AS x,
+               pos % 3 AS c,
+               v
+        FROM b
+    ),
+    blk AS (
+        SELECT asset_id, (y // bh) AS oy, (x // bw) AS ox, c,
+               CAST(floor(CAST(SUM(v) AS DOUBLE) / CAST(bh * bw AS DOUBLE) + 0.5)
+                    AS INT) AS ov
+        FROM px
+        WHERE y < bh * 8 AND x < bw * 8
+        GROUP BY asset_id, bh, bw, oy, ox, c
+    ),
+    enc AS (
+        SELECT asset_id,
+               string_agg(printf('%02x', ov), '' ORDER BY oy, ox, c) AS hexpayload
+        FROM blk GROUP BY asset_id
+    )
+    SELECT asset_id,
+           CAST(8 AS INT) AS width,
+           CAST(8 AS INT) AS height,
+           CAST(3 AS INT) AS channels,
+           CAST(192 AS INT) AS payload_bytes,
+           md5(hexpayload) AS payload_md5
+    FROM enc
+    """,
+)
 def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Block-average resize to 8×8; returns the re-encoded asset rows with
-    a checksum column (rows-only check; resize math is non-SQL)."""
+    """Block-average resize to 8×8; returns the re-encoded asset rows with a
+    checksum column. Half-up rounding makes the resized bytes
+    SQL-reproducible, so the md5 is computed in the hex domain on both
+    sides (the mm_frame_sample pattern) and the oracle rebuilds the payload
+    from per-block byte sums."""
     out = image_resize(_assets(spark, sf_dir), out_h=8, out_w=8)
     return out.select(
         "asset_id",
@@ -107,5 +245,5 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         "height",
         "channels",
         F.expr("octet_length(payload)").alias("payload_bytes"),
-        F.md5("payload").alias("payload_md5"),
+        F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
     )

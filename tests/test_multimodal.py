@@ -85,8 +85,8 @@ def test_resize_shapes_and_determinism(assets):
     src = raw[r0.asset_id]
     a = decode_image(bytes(src.payload), src.height, src.width).astype(float)
     bh, bw = src.height // 8, src.width // 8
-    exp = (
-        a[: bh * 8, : bw * 8, :].reshape(8, bh, 8, bw, 3).mean(axis=(1, 3)).round()
+    exp = np.floor(
+        a[: bh * 8, : bw * 8, :].reshape(8, bh, 8, bw, 3).mean(axis=(1, 3)) + 0.5
     ).astype(np.uint8)
     assert bytes(r0.payload) == exp.tobytes()
 
