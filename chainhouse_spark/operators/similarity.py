@@ -187,12 +187,16 @@ def lsh_multiprobe_topk(
     )
 
 
+MAX_GEMM_QUERIES = 100_000
+
+
 def brute_force_topk_gemm(
     corpus: DataFrame,
     queries: DataFrame,
     id_col: str = "vec_id",
     vec_col: str = "embedding",
     k: int = 10,
+    max_queries: int = MAX_GEMM_QUERIES,
 ) -> DataFrame:
     """BLAS path for exact cosine top-k: the query matrix is collected once
     (queries ≪ corpus, same contract as `brute_force_topk`), broadcast as a
@@ -210,6 +214,19 @@ def brute_force_topk_gemm(
     import numpy as np
     import pandas as pd
 
+    # Driver-collect guard: the small-side contract (queries ≪ corpus) is
+    # load-bearing — the query matrix lands on the driver and broadcasts to
+    # every task. A mis-sized call must fail loudly, not OOM the driver:
+    # limit(max_queries + 1) bounds the probe itself, so even a huge query
+    # set costs one extra row, never a full collect.
+    probe = queries.select(id_col).limit(max_queries + 1).count()
+    if probe > max_queries:
+        raise ValueError(
+            f"brute_force_topk_gemm: query side exceeds {max_queries} rows — "
+            "this operator collects+broadcasts the query matrix (small-side "
+            "contract). Swap query/corpus sides, pre-partition the queries, "
+            "or raise max_queries explicitly if the driver can hold them."
+        )
     q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)

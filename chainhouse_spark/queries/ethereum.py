@@ -8,8 +8,11 @@ the flatten from the nested JSON — read_json -> parallel (positional)
 unnest of transactions/receipts (the F2 join, reference src/main.rs:210) ->
 aggregate. That cross-checks the flatten/denormalize core (SURVEY.md §2.3
 F1-F6) against a second engine, not just the final aggregates.
-`eth_blocks_table` (21-column full dump) and the ABI decode stay rows-only:
-covered by tests/test_transforms.py goldens and test_bytes_functions.py.
+`eth_blocks_table` (21-column full dump, binary columns compared as 0x-hex
+views) and the ABI decode are oracled the same way — the decode oracle
+re-parses the hex data words with a strpos-fold (DuckDB has no 128-bit
+conv()), so the u120 amounts cross-check exactly. Goldens in
+tests/test_transforms.py and test_bytes_functions.py pin the binary forms.
 
 sf_dir is accepted per the driver contract but unused — block count scales
 with nothing here; the live-source path (sources/rpc.py) is where volume
@@ -67,10 +70,69 @@ def _tables(spark: SparkSession):
     return all_tables_from_raw(raw_blocks_df(spark, n_blocks=_N_BLOCKS, seed=42))
 
 
-@register("eth_blocks_table")
+# Block-header view of the same JSONL (the _RAW spec only parses the nested
+# arrays; this one parses the 21 header fields — read_json ignores the rest).
+_RAW_HEADERS = f"""
+    read_json('{_JSONL_PATH}', format='newline_delimited', columns={{
+      'hash': 'VARCHAR', 'number': 'BIGINT', 'parentHash': 'VARCHAR',
+      'uncles': 'VARCHAR[]', 'sha3Uncles': 'VARCHAR',
+      'totalDifficulty': 'VARCHAR', 'miner': 'VARCHAR',
+      'difficulty': 'VARCHAR', 'nonce': 'VARCHAR', 'mixHash': 'VARCHAR',
+      'baseFeePerGas': 'VARCHAR', 'gasLimit': 'VARCHAR', 'gasUsed': 'VARCHAR',
+      'stateRoot': 'VARCHAR', 'transactionsRoot': 'VARCHAR',
+      'receiptsRoot': 'VARCHAR', 'logsBloom': 'VARCHAR',
+      'withdrawalsRoot': 'VARCHAR', 'extraData': 'VARCHAR',
+      'timestamp': 'VARCHAR', 'size': 'VARCHAR'
+    }})
+"""
+
+_BLOCK_U256_COLS = (
+    "totalDifficulty", "difficulty", "baseFeePerGas", "gasLimit", "gasUsed",
+    "timestamp", "size",
+)
+_BLOCK_BIN_COLS = (
+    "hash", "parentHash", "sha3Uncles", "miner", "nonce", "mixHash",
+    "stateRoot", "transactionsRoot", "receiptsRoot", "logsBloom", "extraData",
+)
+
+
+@register(
+    "eth_blocks_table",
+    oracle=f"""
+    -- u256 columns stay digit-string VARCHARs: wide DECIMALs degrade to
+    -- float64 through pandas; Spark Decimal(38,0) canonicalizes to the
+    -- same digit string (the eth_gas_by_block pattern).
+    SELECT hash, number, parentHash, uncles, sha3Uncles,
+           totalDifficulty, miner, difficulty, nonce, mixHash,
+           baseFeePerGas, gasLimit, gasUsed,
+           stateRoot, transactionsRoot, receiptsRoot, logsBloom,
+           withdrawalsRoot AS withdrawlsRoot,
+           extraData, timestamp, size
+    FROM {_RAW_HEADERS}
+    """,
+)
 def eth_blocks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The blocks table itself (21 cols, reference DDL src/main.rs:64-89)."""
-    return _tables(spark)["blocks"]
+    """The blocks table itself (21 cols, reference DDL src/main.rs:64-89),
+    binary columns projected to their 0x-hex views so the oracle (which
+    reads the raw JSONL's hex encoding directly) compares the full dump
+    value-for-value. The canonical BinaryType table stays the stored form;
+    this is the human/oracle view over it (functions/bytes.py)."""
+    from chainhouse_spark.functions.bytes import to_hex
+
+    b = _tables(spark)["blocks"]
+    cols = []
+    for f in b.schema.fields:
+        if f.name in _BLOCK_BIN_COLS or f.name == "withdrawlsRoot":
+            cols.append(to_hex(f.name).alias(f.name))
+        elif f.name == "uncles":
+            cols.append(
+                F.transform(
+                    "uncles", lambda x: F.concat(F.lit("0x"), F.lower(F.hex(x)))
+                ).alias("uncles")
+            )
+        else:
+            cols.append(F.col(f.name))
+    return b.select(*cols)
 
 
 @register(
@@ -312,7 +374,43 @@ def eth_log_address_activity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("eth_erc20_transfer_decode")
+def _duck_hex_int(col: str, start: int, nchars: int) -> str:
+    """DuckDB SQL: parse `nchars` lowercase hex chars of `col` starting at
+    1-based `start` into an integer via a strpos fold (DuckDB's conv-less
+    equivalent of Spark's conv(hex, 16, 10); literal powers keep every term
+    integer-exact)."""
+    terms = [
+        f"(strpos('0123456789abcdef', substr({col}, {start + i}, 1)) - 1)"
+        f" * {16 ** (nchars - 1 - i)}"
+        for i in range(nchars)
+    ]
+    return "(" + " + ".join(terms) + ")"
+
+
+@register(
+    "eth_erc20_transfer_decode",
+    oracle=f"""
+    WITH lg AS (
+        SELECT r.transactionHash AS transactionHash, unnest(r.logs) AS l
+        FROM (SELECT unnest(receipts) AS r FROM {_RAW})
+    )
+    SELECT l.logIndex AS logIndex,
+           transactionHash,
+           l.address AS token,
+           '0x' || substr(l.topics[2], 27, 40) AS from_addr,
+           '0x' || substr(l.topics[3], 27, 40) AS to_addr,
+           -- word 0 low 15 bytes: bytes 18-24 (hi7) and 25-32 (lo8, split
+           -- into two 4-byte chunks so every fold stays in BIGINT range);
+           -- data is '0x'-prefixed, so byte k starts at hex char 2k+1.
+           -- VARCHAR result: wide DECIMALs degrade to float64 via pandas.
+           CAST({_duck_hex_int("l.data", 37, 14)} * 18446744073709551616
+                + (CAST({_duck_hex_int("l.data", 51, 8)} AS HUGEINT) * 4294967296
+                   + {_duck_hex_int("l.data", 59, 8)})
+                AS VARCHAR) AS amount_u120
+    FROM lg
+    WHERE len(l.topics) = 3
+    """,
+)
 def eth_erc20_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ABI-decode Transfer-shaped events (3 topics): emitting contract,
     from/to addresses from the indexed topics, amount from the data word —
@@ -321,17 +419,18 @@ def eth_erc20_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     In production the filter is `topics[0] = keccak('Transfer(address,
     address,uint256)')`; the deterministic fixtures carry random topics, so
     shape (exactly 3 topics) stands in for the signature match — the decode
-    mechanics are identical. Rows-only gate; exact decode values are pinned
-    by tests/test_bytes_functions.py on crafted words.
+    mechanics are identical. The oracle re-decodes the same hex words in
+    DuckDB with a strpos fold; exact decode values on crafted words are
+    additionally pinned by tests/test_bytes_functions.py.
     """
-    from chainhouse_spark.functions.bytes import topic_address_hex, word_u120_sql
+    from chainhouse_spark.functions.bytes import to_hex, topic_address_hex, word_u120_sql
 
     ev = _tables(spark)["events"]
     return (
         ev.filter(F.size("topics") == 3)
         .select(
             F.col("logIndex"),
-            F.col("transactionHash"),
+            to_hex("transactionHash").alias("transactionHash"),
             F.concat(F.lit("0x"), F.lower(F.hex(F.col("address")))).alias("token"),
             topic_address_hex(F.element_at("topics", 2)).alias("from_addr"),
             topic_address_hex(F.element_at("topics", 3)).alias("to_addr"),

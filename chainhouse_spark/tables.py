@@ -25,12 +25,33 @@ TABLE_NAMES = [
 
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
+        # The TIMESTAMP -> TIMESTAMP_NTZ normalization below reads the
+        # wall-clock through the session timezone; every oracle (DuckDB)
+        # reads the parquet value as-is. Anything but UTC silently shifts
+        # events.ts, so fail loudly instead (build_spark pins UTC).
+        tz = spark.conf.get("spark.sql.session.timeZone")
+        if tz != "UTC":
+            raise ValueError(
+                f"load_table('events') requires spark.sql.session.timeZone=UTC "
+                f"(got {tz!r}): the TIMESTAMP->TIMESTAMP_NTZ cast is "
+                "session-timezone-dependent and would shift ts values."
+            )
         # events.ts has shipped as both Parquet TIMESTAMP(NANOS) — which
         # Spark's reader rejects outright unless read as raw nanos via the
         # legacy conf — and plain TIMESTAMP(MICROS). Normalize either to
         # TIMESTAMP_NTZ at microsecond precision, matching what DuckDB reads.
+        # The legacy conf is restored right after the read: the plan captures
+        # it at analysis time (verified in tests/test_edge_cases.py), so it
+        # must not leak into unrelated parquet reads on the same session.
+        saved = spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None)
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        try:
+            df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        finally:
+            if saved is None:
+                spark.conf.unset("spark.sql.legacy.parquet.nanosAsLong")
+            else:
+                spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", saved)
         ts_type = dict(df.dtypes)["ts"]
         if ts_type == "bigint":  # nanos read as long under the legacy conf
             df = df.withColumn(

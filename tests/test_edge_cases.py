@@ -173,3 +173,35 @@ def test_interpolation_bounds(spark, sf_dir):
             assert r["filled"] == r["observed"]
         elif r["filled"] is not None:
             assert lo - 1e-9 <= r["filled"] <= hi + 1e-9
+
+
+def test_events_nanos_conf_does_not_leak(spark):
+    """load_table('events') must restore spark.sql.legacy.parquet.nanosAsLong
+    (a leaked true would silently surface any other table's nanos column as
+    bigint), and the returned frame must still execute correctly after the
+    restore (the plan captures the conf at analysis time)."""
+    from chainhouse_spark.tables import load_table
+
+    assert (
+        spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true"
+    )
+    df = load_table(spark, "/root/testdata/sf0.001", "events")
+    assert spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", None) != "true"
+    assert df.count() > 0
+    assert dict(df.dtypes)["ts"] == "timestamp_ntz"
+
+
+def test_events_load_requires_utc_session(spark):
+    """Non-UTC session timezone must fail loudly instead of silently
+    shifting events.ts through the NTZ cast."""
+    import pytest
+
+    from chainhouse_spark.tables import load_table
+
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "America/New_York")
+    try:
+        with pytest.raises(ValueError, match="timeZone=UTC"):
+            load_table(spark, "/root/testdata/sf0.001", "events")
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)

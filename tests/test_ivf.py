@@ -67,3 +67,15 @@ def test_gemm_topk_matches_aggregate_topk(spark, sf_dir):
         assert sa == sb, f"query {qid}: {sa ^ sb}"
     m = a.merge(b, on=["query_id", "cand_id"], suffixes=("_a", "_b"))
     assert (m["cos_sim_a"] - m["cos_sim_b"]).abs().max() < 1e-9
+
+
+def test_gemm_guard_rejects_oversized_query_set(spark):
+    """The GEMM path collects the query side to the driver; an oversized
+    query set must raise a clear error instead of OOMing."""
+    import pytest
+
+    from chainhouse_spark.operators.similarity import brute_force_topk_gemm
+
+    emb = load_table(spark, SF, "embeddings")
+    with pytest.raises(ValueError, match="small-side contract"):
+        brute_force_topk_gemm(emb, emb, k=5, max_queries=10)

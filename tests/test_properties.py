@@ -135,3 +135,45 @@ def test_salted_agg_equals_direct_agg(spark, vals):
     )
     got = {(r.k): (r.n, r.s) for r in salted.collect()}
     assert got == direct
+
+
+def test_lsh_bucket_cap_bounds_adversarial_expansion(spark):
+    """10k identical docs put every doc in ONE bucket per band; full
+    expansion would be ~50M pairs x 4 bands. The star fallback must (1)
+    complete with exactly n-1 pairs, (2) keep every doc connected to the
+    min-id anchor (cluster connectivity preserved), (3) leave a normal
+    corpus bit-identical to the uncapped expansion."""
+    from chainhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+    from chainhouse_spark.tables import load_table
+
+    n = 10_000
+    docs = spark.range(n).select(
+        F.col("id").alias("doc_id"),
+        F.lit("the same adversarial text repeated verbatim in every doc").alias(
+            "text"
+        ),
+    )
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_words=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=16, bands=4).collect()
+    assert len(pairs) == n - 1
+    assert all(r.doc_a == 0 for r in pairs)  # star anchor = min id
+    assert {r.doc_b for r in pairs} == set(range(1, n))
+    assert all(r.est_jaccard == 1.0 for r in pairs)
+
+    # Normal corpus: cap never triggers, results identical to uncapped.
+    real = load_table(spark, "/root/testdata/sf0.001", "documents")
+    rsigs = minhash_signatures(real, num_hashes=16, shingle_words=3)
+    capped = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in lsh_candidate_pairs(rsigs, num_hashes=16, bands=4).collect()
+    }
+    uncapped = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in lsh_candidate_pairs(
+            rsigs, num_hashes=16, bands=4, max_bucket=10**9
+        ).collect()
+    }
+    assert capped == uncapped
