@@ -12,6 +12,7 @@ and honoring the endpoint argument the reference ignores (it hardcodes
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql.types import (
     ArrayType,
     BinaryType,
@@ -99,29 +100,63 @@ def all_ddl(database: str = "ethereum") -> list[str]:
     return [database_ddl(database)] + [table_ddl(n, database=database) for n in TABLES]
 
 
+def jdbc_projection(df: DataFrame) -> DataFrame:
+    """JDBC-portable view of a chain table: the JDBC wire (and Spark's JDBC
+    writer) has no Array type and most targets cap DECIMAL below 38 digits,
+    so arrays serialize as JSON strings (binary elements -> base64, Spark's
+    to_json encoding) and u256 decimals as digit strings. ClickHouse coerces
+    digit strings into the UInt256 columns the DDL provisions; array columns
+    land in String staging and are materialized server-side
+    (JSONExtract(...)). Binary/long/bool/string columns pass through — the
+    round-trip test pins value fidelity for every column class."""
+    cols = []
+    for f in df.schema.fields:
+        if isinstance(f.dataType, ArrayType):
+            cols.append(F.to_json(F.col(f.name)).alias(f.name))
+        elif isinstance(f.dataType, DecimalType) and f.dataType.precision > 31:
+            cols.append(F.col(f.name).cast("string").alias(f.name))
+        else:
+            cols.append(F.col(f.name))
+    return df.select(*cols)
+
+
 def write_jdbc(
     df: DataFrame,
     name: str,
     endpoint: str,
     database: str = "ethereum",
     batch_size: int = 100_000,
+    url: str | None = None,
+    driver: str | None = "com.clickhouse.jdbc.ClickHouseDriver",
 ) -> None:
-    """JDBC bulk insert (the K6 native-format insert's Spark equivalent).
-    Requires the ClickHouse JDBC driver on the classpath; raises a clear
-    error otherwise (import-gated per environment constraints)."""
-    url = f"jdbc:clickhouse://{endpoint}/{database}"
+    """JDBC bulk insert (the K6 native-format insert's Spark equivalent,
+    src/main.rs:292-319): each partition opens one connection and writes
+    `batch_size`-row prepared-statement batches — K4's flush batching,
+    executor-side and table-parallel like the reference's try_join!.
+
+    Defaults target ClickHouse; `url`/`driver` are pluggable so the write
+    path itself is executable against any JDBC database (the round-trip
+    test in tests/test_sources_sinks.py drives it with Spark's bundled
+    embedded Derby — no ClickHouse server ships in this environment).
+    Raises a clear error when the target driver is absent."""
+    url = url or f"jdbc:clickhouse://{endpoint}/{database}"
     try:
-        (
-            df.write.format("jdbc")
+        w = (
+            jdbc_projection(df)
+            .write.format("jdbc")
             .option("url", url)
-            .option("dbtable", f"{database}.{name}")
-            .option("driver", "com.clickhouse.jdbc.ClickHouseDriver")
+            .option("dbtable", name if url.startswith("jdbc:derby") else f"{database}.{name}")
             .option("batchsize", str(batch_size))
             .mode("append")
-            .save()
         )
+        if driver:
+            w = w.option("driver", driver)
+        w.save()
     except Exception as e:  # driver missing in this container
-        raise RuntimeError(
-            "ClickHouse JDBC driver unavailable; provision "
-            "com.clickhouse:clickhouse-jdbc on the cluster classpath"
-        ) from e
+        if "ClassNotFoundException" in str(e) or "No suitable driver" in str(e):
+            raise RuntimeError(
+                "JDBC driver unavailable for "
+                f"{url!r}; provision it on the cluster classpath "
+                "(com.clickhouse:clickhouse-jdbc for the default target)"
+            ) from e
+        raise

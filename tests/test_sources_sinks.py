@@ -339,3 +339,65 @@ def test_xml_roundtrip_flat_projection(spark, tmp_path):
     a = {tuple(r) for r in b.collect()}
     c = {tuple(r) for r in back.collect()}
     assert a == c
+
+
+def test_jdbc_write_path_roundtrip_derby(spark, tmp_path):
+    """Execute the actual JDBC write path (K5/K6) — not just DDL strings —
+    against Spark's bundled embedded Derby: all four chain tables write
+    through write_jdbc and read back value-identical (arrays as JSON,
+    u256 decimals as digit strings, binary as-is — the jdbc_projection
+    wire contract)."""
+    from chainhouse_spark.queries.ethereum import _tables
+    from chainhouse_spark.sinks.clickhouse import jdbc_projection, write_jdbc
+    from tests.compare import canon_rows
+
+    url = f"jdbc:derby:{tmp_path}/chaindb;create=true"
+    tables = _tables(spark)
+    for name, df in tables.items():
+        write_jdbc(
+            df,
+            name,
+            endpoint="unused",
+            url=url,
+            driver="org.apache.derby.jdbc.EmbeddedDriver",
+        )
+        back = (
+            spark.read.format("jdbc")
+            .option("url", url)
+            .option("dbtable", name)
+            .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+            .load()
+        )
+        expect = jdbc_projection(df).toPandas()
+        got = back.toPandas()
+        assert len(got) == len(expect) and len(got) > 0 or name == "withdraws"
+        assert sorted(c.lower() for c in got.columns) == sorted(
+            c.lower() for c in expect.columns
+        )
+        got.columns = [c.lower() for c in got.columns]
+        expect.columns = [c.lower() for c in expect.columns]
+        assert canon_rows(got) == canon_rows(expect), name
+
+    # Idempotent re-ingest contract (K8): append twice, dedup keys collapse
+    # duplicates exactly like ReplacingMergeTree FINAL would.
+    from chainhouse_spark.schemas import DEDUP_KEYS
+
+    write_jdbc(
+        tables["blocks"],
+        "blocks",
+        endpoint="unused",
+        url=url,
+        driver="org.apache.derby.jdbc.EmbeddedDriver",
+    )
+    back = (
+        spark.read.format("jdbc")
+        .option("url", url)
+        .option("dbtable", "blocks")
+        .option("driver", "org.apache.derby.jdbc.EmbeddedDriver")
+        .load()
+    )
+    n_blocks = tables["blocks"].count()
+    assert back.count() == 2 * n_blocks
+    assert back.dropDuplicates(
+        [c for c in back.columns if c.lower() in ("hash", "number")]
+    ).count() == n_blocks
