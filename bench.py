@@ -85,7 +85,42 @@ def main() -> None:
             }
         )
     )
+    _report_vs_baseline(timings, total, sf)
     spark.stop()
+
+
+def _report_vs_baseline(timings: dict[str, float], total: float, sf: str) -> None:
+    """Round-over-round regression gate: compare against the committed
+    BENCH_BASELINE.json (round-1 numbers) on stderr — stdout stays the
+    one-JSON-line driver contract. The reference publishes no benchmark
+    figures (BASELINE.md), so round 1 is the anchor; a query >1.5x its
+    baseline is flagged loudly."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    if not os.path.exists(path):
+        return
+    base = json.load(open(path))
+    if str(base.get("sf")) != str(float(sf)):
+        print(f"[bench] baseline is sf={base.get('sf')}, run is sf={sf}; skipping diff",
+              file=sys.stderr)
+        return
+    bq = base["queries"]
+    print(f"[bench] vs round-{base.get('round', 1)} baseline "
+          f"(total {total:.3f}s / {base['value']:.3f}s = "
+          f"{total / base['value']:.2f}x)", file=sys.stderr)
+    regressions = 0
+    for name, t in timings.items():
+        b = bq.get(name)
+        if b is None:
+            print(f"[bench]   {name:28s} {t:7.3f}s  (new; no baseline)", file=sys.stderr)
+            continue
+        ratio = t / b if b else float("inf")
+        flag = "  << REGRESSION" if ratio > 1.5 else ""
+        regressions += ratio > 1.5
+        print(f"[bench]   {name:28s} {t:7.3f}s  base {b:7.3f}s  {ratio:5.2f}x{flag}",
+              file=sys.stderr)
+    if regressions:
+        print(f"[bench] {regressions} quer{'y' if regressions == 1 else 'ies'} regressed >1.5x",
+              file=sys.stderr)
 
 
 if __name__ == "__main__":
