@@ -62,6 +62,10 @@ def exact_dedup(
     )
 
 
+# Largest 32-bit prime — the Carter-Wegman modulus for the MinHash family.
+MINHASH_PRIME = 4294967291
+
+
 def minhash_signatures(
     df: DataFrame,
     text_col: str = "text",
@@ -69,27 +73,43 @@ def minhash_signatures(
     num_hashes: int = 16,
     shingle_words: int = 3,
 ) -> DataFrame:
-    """Per-doc MinHash signature: array of `num_hashes` minima of
-    md5(seed ':' shingle) over the doc's distinct word shingles.
+    """Per-doc MinHash signature: array of `num_hashes` minima of a
+    Carter-Wegman hash family over the doc's distinct word shingles.
+
+    ONE md5 per shingle, not one per (seed, shingle): the digest's first
+    two 32-bit words (h1, h2) parameterize the whole family as
+    hash_i = (h1 + i*h2) mod p (p = largest 32-bit prime) — the standard
+    universal-hashing construction, ~num_hashes x fewer digest
+    computations, and every op is exact BIGINT arithmetic both engines
+    reproduce (h1 + 15*h2 < 2^36, the oracle replays the identical fold).
 
     Single pass: each shingle row carries an array of its `num_hashes`
     hashes (transform over a literal sequence — no seed cross-join, no
     extra shuffle), then one groupBy(id) folds element-wise minima.
-    Docs with < shingle_words tokens get an all-sentinel signature.
+    Docs with < shingle_words tokens produce no signature (exact dedup is
+    their path; pinned in tests/test_edge_cases.py).
     """
     # No .distinct() on shingles: MIN over a multiset equals MIN over its
     # set, so dedup would only add a shuffle. Each seed's minimum is its own
     # algebraic aggregate -> map-side partial combine reduces the shuffle to
     # (docs x num_hashes) short keys instead of the full hashed corpus
     # (collect_list has no partial aggregation and ships every hash).
-    sh = spread(df, id_col).select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_words)).alias("shingle")
-    ).withColumn(
-        "hs",
-        F.expr(
-            f"transform(sequence(0, {num_hashes - 1}), "
-            f"s -> md5(concat(CAST(s AS STRING), ':', shingle)))"
-        ),
+    sh = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, shingle_words)).alias("shingle"),
+        )
+        .withColumn("m", F.md5("shingle"))
+        .withColumn("h1", F.expr("CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT)"))
+        .withColumn("h2", F.expr("CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT)"))
+        .withColumn(
+            "hs",
+            F.expr(
+                f"transform(sequence(0, {num_hashes - 1}), "
+                f"s -> (h1 + CAST(s AS BIGINT) * h2) % {MINHASH_PRIME})"
+            ),
+        )
     )
     mins = [F.min(F.element_at("hs", i + 1)).alias(f"m{i}") for i in range(num_hashes)]
     return (
@@ -136,8 +156,9 @@ def lsh_candidate_pairs(
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
-                f"b -> struct(b AS band, md5(array_join(slice(sig, b * {rows_per_band} + 1, "
-                f"{rows_per_band}), ',')) AS bh))"
+                f"b -> struct(b AS band, md5(array_join(transform(slice(sig, "
+                f"b * {rows_per_band} + 1, {rows_per_band}), x -> CAST(x AS STRING)), "
+                f"',')) AS bh))"
             )
         ).alias("bb"),
     ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))

@@ -31,6 +31,38 @@ _DUCK_SHINGLES = """
 """
 
 
+def _duck_hex8(expr: str, start: int) -> str:
+    """DuckDB SQL: 8 lowercase hex chars of `expr` starting at 1-based
+    `start` -> BIGINT (strpos fold — the conv()-less mirror of Spark's
+    conv(substring(m, start, 8), 16, 10))."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1)"
+            f" * {16 ** (7 - i)}"
+            for i in range(8)
+        )
+        + ")"
+    )
+
+
+# MinHash Carter-Wegman family over md5(shingle) — mirrors
+# operators/dedup.py::minhash_signatures exactly: hash_i = (h1 + i*h2) % p.
+_DUCK_MINHASH = f"""
+    hh AS (
+        SELECT doc_id,
+               {_duck_hex8("md5(shingle)", 1)} AS h1,
+               {_duck_hex8("md5(shingle)", 9)} AS h2
+        FROM sh
+    ),
+    mh AS (
+        SELECT doc_id, s.s AS s, MIN((h1 + s.s * h2) % 4294967291) AS h
+        FROM hh, (SELECT UNNEST(range(0, 16)) AS s) s
+        GROUP BY doc_id, s.s
+    )
+"""
+
+
 @register(
     "dedup_exact",
     oracle="""
@@ -62,11 +94,7 @@ def dedup_exact_normalized(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH
     """ + _DUCK_SHINGLES + """,
-    mh AS (
-        SELECT doc_id, s.s AS s, MIN(md5(CAST(s.s AS VARCHAR) || ':' || shingle)) AS h
-        FROM sh, (SELECT UNNEST(range(0, 16)) AS s) s
-        GROUP BY doc_id, s.s
-    ),
+    """ + _DUCK_MINHASH + """,
     sig AS (SELECT doc_id, ARRAY_AGG(h ORDER BY s) AS sig FROM mh GROUP BY doc_id),
     bands AS (
         SELECT doc_id, b.b AS band,
