@@ -28,7 +28,14 @@ from chainhouse_spark.transforms import all_tables_from_raw
 def build_parser() -> argparse.ArgumentParser:
     p = argparse.ArgumentParser(prog="chainhouse-spark")
     p.add_argument("--ethereum", help="Ethereum JSON-RPC endpoint URL")
-    p.add_argument("--clickhouse", help="ClickHouse endpoint host:port (JDBC sink)")
+    p.add_argument("--clickhouse", help="ClickHouse endpoint host:port")
+    p.add_argument(
+        "--ch-protocol",
+        choices=["rowbinary", "jdbc"],
+        default="rowbinary",
+        help="ClickHouse insert path: native RowBinary over HTTP (default, "
+        "K6 parity) or generic JDBC",
+    )
     p.add_argument("--from", dest="from_block", type=int, help="first block (inclusive)")
     p.add_argument("--to", dest="to_block", type=int, help="last block (inclusive)")
     p.add_argument("--schema", action="store_true", help="provision/print DDL")
@@ -104,6 +111,11 @@ def main(argv: list[str] | None = None) -> int:
         tables = all_tables_from_raw(raw)
         if args.output:
             write_all(tables, args.output, mode="append")
+        elif args.ch_protocol == "rowbinary":
+            from chainhouse_spark.sinks.rowbinary import write_rowbinary_http
+
+            for name, df in tables.items():
+                write_rowbinary_http(df, name, args.clickhouse)
         else:
             for name, df in tables.items():
                 ch.write_jdbc(df, name, args.clickhouse)
