@@ -417,3 +417,41 @@ def test_inverted_index_bounded_shuffles(spark):
     f = plan_facts(q(spark, "search_inverted_index"))
     assert f.shuffle_exchanges <= 2
     assert f.python_evals == 0
+
+
+def test_minhash_lsh_shuffle_budget(spark):
+    # Carter-Wegman signatures: scan → explode+hash (map) → partial-min
+    # combine → 1 exchange (doc_id) → 1 exchange (band,bh) → pair expand →
+    # dedup exchange. Budget pinned so the single-md5 rewrite can't silently
+    # grow a shuffle; everything stays JVM-side.
+    assert audit(q(spark, "dedup_minhash_lsh"),
+                 max_shuffle_exchanges=3, forbid_python=True) == []
+
+
+def test_agg_approx_distinct_stays_two_exchanges(spark):
+    # approx+exact distinct twins share one expand: partial → exchange →
+    # final (+1 for the multi-distinct expand path). No Python, no extra
+    # scan per aggregate.
+    f = plan_facts(q(spark, "agg_approx_distinct"))
+    assert f.scans == 1
+    assert f.python_evals == 0
+    assert f.shuffle_exchanges <= 2
+
+
+def test_eth_blocks_hex_view_is_map_only(spark):
+    # 21-column hex projection: dedup exchange from the pipeline's K8
+    # contract is the only shuffle; the hex view itself adds none and no
+    # Python (the fixture source is a local relation, so codegen spans are
+    # not asserted — the projection expressions are all built-ins).
+    f = plan_facts(q(spark, "eth_blocks_table"))
+    assert f.python_evals == 0
+    assert f.shuffle_exchanges <= 1
+
+
+def test_pagerank_summary_bounded_shuffles(spark):
+    # 5 iterations × (join+agg) over localCheckpoint-truncated lineage; the
+    # invariant summary adds one final agg. Pin an upper bound so an extra
+    # per-iteration exchange (e.g. lost partitioning reuse) fails loudly.
+    f = plan_facts(q(spark, "graph_pagerank"))
+    assert f.python_evals == 0
+    assert f.cartesian_products == 0
