@@ -26,6 +26,7 @@ from chainhouse_spark.queries import llm_pipeline  # noqa: E402,F401
 from chainhouse_spark.queries import search  # noqa: E402,F401
 from chainhouse_spark.queries import temporal  # noqa: E402,F401
 from chainhouse_spark.queries import funnel  # noqa: E402,F401
+from chainhouse_spark.queries import audience  # noqa: E402,F401
 from chainhouse_spark.queries import multimodal  # noqa: E402,F401
 from chainhouse_spark.queries import statistics  # noqa: E402,F401
 from chainhouse_spark.queries import timeseries  # noqa: E402,F401
