@@ -177,3 +177,60 @@ def test_lsh_bucket_cap_bounds_adversarial_expansion(spark):
         ).collect()
     }
     assert capped == uncapped
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    rows=st.lists(
+        st.tuples(
+            st.integers(min_value=0, max_value=2**63 - 1),            # number
+            st.binary(min_size=32, max_size=32),                      # hash
+            st.one_of(st.none(),
+                      st.integers(min_value=0, max_value=2**256 - 1)),  # value
+            st.booleans(),                                            # removed
+            st.one_of(st.none(), st.text(max_size=40)),               # note
+            st.lists(st.binary(min_size=32, max_size=32), max_size=4),  # topics
+        ),
+        min_size=1,
+        max_size=8,
+    )
+)
+def test_rowbinary_encode_decode_roundtrip_property(rows):
+    """For ANY values (full u256 range, NULLs, empty arrays, unicode
+    strings): encode -> independent decode == identity. No Spark needed —
+    the encoder is pure."""
+    from decimal import Decimal
+
+    from pyspark.sql import Row
+    from pyspark.sql.types import (
+        ArrayType, BinaryType, BooleanType, DecimalType, LongType,
+        StringType, StructField, StructType,
+    )
+
+    from chainhouse_spark.sinks.rowbinary import row_encoder
+    from tests.test_sources_sinks import _rb_decode
+
+    schema = StructType([
+        StructField("number", LongType(), False),
+        StructField("hash", BinaryType(), False),
+        StructField("value", DecimalType(38, 0), True),
+        StructField("removed", BooleanType(), False),
+        StructField("note", StringType(), True),
+        StructField("topics", ArrayType(BinaryType()), True),
+    ])
+    data = [
+        Row(number=n, hash=h, value=None if v is None else Decimal(v),
+            removed=r, note=note, topics=t)
+        for n, h, v, r, note, t in rows
+    ]
+    enc = row_encoder(schema, ["hash"])
+    buf = b"".join(enc(r) for r in data)
+    back = _rb_decode(buf, schema, ["hash"])
+    assert len(back) == len(data)
+    for orig, dec in zip(data, back):
+        assert dec["number"] == orig.number
+        assert dec["hash"] == orig.hash
+        assert dec["value"] == orig.value
+        assert dec["removed"] == orig.removed
+        assert dec["note"] == orig.note
+        assert dec["topics"] == list(orig.topics)
