@@ -25,11 +25,6 @@ from chainhouse_spark.queries.registry import register
 from chainhouse_spark.tables import load_table
 
 
-def _distinct_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
-    e = load_table(spark, sf_dir, "events")
-    return e.select("user_id", "event_type").distinct()
-
-
 @register(
     "audience_overlap_matrix",
     oracle="""
@@ -53,24 +48,36 @@ def _distinct_user_type(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact audience overlap for every event-type pair: intersection,
-    union, Jaccard. One shuffle on user_id (the distinct), then the
-    self-join is co-partitioned (exchange reuse) and the final aggregate
-    lands on the tiny |types|² key space. Jaccard is one float division —
+    union, Jaccard.
+
+    Plan shape (the 100 TB form): ONE user-keyed shuffle builds each
+    user's sorted type set; every user then emits its ordered type pairs
+    IN PLACE (fan-out bounded by |types|² per user, tiny) and the pair /
+    size aggregates run on the |types|²-key space — no self-join, no
+    second pass over events. Jaccard is one float division —
     deterministic across engines."""
-    ut = _distinct_user_type(spark, sf_dir)
-    sz = ut.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
-    a, b = ut.alias("a"), ut.alias("b")
+    e = load_table(spark, sf_dir, "events")
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
+    per_user.cache()
     both = (
-        a.join(
-            b,
-            (F.col("a.user_id") == F.col("b.user_id"))
-            & (F.col("a.event_type") <= F.col("b.event_type")),
+        per_user.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(types, (a, i) -> "
+                    "transform(slice(types, i + 1, size(types)), "
+                    "b -> struct(a AS type_a, b AS type_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("a.event_type").alias("type_a"),
-            F.col("b.event_type").alias("type_b"),
-        )
+        .groupBy("p.type_a", "p.type_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
+    )
+    sz = (
+        per_user.select(F.explode("types").alias("event_type"))
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
     )
     sa = sz.select(F.col("event_type").alias("type_a"), F.col("n").alias("n_a"))
     sb = sz.select(F.col("event_type").alias("type_b"), F.col("n").alias("n_b"))
@@ -113,51 +120,45 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface is the invariant twin: exact intersection (cross-checked) + a
     bool asserting the sketch estimate lands within 20% + 25 of exact
     (three ~1.6%-rsd estimates compound through inclusion-exclusion; the
-    bound is several times the observed error)."""
-    ut = _distinct_user_type(spark, sf_dir)
-    sk = ut.groupBy("event_type").agg(
-        F.expr("hll_sketch_agg(user_id)").alias("sk"),
-        F.count(F.lit(1)).alias("n"),
-    )
-    a = sk.select(
-        F.col("event_type").alias("type_a"),
-        F.col("sk").alias("sk_a"),
-        F.col("n").alias("n_a"),
-    )
-    b = sk.select(
-        F.col("event_type").alias("type_b"),
-        F.col("sk").alias("sk_b"),
-        F.col("n").alias("n_b"),
-    )
+    bound is several times the observed error).
+
+    Sketches aggregate raw events directly — HLL dedups by construction,
+    so no distinct pass; the exact intersection reuses the one-shuffle
+    per-user pair expansion (see audience_overlap_matrix)."""
+    e = load_table(spark, sf_dir, "events")
+    sk = e.groupBy("event_type").agg(F.expr("hll_sketch_agg(user_id)").alias("sk"))
+    a = sk.select(F.col("event_type").alias("type_a"), F.col("sk").alias("sk_a"))
+    b = sk.select(F.col("event_type").alias("type_b"), F.col("sk").alias("sk_b"))
     pairs = a.crossJoin(b).filter(F.col("type_a") < F.col("type_b"))
     est = pairs.select(
         "type_a",
         "type_b",
-        F.expr("hll_sketch_estimate(sk_a)").alias("est_a"),
-        F.expr("hll_sketch_estimate(sk_b)").alias("est_b"),
-        F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))").alias("est_union"),
-    ).withColumn("approx_both", F.col("est_a") + F.col("est_b") - F.col("est_union"))
+        (
+            F.expr("hll_sketch_estimate(sk_a)")
+            + F.expr("hll_sketch_estimate(sk_b)")
+            - F.expr("hll_sketch_estimate(hll_union(sk_a, sk_b))")
+        ).alias("approx_both"),
+    )
 
+    per_user = e.groupBy("user_id").agg(
+        F.array_sort(F.collect_set("event_type")).alias("types")
+    )
     exact = (
-        ut.alias("x")
-        .join(
-            ut.alias("y"),
-            (F.col("x.user_id") == F.col("y.user_id"))
-            & (F.col("x.event_type") < F.col("y.event_type")),
+        per_user.select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(types, (a, i) -> "
+                    "transform(slice(types, i + 2, size(types)), "
+                    "b -> struct(a AS type_a, b AS type_b))))"
+                )
+            ).alias("p")
         )
-        .groupBy(
-            F.col("x.event_type").alias("type_a"),
-            F.col("y.event_type").alias("type_b"),
-        )
+        .groupBy("p.type_a", "p.type_b")
         .agg(F.count(F.lit(1)).alias("n_both"))
     )
-    exact_union = exact.join(
-        F.broadcast(
-            est.select("type_a", "type_b", "approx_both")
-        ),
-        ["type_a", "type_b"],
-    )
-    return exact_union.select(
+    return exact.join(
+        F.broadcast(est), ["type_a", "type_b"]
+    ).select(
         "type_a",
         "type_b",
         "n_both",

@@ -455,3 +455,17 @@ def test_pagerank_summary_bounded_shuffles(spark):
     f = plan_facts(q(spark, "graph_pagerank"))
     assert f.python_evals == 0
     assert f.cartesian_products == 0
+
+
+def test_audience_matrix_single_user_shuffle(spark):
+    # One user-keyed groupBy builds the type sets; pair expansion happens
+    # in place and the remaining aggregates/joins run on the tiny |types|²
+    # key space (broadcast). No self-join of the distinct relation, no
+    # second pass over events, no Python.
+    f = plan_facts(q(spark, "audience_overlap_matrix"))
+    assert f.python_evals == 0
+    assert f.sortmerge_joins == 0
+    assert f.cartesian_products == 0
+    # user groupBy (appears once per consuming branch of the cached set
+    # build) + 2 tiny-key aggs
+    assert f.shuffle_exchanges <= 4
