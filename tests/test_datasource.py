@@ -324,3 +324,70 @@ def test_stream_reader_resumes_from_checkpoint(spark, tmp_path):
     rows = spark.read.parquet(out).groupBy("number").count().collect()
     assert sorted(r.number for r in rows) == list(range(8))
     assert all(r["count"] == 1 for r in rows)  # no replays across restart
+
+
+def _ws_client_over_socketpair():
+    """WebSocketClient wired to a raw socketpair, skipping the HTTP
+    handshake — unit-tests the framing layer in isolation."""
+    import socket
+
+    from chainhouse_spark.sources.ws import WebSocketClient
+
+    a, b = socket.socketpair()
+    client = WebSocketClient.__new__(WebSocketClient)
+    client._sock = a
+    client._buf = b""
+    return client, b
+
+
+def _server_frame(opcode, payload, fin=True, length_mode="auto"):
+    import struct
+
+    hdr = bytes([(0x80 if fin else 0x00) | opcode])
+    n = len(payload)
+    if length_mode == "force64":
+        hdr += bytes([127]) + struct.pack(">Q", n)
+    elif n < 126 and length_mode == "auto":
+        hdr += bytes([n])
+    else:
+        hdr += bytes([126]) + struct.pack(">H", n)
+    return hdr + payload
+
+
+def test_ws_client_reassembles_fragmented_and_extended_frames():
+    """TEXT+CONT fragmentation, 16-bit and 64-bit payload lengths, and an
+    interleaved ping must all reassemble into the right messages."""
+    client, srv = _ws_client_over_socketpair()
+    big16 = b"x" * 300          # 16-bit extended length
+    big64 = b"y" * 200          # artificially 64-bit-encoded length
+    srv.sendall(
+        _server_frame(0x1, b"hel", fin=False)
+        + _server_frame(0x9, b"hb")              # ping inside a fragment run
+        + _server_frame(0x0, b"lo ", fin=False)
+        + _server_frame(0x0, b"world", fin=True)
+        + _server_frame(0x1, big16)
+        + _server_frame(0x1, big64, length_mode="force64")
+    )
+    assert client.recv_text() == "hello world"
+    assert client.recv_text() == big16.decode()
+    assert client.recv_text() == big64.decode()
+    # the ping was answered with a masked pong carrying the same payload
+    hdr = srv.recv(2)
+    assert hdr[0] & 0x0F == 0xA and hdr[1] & 0x80  # pong, masked
+    n = hdr[1] & 0x7F
+    mask = srv.recv(4)
+    body = bytes(c ^ mask[i % 4] for i, c in enumerate(srv.recv(n)))
+    assert body == b"hb"
+
+
+def test_ws_client_surfaces_server_close():
+    import struct
+
+    import pytest
+
+    from chainhouse_spark.sources.ws import WebSocketClosed
+
+    client, srv = _ws_client_over_socketpair()
+    srv.sendall(_server_frame(0x8, struct.pack(">H", 1000)))
+    with pytest.raises(WebSocketClosed):
+        client.recv_text()
