@@ -3,6 +3,7 @@
     chainhouse-spark --ethereum <rpc-url> --from F --to T
                      [--clickhouse host:port] [--schema]
                      [--output /path/parquet] [--batch 1000]
+    chainhouse-spark --warehouse /path --sql "SELECT ..."   # post-ingest SQL
 
 Differences from the reference, all deliberate (SURVEY §7):
 - --clickhouse is HONORED (the reference parses and ignores it,
@@ -48,6 +49,8 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
     p.add_argument("--show", type=int, default=20, help="rows to display for --query")
     p.add_argument("--compact", help="compact a warehouse table (exact dedup rewrite); needs --output")
+    p.add_argument("--warehouse", help="ingested warehouse base path: registers the four chain tables as views")
+    p.add_argument("--sql", help="ad-hoc SQL to run over the registered views (with --warehouse)")
     return p
 
 
@@ -69,6 +72,35 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(f"unknown query: {args.query} (see --list-queries)")
         spark = build_spark(app_name=f"chainhouse-query-{args.query}")
         df = QUERIES[args.query](spark, args.sf_dir)
+        if args.explain:
+            df.explain("formatted")
+        else:
+            df.show(args.show, truncate=False)
+        spark.stop()
+        return 0
+
+    if args.warehouse:
+        # The day-to-day analyst path once data is ingested: the four chain
+        # tables become views and arbitrary SQL runs over them — the Spark
+        # stand-in for "connect clickhouse-client to the ethereum database".
+        import os as _os
+
+        from chainhouse_spark.schemas import TABLES
+
+        spark = build_spark(app_name="chainhouse-sql")
+        registered = []
+        for name in TABLES:
+            path = f"{args.warehouse}/{name}"
+            if _os.path.isdir(path):
+                spark.read.parquet(path).createOrReplaceTempView(name)
+                registered.append(name)
+        if not registered:
+            raise SystemExit(f"no chain tables found under {args.warehouse}")
+        if not args.sql:
+            print("registered views:", ", ".join(registered))
+            spark.stop()
+            return 0
+        df = spark.sql(args.sql)
         if args.explain:
             df.explain("formatted")
         else:

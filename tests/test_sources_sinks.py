@@ -593,3 +593,25 @@ def test_rowbinary_http_insert_path(spark):
         assert nums == sorted(r.number for r in blocks.collect())
     finally:
         srv.shutdown()
+
+
+def test_cli_warehouse_sql(spark, tmp_path, capsys):
+    """--warehouse registers the four ingested tables as views; --sql runs
+    ad-hoc analytics over them — the analyst path after ingest."""
+    from chainhouse_spark.cli import main
+    from chainhouse_spark.queries.ethereum import _tables
+    from chainhouse_spark.sinks.parquet import write_all
+
+    write_all(_tables(spark), str(tmp_path), mode="append")
+    rc = main([
+        "--warehouse", str(tmp_path),
+        "--sql",
+        "SELECT count(*) AS n_tx, count(DISTINCT blockNumber) AS n_blocks "
+        "FROM transactions",
+        "--show", "5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "n_tx" in out and "n_blocks" in out
+    # fixture pipeline: 35 transactions across 7 non-empty blocks
+    assert "35" in out and "7" in out
