@@ -15,10 +15,12 @@ Five families, each a DataFrame -> DataFrame transform:
 - simhash:                32-bit sign-sum sketch per doc + Hamming-banded
                           near-dup pairs.
 
-All hashing is md5 (engine-portable) so every stage is DuckDB-oracle-able:
-minhash values are *lexicographic minima of md5 hex strings*, which
-reproduce exactly anywhere md5 exists. No Python UDFs — every stage is
-built-in expressions (codegen) + shuffles on well-distributed keys.
+All hashing is md5-derived (engine-portable) so every stage is
+DuckDB-oracle-able: minhash values are minima of a Carter-Wegman family
+parameterized by the digest's 32-bit words (exact BIGINT arithmetic any
+engine replays), simhash bits come from digest hex digits. No Python
+UDFs — every stage is built-in expressions (codegen) + shuffles on
+well-distributed keys.
 
 Reference parity note: the reference's only dedup is ClickHouse
 ReplacingMergeTree eventual dedup-by-key (src/main.rs:87,122,139,156);
@@ -33,10 +35,6 @@ from pyspark.sql import functions as F
 
 from chainhouse_spark.functions.text import fingerprint, word_shingles
 from chainhouse_spark.operators.partitioning import spread
-
-# Lexicographic max for a 32-hex-char md5 string — fold seed for MIN.
-_MD5_MAX = "g" * 32
-
 
 def exact_dedup(
     df: DataFrame,
