@@ -54,6 +54,23 @@ def build_parser() -> argparse.ArgumentParser:
     return p
 
 
+def _stop_if_owned(spark) -> None:
+    """Stop the session only if this invocation created it — getOrCreate
+    returns any live session, and stopping one we merely joined would kill
+    the caller's (e.g. the test harness's shared) SparkContext."""
+    if getattr(spark, "_chainhouse_cli_owned", False):
+        spark.stop()
+
+
+def _cli_spark(app_name: str):
+    from pyspark.sql import SparkSession
+
+    existed = SparkSession.getActiveSession() is not None
+    spark = build_spark(app_name=app_name)
+    spark._chainhouse_cli_owned = not existed
+    return spark
+
+
 def main(argv: list[str] | None = None) -> int:
     args = build_parser().parse_args(argv)
 
@@ -70,13 +87,13 @@ def main(argv: list[str] | None = None) -> int:
 
         if args.query not in QUERIES:
             raise SystemExit(f"unknown query: {args.query} (see --list-queries)")
-        spark = build_spark(app_name=f"chainhouse-query-{args.query}")
+        spark = _cli_spark(f"chainhouse-query-{args.query}")
         df = QUERIES[args.query](spark, args.sf_dir)
         if args.explain:
             df.explain("formatted")
         else:
             df.show(args.show, truncate=False)
-        spark.stop()
+        _stop_if_owned(spark)
         return 0
 
     if args.warehouse:
@@ -87,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
 
         from chainhouse_spark.schemas import TABLES
 
-        spark = build_spark(app_name="chainhouse-sql")
+        spark = _cli_spark("chainhouse-sql")
         registered = []
         for name in TABLES:
             path = f"{args.warehouse}/{name}"
@@ -98,14 +115,14 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit(f"no chain tables found under {args.warehouse}")
         if not args.sql:
             print("registered views:", ", ".join(registered))
-            spark.stop()
+            _stop_if_owned(spark)
             return 0
         df = spark.sql(args.sql)
         if args.explain:
             df.explain("formatted")
         else:
             df.show(args.show, truncate=False)
-        spark.stop()
+        _stop_if_owned(spark)
         return 0
 
     if args.compact:
@@ -113,10 +130,10 @@ def main(argv: list[str] | None = None) -> int:
             raise SystemExit("--compact needs --output (the warehouse base path)")
         from chainhouse_spark.sinks.parquet import compact_table
 
-        spark = build_spark(app_name="chainhouse-compact")
+        spark = _cli_spark("chainhouse-compact")
         compact_table(spark, args.compact, args.output)
         print(f"compacted {args.compact}")
-        spark.stop()
+        _stop_if_owned(spark)
         return 0
 
     if args.schema:
@@ -133,7 +150,7 @@ def main(argv: list[str] | None = None) -> int:
     if not args.output and not args.clickhouse:
         raise SystemExit("pick a sink: --output (parquet) or --clickhouse (JDBC)")
 
-    spark = build_spark(app_name="chainhouse-etl")
+    spark = _cli_spark("chainhouse-etl")
     lo = args.from_block
     while lo <= args.to_block:
         hi = min(lo + args.batch - 1, args.to_block)
@@ -153,7 +170,7 @@ def main(argv: list[str] | None = None) -> int:
                 ch.write_jdbc(df, name, args.clickhouse)
         print(f"wrote blocks [{lo}, {hi}]")
         lo = hi + 1
-    spark.stop()
+    _stop_if_owned(spark)
     return 0
 
 

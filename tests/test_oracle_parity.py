@@ -16,11 +16,17 @@ from tests.conftest import SF_DIR
 
 
 def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
+    import tempfile
+
     con = duckdb.connect()
     # Cap + spill dir: under concurrent JVM memory pressure duckdb's default
     # 80%-of-RAM limit can fail with a hard bad_alloc; capped, it spills.
+    # The spill dir must be PER-CONNECTION: two concurrent pytest sessions
+    # sharing one spill path can read each other's spill files and return
+    # wrong oracle values (observed as sporadic window-query mismatches).
     con.execute("SET memory_limit='16GB'")
-    con.execute("SET temp_directory='/tmp/duckdb_spill'")
+    spill = tempfile.mkdtemp(prefix="duckdb_spill_")
+    con.execute(f"SET temp_directory='{spill}'")
     for t in [
         "region", "nation", "customer", "supplier", "part",
         "orders", "lineitem", "events", "documents", "embeddings",
