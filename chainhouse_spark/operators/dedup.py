@@ -258,30 +258,32 @@ def simhash(
     Bit j of md5(token) is extracted from hex digit j/4 (value via
     instr('0123456789abcdef', ch) - 1 — engine-portable); each token votes
     ±1 per bit; the sketch sets bits with positive vote sums.
-    Explode is tokens × nbits rows, all codegen, one groupBy(id, bit) +
-    one groupBy(id) — linear in corpus size.
+
+    The nbits vote tallies are nbits conditional-sum aggregates over the
+    token rows — ONE groupBy(id) shuffle carrying nbits ints per doc, no
+    per-bit row explosion (the earlier tokens × nbits explode pushed 32×
+    the rows through two shuffles for the same tallies). All codegen,
+    linear in corpus size.
     """
     tok = spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
     ).withColumn("h", F.md5(F.col("tok")))
-    bits = tok.select(
-        F.col(id_col),
-        F.col("h"),
-        F.explode(F.expr(f"sequence(0, {nbits - 1})")).alias("j"),
-    ).withColumn(
-        "vote",
-        F.expr(
-            "CASE WHEN (shiftright(instr('0123456789abcdef', substring(h, CAST(j / 4 AS INT) + 1, 1)) - 1, "
-            "j % 4) & 1) = 1 THEN 1 ELSE -1 END"
-        ),
+
+    def vote(j: int):
+        digit = f"(instr('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1)"
+        return F.expr(
+            f"CASE WHEN (shiftright({digit}, {j % 4}) & 1) = 1 THEN 1 ELSE -1 END"
+        )
+
+    tallies = tok.groupBy(id_col).agg(
+        *[F.sum(vote(j)).alias(f"s{j}") for j in range(nbits)]
     )
-    bitsums = bits.groupBy(id_col, "j").agg(F.sum("vote").alias("s"))
-    return bitsums.groupBy(id_col).agg(
-        F.sum(
-            F.expr("CASE WHEN s > 0 THEN CAST(shiftleft(CAST(1 AS BIGINT), j) AS BIGINT) ELSE 0 END")
-        ).alias("simhash")
+    sketch = " + ".join(
+        f"(CASE WHEN s{j} > 0 THEN CAST({1 << j} AS BIGINT) ELSE CAST(0 AS BIGINT) END)"
+        for j in range(nbits)
     )
+    return tallies.select(F.col(id_col), F.expr(sketch).alias("simhash"))
 
 
 def simhash_near_pairs(

@@ -1,15 +1,21 @@
 """IVF (inverted-file) approximate nearest neighbor over an embedding column.
 
-The scale path for similarity search: a KMeans coarse quantizer (Spark ML,
-JVM-side, trained once per corpus snapshot) splits the corpus into cells;
-each query scores only the `n_probe` cells whose centroids are nearest, so
-probe cost is ~ n_probe/n_cells of brute force. Recall < 1 by construction —
-tests measure it against operators.similarity.brute_force_topk.
+The scale path for similarity search: a KMeans coarse quantizer (pure
+DataFrame Lloyd's iterations — no pyspark.ml, whose import chain needs
+`_multiprocessing` and fails in restricted sandboxes) splits the corpus
+into cells; each query scores only the `n_probe` cells whose centroids are
+nearest, so probe cost is ~ n_probe/n_cells of brute force. Recall < 1 by
+construction — tests measure it against operators.similarity.brute_force_topk.
+
+Each Lloyd's iteration is one codegen-side argmin over a broadcast centroid
+literal (n_cells × dim doubles) plus one (cell, dim)-keyed partial-agg
+shuffle whose result — n_cells × dim rows — is collected to the driver.
+Nothing corpus-sized ever leaves the executors.
 
 Layout note for 100 TB: the cell assignment is exactly the partition/bucket
 key you would persist the corpus by (`partitionBy("cell")` on write), making
 a probe a partition-pruned scan plus a broadcast of the query batch; the
-KMeans fit itself samples the corpus (fit on a fraction — centroids don't
+quantizer fit itself samples the corpus (fit on a fraction — centroids don't
 need every row).
 
 Not SQL-expressible (iterative KMeans) -> registered rows-only with recall
@@ -25,24 +31,78 @@ from chainhouse_spark.functions.vector import cosine_sql
 from chainhouse_spark.operators.partitioning import spread
 
 
+def _centroid_literal(centroids: list[list[float]]):
+    """n_cells × dim column literal (tiny; ships inside the plan)."""
+    return F.array(*[F.array(*[F.lit(float(x)) for x in c]) for c in centroids])
+
+
+def _nearest_cell_expr(vec_col: str) -> str:
+    """0-based argmin over squared-L2 distance to each centroid in `_cent`.
+
+    Left-fold arithmetic (aggregate over zip_with) — deterministic order,
+    all inside WholeStageCodegen."""
+    dist = (
+        f"transform(_cent, c -> aggregate(zip_with(c, {vec_col}, "
+        f"(x, y) -> (x - CAST(y AS DOUBLE)) * (x - CAST(y AS DOUBLE))), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+    # array_position returns the FIRST index of the min -> deterministic
+    # tie-break (lowest cell id wins).
+    return f"CAST(array_position({dist}, array_min({dist})) - 1 AS INT)"
+
+
 def assign_cells(
     corpus: DataFrame,
     vec_col: str = "embedding",
     n_cells: int = 16,
     seed: int = 42,
+    n_iter: int = 8,
 ):
-    """Fit the coarse quantizer and return (assigned corpus, centroids).
+    """Fit the coarse quantizer (Lloyd's KMeans) and return
+    (assigned corpus, centroids).
+
+    Init is deterministic: the n_cells corpus vectors with the smallest
+    md5(json(vector)) digests (a hash-spread pseudo-random sample — a
+    TakeOrdered of n_cells rows, no full sort). `seed` keeps its place in
+    the signature for API stability; determinism comes from the hash order.
 
     centroids is a list of (cell_id, [float...]) — small by construction
     (n_cells × dim), safe to broadcast or keep driver-side.
     """
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector
+    vecs = corpus.select(F.col(vec_col).cast("array<double>").alias("_v"))
+    init_rows = (
+        vecs.withColumn("_h", F.md5(F.to_json(F.col("_v"))))
+        .orderBy("_h")
+        .limit(n_cells)
+        .collect()
+    )
+    cents = [list(r._v) for r in init_rows]
 
-    feat = corpus.withColumn("_fv", array_to_vector(F.col(vec_col).cast("array<double>")))
-    model = KMeans(k=n_cells, seed=seed, featuresCol="_fv", predictionCol="cell").fit(feat)
-    assigned = model.transform(feat).drop("_fv")
-    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(model.clusterCenters())]
+    for _ in range(n_iter):
+        assigned_v = vecs.withColumn("_cent", _centroid_literal(cents)).withColumn(
+            "cell", F.expr(_nearest_cell_expr("_v"))
+        )
+        # Mean per (cell, dim): partial aggregates map-side, final result is
+        # n_cells × dim rows — the only thing the driver ever sees.
+        means = (
+            assigned_v.select("cell", F.posexplode("_v").alias("pos", "val"))
+            .groupBy("cell", "pos")
+            .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+            .collect()
+        )
+        by_cell: dict[int, dict[int, float]] = {}
+        for r in means:
+            by_cell.setdefault(r.cell, {})[r.pos] = r.s / r.n
+        # Empty cells keep their previous centroid.
+        cents = [
+            [by_cell[i][p] for p in range(len(cents[i]))] if i in by_cell else cents[i]
+            for i in range(n_cells)
+        ]
+
+    assigned = corpus.withColumn("_cent", _centroid_literal(cents)).withColumn(
+        "cell", F.expr(_nearest_cell_expr(vec_col))
+    ).drop("_cent")
+    centroids = [(i, [float(x) for x in c]) for i, c in enumerate(cents)]
     return assigned, centroids
 
 
