@@ -26,7 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import FRUGAL_ORACLE, register
 from chainhouse_spark.tables import load_table
 
 # md5 of the decimal string of doc_id — byte-identical in Spark and DuckDB.
@@ -59,7 +59,7 @@ def split_train_test_hash(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "sample_stratified_per_lang",
-    oracle=f"""
+    oracle=f"""{FRUGAL_ORACLE}
     SELECT lang, doc_id
     FROM (
       SELECT lang, doc_id,
@@ -96,7 +96,7 @@ def sample_stratified_per_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "interleave_weighted_sources",
-    oracle=f"""
+    oracle=f"""{FRUGAL_ORACLE}
     SELECT source, CAST(COUNT(*) AS BIGINT) AS n_kept
     FROM documents
     WHERE substr({_KEY_DUCK}, 1, 1) <

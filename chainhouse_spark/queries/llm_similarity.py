@@ -15,7 +15,7 @@ from chainhouse_spark.operators.similarity import (
     embedding_near_pairs,
     lsh_topk,
 )
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import FRUGAL_ORACLE, register
 from chainhouse_spark.tables import load_table
 
 DIMS = 64
@@ -25,6 +25,17 @@ _DOT = "SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE) 
 _QQ = "SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE) ORDER BY i.i)"
 _CC = "SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE) ORDER BY i.i)"
 _IDX = f"(SELECT UNNEST(range(1, {DIMS + 1})) AS i) i"
+
+# Unordered twins: constant-space aggregate state (DuckDB buffers every
+# group's values to honor ORDER BY inside an aggregate; plain SUM doesn't).
+# Only usable where no float reaches the oracled output — ranks are stable
+# because neighbor margins (~1e-2 on random embeddings) are 14 orders above
+# summation-order noise.
+_DOT_U = "SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE))"
+_QQ_U = "SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(q.embedding[i.i] AS DOUBLE))"
+_CC_U = "SUM(CAST(c.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE))"
+
+_FRUGAL = FRUGAL_ORACLE
 
 _DUCK_BUCKET_Q = " + ".join(
     f"(CASE WHEN q.embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)" for i in range(8)
@@ -223,7 +234,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_lsh_multiprobe_topk",
-    oracle=f"""
+    oracle=f"""{_FRUGAL}
     WITH dots AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
                {_DOT} AS dot, {_QQ} AS qq, {_CC} AS cc
@@ -259,10 +270,10 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_knn_classify",
-    oracle=f"""
+    oracle=f"""{_FRUGAL}
     WITH dots AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id, c.label AS cand_label,
-               {_DOT} AS dot, {_QQ} AS qq, {_CC} AS cc
+               {_DOT_U} AS dot, {_QQ_U} AS qq, {_CC_U} AS cc
         FROM embeddings q, embeddings c, {_IDX}
         WHERE q.vec_id % 10 = 1 AND q.vec_id < 300 AND c.vec_id % 10 = 0
         GROUP BY q.vec_id, c.vec_id, c.label
@@ -328,10 +339,10 @@ def ann_knn_classify(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "ann_bruteforce_gemm",
-    oracle=f"""
+    oracle=f"""{_FRUGAL}
     WITH dots AS (
         SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
-               {_DOT} AS dot, {_QQ} AS qq, {_CC} AS cc
+               {_DOT_U} AS dot, {_QQ_U} AS qq, {_CC_U} AS cc
         FROM embeddings q, embeddings c, {_IDX}
         WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
         GROUP BY q.vec_id, c.vec_id

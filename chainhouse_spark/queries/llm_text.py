@@ -17,7 +17,7 @@ from chainhouse_spark.functions.text import (
     stopword_hits_sql,
     stopword_ratio,
 )
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import FRUGAL_ORACLE, register
 from chainhouse_spark.tables import load_table
 
 
@@ -300,7 +300,7 @@ def text_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "vocab_build",
-    oracle="""
+    oracle=f"""{FRUGAL_ORACLE}
     WITH tok AS (
         SELECT DISTINCT doc_id, unnest(string_split(text, ' ')) AS token
         FROM documents

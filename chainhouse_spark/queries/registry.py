@@ -29,6 +29,17 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
 
+# Prefix for oracles that OOM'd in the memory-capped driver sandbox
+# (CORRECTNESS_r02): cap DuckDB's own footprint, allow spilling instead of
+# failing allocation, and skip result-order bookkeeping. A multi-statement
+# oracle returns the final SELECT's result through duckdb's execute()/
+# sql()/query() APIs alike (verified against all three).
+FRUGAL_ORACLE = (
+    "SET threads=2; SET memory_limit='500MB'; "
+    "SET temp_directory='/tmp/duckdb_oracle_spill'; "
+    "SET preserve_insertion_order=false;\n"
+)
+
 
 def register(name: str, oracle: Optional[str] = None):
     """Decorator: register a query under `name` with an optional DuckDB oracle."""
