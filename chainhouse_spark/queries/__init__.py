@@ -10,11 +10,13 @@ from chainhouse_spark.queries.registry import QUERIES, ORACLES, register  # noqa
 # Import for side effect: each module registers its queries.
 #
 # ORDER MATTERS for driver verification: the driver's per-round oracle check
-# walks queries in registration order and (empirically, round 1) covers ~50
-# per round. Families verified green in a previous round rotate to the BACK
-# so each round's driver budget lands on not-yet-driver-verified queries.
-# Round 1 verified: tpch, tpch_extended, tpch_complete, joins, aggregates,
-# windows[0:7] (CORRECTNESS_r01.json) -> those now sit last.
+# walks queries in registration order and (empirically, rounds 1-2) covers
+# ~50 per round. After all modules import, `_rotate()` below rebuilds the
+# registry order for round 3: queries needing a driver RE-check first (the
+# 8 non-green rows from r01/r02 plus the two simhash queries whose
+# implementation changed this round), then the 89 queries that have never
+# received a driver verdict, then the cross-round driver-green set at the
+# back (their green rows stand; code audited unchanged).
 from chainhouse_spark.queries import llm_dedup  # noqa: E402,F401
 from chainhouse_spark.queries import llm_similarity  # noqa: E402,F401
 from chainhouse_spark.queries import llm_text  # noqa: E402,F401
@@ -47,3 +49,70 @@ from chainhouse_spark.queries import tpch_extended  # noqa: E402,F401
 from chainhouse_spark.queries import tpch_complete  # noqa: E402,F401
 from chainhouse_spark.queries import joins  # noqa: E402,F401
 from chainhouse_spark.queries import aggregates  # noqa: E402,F401
+
+# Round-3 rotation. Non-green driver rows (CORRECTNESS_r01/r02 errs) plus
+# queries whose implementation changed since their last green row — the
+# driver must re-check these first.
+_RECHECK_FIRST = [
+    "ann_ivf_topk",              # r02: pyspark.ml import crash — reimplemented
+    "ann_lsh_multiprobe_topk",   # r02: oracle OOM — frugal oracle
+    "ann_knn_classify",          # r02: oracle OOM — frugal oracle
+    "ann_bruteforce_gemm",       # r02: oracle OOM — frugal oracle
+    "vocab_build",               # r02: oracle OOM — frugal oracle
+    "sample_stratified_per_lang",  # r02: oracle OOM — frugal oracle
+    "interleave_weighted_sources",  # r02: oracle OOM — frugal oracle
+    "agg_approx_distinct",       # r01: no_oracle — oracled in r2, unchecked
+    "dedup_simhash",             # impl rewritten r3 (no per-bit explode)
+    "dedup_simhash_pairs",       # consumes the rewritten sketch
+]
+
+# Union of green rows across CORRECTNESS_r01.json + CORRECTNESS_r02.json
+# (tools/correctness_coverage.py) — these rotate to the back.
+_DRIVER_GREEN = {
+    "agg_cube", "agg_distinct", "agg_grouping_sets", "agg_min_max_by",
+    "agg_mode_deterministic", "agg_percentiles", "agg_rollup",
+    "agg_salted_two_phase", "agg_string_collect", "agg_uniq_up_to",
+    "agg_unpivot", "ann_bruteforce_topk", "ann_lsh_topk", "asof_next_error",
+    "asof_purchase_click", "attribution_last_click", "audience_overlap_matrix",
+    "dataset_profile", "decontaminate_against_testset",
+    "dedup_duplicate_clusters", "dedup_edit_distance_pairs", "dedup_exact",
+    "dedup_exact_normalized", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_substring_spans", "embedding_near_pairs", "embedding_norms",
+    "filter_quality_gate_by_source", "funnel_depth_histogram", "funnel_steps",
+    "interval_join_binned", "join_anti", "join_cross", "join_fact_fact",
+    "join_full_outer", "join_inner_broadcast", "join_left_outer",
+    "join_salted_skew", "join_self", "join_semi", "pack_documents_greedy",
+    "pipeline_clean_corpus", "q10_returned_items", "q11_important_parts",
+    "q12_lateness_priority", "q13_customer_distribution", "q14_promo_revenue",
+    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity_revenue",
+    "q18_large_orders", "q19_disjunctive_revenue", "q1_pricing_summary",
+    "q20_excess_suppliers", "q21_waiting_supplier", "q22_idle_customers",
+    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
+    "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
+    "q8_market_share", "q9_product_profit", "range_join_sessions",
+    "retention_weekly", "search_bm25_topk", "search_hybrid_rrf",
+    "search_inverted_index", "semantic_dedup_kept", "sequence_match_regex",
+    "sequence_pairs_click_purchase", "split_train_test_hash",
+    "text_chunk_chars", "text_chunk_words", "text_fingerprint", "text_langid",
+    "text_pii_redaction", "text_quality_scores", "text_repetition_metrics",
+    "text_token_stats", "tfidf_top_terms", "window_first_last",
+    "window_lag_lead", "window_range_interval_frame",
+    "window_rank_dense_ntile", "window_running_sum", "window_sliding_frame",
+    "window_topn_per_group",
+}
+
+
+def _rotate() -> None:
+    front = [n for n in _RECHECK_FIRST if n in QUERIES]
+    in_front = set(front)
+    mid = [n for n in QUERIES if n not in in_front and n not in _DRIVER_GREEN]
+    back = [n for n in QUERIES if n in _DRIVER_GREEN and n not in in_front]
+    order = front + mid + back
+    assert len(order) == len(QUERIES)
+    for d in (QUERIES, ORACLES):
+        reordered = {n: d[n] for n in order if n in d}
+        d.clear()
+        d.update(reordered)
+
+
+_rotate()
