@@ -65,7 +65,13 @@ def _stop_if_owned(spark) -> None:
 def _cli_spark(app_name: str):
     from pyspark.sql import SparkSession
 
-    existed = SparkSession.getActiveSession() is not None
+    # getActiveSession is thread-local; a session created on another thread
+    # (or with cleared active state) is only visible via getDefaultSession.
+    # Checking both keeps us from stopping a SparkContext we merely joined.
+    existed = (
+        SparkSession.getActiveSession() is not None
+        or SparkSession.getDefaultSession() is not None
+    )
     spark = build_spark(app_name=app_name)
     spark._chainhouse_cli_owned = not existed
     return spark

@@ -68,6 +68,18 @@ def image_features(assets: DataFrame) -> DataFrame:
                 continue
             payloads = [bytes(p) for p in pdf["payload"]]
             sizes = np.fromiter((len(p) for p in payloads), dtype=np.int64)
+            expected = (
+                3
+                * pdf["width"].to_numpy(dtype=np.int64)
+                * pdf["height"].to_numpy(dtype=np.int64)
+            )
+            if not np.array_equal(sizes, expected):
+                bad = pdf["asset_id"].to_numpy()[sizes != expected]
+                raise ValueError(
+                    f"payload size != 3*width*height for asset_ids {bad.tolist()[:5]}"
+                    " — a mismatched payload would shift every subsequent"
+                    " image's reduceat offsets"
+                )
             buf = np.frombuffer(b"".join(payloads), dtype=np.uint8)
             px = buf.reshape(-1, 3).astype(np.int64)
             # pixel-row offset where each image starts

@@ -217,17 +217,17 @@ def brute_force_topk_gemm(
     # Driver-collect guard: the small-side contract (queries ≪ corpus) is
     # load-bearing — the query matrix lands on the driver and broadcasts to
     # every task. A mis-sized call must fail loudly, not OOM the driver:
-    # limit(max_queries + 1) bounds the probe itself, so even a huge query
-    # set costs one extra row, never a full collect.
-    probe = queries.select(id_col).limit(max_queries + 1).count()
-    if probe > max_queries:
+    # limit(max_queries + 1) bounds the collect itself, so even a huge query
+    # set costs one extra row — and the guard shares the one job with the
+    # collect instead of executing the query lineage twice.
+    q_rows = queries.select(id_col, vec_col).limit(max_queries + 1).collect()
+    if len(q_rows) > max_queries:
         raise ValueError(
             f"brute_force_topk_gemm: query side exceeds {max_queries} rows — "
             "this operator collects+broadcasts the query matrix (small-side "
             "contract). Swap query/corpus sides, pre-partition the queries, "
             "or raise max_queries explicitly if the driver can hold them."
         )
-    q_rows = queries.select(id_col, vec_col).collect()
     q_ids = np.array([r[0] for r in q_rows], dtype=np.int64)
     qm = np.array([r[1] for r in q_rows], dtype=np.float64)
     qm /= np.linalg.norm(qm, axis=1, keepdims=True)

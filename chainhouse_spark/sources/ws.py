@@ -182,24 +182,40 @@ def ws_transport(endpoint: str, timeout: float = 30.0):
     """JSON-RPC Transport over one WebSocket connection (the ws/wss
     counterpart of rpc.http_transport; same signature, same per-partition
     lifecycle). Responses match on JSON-RPC id; unsolicited notifications
-    are skipped."""
-    client = WebSocketClient(endpoint, timeout=timeout)
-    counter = {"id": 0}
+    are skipped.
+
+    Transport errors (closed socket, OS error, timeout) tear the connection
+    down before re-raising: a timeout mid-frame leaves the byte stream
+    desynchronized, so the same client must never be reused — the caller's
+    retry (sources/rpc.py fetch bounded retries, else Spark task retry) gets
+    a freshly-connected client with clean framing state."""
+    state: dict[str, Any] = {"client": None, "id": 0}
 
     def call(method: str, params: list[Any]) -> Any:
-        counter["id"] += 1
-        rid = counter["id"]
-        client.send_text(
-            json.dumps(
-                {"jsonrpc": "2.0", "id": rid, "method": method, "params": params}
+        if state["client"] is None:
+            state["client"] = WebSocketClient(endpoint, timeout=timeout)
+        client = state["client"]
+        state["id"] += 1
+        rid = state["id"]
+        try:
+            client.send_text(
+                json.dumps(
+                    {"jsonrpc": "2.0", "id": rid, "method": method, "params": params}
+                )
             )
-        )
-        while True:
-            body = json.loads(client.recv_text())
-            if body.get("id") != rid:  # subscription push etc.
-                continue
-            if "error" in body:
-                raise RuntimeError(f"RPC error for {method}: {body['error']}")
-            return body["result"]
+            while True:
+                body = json.loads(client.recv_text())
+                if body.get("id") != rid:  # subscription push etc.
+                    continue
+                if "error" in body:
+                    raise RuntimeError(f"RPC error for {method}: {body['error']}")
+                return body["result"]
+        except (WebSocketClosed, OSError):
+            state["client"] = None
+            try:
+                client.close()
+            except OSError:
+                pass
+            raise
 
     return call
