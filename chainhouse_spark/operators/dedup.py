@@ -255,26 +255,31 @@ def simhash(
 ) -> DataFrame:
     """32-bit SimHash per doc over distinct tokens.
 
-    Bit j of md5(token) is extracted from hex digit j/4 (value via
-    instr('0123456789abcdef', ch) - 1 — engine-portable); each token votes
-    ±1 per bit; the sketch sets bits with positive vote sums.
+    Bit j of md5(token) is bit j%4 of hex digit j/4 (the definition the
+    DuckDB oracle replays digit-by-digit). Here the first nbits/4 hex
+    digits are decoded ONCE per token with a single conv(hex,16,10) into a
+    bigint v — digit p (1-based) lands at bits [4*(nbits/4-p), ...+3] of v,
+    so vote j is one integer shift/mask: (v >> (4*(nbits/4-1 - j/4) + j%4)) & 1.
 
     The nbits vote tallies are nbits conditional-sum aggregates over the
     token rows — ONE groupBy(id) shuffle carrying nbits ints per doc, no
     per-bit row explosion (the earlier tokens × nbits explode pushed 32×
-    the rows through two shuffles for the same tallies). All codegen,
-    linear in corpus size.
+    the rows through two shuffles for the same tallies), and one string
+    decode per token instead of nbits. All codegen, linear in corpus size.
     """
+    if nbits % 4:
+        raise ValueError(f"nbits must be a multiple of 4 (hex digits), got {nbits}")
+    ndigits = nbits // 4
     tok = spread(df, id_col).select(
         F.col(id_col),
         F.explode(F.array_distinct(F.split(F.col(text_col), " "))).alias("tok"),
-    ).withColumn("h", F.md5(F.col("tok")))
+    ).withColumn(
+        "v", F.expr(f"CAST(conv(substring(md5(tok), 1, {ndigits}), 16, 10) AS BIGINT)")
+    )
 
     def vote(j: int):
-        digit = f"(instr('0123456789abcdef', substring(h, {j // 4 + 1}, 1)) - 1)"
-        return F.expr(
-            f"CASE WHEN (shiftright({digit}, {j % 4}) & 1) = 1 THEN 1 ELSE -1 END"
-        )
+        shift = 4 * (ndigits - 1 - j // 4) + (j % 4)
+        return F.expr(f"CASE WHEN (shiftright(v, {shift}) & 1) = 1 THEN 1 ELSE -1 END")
 
     tallies = tok.groupBy(id_col).agg(
         *[F.sum(vote(j)).alias(f"s{j}") for j in range(nbits)]
