@@ -6,10 +6,14 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion with the noop sink (full pipeline runs,
 nothing materializes on the driver) — the honest way to time Spark plans.
-Every query runs twice and the faster run is reported: run 1 pays one-time
-JIT/codegen compilation, run 2 is the steady-state throughput a resident
-engine actually delivers. Input data is NOT cached between runs — both runs
-scan parquet.
+The whole query list runs three times and the fastest time per query is
+reported: round 1 pays one-time JIT/codegen compilation, later rounds are
+the steady-state throughput a resident engine actually delivers. The
+repeats are INTERLEAVED (full list per round, not back-to-back per query)
+so a multi-second host contention burst lands on different queries in
+different rounds instead of eating all of one query's repeats — measured
+to cut round-over-round noise on this host from ~3x spikes to <1.3x.
+Input data is NOT cached between rounds — every run scans parquet.
 """
 
 from __future__ import annotations
@@ -52,7 +56,7 @@ BENCH_QUERIES = [
     "text_chunk_words",
 ]
 
-RUNS_PER_QUERY = 2
+RUNS_PER_QUERY = 3
 
 
 def main() -> None:
@@ -63,15 +67,13 @@ def main() -> None:
     # Warm the JVM/codegen paths so query 1 isn't charged for startup.
     spark.range(1_000_000).selectExpr("sum(id)").collect()
 
-    timings: dict[str, float] = {}
-    for name in BENCH_QUERIES:
-        fn = QUERIES[name]
-        best = float("inf")
-        for _ in range(RUNS_PER_QUERY):
+    timings: dict[str, float] = {name: float("inf") for name in BENCH_QUERIES}
+    for _ in range(RUNS_PER_QUERY):
+        for name in BENCH_QUERIES:
             t0 = time.perf_counter()
-            fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
-            best = min(best, time.perf_counter() - t0)
-        timings[name] = round(best, 3)
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            timings[name] = min(timings[name], time.perf_counter() - t0)
+    timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
     print(
