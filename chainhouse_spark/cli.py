@@ -32,10 +32,11 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--clickhouse", help="ClickHouse endpoint host:port")
     p.add_argument(
         "--ch-protocol",
-        choices=["rowbinary", "jdbc"],
+        choices=["rowbinary", "native", "jdbc"],
         default="rowbinary",
-        help="ClickHouse insert path: native RowBinary over HTTP (default, "
-        "K6 parity) or generic JDBC",
+        help="ClickHouse insert path: RowBinary over HTTP (default, K6 "
+        "parity), native TCP protocol on port 9000 (the reference's wire, "
+        "provisions tables first), or generic JDBC",
     )
     p.add_argument("--from", dest="from_block", type=int, help="first block (inclusive)")
     p.add_argument("--to", dest="to_block", type=int, help="last block (inclusive)")
@@ -154,9 +155,15 @@ def main(argv: list[str] | None = None) -> int:
     if not args.ethereum:
         raise SystemExit("--ethereum endpoint required for extraction")
     if not args.output and not args.clickhouse:
-        raise SystemExit("pick a sink: --output (parquet) or --clickhouse (JDBC)")
+        raise SystemExit(
+            "pick a sink: --output (parquet) or --clickhouse (RowBinary/native/JDBC)"
+        )
 
     spark = _cli_spark("chainhouse-etl")
+    if args.clickhouse and args.ch_protocol == "native" and not args.output:
+        from chainhouse_spark.sinks.native_tcp import provision_native_tcp
+
+        provision_native_tcp(args.clickhouse)
     lo = args.from_block
     while lo <= args.to_block:
         hi = min(lo + args.batch - 1, args.to_block)
@@ -171,6 +178,11 @@ def main(argv: list[str] | None = None) -> int:
 
             for name, df in tables.items():
                 write_rowbinary_http(df, name, args.clickhouse)
+        elif args.ch_protocol == "native":
+            from chainhouse_spark.sinks.native_tcp import write_native_tcp
+
+            for name, df in tables.items():
+                write_native_tcp(df, name, args.clickhouse)
         else:
             for name, df in tables.items():
                 ch.write_jdbc(df, name, args.clickhouse)

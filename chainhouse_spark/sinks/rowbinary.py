@@ -3,10 +3,11 @@ the reference's `INSERT INTO ... FORMAT native` bulk load (src/main.rs:
 294-309), built on ClickHouse's documented RowBinary encoding over the HTTP
 interface (stdlib urllib; no driver jar, no third-party client).
 
-Why RowBinary and not `FORMAT Native`: both are ClickHouse bulk formats;
-Native is column-blocked, RowBinary is row-sequenced — but over HTTP both
-stream through the same server-side parser, and RowBinary's spec is a
-stable, byte-exact contract a test can pin WITHOUT a running server.
+Why RowBinary over HTTP as the default: RowBinary's spec is a stable,
+byte-exact contract a test can pin WITHOUT a running server, and the HTTP
+interface needs no protocol negotiation. Column-blocked `FORMAT Native`
+over the native TCP protocol — the reference's actual wire — lives in
+sinks/native_tcp.py for native-TCP-only deployments.
 The JDBC path (sinks/clickhouse.py) remains the generic-database fallback;
 this path carries the chain tables' full fidelity: FixedString widths, real
 UInt256 (32-byte LE) for u256 decimals, Array columns as native arrays
