@@ -469,3 +469,21 @@ def test_audience_matrix_single_user_shuffle(spark):
     # user groupBy (appears once per consuming branch of the cached set
     # build) + 2 tiny-key aggs
     assert f.shuffle_exchanges <= 4
+
+
+def test_simhash_one_generate_two_exchanges(spark):
+    # conv() decodes the sketch's hex digits once per token; the 32 bit
+    # votes are conditional sums in ONE groupBy(doc_id). Pin: exactly one
+    # Generate (the token explode — no per-bit sequence explode) and at
+    # most 2 shuffles (spread + the aggregation), all JVM-side.
+    import re
+
+    from chainhouse_spark.plans.audit import explain_formatted
+
+    df = q(spark, "dedup_simhash")
+    f = plan_facts(df)
+    assert f.python_evals == 0
+    assert f.shuffle_exchanges <= 2
+    text = explain_formatted(df)
+    gens = len(re.findall(r"^\s*\(\d+\)\s+Generate\b", text, re.M))
+    assert gens == 1

@@ -234,3 +234,48 @@ def test_rowbinary_encode_decode_roundtrip_property(rows):
         assert dec["removed"] == orig.removed
         assert dec["note"] == orig.note
         assert dec["topics"] == list(orig.topics)
+
+
+def test_lsh_star_cap_preserves_near_dup_clusters(spark):
+    """Recall property under the bucket cap on a NEAR-dup corpus (distinct
+    texts, unlike the identical-docs bound above): forcing a tiny cap so
+    family-sized buckets hit the star fallback must leave the downstream
+    connected-components clustering identical to the uncapped expansion —
+    the star keeps every bucket connected through its anchor, so cluster
+    membership (what semantic dedup consumes) loses nothing even though
+    the pair set shrinks."""
+    from chainhouse_spark.operators.components import connected_components
+    from chainhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    rows = []
+    doc_id = 0
+    for fam in range(5):  # 5 families x 40 near-dup docs + 50 singletons
+        # disjoint per-family vocabulary so families can't cross-connect
+        fam_text = " ".join(f"fam{fam}word{j}" for j in range(40))
+        for k in range(40):
+            rows.append((doc_id, fam_text + f" tail{k}"))
+            doc_id += 1
+    for k in range(50):
+        rows.append((doc_id, f"unique{k} " + " ".join(f"w{k}_{j}" for j in range(40))))
+        doc_id += 1
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_words=3)
+
+    def clusters(max_bucket):
+        pairs = lsh_candidate_pairs(
+            sigs, num_hashes=16, bands=4, max_bucket=max_bucket
+        ).select("doc_a", "doc_b")
+        cc = connected_components(pairs, src="doc_a", dst="doc_b")
+        return {(r.node, r.cluster_id) for r in cc.collect()}
+
+    capped = clusters(max_bucket=8)  # families are 40 wide -> star path
+    uncapped = clusters(max_bucket=10**9)
+    assert capped == uncapped
+    # sanity: the families actually clustered (5 clusters of 40 nodes)
+    from collections import Counter
+
+    sizes = Counter(cid for _, cid in uncapped)
+    assert sorted(v for v in sizes.values() if v > 1) == [40] * 5
