@@ -214,10 +214,24 @@ def ngram_jaccard_pairs(
     jaccard = |A ∩ B| / (|A| + |B| − |A ∩ B|) over distinct shingle sets.
     The self-join is on the shingle (inverted index), so only docs sharing
     at least one shingle ever meet — at scale, run it on LSH candidates.
+
+    Shingles are keyed by xxhash64 (8 bytes) rather than the raw n-gram
+    string — the distinct, the inverted-index exchange, and the self-join
+    all carry fixed-width longs instead of ~16–60-byte strings, and the
+    key is never output so no oracle has to replay it. A 64-bit hash over
+    per-corpus distinct shingles makes collisions (which would perturb
+    |A ∩ B| by 1) vanishingly rare; tests/test_dedup.py pins zero
+    collisions on the real test corpus.
     """
-    sh = spread(df, id_col).select(
-        F.col(id_col), F.explode(word_shingles(text_col, shingle_words)).alias("shingle")
-    ).distinct()
+    sh = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, shingle_words)).alias("_sh_str"),
+        )
+        .select(F.col(id_col), F.xxhash64("_sh_str").alias("shingle"))
+        .distinct()
+    )
     sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
 
     a, b = sh.alias("a"), sh.alias("b")

@@ -129,3 +129,19 @@ def test_multiprobe_recall_dominates_single_probe(spark):
     r_multi = len(exact & multi) / len(exact)
     assert r_multi >= r_single
     assert r_multi >= 0.1, f"multiprobe recall floor broken: {r_multi:.2f}"
+
+
+def test_ngram_shingle_hash_collision_free_on_corpus(spark):
+    """ngram_jaccard_pairs keys its inverted index by xxhash64(shingle)
+    instead of the raw string (operators/dedup.py). A 64-bit collision
+    would perturb |A ∩ B| and break the string-keyed DuckDB oracle, so pin
+    that the real test corpus has zero colliding shingles."""
+    from chainhouse_spark.functions.text import word_shingles
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sh = docs.select(
+        F.explode(word_shingles("text", 3)).alias("s")
+    ).distinct()
+    n_str = sh.count()
+    n_hash = sh.select(F.xxhash64("s")).distinct().count()
+    assert n_str == n_hash
