@@ -1,0 +1,298 @@
+"""Round-3 additions to the LLM-pipeline surface: int8-quantized embedding
+search, Bloom-filter decontamination, corpus-vs-corpus overlap estimation,
+and k-means corpus clustering.
+
+Registered LAST (imported after every other query module in __init__.py) so
+they join the driver-verification queue behind the queries that are still
+waiting for their first driver verdict — the rotation targets stay intact.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.operators.bloom import (
+    BLOOM_BITS,
+    BLOOM_HASHES,
+    bloom_decontaminate,
+)
+from chainhouse_spark.operators.dedup import MINHASH_PRIME
+from chainhouse_spark.queries.llm_dedup import _duck_hex8
+from chainhouse_spark.operators.quantize import quantize_int8, quantized_topk
+from chainhouse_spark.queries.registry import FRUGAL_ORACLE, register
+from chainhouse_spark.tables import load_table
+
+DIMS = 64
+
+# DuckDB twins of operators/quantize.py's quantization rule.
+_DUCK_SCALE = "list_max(list_transform(embedding, x -> abs(CAST(x AS DOUBLE)))) / 127.0"
+_DUCK_QELEM = (
+    "CASE WHEN scale = 0 THEN 0 "
+    "ELSE CAST(FLOOR(CAST(embedding[i.i] AS DOUBLE) / scale + 0.5) AS INT) END"
+)
+_IDX = f"(SELECT UNNEST(range(1, {DIMS + 1})) AS i) i"
+
+
+@register(
+    "embedding_quantize_int8",
+    oracle=f"""
+    WITH sc AS (
+        SELECT vec_id, embedding, {_DUCK_SCALE} AS scale FROM embeddings
+    )
+    SELECT vec_id, scale,
+           ARRAY_AGG({_DUCK_QELEM} ORDER BY i.i) AS q
+    FROM sc, {_IDX}
+    GROUP BY vec_id, scale
+    """,
+)
+def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric int8 quantization of every embedding: (vec_id, scale, q).
+    Map-only; q is the 4×-narrower column downstream stages shuffle."""
+    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+
+@register(
+    "ann_quantized_topk",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH sc AS (
+        SELECT vec_id, embedding, {_DUCK_SCALE} AS scale FROM embeddings
+    ),
+    q8 AS (
+        SELECT vec_id, scale, i.i AS i, CAST({_DUCK_QELEM} AS BIGINT) AS qv
+        FROM sc, {_IDX}
+    ),
+    dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               SUM(a.qv * b.qv) AS idot
+        FROM q8 a JOIN q8 b ON a.i = b.i
+        WHERE a.vec_id < 5 AND b.vec_id != a.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id,
+               CAST(idot AS DOUBLE) * qs.scale * cs.scale AS score,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CAST(idot AS DOUBLE) * qs.scale * cs.scale DESC,
+                            cand_id
+               ) AS rank
+        FROM dots
+        JOIN sc qs ON qs.vec_id = query_id
+        JOIN sc cs ON cs.vec_id = cand_id
+    )
+    SELECT query_id, cand_id, score, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-10 neighbors for vec_id < 5 scored on the int8-quantized vectors:
+    exact BIGINT dot products (no float fold) rescaled by the two scales —
+    the 4×-less-bandwidth scoring path."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    return quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+
+
+# Bloom decontamination: same held-out split (doc_id % 97 = 0) as the exact
+# decontaminate_against_testset, so the two results are directly comparable
+# (bloom hits ⊇ exact hits; the difference is the false-positive set).
+_DUCK_BLOOM_POS = f"""
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    shm AS (
+        SELECT DISTINCT doc_id, md5(array_to_string(t[i:i+2], ' ')) AS m
+        FROM tok, LATERAL (SELECT UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS i) ii
+    ),
+    hh AS (
+        SELECT doc_id, m,
+               {_duck_hex8("m", 1)} AS h1,
+               {_duck_hex8("m", 9)} AS h2
+        FROM shm
+    ),
+    pos AS (
+        SELECT doc_id, m, CAST((h1 + j.j * h2) % {BLOOM_BITS} AS INT) AS pos
+        FROM hh, (SELECT UNNEST(range(0, {BLOOM_HASHES})) AS j) j
+    )
+"""
+
+
+@register(
+    "decontaminate_bloom",
+    oracle=f"""
+    WITH {_DUCK_BLOOM_POS},
+    bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 97 = 0),
+    hits AS (
+        SELECT p.doc_id, p.m, COUNT(*) AS n_set
+        FROM pos p JOIN bits USING (pos)
+        WHERE p.doc_id % 97 <> 0
+        GROUP BY p.doc_id, p.m
+        HAVING COUNT(*) = {BLOOM_HASHES}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits
+    FROM hits GROUP BY doc_id
+    """,
+)
+def decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Training docs flagged by the 64 Ki-bit / 3-hash Bloom filter built
+    from the held-out split's 3-gram shingles. Constant-size broadcast
+    regardless of test-set size; false positives deterministic and replayed
+    by the oracle."""
+    docs = load_table(spark, sf_dir, "documents")
+    return bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )
+
+
+# Corpus-overlap: per-source shingle sets compared two ways — exact Jaccard
+# via the inverted index, and the 16-hash MinHash estimate — in one result,
+# so the estimate's quality is part of the checked surface.
+_DUCK_SRC_SH = """
+    tok AS (SELECT source, string_split(text, ' ') AS t FROM documents),
+    ssh AS (
+        SELECT DISTINCT source, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM tok, LATERAL (SELECT UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS i) ii
+    )
+"""
+
+
+@register(
+    "corpus_overlap_minhash",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH {_DUCK_SRC_SH},
+    sz AS (SELECT source, COUNT(*) AS n_sh FROM ssh GROUP BY source),
+    common AS (
+        SELECT a.source AS source_a, b.source AS source_b, COUNT(*) AS n_common
+        FROM ssh a JOIN ssh b ON a.shingle = b.shingle AND a.source < b.source
+        GROUP BY a.source, b.source
+    ),
+    hh AS (
+        SELECT source,
+               {_duck_hex8("md5(shingle)", 1)} AS h1,
+               {_duck_hex8("md5(shingle)", 9)} AS h2
+        FROM ssh
+    ),
+    mh AS (
+        SELECT source, s.s AS s, MIN((h1 + s.s * h2) % {MINHASH_PRIME}) AS h
+        FROM hh, (SELECT UNNEST(range(0, 16)) AS s) s
+        GROUP BY source, s.s
+    ),
+    est AS (
+        SELECT a.source AS source_a, b.source AS source_b,
+               CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE) / 16
+                   AS est_jaccard
+        FROM mh a JOIN mh b ON a.s = b.s AND a.source < b.source
+        GROUP BY a.source, b.source
+    )
+    SELECT e.source_a, e.source_b, e.est_jaccard,
+           CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - COALESCE(c.n_common, 0)) AS exact_jaccard
+    FROM est e
+    LEFT JOIN common c ON c.source_a = e.source_a AND c.source_b = e.source_b
+    JOIN sz sa ON sa.source = e.source_a
+    JOIN sz sb ON sb.source = e.source_b
+    """,
+)
+def corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise source-vs-source shingle-set overlap: exact Jaccard (from
+    the inverted index — only co-occurring shingles ever meet) next to the
+    16-hash MinHash estimate (constant-size per-source signature — the form
+    that scales to corpus-vs-corpus comparisons where the exact join can't).
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    from chainhouse_spark.functions.text import word_shingles
+
+    ssh = (
+        docs.select(
+            "source", F.explode(word_shingles("text", 3)).alias("shingle")
+        ).distinct()
+    )
+    sz = ssh.groupBy("source").agg(F.count(F.lit(1)).alias("n_sh"))
+    a, b = ssh.alias("a"), ssh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    hh = ssh.select(
+        "source",
+        F.expr(
+            "CAST(conv(substring(md5(shingle), 1, 8), 16, 10) AS BIGINT)"
+        ).alias("h1"),
+        F.expr(
+            "CAST(conv(substring(md5(shingle), 9, 8), 16, 10) AS BIGINT)"
+        ).alias("h2"),
+    ).withColumn(
+        "hs",
+        F.expr(
+            f"transform(sequence(0, 15), "
+            f"s -> (h1 + CAST(s AS BIGINT) * h2) % {MINHASH_PRIME})"
+        ),
+    )
+    mins = [F.min(F.element_at("hs", i + 1)).alias(f"m{i}") for i in range(16)]
+    sig = (
+        hh.groupBy("source")
+        .agg(*mins)
+        .select("source", F.array(*[f"m{i}" for i in range(16)]).alias("sig"))
+    )
+    sa, sb = sig.alias("sa"), sig.alias("sb")
+    est = sa.join(sb, F.col("sa.source") < F.col("sb.source")).select(
+        F.col("sa.source").alias("source_a"),
+        F.col("sb.source").alias("source_b"),
+        F.expr(
+            "CAST(size(filter(zip_with(sa.sig, sb.sig, (x, y) -> x = y), v -> v)) "
+            "AS DOUBLE) / 16"
+        ).alias("est_jaccard"),
+    )
+    za = sz.select(F.col("source").alias("source_a"), F.col("n_sh").alias("n_a"))
+    zb = sz.select(F.col("source").alias("source_b"), F.col("n_sh").alias("n_b"))
+    return (
+        est.join(common, ["source_a", "source_b"], "left")
+        .join(za, "source_a")
+        .join(zb, "source_b")
+        .select(
+            "source_a",
+            "source_b",
+            "est_jaccard",
+            (
+                F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0)))
+            ).alias("exact_jaccard"),
+        )
+    )
+
+
+@register(
+    "cluster_kmeans_summary",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_points,
+           TRUE AS all_assigned, TRUE AS cells_ok
+    FROM embeddings
+    """,
+)
+def cluster_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """K-means corpus clustering (the semantic-dedup / data-mixing
+    pre-step), via the same pure-DataFrame Lloyd's quantizer IVF uses
+    (operators/ivf.py — no pyspark.ml). Iterative fitting is not
+    SQL-expressible, so the oracled surface is the partition invariant:
+    every point assigned to exactly one of the ≤ 8 cells (the raw
+    assignment stays available via operators.ivf.assign_cells; cluster
+    quality is pinned in tests/test_ivf.py)."""
+    from chainhouse_spark.operators.ivf import assign_cells
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    assigned, _ = assign_cells(emb, "embedding", n_cells=8)
+    per_cell = assigned.groupBy("cell").agg(F.count(F.lit(1)).alias("n"))
+    total = emb.count()
+    return per_cell.agg(
+        F.sum("n").alias("n_points"),
+        (F.sum("n") == F.lit(total)).alias("all_assigned"),
+        (
+            (F.countDistinct("cell") >= 1) & (F.countDistinct("cell") <= 8)
+        ).alias("cells_ok"),
+    )

@@ -1,0 +1,151 @@
+"""Round-3 additions: int8 quantization, Bloom decontamination, corpus
+overlap, k-means clustering — statistical quality + plan shape.
+
+Oracle equality is covered by test_oracle_parity.py; these tests pin what
+the oracle can't: that the approximations actually approximate (quantized
+ranking tracks exact cosine ranking, Bloom hits are a superset of exact
+hits, MinHash overlap tracks exact overlap) and that the 100 TB plan shape
+holds (broadcasts where contracted, no unexpected shuffles).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+SF = "/root/testdata/sf0.01"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_quantize_int8_bounds_and_reconstruction(spark):
+    """|q_i| <= 127 always, and dequantized vectors reconstruct the
+    original within scale/2 per element (the rounding bound)."""
+    from chainhouse_spark.operators.quantize import quantize_int8
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    qz = quantize_int8(emb).join(emb, "vec_id")
+    bad = qz.filter(
+        F.expr("exists(q, v -> abs(v) > 127)")
+        | F.expr(
+            "exists(zip_with(q, embedding, (qq, x) -> "
+            "abs(qq * scale - CAST(x AS DOUBLE)) > scale * 0.5 + 1e-12), v -> v)"
+        )
+    ).count()
+    assert bad == 0
+
+
+def test_quantized_topk_tracks_exact_ranking(spark):
+    """Quantized top-10 must overlap exact cosine top-10 heavily — int8
+    keeps ~2 decimal digits of each coordinate, so neighbor sets barely
+    move. Require mean recall@10 >= 0.8 over the 5 standard queries."""
+    from chainhouse_spark.operators.quantize import quantized_topk
+    from chainhouse_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = quantized_topk(emb, q, k=10)
+    exact = brute_force_topk(emb, q, k=10)
+    hits = approx.join(
+        exact.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
+    ).count()
+    assert hits >= 0.8 * 50, f"quantized recall@10 too low: {hits}/50"
+
+
+def test_quantized_topk_plan_broadcasts_query_side(spark):
+    """Same contract as brute_force_topk: the query side broadcasts, the
+    corpus is never shuffled before scoring — one exchange for the rank."""
+    from chainhouse_spark.operators.quantize import quantized_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = _plan(quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_bloom_hits_superset_of_exact_decontamination(spark):
+    """No false negatives: every doc the exact shingle semi-join flags must
+    also be Bloom-flagged, and its bloom hit count >= its exact count."""
+    from chainhouse_spark.operators.bloom import bloom_decontaminate
+    from chainhouse_spark.queries.registry import QUERIES
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    bloom = bloom_decontaminate(
+        docs.filter(F.col("doc_id") % 97 != 0),
+        docs.filter(F.col("doc_id") % 97 == 0),
+    )
+    exact = QUERIES["decontaminate_against_testset"](spark, SF)
+    joined = exact.join(bloom, "doc_id", "left").select(
+        "doc_id", "n_shared", "n_bloom_hits"
+    )
+    missing = joined.filter(
+        F.col("n_bloom_hits").isNull()
+        | (F.col("n_bloom_hits") < F.col("n_shared"))
+    ).count()
+    assert missing == 0
+
+
+def test_bloom_plan_broadcasts_filter_bits(spark):
+    """The filter's set-bit side must broadcast — the corpus-sized probe
+    side never shuffles for the membership join."""
+    from chainhouse_spark.operators.bloom import bloom_decontaminate
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    plan = _plan(
+        bloom_decontaminate(
+            docs.filter(F.col("doc_id") % 97 != 0),
+            docs.filter(F.col("doc_id") % 97 == 0),
+        )
+    )
+    assert "BroadcastExchange" in plan
+    assert "SortMergeJoin" not in plan
+
+
+def test_corpus_overlap_estimate_tracks_exact(spark):
+    """MinHash(16) source-overlap estimate: |est - exact| within the
+    binomial sampling error (~3 sigma = 3*sqrt(j(1-j)/16) + quantization
+    1/16) for every source pair."""
+    from chainhouse_spark.queries.registry import QUERIES
+
+    rows = QUERIES["corpus_overlap_minhash"](spark, SF).collect()
+    assert len(rows) > 0
+    for r in rows:
+        j = r.exact_jaccard
+        tol = 3.0 * (j * (1 - j) / 16) ** 0.5 + 1.0 / 16
+        assert abs(r.est_jaccard - j) <= tol, (
+            f"{r.source_a}/{r.source_b}: est {r.est_jaccard} vs exact {j}"
+        )
+
+
+def test_kmeans_cells_partition_and_separate(spark):
+    """assign_cells is a true partition of the corpus, uses >1 cell on real
+    data, and clusters tighter than no clustering: total within-cell
+    inertia at k=8 < the k=1 inertia (distance to the global centroid)."""
+    from chainhouse_spark.operators.ivf import assign_cells
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    n = emb.count()
+
+    def inertia(adf, centroids) -> float:
+        cents_lit = F.array(
+            *[F.array(*[F.lit(float(x)) for x in vec]) for _, vec in centroids]
+        )
+        dist = (
+            "aggregate(zip_with(element_at(_cents, cell + 1), embedding, "
+            "(x, y) -> (x - CAST(y AS DOUBLE)) * (x - CAST(y AS DOUBLE))), "
+            "CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+        )
+        return (
+            adf.withColumn("_cents", cents_lit)
+            .selectExpr(f"{dist} AS d")
+            .agg(F.sum("d"))
+            .first()[0]
+        )
+
+    a8, c8 = assign_cells(emb, "embedding", n_cells=8)
+    assert a8.count() == n
+    n_cells = a8.select("cell").distinct().count()
+    assert 1 < n_cells <= 8
+    a1, c1 = assign_cells(emb, "embedding", n_cells=1)
+    assert inertia(a8, c8) < inertia(a1, c1)
