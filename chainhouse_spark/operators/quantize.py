@@ -44,9 +44,11 @@ def _scale_sql(vec: str) -> str:
 
 def _quant_sql(vec: str, scale: str) -> str:
     """Quantized int array under `scale` (0-vector -> all zeros)."""
+    # scale is parenthesized: an expression ending in `/ 127.0` would
+    # otherwise left-associate under the division and floor everything to 0.
     return (
-        f"transform({vec}, x -> CASE WHEN {scale} = 0 THEN 0 "
-        f"ELSE CAST(FLOOR(CAST(x AS DOUBLE) / {scale} + 0.5) AS INT) END)"
+        f"transform({vec}, x -> CASE WHEN ({scale}) = 0 THEN 0 "
+        f"ELSE CAST(FLOOR(CAST(x AS DOUBLE) / ({scale}) + 0.5) AS INT) END)"
     )
 
 
@@ -59,10 +61,11 @@ def quantize_int8(
     persist/shuffle instead of the float vectors.
 
     The scale is staged as its own projection before the quantizing
-    transform: re-inlining the array_max(...) subexpression INSIDE the
-    lambda silently evaluates wrong under Spark's lambda-scoped column
-    resolution (observed: all-zero outputs), and the staged form also
-    evaluates the max once per row instead of once per element.
+    transform — both so the max is evaluated once per row instead of once
+    per element, and because textual substitution of the scale expression
+    (which ends in `/ 127.0`) into `x / {scale}` without parentheses
+    left-associates to `(x / array_max) / 127.0` and silently floors
+    everything to zero.
     """
     return (
         df.select(F.col(id_col), F.col(vec_col))

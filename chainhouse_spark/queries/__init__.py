@@ -57,6 +57,12 @@ from chainhouse_spark.queries import llm_advanced  # noqa: E402,F401
 # Round-3 rotation. Non-green driver rows (CORRECTNESS_r01/r02 errs) plus
 # queries whose implementation changed since their last green row — the
 # driver must re-check these first.
+#
+# ROUND-4 TODO (next session): after CORRECTNESS_r03.json lands, rebuild
+# this rotation — move the r03-green window (positions ~1-50) into
+# _DRIVER_GREEN, promote the still-never-checked tail (positions ~51-97
+# plus the llm_advanced additions at ~98-104) to the front, and pin any
+# r03 errs first. `python tools/correctness_coverage.py` prints the state.
 _RECHECK_FIRST = [
     "ann_ivf_topk",              # r02: pyspark.ml import crash — reimplemented
     "ann_lsh_multiprobe_topk",   # r02: oracle OOM — frugal oracle

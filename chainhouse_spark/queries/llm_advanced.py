@@ -296,3 +296,145 @@ def cluster_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.countDistinct("cell") >= 1) & (F.countDistinct("cell") <= 8)
         ).alias("cells_ok"),
     )
+
+
+@register(
+    "ann_two_stage_rerank",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH sc AS (
+        SELECT vec_id, embedding, {_DUCK_SCALE} AS scale FROM embeddings
+    ),
+    q8 AS (
+        SELECT vec_id, scale, i.i AS i, CAST({_DUCK_QELEM} AS BIGINT) AS qv
+        FROM sc, {_IDX}
+    ),
+    dots AS (
+        SELECT a.vec_id AS query_id, b.vec_id AS cand_id,
+               SUM(a.qv * b.qv) AS idot
+        FROM q8 a JOIN q8 b ON a.i = b.i
+        WHERE a.vec_id < 5 AND b.vec_id != a.vec_id
+        GROUP BY a.vec_id, b.vec_id
+    ),
+    stage1 AS (
+        SELECT query_id, cand_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY CAST(idot AS DOUBLE) * qs.scale * cs.scale DESC,
+                            cand_id
+               ) AS qrank
+        FROM dots
+        JOIN sc qs ON qs.vec_id = query_id
+        JOIN sc cs ON cs.vec_id = cand_id
+    ),
+    exact AS (
+        SELECT s.query_id, s.cand_id,
+               SUM(CAST(q.embedding[i.i] AS DOUBLE) * CAST(c.embedding[i.i] AS DOUBLE)
+                   ORDER BY i.i)
+               / (sqrt(SUM(CAST(q.embedding[i.i] AS DOUBLE)
+                           * CAST(q.embedding[i.i] AS DOUBLE) ORDER BY i.i))
+                  * sqrt(SUM(CAST(c.embedding[i.i] AS DOUBLE)
+                             * CAST(c.embedding[i.i] AS DOUBLE) ORDER BY i.i)))
+                   AS cos_sim
+        FROM stage1 s
+        JOIN embeddings q ON q.vec_id = s.query_id
+        JOIN embeddings c ON c.vec_id = s.cand_id, {_IDX}
+        WHERE s.qrank <= 50
+        GROUP BY s.query_id, s.cand_id
+    )
+    SELECT query_id, cand_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT query_id, cand_id, cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY cos_sim DESC, cand_id
+               ) AS rank
+        FROM exact
+    ) WHERE rank <= 10
+    """,
+)
+def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The production ANN shape: a cheap int8-quantized recall stage keeps
+    50 candidates per query, then exact float cosine re-ranks only those
+    250 pairs to a final top-10. At 100 TB the quantized column is the only
+    thing the corpus-wide stage touches; the float vectors are fetched for
+    0.0001% of pairs. Output schema matches ann_bruteforce_topk."""
+    from chainhouse_spark.functions.vector import cosine_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    cand = quantized_topk(emb, q, k=50).select("query_id", "cand_id")
+    withvecs = (
+        cand.join(
+            emb.select(F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_vec")),
+            "cand_id",
+        )
+        .join(
+            F.broadcast(
+                q.select(F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec"))
+            ),
+            "query_id",
+        )
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+        )
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        withvecs.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "cand_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )
+
+
+@register(
+    "text_rarity_score",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    tf AS (SELECT doc_id, token FROM tok WHERE token <> ''),
+    df AS (
+        SELECT token, COUNT(DISTINCT doc_id) AS doc_freq FROM tf GROUP BY token
+    )
+    SELECT t.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(d.doc_freq) AS DOUBLE) / COUNT(*) AS mean_doc_freq,
+           CAST(SUM(CASE WHEN d.doc_freq <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
+               / COUNT(*) AS rare_ratio
+    FROM tf t JOIN df d USING (token)
+    GROUP BY t.doc_id
+    """,
+)
+def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Perplexity-proxy rarity scoring without transcendentals (the repo's
+    no-ln() determinism rule, cf. search.py's BM25 note): per doc, the mean
+    corpus document-frequency of its tokens and the fraction of tokens
+    appearing in <= 2 docs. Low mean_doc_freq / high rare_ratio flags the
+    OOV-heavy or garbled docs a unigram-LM filter would. One tokenize pass;
+    the doc-frequency side is token-keyed and joins the token stream on the
+    same key (exact integer sums; two float divisions at the end)."""
+    d = load_table(spark, sf_dir, "documents")
+    tf = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+    )
+    df_counts = tf.distinct().groupBy("token").agg(
+        F.count(F.lit(1)).alias("doc_freq")
+    )
+    return (
+        tf.join(df_counts, "token")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            (
+                F.sum("doc_freq").cast("double") / F.count(F.lit(1))
+            ).alias("mean_doc_freq"),
+            (
+                F.sum(F.when(F.col("doc_freq") <= 2, 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("rare_ratio"),
+        )
+    )

@@ -149,3 +149,20 @@ def test_kmeans_cells_partition_and_separate(spark):
     assert 1 < n_cells <= 8
     a1, c1 = assign_cells(emb, "embedding", n_cells=1)
     assert inertia(a8, c8) < inertia(a1, c1)
+
+
+def test_two_stage_rerank_matches_exact_topk_mostly(spark):
+    """The quantized-recall -> exact-rerank pipeline should recover nearly
+    the exact brute-force top-10 (recall stage keeps 50 of ~500, re-rank is
+    exact): require >= 0.9 overlap over the 5 standard queries."""
+    from chainhouse_spark.queries.registry import QUERIES
+
+    two = QUERIES["ann_two_stage_rerank"](spark, SF)
+    from chainhouse_spark.operators.similarity import brute_force_topk
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    exact = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    hits = two.join(
+        exact.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
+    ).count()
+    assert hits >= 0.9 * 50, f"two-stage recall too low: {hits}/50"
