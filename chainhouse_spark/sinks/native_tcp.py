@@ -275,6 +275,22 @@ def _col_reader(ch_type: str, f: BinaryIO, n_rows: int) -> list[Any]:
         return out
     if ch_type == "UInt64":
         return [int.from_bytes(_read_exact(f, 8), "little") for _ in range(n_rows)]
+    if ch_type == "Int64":
+        return [
+            int.from_bytes(_read_exact(f, 8), "little", signed=True)
+            for _ in range(n_rows)
+        ]
+    if ch_type == "UInt32":
+        return [int.from_bytes(_read_exact(f, 4), "little") for _ in range(n_rows)]
+    if ch_type == "Int32":
+        return [
+            int.from_bytes(_read_exact(f, 4), "little", signed=True)
+            for _ in range(n_rows)
+        ]
+    if ch_type == "Float64":
+        return list(struct.unpack(f"<{n_rows}d", _read_exact(f, 8 * n_rows)))
+    if ch_type == "Float32":
+        return list(struct.unpack(f"<{n_rows}f", _read_exact(f, 4 * n_rows)))
     if ch_type == "UInt256":
         return [int.from_bytes(_read_exact(f, 32), "little") for _ in range(n_rows)]
     if ch_type in ("UInt8", "Boolean", "Bool"):
@@ -474,6 +490,28 @@ class NativeTCPClient:
                 if data and data[0]:
                     if not result:
                         result = [[] for _ in data]
+                    for i, col in enumerate(data):
+                        result[i].extend(col)
+
+    def select(self, query: str) -> tuple[list[tuple[str, str]], list[list[Any]]]:
+        """Run a SELECT to completion; returns ([(name, ch_type), ...],
+        [column values ...]). The column metadata comes from the server's
+        header block (ClickHouse sends the result structure as a 0-row Data
+        block before any rows), so a LIMIT 0 query still yields the schema.
+        """
+        self._send_query(query)
+        cols: list[tuple[str, str]] = []
+        result: list[list[Any]] = []
+        while True:
+            packet, payload = self._next_packet()
+            if packet == SERVER_END_OF_STREAM:
+                return cols, result
+            if packet == SERVER_DATA and payload is not None:
+                block_cols, data = payload
+                if block_cols and not cols:
+                    cols = block_cols
+                    result = [[] for _ in block_cols]
+                if data and data[0]:
                     for i, col in enumerate(data):
                         result[i].extend(col)
 

@@ -118,9 +118,14 @@ class FakeServer:
     """Scripted server half of the native protocol, enough for hello +
     one DDL and/or one INSERT. Records everything the client sent."""
 
-    def __init__(self, revision: int = 54460, fail_queries: bool = False):
+    def __init__(
+        self, revision: int = 54460, fail_queries: bool = False, select_handler=None
+    ):
         self.revision = revision
         self.fail_queries = fail_queries
+        # select_handler(query) -> (StructType, rows) | None; when set,
+        # non-INSERT queries answer with a header block + one data block.
+        self.select_handler = select_handler
         self.received_blocks: list = []
         self.queries: list[str] = []
         self.errors: list[str] = []
@@ -249,6 +254,16 @@ class FakeServer:
             f.write(varint(5))
             f.flush()
         else:
+            handled = None
+            if self.select_handler is not None:
+                handled = self.select_handler(query)
+            if handled is not None:
+                schema, rows = handled
+                # header block (0 rows, full structure) then the data block
+                for chunk in ([], rows):
+                    out = bytearray(varint(1)) + write_varint_str("")
+                    out += encode_block(schema, chunk)
+                    f.write(out)
             f.write(varint(5))  # EndOfStream
             f.flush()
 
@@ -372,3 +387,95 @@ def test_exception_packet_raises():
         client.execute("SELECT * FROM ethereum.nope")
     client.close()
     srv.close()
+
+
+# ---------------------------------------------------------------------------
+# read path (sources/clickhouse_read.py)
+
+
+def test_client_select_header_and_rows():
+    """select() returns column metadata from the header block plus all data
+    rows, concatenated across blocks."""
+
+    def handler(q):
+        if "LIMIT 0" in q:
+            return SCHEMA, []
+        return SCHEMA, _rows(
+            (7, b"\xaa", [1, 2], True), (8, None, [], False)
+        )
+
+    srv = FakeServer(select_handler=handler)
+    try:
+        cli = NativeTCPClient("127.0.0.1", srv.port)
+        cols, data = cli.select("SELECT * FROM t")
+        cli.close()
+    finally:
+        srv.close()
+    assert srv.errors == []
+    assert [n for n, _ in cols] == ["number", "miner", "flags", "ok"]
+    assert cols[0][1] == "UInt64" and cols[1][1].startswith("Nullable(")
+    assert data[0] == [7, 8]
+    assert data[1] == [b"\xaa", None]
+    assert data[2] == [[1, 2], []]
+    assert data[3] == [True, False]
+
+
+def test_spark_read_native_tcp_partitioned(spark):
+    """read_native_tcp: LIMIT 0 schema probe on the driver, then one
+    modulo-slice query per partition on executors; rows and Spark types
+    round-trip (UInt64->long, String->binary, Array->array, Bool->bool)."""
+    from chainhouse_spark.sources.clickhouse_read import read_native_tcp
+
+    all_rows = _rows(
+        (0, b"\x01", [1], True),
+        (1, b"\x02", [2, 3], False),
+        (2, None, [], True),
+        (3, b"\x04", [4], False),
+    )
+
+    def handler(q):
+        if "LIMIT 0" in q:
+            return SCHEMA, []
+        # emulate the WHERE ((number % 2) + 2) % 2 = i slice
+        for pid in (0, 1):
+            if f"= {pid}" in q:
+                return SCHEMA, [r for r in all_rows if r["number"] % 2 == pid]
+        return SCHEMA, all_rows
+
+    srv = FakeServer(select_handler=handler)
+    try:
+        df = read_native_tcp(
+            spark,
+            f"127.0.0.1:{srv.port}",
+            "SELECT * FROM blocks",
+            partition_column="number",
+            num_partitions=2,
+        )
+        got = sorted(df.collect(), key=lambda r: r.number)
+    finally:
+        srv.close()
+    assert srv.errors == []
+    assert [r.number for r in got] == [0, 1, 2, 3]
+    assert got[0].miner == bytearray(b"\x01") or got[0].miner == b"\x01"
+    assert got[2].miner is None
+    assert list(got[1].flags) == [2, 3]
+    assert got[3].ok is False
+    # both slice queries actually hit the server
+    slice_queries = [q for q in srv.queries if "WHERE" in q]
+    assert len(slice_queries) == 2
+    # driver probe used LIMIT 0
+    assert any("LIMIT 0" in q for q in srv.queries)
+
+
+def test_read_native_tcp_uint64_overflow_raises():
+    """A UInt64 above 2^63-1 must fail loudly, not wrap into a negative."""
+    from chainhouse_spark.sources.clickhouse_read import _convert
+
+    import pytest as _pytest
+
+    with _pytest.raises(OverflowError):
+        _convert("UInt64", 1 << 63)
+    assert _convert("UInt64", (1 << 63) - 1) == (1 << 63) - 1
+    from decimal import Decimal
+
+    assert _convert("UInt256", 10**38 - 1) == Decimal(10**38 - 1)
