@@ -438,3 +438,50 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("rare_ratio"),
         )
     )
+
+
+@register(
+    "bpe_pair_stats",
+    oracle="""
+    WITH words AS (
+        SELECT unnest(string_split(text, ' ')) AS w FROM documents
+    ),
+    pairs AS (
+        SELECT substr(w, i.i, 2) AS pair
+        FROM words, LATERAL (SELECT UNNEST(range(1, GREATEST(len(w), 1))) AS i) i
+        WHERE len(w) >= 2
+    ),
+    counts AS (SELECT pair, COUNT(*) AS cnt FROM pairs GROUP BY pair)
+    SELECT pair, CAST(cnt AS BIGINT) AS cnt,
+           CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, pair ASC) AS INT) AS rank
+    FROM counts
+    ORDER BY rank LIMIT 50
+    """,
+)
+def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The first BPE tokenizer-training step: corpus-wide counts of
+    adjacent character pairs inside words, top-50 by frequency with a
+    total-order tie-break. One tokenize+explode pass, map-side-combined
+    count on 2-char keys, and a 50-row TakeOrdered — the per-merge shape a
+    full BPE trainer iterates (each merge round is this same aggregation
+    over the re-paired corpus). At 100 TB the pair-count shuffle carries
+    ~|alphabet|^2 distinct keys — effectively constant."""
+    d = load_table(spark, sf_dir, "documents")
+    pairs = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("w"))
+        .filter(F.length("w") >= 2)
+        .select(
+            F.explode(
+                F.expr("transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")
+            ).alias("pair")
+        )
+    )
+    counts = pairs.groupBy("pair").agg(F.count(F.lit(1)).alias("cnt"))
+    from pyspark.sql import Window
+
+    w = Window.orderBy(F.desc("cnt"), F.asc("pair"))
+    return (
+        counts.withColumn("rank", F.row_number().over(w).cast("int"))
+        .filter(F.col("rank") <= 50)
+        .orderBy("rank")
+    )

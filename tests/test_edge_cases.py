@@ -205,3 +205,46 @@ def test_events_load_requires_utc_session(spark):
             load_table(spark, "/root/testdata/sf0.001", "events")
     finally:
         spark.conf.set("spark.sql.session.timeZone", saved)
+
+
+def test_quantize_zero_and_degenerate_vectors(spark):
+    """Zero vectors quantize to all-zero with scale 0 (no NaN/∞ storm);
+    single-element and constant vectors round-trip within the bound."""
+    from chainhouse_spark.operators.quantize import quantize_int8
+
+    df = spark.createDataFrame(
+        [
+            (0, [0.0, 0.0, 0.0]),
+            (1, [5.0]),
+            (2, [-3.0, -3.0]),
+            (3, [1e-30, -1e-30]),  # denormal-adjacent scale
+        ],
+        "vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in quantize_int8(df).collect()}
+    assert rows[0].scale == 0.0 and list(rows[0].q) == [0, 0, 0]
+    assert list(rows[1].q) == [127]
+    assert list(rows[2].q) == [-127, -127]
+    assert all(abs(v) <= 127 for v in rows[3].q)
+
+
+def test_bloom_empty_testset_flags_nothing(spark):
+    """An empty held-out set builds an empty filter: zero flagged docs
+    (and no crash from the empty broadcast side)."""
+    from chainhouse_spark.operators.bloom import bloom_decontaminate
+
+    train = _docs(spark, ["alpha beta gamma delta", "epsilon zeta eta theta"])
+    empty = _docs(spark, []).filter("doc_id IS NOT NULL")
+    assert bloom_decontaminate(train, empty).count() == 0
+
+
+def test_bloom_identical_doc_always_flagged(spark):
+    """A training doc byte-identical to a held-out doc must be flagged
+    (no false negatives), whatever the filter parameters."""
+    from chainhouse_spark.operators.bloom import bloom_decontaminate
+
+    text = "the quick brown fox jumps over the lazy dog"
+    train = _docs(spark, [text, "completely different words here now"])
+    test = spark.createDataFrame([(100, text)], "doc_id long, text string")
+    flagged = bloom_decontaminate(train, test).collect()
+    assert any(r.doc_id == 0 for r in flagged)
