@@ -1,0 +1,330 @@
+"""ClickHouse SQL dialect → Spark SQL translation.
+
+The reference's analytical surface is "whatever SQL its ClickHouse holds"
+(`SURVEY.md` §2.6) — so its users write the ClickHouse dialect:
+`toStartOfHour`, `countIf`, `quantile(0.5)(x)`, `arrayJoin`, `PREWHERE`,
+trailing `FORMAT`/`SETTINGS`. This module lets those queries run on the
+Spark engine unchanged: `ch_sql(spark, text)` translates the documented
+subset below to Spark SQL and executes it.
+
+Deliberately a token-level rewriter, not a full parser: every supported
+construct is a function-call rename / argument reshape or a statement-level
+keyword substitution, which a quote- and paren-aware scanner handles
+exactly. Anything outside the supported set passes through untouched (the
+dialects share most of ANSI), except constructs whose silent pass-through
+would CHANGE semantics — those raise `CHTranslationError` (e.g.
+`WITH TOTALS`, whose extra summary row has no Spark equivalent).
+
+Supported rewrites (ClickHouse → Spark):
+
+  type casts      toInt8/16/32/64, toUInt8/16/32, toFloat32/64, toString,
+                  toDate, toDateTime, toDecimal32/64/128(x, s)
+                  (toUInt64 → DECIMAL(20,0): the full unsigned range does
+                  not fit BIGINT)
+  time buckets    toStartOfMinute/Hour/Day/Week/Month/Quarter/Year,
+                  toYYYYMM, toHour/toMinute/toSecond, toDayOfMonth,
+                  toMonth, toYear, now, today
+  conditionals    if, multiIf, ifNull, nullIf (renames / CASE expansion)
+  agg combinators countIf, sumIf, avgIf, minIf, maxIf
+  parametric aggs quantile(p)(x) → percentile_approx,
+                  quantileExact(p)(x) → percentile
+  set aggs        uniq → approx_count_distinct, uniqExact →
+                  count(distinct ...), groupArray → collect_list,
+                  groupUniqArray → collect_set, any/anyLast → any_value
+  arrays          arrayJoin → explode, has → array_contains,
+                  indexOf → array_position, arrayMap/arrayFilter →
+                  transform/filter (lambda moves to second position),
+                  arraySum, splitByChar(c, s) → split(s, c)
+  strings         position → instr (same argument order), lengthUTF8 →
+                  char_length
+  statement       PREWHERE → WHERE; trailing FORMAT <name> and
+                  SETTINGS ... stripped
+
+Unsupported-with-error: WITH TOTALS, cityHash64/sipHash64 (different
+algorithms — a silent rename would change results; use xxhash64/md5
+explicitly), SAMPLE clause.
+"""
+
+from __future__ import annotations
+
+import re
+
+from pyspark.sql import DataFrame, SparkSession
+
+
+class CHTranslationError(ValueError):
+    """A ClickHouse construct whose silent pass-through would change
+    semantics (or that cannot be expressed) was found."""
+
+
+# -- scanner helpers --------------------------------------------------------
+
+
+def _skip_string(s: str, i: int) -> int:
+    """i points at a quote char; return index just past the closing quote
+    (doubling and backslash escapes honored)."""
+    q = s[i]
+    j = i + 1
+    while j < len(s):
+        if s[j] == "\\" and q != "`":
+            j += 2
+            continue
+        if s[j] == q:
+            if j + 1 < len(s) and s[j + 1] == q:  # doubled quote
+                j += 2
+                continue
+            return j + 1
+        j += 1
+    raise CHTranslationError(f"unterminated {q} string at offset {i}")
+
+
+def _matching_paren(s: str, i: int) -> int:
+    """i points at '('; return index of its matching ')'."""
+    depth = 0
+    j = i
+    while j < len(s):
+        c = s[j]
+        if c in "'\"`":
+            j = _skip_string(s, j)
+            continue
+        if c == "(":
+            depth += 1
+        elif c == ")":
+            depth -= 1
+            if depth == 0:
+                return j
+        j += 1
+    raise CHTranslationError(f"unbalanced parentheses at offset {i}")
+
+
+def _split_args(s: str) -> list[str]:
+    """Split on top-level commas, respecting quotes and parens."""
+    args: list[str] = []
+    depth = 0
+    start = 0
+    j = 0
+    while j < len(s):
+        c = s[j]
+        if c in "'\"`":
+            j = _skip_string(s, j)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif c == "," and depth == 0:
+            args.append(s[start:j].strip())
+            start = j + 1
+        j += 1
+    tail = s[start:].strip()
+    if tail or args:
+        args.append(tail)
+    return args
+
+
+# -- call rewrites ----------------------------------------------------------
+
+_CAST = {
+    "toint8": "TINYINT",
+    "toint16": "SMALLINT",
+    "toint32": "INT",
+    "toint64": "BIGINT",
+    "touint8": "SMALLINT",
+    "touint16": "INT",
+    "touint32": "BIGINT",
+    "touint64": "DECIMAL(20,0)",
+    "tofloat32": "FLOAT",
+    "tofloat64": "DOUBLE",
+    "tostring": "STRING",
+    "todate": "DATE",
+    "todatetime": "TIMESTAMP",
+}
+
+_TRUNC = {
+    "tostartofminute": "MINUTE",
+    "tostartofhour": "HOUR",
+    "tostartofday": "DAY",
+    "tostartofweek": "WEEK",
+    "tostartofmonth": "MONTH",
+    "tostartofquarter": "QUARTER",
+    "tostartofyear": "YEAR",
+}
+
+_PART = {
+    "tohour": "HOUR",
+    "tominute": "MINUTE",
+    "tosecond": "SECOND",
+    "todayofmonth": "DAY",
+    "tomonth": "MONTH",
+    "toyear": "YEAR",
+}
+
+_RENAME = {
+    "ifnull": "IFNULL",
+    "nullif": "NULLIF",
+    "if": "IF",
+    "uniq": "APPROX_COUNT_DISTINCT",
+    "grouparray": "COLLECT_LIST",
+    "groupuniqarray": "COLLECT_SET",
+    "any": "ANY_VALUE",
+    "anylast": "ANY_VALUE",
+    "arrayjoin": "EXPLODE",
+    "has": "ARRAY_CONTAINS",
+    "indexof": "ARRAY_POSITION",
+    "position": "INSTR",
+    "lengthutf8": "CHAR_LENGTH",
+    "now": "CURRENT_TIMESTAMP",
+    "today": "CURRENT_DATE",
+}
+
+_IF_AGG = {"countif": "COUNT", "sumif": "SUM", "avgif": "AVG",
+           "minif": "MIN", "maxif": "MAX"}
+
+_UNSUPPORTED = {
+    "cityhash64": "different hash algorithm — use xxhash64()/md5() explicitly",
+    "siphash64": "different hash algorithm — use xxhash64()/md5() explicitly",
+    "uniqcombined": "sketch-specific — use uniq() (approx_count_distinct)",
+}
+
+_PARAMETRIC = {"quantile": "PERCENTILE_APPROX", "quantileexact": "PERCENTILE"}
+
+
+def _rewrite_call(name: str, args: list[str]) -> str:
+    low = name.lower()
+    if low in _UNSUPPORTED:
+        raise CHTranslationError(f"{name}(): {_UNSUPPORTED[low]}")
+    if low in _CAST:
+        if len(args) != 1:
+            raise CHTranslationError(f"{name}() takes one argument")
+        return f"CAST({args[0]} AS {_CAST[low]})"
+    if low in ("todecimal32", "todecimal64", "todecimal128"):
+        if len(args) != 2:
+            raise CHTranslationError(f"{name}(x, scale) takes two arguments")
+        digits = {"todecimal32": 9, "todecimal64": 18, "todecimal128": 38}[low]
+        return f"CAST({args[0]} AS DECIMAL({digits},{args[1]}))"
+    if low in _TRUNC:
+        return f"DATE_TRUNC('{_TRUNC[low]}', {args[0]})"
+    if low in _PART:
+        return f"{_PART[low]}({args[0]})"
+    if low == "toyyyymm":
+        return f"CAST(DATE_FORMAT({args[0]}, 'yyyyMM') AS INT)"
+    if low in _IF_AGG:
+        agg = _IF_AGG[low]
+        if low == "countif":
+            if len(args) != 1:
+                raise CHTranslationError("countIf(cond) takes one argument")
+            return f"COUNT(IF({args[0]}, 1, NULL))"
+        if len(args) != 2:
+            raise CHTranslationError(f"{name}(x, cond) takes two arguments")
+        return f"{agg}(IF({args[1]}, {args[0]}, NULL))"
+    if low == "uniqexact":
+        return f"COUNT(DISTINCT {', '.join(args)})"
+    if low == "multiif":
+        if len(args) < 3 or len(args) % 2 == 0:
+            raise CHTranslationError(
+                "multiIf(c1, v1, ..., else) needs an odd argument count >= 3"
+            )
+        parts = ["CASE"]
+        for i in range(0, len(args) - 1, 2):
+            parts.append(f"WHEN {args[i]} THEN {args[i + 1]}")
+        parts.append(f"ELSE {args[-1]} END")
+        return " ".join(parts)
+    if low in ("arraymap", "arrayfilter"):
+        if len(args) != 2:
+            raise CHTranslationError(f"{name}(lambda, array) takes two arguments")
+        fn = "TRANSFORM" if low == "arraymap" else "FILTER"
+        return f"{fn}({args[1]}, {args[0]})"
+    if low == "arraysum":
+        return (
+            f"AGGREGATE({args[0]}, CAST(0 AS DOUBLE), "
+            f"(acc, x) -> acc + CAST(x AS DOUBLE))"
+        )
+    if low == "splitbychar":
+        if len(args) != 2:
+            raise CHTranslationError("splitByChar(sep, s) takes two arguments")
+        return f"SPLIT({args[1]}, {args[0]})"
+    if low in _RENAME:
+        return f"{_RENAME[low]}({', '.join(args)})"
+    return f"{name}({', '.join(args)})"
+
+
+def _translate_calls(sql: str) -> str:
+    out: list[str] = []
+    i, n = 0, len(sql)
+    while i < n:
+        c = sql[i]
+        if c in "'\"`":
+            j = _skip_string(sql, i)
+            out.append(sql[i:j])
+            i = j
+            continue
+        if c.isalpha() or c == "_":
+            j = i
+            while j < n and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            name = sql[i:j]
+            k = j
+            while k < n and sql[k].isspace():
+                k += 1
+            if k < n and sql[k] == "(":
+                close = _matching_paren(sql, k)
+                args = _split_args(_translate_calls(sql[k + 1 : close]))
+                # parametric form: quantile(p)(x)
+                k2 = close + 1
+                while k2 < n and sql[k2].isspace():
+                    k2 += 1
+                if (
+                    name.lower() in _PARAMETRIC
+                    and k2 < n
+                    and sql[k2] == "("
+                ):
+                    close2 = _matching_paren(sql, k2)
+                    inner = _split_args(_translate_calls(sql[k2 + 1 : close2]))
+                    if len(args) != 1 or len(inner) != 1:
+                        raise CHTranslationError(
+                            f"{name}(p)(x) takes one parameter and one argument"
+                        )
+                    out.append(
+                        f"{_PARAMETRIC[name.lower()]}({inner[0]}, {args[0]})"
+                    )
+                    i = close2 + 1
+                    continue
+                out.append(_rewrite_call(name, args))
+                i = close + 1
+            else:
+                out.append(name)
+                i = j
+            continue
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
+_PREWHERE = re.compile(r"\bPREWHERE\b", re.IGNORECASE)
+_FORMAT_TAIL = re.compile(r"\bFORMAT\s+\w+\s*;?\s*$", re.IGNORECASE)
+_SETTINGS_TAIL = re.compile(r"\bSETTINGS\s+[\w\s=,'.]+$", re.IGNORECASE)
+_WITH_TOTALS = re.compile(r"\bWITH\s+TOTALS\b", re.IGNORECASE)
+_SAMPLE = re.compile(r"\bSAMPLE\s+[\d./]+", re.IGNORECASE)
+
+
+def translate_ch_sql(sql: str) -> str:
+    """ClickHouse-dialect SQL text → Spark SQL text (documented subset)."""
+    if _WITH_TOTALS.search(sql):
+        raise CHTranslationError(
+            "WITH TOTALS adds a summary row Spark cannot emit in-band; "
+            "compute the total as a separate aggregate"
+        )
+    if _SAMPLE.search(sql):
+        raise CHTranslationError(
+            "SAMPLE is storage-defined sampling; use TABLESAMPLE or a "
+            "hash-gate filter (pmod(xxhash64(key), n) = 0) for determinism"
+        )
+    sql = _FORMAT_TAIL.sub("", sql.rstrip())
+    sql = _SETTINGS_TAIL.sub("", sql.rstrip())
+    sql = _PREWHERE.sub("WHERE", sql)
+    return _translate_calls(sql).strip()
+
+
+def ch_sql(spark: SparkSession, sql: str) -> DataFrame:
+    """Translate and execute a ClickHouse-dialect query on Spark."""
+    return spark.sql(translate_ch_sql(sql))
