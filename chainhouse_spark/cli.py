@@ -52,6 +52,14 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--compact", help="compact a warehouse table (exact dedup rewrite); needs --output")
     p.add_argument("--warehouse", help="ingested warehouse base path: registers the four chain tables as views")
     p.add_argument("--sql", help="ad-hoc SQL to run over the registered views (with --warehouse)")
+    p.add_argument(
+        "--dialect",
+        choices=["spark", "clickhouse"],
+        default="spark",
+        help="SQL dialect for --sql: 'clickhouse' translates the reference's "
+        "dialect (PREWHERE, toStartOfHour, countIf, quantile(p)(x), ...) "
+        "via frontend/ch_dialect.py before execution",
+    )
     return p
 
 
@@ -124,7 +132,12 @@ def main(argv: list[str] | None = None) -> int:
             print("registered views:", ", ".join(registered))
             _stop_if_owned(spark)
             return 0
-        df = spark.sql(args.sql)
+        if args.dialect == "clickhouse":
+            from chainhouse_spark.frontend import ch_sql
+
+            df = ch_sql(spark, args.sql)
+        else:
+            df = spark.sql(args.sql)
         if args.explain:
             df.explain("formatted")
         else:

@@ -193,6 +193,8 @@ def _rewrite_call(name: str, args: list[str]) -> str:
     low = name.lower()
     if low in _UNSUPPORTED:
         raise CHTranslationError(f"{name}(): {_UNSUPPORTED[low]}")
+    if low == "count" and not args:
+        return "COUNT(*)"  # parameterless count() is idiomatic ClickHouse
     if low in _CAST:
         if len(args) != 1:
             raise CHTranslationError(f"{name}() takes one argument")

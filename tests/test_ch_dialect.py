@@ -118,3 +118,8 @@ def test_executed_equivalence_on_events(spark):
     want = spark.sql(twin).collect()
     assert got == want
     assert len(got) > 0
+
+
+def test_parameterless_count():
+    assert t("SELECT count() FROM t") == "SELECT COUNT(*) FROM t"
+    assert t("SELECT count(x) FROM t") == "SELECT count(x) FROM t"

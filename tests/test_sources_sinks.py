@@ -615,3 +615,25 @@ def test_cli_warehouse_sql(spark, tmp_path, capsys):
     assert "n_tx" in out and "n_blocks" in out
     # fixture pipeline: 35 transactions across 7 non-empty blocks
     assert "35" in out and "7" in out
+
+
+def test_cli_warehouse_sql_clickhouse_dialect(spark, tmp_path, capsys):
+    """--dialect clickhouse: the query a reference user ran against their
+    ClickHouse executes unchanged over the ingested warehouse."""
+    from chainhouse_spark.cli import main
+    from chainhouse_spark.queries.ethereum import _tables
+    from chainhouse_spark.sinks.parquet import write_all
+
+    write_all(_tables(spark), str(tmp_path), mode="append")
+    rc = main([
+        "--warehouse", str(tmp_path),
+        "--dialect", "clickhouse",
+        "--sql",
+        "SELECT toUInt64(count()) AS n_tx, uniqExact(blockNumber) AS n_blocks "
+        "FROM transactions FORMAT TabSeparated",
+        "--show", "5",
+    ])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "n_tx" in out and "n_blocks" in out
+    assert "35" in out and "7" in out
