@@ -30,13 +30,19 @@ Supported rewrites (ClickHouse → Spark):
                   quantileExact(p)(x) → percentile
   set aggs        uniq → approx_count_distinct, uniqExact →
                   count(distinct ...), groupArray → collect_list,
-                  groupUniqArray → collect_set, any/anyLast → any_value
+                  groupUniqArray → collect_set, any/anyLast → any_value,
+                  argMax/argMin → max_by/min_by, count() → count(*)
   arrays          arrayJoin → explode, has → array_contains,
                   indexOf → array_position, arrayMap/arrayFilter →
                   transform/filter (lambda moves to second position),
-                  arraySum, splitByChar(c, s) → split(s, c)
+                  arraySum, arrayDistinct/arrayUniq/arrayConcat/
+                  arrayReverse/arrayFlatten/arraySort,
+                  splitByChar(c, s) → split(s, c)
   strings         position → instr (same argument order), lengthUTF8 →
-                  char_length
+                  char_length, startsWith/endsWith, trimBoth/Left/Right,
+                  leftPad/rightPad
+  arithmetic      plus/minus/multiply/divide/modulo → operators,
+                  intDiv → DIV
   statement       PREWHERE → WHERE; trailing FORMAT <name> and
                   SETTINGS ... stripped
 
@@ -168,14 +174,32 @@ _RENAME = {
     "groupuniqarray": "COLLECT_SET",
     "any": "ANY_VALUE",
     "anylast": "ANY_VALUE",
+    "argmax": "MAX_BY",
+    "argmin": "MIN_BY",
     "arrayjoin": "EXPLODE",
     "has": "ARRAY_CONTAINS",
     "indexof": "ARRAY_POSITION",
+    "arraydistinct": "ARRAY_DISTINCT",
+    "arrayconcat": "CONCAT",
+    "arrayreverse": "REVERSE",
+    "arrayflatten": "FLATTEN",
     "position": "INSTR",
     "lengthutf8": "CHAR_LENGTH",
+    "startswith": "STARTSWITH",
+    "endswith": "ENDSWITH",
+    "trimboth": "TRIM",
+    "trimleft": "LTRIM",
+    "trimright": "RTRIM",
+    "leftpad": "LPAD",
+    "rightpad": "RPAD",
     "now": "CURRENT_TIMESTAMP",
     "today": "CURRENT_DATE",
 }
+
+# Arithmetic as functions (ClickHouse allows plus(a, b) etc.): rewrite to
+# the operator form, parenthesized.
+_ARITH = {"plus": "+", "minus": "-", "multiply": "*", "divide": "/",
+          "modulo": "%"}
 
 _IF_AGG = {"countif": "COUNT", "sumif": "SUM", "avgif": "AVG",
            "minif": "MIN", "maxif": "MAX"}
@@ -195,6 +219,27 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         raise CHTranslationError(f"{name}(): {_UNSUPPORTED[low]}")
     if low == "count" and not args:
         return "COUNT(*)"  # parameterless count() is idiomatic ClickHouse
+    if low in _ARITH:
+        if len(args) != 2:
+            raise CHTranslationError(f"{name}(a, b) takes two arguments")
+        return f"({args[0]} {_ARITH[low]} {args[1]})"
+    if low == "intdiv":
+        if len(args) != 2:
+            raise CHTranslationError("intDiv(a, b) takes two arguments")
+        return f"({args[0]} DIV {args[1]})"
+    if low == "arrayuniq":
+        if len(args) != 1:
+            raise CHTranslationError("arrayUniq(arr) takes one argument")
+        return f"SIZE(ARRAY_DISTINCT({args[0]}))"
+    if low == "arraysort" and len(args) == 2:
+        # lambda-first variant: arraySort(f, a) -> sort by key via struct
+        raise CHTranslationError(
+            "arraySort(lambda, arr) has no direct Spark twin — use "
+            "array_sort(arr, (l, r) -> comparator) with an explicit "
+            "two-argument comparator"
+        )
+    if low == "arraysort":
+        return f"ARRAY_SORT({args[0]})"
     if low in _CAST:
         if len(args) != 1:
             raise CHTranslationError(f"{name}() takes one argument")

@@ -123,3 +123,13 @@ def test_executed_equivalence_on_events(spark):
 def test_parameterless_count():
     assert t("SELECT count() FROM t") == "SELECT COUNT(*) FROM t"
     assert t("SELECT count(x) FROM t") == "SELECT count(x) FROM t"
+
+
+def test_argmax_arrays_arith():
+    assert t("SELECT argMax(u, v)") == "SELECT MAX_BY(u, v)"
+    assert t("SELECT arrayUniq(xs)") == "SELECT SIZE(ARRAY_DISTINCT(xs))"
+    assert t("SELECT intDiv(a, b)") == "SELECT (a DIV b)"
+    assert t("SELECT plus(a, multiply(b, 2))") == "SELECT (a + (b * 2))"
+    assert t("SELECT arraySort(xs)") == "SELECT ARRAY_SORT(xs)"
+    with pytest.raises(CHTranslationError, match="comparator"):
+        t("SELECT arraySort(x -> -x, xs)")
