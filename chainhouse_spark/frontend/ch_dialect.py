@@ -19,7 +19,7 @@ Supported rewrites (ClickHouse → Spark):
 
   type casts      toInt8/16/32/64, toUInt8/16/32, toFloat32/64, toString,
                   toDate, toDateTime, toDecimal32/64/128(x, s)
-                  (toUInt64 → DECIMAL(20,0): the full unsigned range does
+                  (toUInt64 → DECIMAL(20, 0): the full unsigned range does
                   not fit BIGINT)
   time buckets    toStartOfMinute/Hour/Day/Week/Month/Quarter/Year,
                   toYYYYMM, toHour/toMinute/toSecond, toDayOfMonth,
@@ -138,7 +138,7 @@ _CAST = {
     "touint8": "SMALLINT",
     "touint16": "INT",
     "touint32": "BIGINT",
-    "touint64": "DECIMAL(20,0)",
+    "touint64": "DECIMAL(20, 0)",
     "tofloat32": "FLOAT",
     "tofloat64": "DOUBLE",
     "tostring": "STRING",
@@ -248,7 +248,7 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         if len(args) != 2:
             raise CHTranslationError(f"{name}(x, scale) takes two arguments")
         digits = {"todecimal32": 9, "todecimal64": 18, "todecimal128": 38}[low]
-        return f"CAST({args[0]} AS DECIMAL({digits},{args[1]}))"
+        return f"CAST({args[0]} AS DECIMAL({digits}, {args[1]}))"
     if low in _TRUNC:
         return f"DATE_TRUNC('{_TRUNC[low]}', {args[0]})"
     if low in _PART:
@@ -348,6 +348,15 @@ def _translate_calls(sql: str) -> str:
 
 
 _PREWHERE = re.compile(r"\bPREWHERE\b", re.IGNORECASE)
+# GLOBAL is a ClickHouse distribution hint (broadcast the right side to all
+# shards) — semantics are identical without it; Spark's optimizer owns the
+# distribution decision. ANY/ASOF joins CHANGE row multiplicity, so they
+# must not be silently rewritten.
+_GLOBAL = re.compile(r"\bGLOBAL\s+(?=JOIN|IN\b|LEFT|RIGHT|INNER|FULL|CROSS)",
+                     re.IGNORECASE)
+_ANY_JOIN = re.compile(r"\b(?:LEFT|RIGHT|INNER)?\s*ANY\s+(?:LEFT\s+|RIGHT\s+|INNER\s+)?JOIN\b",
+                       re.IGNORECASE)
+_ASOF_JOIN = re.compile(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", re.IGNORECASE)
 _FORMAT_TAIL = re.compile(r"\bFORMAT\s+\w+\s*;?\s*$", re.IGNORECASE)
 _SETTINGS_TAIL = re.compile(r"\bSETTINGS\s+[\w\s=,'.]+$", re.IGNORECASE)
 _WITH_TOTALS = re.compile(r"\bWITH\s+TOTALS\b", re.IGNORECASE)
@@ -366,6 +375,20 @@ def translate_ch_sql(sql: str) -> str:
             "SAMPLE is storage-defined sampling; use TABLESAMPLE or a "
             "hash-gate filter (pmod(xxhash64(key), n) = 0) for determinism"
         )
+    if _ASOF_JOIN.search(sql):
+        raise CHTranslationError(
+            "ASOF JOIN is not single-statement-expressible in Spark SQL; "
+            "use chainhouse_spark.operators.asof (same semantics, tested "
+            "against DuckDB's native ASOF)"
+        )
+    if _ANY_JOIN.search(sql):
+        raise CHTranslationError(
+            "ANY JOIN keeps at most one (arbitrary) match per row — a "
+            "silent rewrite to a plain join would change row counts; "
+            "deduplicate the right side explicitly (dropDuplicates / "
+            "row_number() = 1) to state which match you want"
+        )
+    sql = _GLOBAL.sub("", sql)
     sql = _FORMAT_TAIL.sub("", sql.rstrip())
     sql = _SETTINGS_TAIL.sub("", sql.rstrip())
     sql = _PREWHERE.sub("WHERE", sql)

@@ -16,9 +16,9 @@ def t(s: str) -> str:
 
 def test_cast_family():
     assert t("SELECT toInt64(x)") == "SELECT CAST(x AS BIGINT)"
-    assert t("SELECT toUInt64(x)") == "SELECT CAST(x AS DECIMAL(20,0))"
+    assert t("SELECT toUInt64(x)") == "SELECT CAST(x AS DECIMAL(20, 0))"
     assert t("SELECT toFloat64(x)") == "SELECT CAST(x AS DOUBLE)"
-    assert t("SELECT toDecimal64(v, 2)") == "SELECT CAST(v AS DECIMAL(18,2))"
+    assert t("SELECT toDecimal64(v, 2)") == "SELECT CAST(v AS DECIMAL(18, 2))"
     assert t("SELECT toString(x)") == "SELECT CAST(x AS STRING)"
 
 
@@ -56,7 +56,7 @@ def test_multiif_and_arrays():
 def test_nested_translation():
     assert (
         t("SELECT sumIf(toDecimal64(v, 2), toYear(ts) = 2024)")
-        == "SELECT SUM(IF(YEAR(ts) = 2024, CAST(v AS DECIMAL(18,2)), NULL))"
+        == "SELECT SUM(IF(YEAR(ts) = 2024, CAST(v AS DECIMAL(18, 2)), NULL))"
     )
 
 
@@ -133,3 +133,30 @@ def test_argmax_arrays_arith():
     assert t("SELECT arraySort(xs)") == "SELECT ARRAY_SORT(xs)"
     with pytest.raises(CHTranslationError, match="comparator"):
         t("SELECT arraySort(x -> -x, xs)")
+
+
+def test_join_modifiers():
+    assert (
+        t("SELECT * FROM a GLOBAL JOIN b ON a.k = b.k")
+        == "SELECT * FROM a JOIN b ON a.k = b.k"
+    )
+    assert (
+        t("SELECT * FROM a GLOBAL LEFT JOIN b ON a.k = b.k")
+        == "SELECT * FROM a LEFT JOIN b ON a.k = b.k"
+    )
+    with pytest.raises(CHTranslationError, match="ASOF"):
+        t("SELECT * FROM a ASOF JOIN b ON a.k = b.k AND a.t >= b.t")
+    with pytest.raises(CHTranslationError, match="ANY JOIN"):
+        t("SELECT * FROM a LEFT ANY JOIN b ON a.k = b.k")
+
+
+def test_translation_is_idempotent():
+    """Translated output is valid input: a second pass changes nothing."""
+    samples = [
+        "SELECT toStartOfHour(ts), countIf(a = 1), quantile(0.5)(x) FROM t PREWHERE b",
+        "SELECT sumIf(toDecimal64(v, 2), toYear(ts) = 2024) FROM t",
+        "SELECT argMax(u, v), intDiv(a, b), arrayUniq(xs) FROM t",
+    ]
+    for s in samples:
+        once = t(s)
+        assert t(once) == once
