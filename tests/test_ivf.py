@@ -79,3 +79,34 @@ def test_gemm_guard_rejects_oversized_query_set(spark):
     emb = load_table(spark, SF, "embeddings")
     with pytest.raises(ValueError, match="small-side contract"):
         brute_force_topk_gemm(emb, emb, k=5, max_queries=10)
+
+
+def test_ivf_cell_partitioned_layout_prunes_scan(spark, tmp_path):
+    """The SCALE.md contract made executable: persist the corpus
+    partitionBy("cell") and a single-cell probe must read ONLY that cell's
+    partition — the physical plan carries the cell value as a partition
+    filter and the other cells' files are never listed into the scan."""
+    from chainhouse_spark.operators.ivf import assign_cells
+
+    emb = load_table(spark, SF, "embeddings")
+    assigned, _ = assign_cells(emb, "embedding", n_cells=8)
+    path = str(tmp_path / "ivf_corpus")
+    assigned.write.partitionBy("cell").parquet(path)
+
+    cells = sorted(r.cell for r in assigned.select("cell").distinct().collect())
+    probe_cell = cells[0]
+    probed = spark.read.parquet(path).filter(f"cell = {probe_cell}")
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+    # row count equals the cell's population — nothing else was read
+    expect = assigned.filter(f"cell = {probe_cell}").count()
+    assert probed.count() == expect
+    # and at execution time every task reads only that cell's files
+    # (inputFiles() lists the pre-pruning relation, so probe at runtime)
+    from pyspark.sql import functions as F
+
+    files = [
+        r[0]
+        for r in probed.select(F.input_file_name()).distinct().collect()
+    ]
+    assert files and all(f"cell={probe_cell}" in f for f in files)
