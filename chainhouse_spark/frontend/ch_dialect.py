@@ -357,6 +357,7 @@ _GLOBAL = re.compile(r"\bGLOBAL\s+(?=JOIN|IN\b|LEFT|RIGHT|INNER|FULL|CROSS)",
 _ANY_JOIN = re.compile(r"\b(?:LEFT|RIGHT|INNER)?\s*ANY\s+(?:LEFT\s+|RIGHT\s+|INNER\s+)?JOIN\b",
                        re.IGNORECASE)
 _ASOF_JOIN = re.compile(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", re.IGNORECASE)
+_LIMIT_BY = re.compile(r"\bLIMIT\s+\d+\s+BY\b", re.IGNORECASE)
 _FORMAT_TAIL = re.compile(r"\bFORMAT\s+\w+\s*;?\s*$", re.IGNORECASE)
 _SETTINGS_TAIL = re.compile(r"\bSETTINGS\s+[\w\s=,'.]+$", re.IGNORECASE)
 _WITH_TOTALS = re.compile(r"\bWITH\s+TOTALS\b", re.IGNORECASE)
@@ -387,6 +388,13 @@ def translate_ch_sql(sql: str) -> str:
             "silent rewrite to a plain join would change row counts; "
             "deduplicate the right side explicitly (dropDuplicates / "
             "row_number() = 1) to state which match you want"
+        )
+    if _LIMIT_BY.search(sql):
+        raise CHTranslationError(
+            "LIMIT n BY cols depends on the outer query's row order; state "
+            "it explicitly with a ranked subquery: SELECT * FROM (... "
+            "ROW_NUMBER() OVER (PARTITION BY cols ORDER BY ...) AS rn) "
+            "WHERE rn <= n"
         )
     sql = _GLOBAL.sub("", sql)
     sql = _FORMAT_TAIL.sub("", sql.rstrip())

@@ -160,3 +160,8 @@ def test_translation_is_idempotent():
     for s in samples:
         once = t(s)
         assert t(once) == once
+
+
+def test_limit_by_raises_with_recipe():
+    with pytest.raises(CHTranslationError, match="ROW_NUMBER"):
+        t("SELECT a, b FROM t ORDER BY b LIMIT 3 BY a")
