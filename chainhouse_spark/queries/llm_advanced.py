@@ -485,3 +485,36 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 50)
         .orderBy("rank")
     )
+
+
+@register(
+    "embedding_random_projection",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH s AS (
+        SELECT i.i AS i, j.j AS j,
+               CASE WHEN (strpos('0123456789abcdef',
+                          substr(md5((i.i - 1) || '_' || j.j), 1, 1)) - 1) % 2 = 0
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+        FROM (SELECT UNNEST(range(1, {DIMS + 1})) AS i) i,
+             (SELECT UNNEST(range(0, 16)) AS j) j
+    ),
+    proj AS (
+        SELECT e.vec_id, s.j,
+               SUM(s.s * CAST(e.embedding[s.i] AS DOUBLE) ORDER BY s.i) AS p
+        FROM embeddings e, s
+        GROUP BY e.vec_id, s.j
+    )
+    SELECT vec_id, ARRAY_AGG(p ORDER BY j) AS proj FROM proj GROUP BY vec_id
+    """,
+)
+def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Johnson-Lindenstrauss random-sign projection 64 -> 16 dims — the
+    cheap geometry-preserving reduction in front of LSH/clustering at
+    scale. The sign matrix is a pure function of (i, j) (md5 hex parity),
+    so the oracle regenerates it in SQL; each output coordinate is the
+    ordered double fold both engines reproduce bit-for-bit."""
+    from chainhouse_spark.operators.projection import project_signs
+
+    return project_signs(
+        load_table(spark, sf_dir, "embeddings"), in_dims=DIMS, out_dims=16
+    )

@@ -166,3 +166,54 @@ def test_two_stage_rerank_matches_exact_topk_mostly(spark):
         exact.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
     ).count()
     assert hits >= 0.9 * 50, f"two-stage recall too low: {hits}/50"
+
+
+def test_random_projection_preserves_geometry(spark):
+    """JL guarantee on the real corpus, tested as the statistic it actually
+    is: <Px,Py>/k is an unbiased estimator of <x,y> with per-pair variance
+    ≈ (|x|²|y|² + <x,y>²)/k. Pin that the estimator is (a) unbiased (mean
+    error ~ 0 relative to the noise scale) and (b) within 1.5× the
+    theoretical mean-squared error, plus a positive-correlation sanity
+    check. A high Pearson r is NOT expected at k=16 on near-orthogonal
+    vectors — the JL noise floor |x||y|√(2/k) exceeds the true-dot spread
+    (measured r ≈ 0.45 here, and that is correct behavior)."""
+    import numpy as np
+
+    from chainhouse_spark.operators.projection import project_signs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet").limit(100)
+    orig = {r.vec_id: np.array(r.embedding, dtype=float) for r in emb.collect()}
+    proj = {
+        r.vec_id: np.array(r.proj, dtype=float)
+        for r in project_signs(emb).collect()
+    }
+    k = 16
+    ids = sorted(orig)
+    errs, bounds, o_dots, p_est = [], [], [], []
+    for a in range(len(ids)):
+        xa, pa = orig[ids[a]], proj[ids[a]]
+        for b in range(a + 1, len(ids)):
+            xb, pb = orig[ids[b]], proj[ids[b]]
+            true = float(xa @ xb)
+            est = float(pa @ pb) / k
+            errs.append((est - true) ** 2)
+            bounds.append(
+                (float(xa @ xa) * float(xb @ xb) + true * true) / k
+            )
+            o_dots.append(true)
+            p_est.append(est)
+    mse, bound = float(np.mean(errs)), float(np.mean(bounds))
+    assert mse <= 1.5 * bound, f"MSE {mse:.4f} vs JL bound {bound:.4f}"
+    bias = float(np.mean([e - t for e, t in zip(p_est, o_dots)]))
+    assert abs(bias) <= 3.0 * (bound / len(errs)) ** 0.5 + 1e-3
+    r = float(np.corrcoef(o_dots, p_est)[0, 1])
+    assert r >= 0.3, f"projection correlation implausibly low: {r:.3f}"
+
+
+def test_random_projection_plan_is_map_only(spark):
+    """The projection is a pure per-row expression: no exchange at all."""
+    from chainhouse_spark.operators.projection import project_signs
+
+    emb = spark.read.parquet(f"{SF}/embeddings.parquet")
+    plan = project_signs(emb)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan
