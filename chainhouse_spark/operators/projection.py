@@ -38,6 +38,20 @@ def random_sign_matrix(in_dims: int, out_dims: int) -> list[list[int]]:
     return [[sign(i, j) for i in range(in_dims)] for j in range(out_dims)]
 
 
+def projection_sql(vec_col: str, in_dims: int = 64, out_dims: int = 16) -> str:
+    """SQL expression: array of out_dims ordered-fold projections of
+    `vec_col` (the sign matrix inlined as a plan literal)."""
+    mat = random_sign_matrix(in_dims, out_dims)
+    rows = ", ".join(
+        "array(" + ", ".join(f"{s}D" for s in row) + ")" for row in mat
+    )
+    return (
+        f"transform(array({rows}), srow -> "
+        f"aggregate(zip_with(srow, {vec_col}, (s, x) -> s * CAST(x AS DOUBLE)), "
+        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
+    )
+
+
 def project_signs(
     df: DataFrame,
     vec_col: str = "embedding",
@@ -46,13 +60,7 @@ def project_signs(
     out_dims: int = 16,
 ) -> DataFrame:
     """(id, proj) with proj[j] = ordered-fold Σ_i s(i,j)·x[i]. Map-only."""
-    mat = random_sign_matrix(in_dims, out_dims)
-    rows = ", ".join(
-        "array(" + ", ".join(f"{s}D" for s in row) + ")" for row in mat
+    return df.select(
+        F.col(id_col),
+        F.expr(projection_sql(vec_col, in_dims, out_dims)).alias("proj"),
     )
-    fold = (
-        f"transform(array({rows}), srow -> "
-        f"aggregate(zip_with(srow, {vec_col}, (s, x) -> s * CAST(x AS DOUBLE)), "
-        f"CAST(0.0 AS DOUBLE), (acc, v) -> acc + v))"
-    )
-    return df.select(F.col(id_col), F.expr(fold).alias("proj"))

@@ -518,3 +518,125 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     return project_signs(
         load_table(spark, sf_dir, "embeddings"), in_dims=DIMS, out_dims=16
     )
+
+
+# Projected-LSH: the composed scale path — JL-project 64 -> 16 dims
+# (map-only), sign-bucket the PROJECTION (projected axes mix all input
+# dims, so the 8 bucket bits cut on dense directions instead of 8 raw
+# coordinates), then exact-cosine rank the bucket's candidates on the
+# ORIGINAL vectors.
+_DUCK_PROJ8 = f"""
+    s8 AS (
+        SELECT i.i AS i, j.j AS j,
+               CASE WHEN (strpos('0123456789abcdef',
+                          substr(md5((i.i - 1) || '_' || j.j), 1, 1)) - 1) % 2 = 0
+                    THEN CAST(1.0 AS DOUBLE) ELSE CAST(-1.0 AS DOUBLE) END AS s
+        FROM (SELECT UNNEST(range(1, {DIMS + 1})) AS i) i,
+             (SELECT UNNEST(range(0, 8)) AS j) j
+    ),
+    pbuck AS (
+        SELECT e.vec_id,
+               SUM(CASE WHEN pj.p >= 0 THEN CAST(1 AS BIGINT) << pj.j
+                        ELSE 0 END) AS bucket
+        FROM (
+            SELECT e.vec_id, s8.j,
+                   SUM(s8.s * CAST(e.embedding[s8.i] AS DOUBLE)
+                       ORDER BY s8.i) AS p
+            FROM embeddings e, s8
+            GROUP BY e.vec_id, s8.j
+        ) pj
+        JOIN embeddings e ON e.vec_id = pj.vec_id
+        GROUP BY e.vec_id
+    )
+"""
+
+
+@register(
+    "ann_projected_lsh_topk",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH {_DUCK_PROJ8},
+    dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               SUM(CAST(q.embedding[i.i] AS DOUBLE)
+                   * CAST(c.embedding[i.i] AS DOUBLE) ORDER BY i.i) AS dot,
+               SUM(CAST(q.embedding[i.i] AS DOUBLE)
+                   * CAST(q.embedding[i.i] AS DOUBLE) ORDER BY i.i) AS qq,
+               SUM(CAST(c.embedding[i.i] AS DOUBLE)
+                   * CAST(c.embedding[i.i] AS DOUBLE) ORDER BY i.i) AS cc
+        FROM embeddings q
+        JOIN pbuck bq ON bq.vec_id = q.vec_id
+        JOIN pbuck bc ON bc.bucket = bq.bucket
+        JOIN embeddings c ON c.vec_id = bc.vec_id AND c.vec_id != q.vec_id,
+        {_IDX}
+        WHERE q.vec_id < 5
+        GROUP BY q.vec_id, c.vec_id
+    )
+    SELECT query_id, cand_id, cos_sim, CAST(rank AS INT) AS rank
+    FROM (
+        SELECT query_id, cand_id,
+               dot / (sqrt(qq) * sqrt(cc)) AS cos_sim,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, cand_id
+               ) AS rank
+        FROM dots
+    ) WHERE rank <= 10
+    """,
+)
+def ann_projected_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Approximate top-10 via sign-LSH over the JL projection: bucket bits
+    come from 8 projected (dense) directions instead of 8 raw coordinates,
+    exact cosine ranks the bucket's candidates on the original vectors.
+    Projection and bucketing are map-only; one broadcast bucket join; one
+    rank shuffle — the composed 100 TB recall stage."""
+    from pyspark.sql import Window
+
+    from chainhouse_spark.functions.vector import cosine_sql
+    from chainhouse_spark.operators.partitioning import spread
+    from chainhouse_spark.operators.projection import projection_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+
+    def with_bucket(df):
+        # projection staged as its own column (same reason as quantize.py:
+        # evaluate once per row, and never substitute a compound expression
+        # into another expression's arithmetic)
+        return (
+            df.withColumn("_proj", F.expr(projection_sql("embedding", DIMS, 8)))
+            .withColumn(
+                "bucket",
+                F.expr(
+                    "aggregate(zip_with(_proj, sequence(0, 7), (p, j) -> "
+                    "CASE WHEN p >= 0 THEN CAST(CAST(1 AS BIGINT) << j AS BIGINT) "
+                    "ELSE CAST(0 AS BIGINT) END), CAST(0 AS BIGINT), "
+                    "(acc, v) -> acc + v)"
+                ),
+            )
+            .drop("_proj")
+        )
+
+    q = with_bucket(emb.filter(F.col("vec_id") < 5)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        "bucket",
+    )
+    c = with_bucket(spread(emb, "vec_id")).select(
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_vec"),
+        "bucket",
+    )
+    scored = (
+        c.join(F.broadcast(q), "bucket")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= 10)
+        .select("query_id", "cand_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+    )

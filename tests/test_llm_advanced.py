@@ -217,3 +217,14 @@ def test_random_projection_plan_is_map_only(spark):
     emb = spark.read.parquet(f"{SF}/embeddings.parquet")
     plan = project_signs(emb)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan
+
+
+def test_projected_lsh_plan_shape(spark):
+    """Projected-LSH: projection+bucket are pure row expressions (no join
+    to attach them), the query side broadcasts, one rank exchange."""
+    from chainhouse_spark.queries.registry import QUERIES
+
+    df = QUERIES["ann_projected_lsh_topk"](spark, SF)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
+    assert "SortMergeJoin" not in plan
