@@ -60,10 +60,11 @@ from chainhouse_spark.queries import ch_frontend  # noqa: E402,F401
 # driver must re-check these first.
 #
 # ROUND-4 TODO (next session): after CORRECTNESS_r03.json lands, rebuild
-# this rotation — move the r03-green window (positions ~1-50) into
-# _DRIVER_GREEN, promote the still-never-checked tail (positions ~51-97
-# plus the llm_advanced additions at ~98-104) to the front, and pin any
-# r03 errs first. `python tools/correctness_coverage.py` prints the state.
+# this rotation — move the r03-green window (the first ~50 registered
+# names) into _DRIVER_GREEN, promote the still-never-checked tail
+# (including the round-3 llm_advanced/ch_frontend additions) to the front,
+# and pin any r03 errs first. `python tools/correctness_coverage.py`
+# prints the exact state.
 _RECHECK_FIRST = [
     "ann_ivf_topk",              # r02: pyspark.ml import crash — reimplemented
     "ann_lsh_multiprobe_topk",   # r02: oracle OOM — frugal oracle
