@@ -123,6 +123,7 @@ def lsh_candidate_pairs(
     num_hashes: int = 16,
     bands: int = 4,
     max_bucket: int = 512,
+    delta_col: str | None = None,
 ) -> DataFrame:
     """LSH banding: equal band-hash in any band -> candidate pair, with the
     signature-estimated Jaccard attached.
@@ -146,11 +147,25 @@ def lsh_candidate_pairs(
     The oracle for dedup_minhash_lsh assumes full expansion, which holds
     because testdata buckets are orders of magnitude under the cap;
     tests/test_properties.py pins the 10k-identical-docs bound.
+
+    Incremental mode (`delta_col` = name of a boolean column marking the
+    new/changed docs): only pairs INVOLVING a delta doc are produced — the
+    daily-increment shape where yesterday's corpus is already deduped and
+    re-expanding old×old pairs would redo the whole job. Buckets with no
+    delta member are dropped BEFORE expansion (the dominant saving: at a
+    steady state almost every bucket is all-old), and within a surviving
+    bucket the expansion keeps only delta-involving pairs. Identical to
+    filtering the full candidate set on "a or b is delta" — pinned by
+    tests — at a fraction of the expansion and shuffle.
     """
     rows_per_band = num_hashes // bands
+    item_fields = [F.col(id_col).alias("id"), F.col("sig").alias("sig")]
+    keep_cols = [id_col, "sig"]
+    if delta_col is not None:
+        item_fields.append(F.col(delta_col).alias("d"))
+        keep_cols.append(delta_col)
     banded = sig_df.select(
-        F.col(id_col),
-        F.col("sig"),
+        *[F.col(c) for c in keep_cols],
         F.explode(
             F.expr(
                 f"transform(sequence(0, {bands - 1}), "
@@ -159,37 +174,36 @@ def lsh_candidate_pairs(
                 f"',')) AS bh))"
             )
         ).alias("bb"),
-    ).select(id_col, "sig", F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
+    ).select(*keep_cols, F.col("bb.band").alias("band"), F.col("bb.bh").alias("bh"))
 
     buckets = (
         banded.groupBy("band", "bh")
-        .agg(
-            F.array_sort(
-                F.collect_list(F.struct(F.col(id_col).alias("id"), F.col("sig").alias("sig")))
-            ).alias("items")
-        )
+        .agg(F.array_sort(F.collect_list(F.struct(*item_fields))).alias("items"))
         .filter(F.size("items") > 1)
     )
+    if delta_col is not None:
+        buckets = buckets.filter(F.expr("exists(items, it -> it.d)"))
+    pair_struct = "struct(a.id AS doc_a, b.id AS doc_b, a.sig AS sig_a, b.sig AS sig_b"
+    star_struct = ("struct(items[0].id AS doc_a, b.id AS doc_b, "
+                   "items[0].sig AS sig_a, b.sig AS sig_b")
+    if delta_col is not None:
+        pair_struct += ", (a.d OR b.d) AS keep"
+        star_struct += ", (items[0].d OR b.d) AS keep"
     all_pairs = (
         "flatten(transform(items, (a, i) -> "
         "transform(slice(items, i + 2, size(items)), "
-        "b -> struct(a.id AS doc_a, b.id AS doc_b, a.sig AS sig_a, b.sig AS sig_b))))"
+        f"b -> {pair_struct}))))"
     )
-    star_pairs = (
-        "transform(slice(items, 2, size(items)), "
-        "b -> struct(items[0].id AS doc_a, b.id AS doc_b, "
-        "items[0].sig AS sig_a, b.sig AS sig_b))"
+    star_pairs = f"transform(slice(items, 2, size(items)), b -> {star_struct}))"
+    expansion = (
+        f"CASE WHEN size(items) > {max_bucket} THEN {star_pairs} "
+        f"ELSE {all_pairs} END"
     )
+    if delta_col is not None:
+        expansion = f"filter({expansion}, p -> p.keep)"
     pairs = (
-        buckets.select(
-            F.explode(
-                F.expr(
-                    f"CASE WHEN size(items) > {max_bucket} THEN {star_pairs} "
-                    f"ELSE {all_pairs} END"
-                )
-            ).alias("p")
-        )
-        .select("p.*")
+        buckets.select(F.explode(F.expr(expansion)).alias("p"))
+        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
         .dropDuplicates(["doc_a", "doc_b"])
     )
     return pairs.select(

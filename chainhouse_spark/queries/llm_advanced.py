@@ -640,3 +640,65 @@ def ann_projected_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rank") <= 10)
         .select("query_id", "cand_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
     )
+
+
+@register(
+    "dedup_minhash_incremental",
+    oracle="""
+    WITH
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM tok, LATERAL (SELECT UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS i) ii
+    ),
+    hh AS (
+        SELECT doc_id,
+               (""" + "(strpos('0123456789abcdef', substr(md5(shingle), 1, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(shingle), 2, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(shingle), 3, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(shingle), 4, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(shingle), 5, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(shingle), 6, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(shingle), 7, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(shingle), 8, 1)) - 1)" + """) AS h1,
+               (""" + "(strpos('0123456789abcdef', substr(md5(shingle), 9, 1)) - 1) * 268435456 + (strpos('0123456789abcdef', substr(md5(shingle), 10, 1)) - 1) * 16777216 + (strpos('0123456789abcdef', substr(md5(shingle), 11, 1)) - 1) * 1048576 + (strpos('0123456789abcdef', substr(md5(shingle), 12, 1)) - 1) * 65536 + (strpos('0123456789abcdef', substr(md5(shingle), 13, 1)) - 1) * 4096 + (strpos('0123456789abcdef', substr(md5(shingle), 14, 1)) - 1) * 256 + (strpos('0123456789abcdef', substr(md5(shingle), 15, 1)) - 1) * 16 + (strpos('0123456789abcdef', substr(md5(shingle), 16, 1)) - 1)" + """) AS h2
+        FROM sh
+    ),
+    mh AS (
+        SELECT doc_id, s.s AS s, MIN((h1 + s.s * h2) % 4294967291) AS h
+        FROM hh, (SELECT UNNEST(range(0, 16)) AS s) s
+        GROUP BY doc_id, s.s
+    ),
+    sig AS (SELECT doc_id, ARRAY_AGG(h ORDER BY s) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.b AS band,
+               md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ',')) AS bh
+        FROM sig, (SELECT UNNEST(range(0, 4)) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        WHERE a.doc_id % 10 = 0 OR b.doc_id % 10 = 0
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16 AS est_jaccard
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b AND mb.s = ma.s
+    GROUP BY c.doc_a, c.doc_b
+    """,
+)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Incremental MinHash+LSH: only candidate pairs INVOLVING a delta doc
+    (doc_id % 10 = 0 — "today's crawl") are produced. All-old buckets are
+    dropped before expansion, so at a steady state the per-increment cost
+    tracks the delta size, not the corpus size. The full signature pass
+    shown here re-signs everything for the oracle's sake; in production
+    yesterday's signatures are already persisted and only delta docs are
+    signed."""
+    from chainhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_words=3).withColumn(
+        "is_delta", F.col("doc_id") % 10 == 0
+    )
+    return lsh_candidate_pairs(
+        sigs, num_hashes=16, bands=4, delta_col="is_delta"
+    )

@@ -228,3 +228,29 @@ def test_projected_lsh_plan_shape(spark):
     plan = df._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastExchange" in plan or "BroadcastNestedLoopJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_incremental_lsh_equals_filtered_full(spark):
+    """Incremental mode must equal the full candidate set filtered to
+    delta-involving pairs — exactly, including est_jaccard values."""
+    from chainhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_words=3)
+    full = lsh_candidate_pairs(sigs, num_hashes=16, bands=4)
+    expected = sorted(
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in full.collect()
+        if r.doc_a % 10 == 0 or r.doc_b % 10 == 0
+    )
+    inc = lsh_candidate_pairs(
+        sigs.withColumn("is_delta", F.col("doc_id") % 10 == 0),
+        num_hashes=16,
+        bands=4,
+        delta_col="is_delta",
+    )
+    got = sorted((r.doc_a, r.doc_b, r.est_jaccard) for r in inc.collect())
+    assert got == expected and len(got) > 0
