@@ -254,3 +254,40 @@ def test_incremental_lsh_equals_filtered_full(spark):
     )
     got = sorted((r.doc_a, r.doc_b, r.est_jaccard) for r in inc.collect())
     assert got == expected and len(got) > 0
+
+
+def test_incremental_lsh_star_cap_interplay(spark):
+    """Above the bucket cap the star expansion anchors at items[0]; with a
+    delta predicate the kept pairs must still be exactly the delta-involving
+    star pairs (anchor-old × delta survives, anchor-old × old drops)."""
+    from pyspark.sql import functions as F2
+
+    from chainhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    text = "alpha beta gamma delta epsilon zeta eta theta iota kappa"
+    docs = spark.createDataFrame(
+        [(i, text) for i in range(12)], "doc_id long, text string"
+    )
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_words=3)
+    inc = lsh_candidate_pairs(
+        sigs.withColumn("is_delta", F2.col("doc_id") % 4 == 0),
+        num_hashes=16,
+        bands=4,
+        max_bucket=5,  # 12 identical docs -> star expansion
+        delta_col="is_delta",
+    ).collect()
+    # star anchor is doc 0 (min id, itself delta): every pair involves it
+    assert all(r.doc_a == 0 for r in inc)
+    assert sorted(r.doc_b for r in inc) == list(range(1, 12))
+    # non-delta anchor: shift delta off doc 0
+    inc2 = lsh_candidate_pairs(
+        sigs.withColumn("is_delta", F2.col("doc_id") % 4 == 1),
+        num_hashes=16,
+        bands=4,
+        max_bucket=5,
+        delta_col="is_delta",
+    ).collect()
+    assert sorted(r.doc_b for r in inc2) == [1, 5, 9]  # only delta partners
