@@ -194,6 +194,10 @@ _RENAME = {
     "rightpad": "RPAD",
     "now": "CURRENT_TIMESTAMP",
     "today": "CURRENT_DATE",
+    "tounixtimestamp": "UNIX_TIMESTAMP",
+    "fromunixtimestamp": "TIMESTAMP_SECONDS",  # NOT from_unixtime (string)
+    "arraystringconcat": "ARRAY_JOIN",
+    "substringutf8": "SUBSTRING",
 }
 
 # Arithmetic as functions (ClickHouse allows plus(a, b) etc.): rewrite to
@@ -255,6 +259,11 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         return f"{_PART[low]}({args[0]})"
     if low == "toyyyymm":
         return f"CAST(DATE_FORMAT({args[0]}, 'yyyyMM') AS INT)"
+    if low == "todayofweek":
+        # ClickHouse: ISO, Monday = 1. Spark's DAYOFWEEK has Sunday = 1 —
+        # a bare rename would shift every weekday; WEEKDAY (Monday = 0) + 1
+        # preserves the ClickHouse numbering.
+        return f"(WEEKDAY({args[0]}) + 1)"
     if low in _IF_AGG:
         agg = _IF_AGG[low]
         if low == "countif":

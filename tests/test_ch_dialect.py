@@ -165,3 +165,15 @@ def test_translation_is_idempotent():
 def test_limit_by_raises_with_recipe():
     with pytest.raises(CHTranslationError, match="ROW_NUMBER"):
         t("SELECT a, b FROM t ORDER BY b LIMIT 3 BY a")
+
+
+def test_timestamp_and_weekday_conventions(spark):
+    assert t("SELECT toUnixTimestamp(ts)") == "SELECT UNIX_TIMESTAMP(ts)"
+    assert t("SELECT fromUnixTimestamp(x)") == "SELECT TIMESTAMP_SECONDS(x)"
+    assert t("SELECT toDayOfWeek(d)") == "SELECT (WEEKDAY(d) + 1)"
+    # executed: ISO numbering — 2024-01-01 is a Monday -> 1
+    row = ch_sql(
+        spark, "SELECT toDayOfWeek(toDate('2024-01-01')) AS dw"
+    ).first()
+    assert row.dw == 1
+    assert t("SELECT arrayStringConcat(xs, ',')") == "SELECT ARRAY_JOIN(xs, ',')"
