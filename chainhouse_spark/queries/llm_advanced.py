@@ -702,3 +702,71 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     return lsh_candidate_pairs(
         sigs, num_hashes=16, bands=4, delta_col="is_delta"
     )
+
+
+@register(
+    "tokenize_with_vocab",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    dtok AS (SELECT DISTINCT doc_id, token FROM tok WHERE token <> ''),
+    df AS (SELECT token, COUNT(*) AS doc_freq FROM dtok GROUP BY token),
+    vocab AS (
+        SELECT token,
+               CAST(ROW_NUMBER() OVER (ORDER BY doc_freq DESC, token ASC) - 1
+                    AS INT) AS token_id
+        FROM df ORDER BY token_id LIMIT 1000
+    ),
+    seq AS (
+        SELECT doc_id, i.i AS pos, t[i.i] AS token
+        FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+             LATERAL (SELECT UNNEST(range(1, len(t) + 1)) AS i) i
+        WHERE t[i.i] <> ''
+    )
+    SELECT s.doc_id,
+           ARRAY_AGG(COALESCE(v.token_id, -1) ORDER BY s.pos) AS ids,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_oov
+    FROM seq s LEFT JOIN vocab v USING (token)
+    GROUP BY s.doc_id
+    """,
+)
+def tokenize_with_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The step after vocab_build: encode every document as its token-id
+    sequence under the frequency-ranked top-1000 vocabulary (OOV -> -1),
+    with token/OOV counts. The vocabulary is |V| rows — broadcast — so the
+    encode is a map-side join; the only doc-keyed shuffle is the ordered
+    reassembly. At 100 TB the vocab is still KBs: this shape never changes.
+    """
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    tok = (
+        d.select("doc_id", F.posexplode(F.split(F.col("text"), " ")).alias("pos", "token"))
+        .filter(F.col("token") != "")
+    )
+    df_counts = (
+        tok.select("doc_id", "token").distinct()
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("doc_freq"))
+    )
+    w = Window.orderBy(F.desc("doc_freq"), F.asc("token"))
+    vocab = (
+        df_counts.withColumn("token_id", (F.row_number().over(w) - 1).cast("int"))
+        .filter(F.col("token_id") < 1000)
+        .select("token", "token_id")
+    )
+    return (
+        tok.join(F.broadcast(vocab), "token", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.expr(
+                "transform(array_sort(collect_list(struct(pos, "
+                "coalesce(token_id, -1) AS tid))), s -> s.tid)"
+            ).alias("ids"),
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0)).alias("n_oov"),
+        )
+    )
