@@ -23,7 +23,11 @@ Supported rewrites (ClickHouse → Spark):
                   not fit BIGINT)
   time buckets    toStartOfMinute/Hour/Day/Week/Month/Quarter/Year,
                   toYYYYMM, toHour/toMinute/toSecond, toDayOfMonth,
-                  toMonth, toYear, now, today
+                  toMonth, toYear, toDayOfWeek (ISO-corrected), now, today,
+                  toUnixTimestamp/fromUnixTimestamp,
+                  dateDiff → timestampdiff, addDays/addHours/… and
+                  subtractDays/… → timestampadd (timestamp-preserving —
+                  date_add would degrade timestamps to dates)
   conditionals    if, multiIf, ifNull, nullIf (renames / CASE expansion)
   agg combinators countIf, sumIf, avgIf, minIf, maxIf
   parametric aggs quantile(p)(x) → percentile_approx,
@@ -259,6 +263,26 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         return f"{_PART[low]}({args[0]})"
     if low == "toyyyymm":
         return f"CAST(DATE_FORMAT({args[0]}, 'yyyyMM') AS INT)"
+    if low == "datediff":
+        # ClickHouse dateDiff('day', start, end); Spark TIMESTAMPDIFF takes
+        # the unit as a bare identifier.
+        if len(args) != 3:
+            raise CHTranslationError("dateDiff(unit, start, end) takes three arguments")
+        unit = args[0].strip("'\"").upper()
+        return f"TIMESTAMPDIFF({unit}, {args[1]}, {args[2]})"
+    if low in ("adddays", "addhours", "addminutes", "addseconds",
+               "addmonths", "addyears", "addweeks"):
+        if len(args) != 2:
+            raise CHTranslationError(f"{name}(ts, n) takes two arguments")
+        unit = low[len("add"):-1].upper()  # addDays -> DAY
+        return f"TIMESTAMPADD({unit}, {args[1]}, {args[0]})"
+    if low in ("subtractdays", "subtracthours", "subtractminutes",
+               "subtractseconds", "subtractmonths", "subtractyears",
+               "subtractweeks"):
+        if len(args) != 2:
+            raise CHTranslationError(f"{name}(ts, n) takes two arguments")
+        unit = low[len("subtract"):-1].upper()
+        return f"TIMESTAMPADD({unit}, -({args[1]}), {args[0]})"
     if low == "todayofweek":
         # ClickHouse: ISO, Monday = 1. Spark's DAYOFWEEK has Sunday = 1 —
         # a bare rename would shift every weekday; WEEKDAY (Monday = 0) + 1

@@ -177,3 +177,22 @@ def test_timestamp_and_weekday_conventions(spark):
     ).first()
     assert row.dw == 1
     assert t("SELECT arrayStringConcat(xs, ',')") == "SELECT ARRAY_JOIN(xs, ',')"
+
+
+def test_date_arithmetic(spark):
+    assert (
+        t("SELECT dateDiff('day', a, b)") == "SELECT TIMESTAMPDIFF(DAY, a, b)"
+    )
+    assert t("SELECT addDays(ts, 3)") == "SELECT TIMESTAMPADD(DAY, 3, ts)"
+    assert (
+        t("SELECT subtractHours(ts, 2)") == "SELECT TIMESTAMPADD(HOUR, -(2), ts)"
+    )
+    # executed: timestamps stay timestamps (date_add would degrade to DATE)
+    row = ch_sql(
+        spark,
+        "SELECT addDays(toDateTime('2024-01-01 10:30:00'), 2) AS x, "
+        "dateDiff('hour', toDateTime('2024-01-01 00:00:00'), "
+        "toDateTime('2024-01-02 06:00:00')) AS h",
+    ).first()
+    assert str(row.x) == "2024-01-03 10:30:00"
+    assert row.h == 30
