@@ -44,15 +44,37 @@ Supported rewrites (ClickHouse → Spark):
                   splitByChar(c, s) → split(s, c)
   strings         position → instr (same argument order), lengthUTF8 →
                   char_length, startsWith/endsWith, trimBoth/Left/Right,
-                  leftPad/rightPad
+                  leftPad/rightPad, lowerUTF8/upperUTF8,
+                  replaceAll → replace, replaceRegexpAll → regexp_replace
+  regex           match → RLIKE, extract/extractAll → regexp_extract(_all)
+                  (capture-group presence detected from the literal pattern)
+  JSON            JSONExtractString/Int/Float/Bool(j, keys...) →
+                  get_json_object + cast, JSONHas → IS NOT NULL,
+                  JSONLength → json_array_length
+  datetime        formatDateTime → date_format (%-codes converted to Java
+                  pattern letters; literal letter runs quoted),
+                  toStartOfInterval(ts, INTERVAL n unit) → epoch-floor
+                  arithmetic for second/minute/hour/day units
   arithmetic      plus/minus/multiply/divide/modulo → operators,
-                  intDiv → DIV
+                  intDiv → DIV, negate → unary minus,
+                  bitAnd/Or/Xor/Not, bitShiftLeft/Right → operators
+  bit aggs        groupBitAnd/Or/Xor → bit_and/bit_or/bit_xor
+  arrays (more)   arrayExists/arrayAll → exists/forall, arrayCount →
+                  size(filter(...)), countEqual, arrayEnumerate →
+                  sequence(1, size), arraySlice → slice, arrayElement →
+                  element_at, arrayPushBack/Front, range → sequence,
+                  materialize(x) → x
+  parametric aggs quantiles(p, ...)(x) → percentile_approx(x, array(...)),
+                  quantilesExact → percentile
   statement       PREWHERE → WHERE; trailing FORMAT <name> and
                   SETTINGS ... stripped
 
-Unsupported-with-error: WITH TOTALS, cityHash64/sipHash64 (different
-algorithms — a silent rename would change results; use xxhash64/md5
-explicitly), SAMPLE clause.
+Unsupported-with-error: WITH TOTALS, cityHash64/sipHash64/halfMD5/
+farmHash64 (different algorithms — a silent rename would change results;
+use xxhash64/md5 explicitly), SAMPLE clause, rand/rand64 (ClickHouse
+returns uniform UInt32/64, Spark rand() returns [0,1) — a silent rename
+would change every value), topK (use the topk_heavy_hitters operator),
+dictGet (no external dictionaries — join the dimension table).
 """
 
 from __future__ import annotations
@@ -170,6 +192,15 @@ _PART = {
 }
 
 _RENAME = {
+    "lowerutf8": "LOWER",
+    "upperutf8": "UPPER",
+    "replaceregexpall": "REGEXP_REPLACE",
+    "replaceall": "REPLACE",
+    "groupbitand": "BIT_AND",
+    "groupbitor": "BIT_OR",
+    "groupbitxor": "BIT_XOR",
+    "arrayslice": "SLICE",
+    "arrayelement": "ELEMENT_AT",
     "ifnull": "IFNULL",
     "nullif": "NULLIF",
     "if": "IF",
@@ -215,10 +246,90 @@ _IF_AGG = {"countif": "COUNT", "sumif": "SUM", "avgif": "AVG",
 _UNSUPPORTED = {
     "cityhash64": "different hash algorithm — use xxhash64()/md5() explicitly",
     "siphash64": "different hash algorithm — use xxhash64()/md5() explicitly",
+    "halfmd5": "different hash algorithm — use xxhash64()/md5() explicitly",
+    "farmhash64": "different hash algorithm — use xxhash64()/md5() explicitly",
     "uniqcombined": "sketch-specific — use uniq() (approx_count_distinct)",
+    "rand": "ClickHouse rand() is a uniform UInt32; Spark rand() is [0,1) — "
+            "a silent rename would change every value. Use rand() on a "
+            "Spark session directly and scale explicitly",
+    "rand64": "ClickHouse rand64() is a uniform UInt64 — see rand()",
+    "topk": "approximate heavy hitters — use the topk_heavy_hitters "
+            "operator (queries/sketches.py), which pins its accuracy "
+            "contract in tests",
+    "dictget": "no external dictionaries — join the dimension table "
+               "(broadcast joins make this free for dictionary-sized sides)",
 }
 
-_PARAMETRIC = {"quantile": "PERCENTILE_APPROX", "quantileexact": "PERCENTILE"}
+_PARAMETRIC = {"quantile": "PERCENTILE_APPROX", "quantileexact": "PERCENTILE",
+               "quantiles": "PERCENTILE_APPROX", "quantilesexact": "PERCENTILE"}
+
+# ClickHouse formatDateTime %-codes -> Java/Spark datetime pattern letters.
+# (ClickHouse's set, NOT MySQL's: %M is minute, not month name.)
+_FMT_CODES = {
+    "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH", "I": "hh",
+    "M": "mm", "S": "ss", "F": "yyyy-MM-dd", "T": "HH:mm:ss", "j": "DDD",
+    "a": "EEE", "b": "MMM", "p": "a", "e": "d", "Q": "QQ",
+}
+
+
+def _convert_fmt(fmt: str) -> str:
+    """ClickHouse %-format string -> Java pattern. Literal runs containing
+    letters are single-quoted (Java interprets bare letters as pattern
+    fields — the classic silent-corruption path)."""
+    out: list[str] = []
+    lit: list[str] = []
+
+    def flush() -> None:
+        if lit:
+            s = "".join(lit)
+            if any(c.isalpha() for c in s):
+                out.append("'" + s.replace("'", "''") + "'")
+            else:
+                out.append(s)
+            lit.clear()
+
+    i = 0
+    while i < len(fmt):
+        if fmt[i] == "%":
+            if i + 1 >= len(fmt):
+                raise CHTranslationError("formatDateTime: trailing % in format")
+            code = fmt[i + 1]
+            if code == "%":
+                lit.append("%")
+            else:
+                if code not in _FMT_CODES:
+                    raise CHTranslationError(
+                        f"formatDateTime: unsupported %-code %{code}"
+                    )
+                flush()
+                out.append(_FMT_CODES[code])
+            i += 2
+        else:
+            lit.append(fmt[i])
+            i += 1
+    flush()
+    return "".join(out)
+
+
+def _string_literal(arg: str) -> str | None:
+    """If arg is a single-quoted SQL string literal, return its contents
+    (quote-doubling undone); else None."""
+    a = arg.strip()
+    if len(a) >= 2 and a[0] == "'" and a[-1] == "'":
+        inner = a[1:-1]
+        # reject if the quote at the end actually closes an earlier string
+        if "'" in inner.replace("''", ""):
+            return None
+        return inner.replace("''", "'")
+    return None
+
+
+_REGEX_GROUP = re.compile(r"(?<!\\)\((?!\?)")
+
+_INTERVAL = re.compile(
+    r"^\s*INTERVAL\s+(\d+)\s+(SECOND|MINUTE|HOUR|DAY)S?\s*$", re.IGNORECASE
+)
+_INTERVAL_SECONDS = {"SECOND": 1, "MINUTE": 60, "HOUR": 3600, "DAY": 86400}
 
 
 def _rewrite_call(name: str, args: list[str]) -> str:
@@ -323,6 +434,147 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         if len(args) != 2:
             raise CHTranslationError("splitByChar(sep, s) takes two arguments")
         return f"SPLIT({args[1]}, {args[0]})"
+    if low == "match":
+        if len(args) != 2:
+            raise CHTranslationError("match(s, pattern) takes two arguments")
+        return f"({args[0]} RLIKE {args[1]})"
+    if low in ("extract", "extractall"):
+        # ANSI EXTRACT(unit FROM ts) passes through untouched.
+        if low == "extract" and len(args) == 1 and re.search(
+            r"\bFROM\b", args[0], re.IGNORECASE
+        ):
+            return f"EXTRACT({args[0]})"
+        if len(args) != 2:
+            raise CHTranslationError(f"{name}(s, pattern) takes two arguments")
+        pat = _string_literal(args[1])
+        if pat is None:
+            raise CHTranslationError(
+                f"{name}(): pattern must be a string literal — group-vs-whole-"
+                "match extraction depends on whether it contains a capture group"
+            )
+        group = 1 if _REGEX_GROUP.search(pat) else 0
+        fn = "REGEXP_EXTRACT" if low == "extract" else "REGEXP_EXTRACT_ALL"
+        return f"{fn}({args[0]}, {args[1]}, {group})"
+    if low in ("jsonextractstring", "jsonextractint", "jsonextractfloat",
+               "jsonextractbool", "jsonhas", "jsonlength"):
+        if len(args) < 1:
+            raise CHTranslationError(f"{name}(json, keys...) needs arguments")
+        keys = []
+        for k in args[1:]:
+            lit = _string_literal(k)
+            if lit is None:
+                raise CHTranslationError(
+                    f"{name}(): path keys must be string literals"
+                )
+            keys.append(lit)
+        path = "'$" + "".join(f".{k}" for k in keys) + "'"
+        get = f"GET_JSON_OBJECT({args[0]}, {path})"
+        if low == "jsonextractstring":
+            return get
+        if low == "jsonextractint":
+            return f"CAST({get} AS BIGINT)"
+        if low == "jsonextractfloat":
+            return f"CAST({get} AS DOUBLE)"
+        if low == "jsonextractbool":
+            return f"CAST({get} AS BOOLEAN)"
+        if low == "jsonhas":
+            return f"({get} IS NOT NULL)"
+        return f"JSON_ARRAY_LENGTH({get})"
+    if low == "formatdatetime":
+        if len(args) != 2:
+            raise CHTranslationError(
+                "formatDateTime(ts, format) takes two arguments"
+            )
+        fmt = _string_literal(args[1])
+        if fmt is None:
+            raise CHTranslationError(
+                "formatDateTime(): format must be a string literal"
+            )
+        java = _convert_fmt(fmt).replace("'", "''")
+        return f"DATE_FORMAT({args[0]}, '{java}')"
+    if low == "tostartofinterval":
+        if len(args) != 2:
+            raise CHTranslationError(
+                "toStartOfInterval(ts, INTERVAL n unit) takes two arguments"
+            )
+        mm = _INTERVAL.match(args[1])
+        if not mm:
+            raise CHTranslationError(
+                "toStartOfInterval: second argument must be INTERVAL n "
+                "SECOND/MINUTE/HOUR/DAY (month-granularity intervals are "
+                "irregular — use date_trunc)"
+            )
+        sec = int(mm.group(1)) * _INTERVAL_SECONDS[mm.group(2).upper()]
+        if sec <= 0:
+            raise CHTranslationError("toStartOfInterval: zero-length interval")
+        return (
+            f"TIMESTAMP_SECONDS((FLOOR(UNIX_TIMESTAMP({args[0]}) / {sec})"
+            f" * {sec}))"
+        )
+    if low in ("arrayexists", "arrayall"):
+        if len(args) != 2:
+            raise CHTranslationError(f"{name}(lambda, array) takes two arguments")
+        fn = "EXISTS" if low == "arrayexists" else "FORALL"
+        return f"{fn}({args[1]}, {args[0]})"
+    if low == "arraycount":
+        if len(args) == 1:  # no-lambda form counts non-zero elements
+            return f"SIZE(FILTER({args[0]}, _x -> _x <> 0))"
+        if len(args) != 2:
+            raise CHTranslationError("arrayCount([lambda,] array)")
+        return f"SIZE(FILTER({args[1]}, {args[0]}))"
+    if low == "countequal":
+        if len(args) != 2:
+            raise CHTranslationError("countEqual(array, x) takes two arguments")
+        return f"SIZE(FILTER({args[0]}, _x -> _x = {args[1]}))"
+    if low == "arrayenumerate":
+        if len(args) != 1:
+            raise CHTranslationError("arrayEnumerate(array) takes one argument")
+        return f"SEQUENCE(1, SIZE({args[0]}))"
+    if low == "arraypushback":
+        if len(args) != 2:
+            raise CHTranslationError("arrayPushBack(array, x) takes two arguments")
+        return f"CONCAT({args[0]}, ARRAY({args[1]}))"
+    if low == "arraypushfront":
+        if len(args) != 2:
+            raise CHTranslationError("arrayPushFront(array, x) takes two arguments")
+        return f"CONCAT(ARRAY({args[1]}), {args[0]})"
+    if low == "range":
+        if len(args) == 1:
+            return f"SEQUENCE(0, {args[0]} - 1)"
+        if len(args) == 2:
+            return f"SEQUENCE({args[0]}, {args[1]} - 1)"
+        raise CHTranslationError(
+            "range(start, end, step) with a step has exclusive-end semantics "
+            "Spark's inclusive SEQUENCE cannot mirror verbatim — state the "
+            "last element explicitly with sequence(start, last, step)"
+        )
+    if low == "materialize":
+        if len(args) != 1:
+            raise CHTranslationError("materialize(x) takes one argument")
+        return f"({args[0]})"
+    if low == "negate":
+        if len(args) != 1:
+            raise CHTranslationError("negate(x) takes one argument")
+        return f"(-({args[0]}))"
+    if low in ("bitand", "bitor", "bitxor", "bitshiftleft", "bitshiftright"):
+        op = {"bitand": "&", "bitor": "|", "bitxor": "^",
+              "bitshiftleft": "<<", "bitshiftright": ">>"}[low]
+        if len(args) != 2:
+            raise CHTranslationError(f"{name}(a, b) takes two arguments")
+        return f"({args[0]} {op} {args[1]})"
+    if low == "bitnot":
+        if len(args) != 1:
+            raise CHTranslationError("bitNot(x) takes one argument")
+        return f"(~({args[0]}))"
+    if low == "countdistinct":
+        return f"COUNT(DISTINCT {', '.join(args)})"
+    if low in ("empty", "notempty"):
+        if len(args) != 1:
+            raise CHTranslationError(f"{name}(arr) takes one argument")
+        op = "=" if low == "empty" else "<>"
+        # Array/map form; a string argument fails loudly at analysis (SIZE
+        # is collection-only) rather than silently — use s = '' for strings.
+        return f"(SIZE({args[0]}) {op} 0)"
     if low in _RENAME:
         return f"{_RENAME[low]}({', '.join(args)})"
     return f"{name}({', '.join(args)})"
@@ -360,12 +612,18 @@ def _translate_calls(sql: str) -> str:
                 ):
                     close2 = _matching_paren(sql, k2)
                     inner = _split_args(_translate_calls(sql[k2 + 1 : close2]))
-                    if len(args) != 1 or len(inner) != 1:
+                    plural = name.lower() in ("quantiles", "quantilesexact")
+                    if len(inner) != 1 or (not plural and len(args) != 1):
                         raise CHTranslationError(
-                            f"{name}(p)(x) takes one parameter and one argument"
+                            f"{name}(p...)(x) takes one argument"
                         )
+                    if not args:
+                        raise CHTranslationError(
+                            f"{name}(p...)(x) needs at least one parameter"
+                        )
+                    p = f"ARRAY({', '.join(args)})" if plural else args[0]
                     out.append(
-                        f"{_PARAMETRIC[name.lower()]}({inner[0]}, {args[0]})"
+                        f"{_PARAMETRIC[name.lower()]}({inner[0]}, {p})"
                     )
                     i = close2 + 1
                     continue

@@ -275,6 +275,63 @@ def ngram_jaccard_pairs(
     )
 
 
+def containment_pairs(
+    df: DataFrame,
+    text_col: str = "text",
+    id_col: str = "doc_id",
+    shingle_words: int = 3,
+    threshold: float = 0.6,
+) -> DataFrame:
+    """Asymmetric containment near-dup pairs: containment(a -> b) =
+    |shingles(a) ∩ shingles(b)| / |shingles(a)| — the quote/excerpt/superset
+    detector Jaccard misses (a short doc fully contained in a long one has
+    low Jaccard but containment 1.0). Broder 1997's second resemblance
+    measure.
+
+    Same inverted-index shape as ngram_jaccard_pairs — the intersection is
+    computed ONCE per unordered pair, then both orientations are emitted by
+    dividing by each side's shingle count (a projection, not a second
+    join). At scale, run on LSH candidates like the Jaccard verifier.
+    """
+    sh = (
+        spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, shingle_words)).alias("_sh_str"),
+        )
+        .select(F.col(id_col), F.xxhash64("_sh_str").alias("shingle"))
+        .distinct()
+    )
+    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
+
+    a, b = sh.alias("a"), sh.alias("b")
+    common = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .groupBy(
+            F.col(f"a.{id_col}").alias("lo"), F.col(f"b.{id_col}").alias("hi")
+        )
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    slo = sizes.select(F.col(id_col).alias("lo"), F.col("n_sh").alias("n_lo"))
+    shi = sizes.select(F.col(id_col).alias("hi"), F.col("n_sh").alias("n_hi"))
+    sized = common.join(slo, "lo").join(shi, "hi")
+    fwd = sized.select(
+        F.col("lo").alias("doc_a"),
+        F.col("hi").alias("doc_b"),
+        (F.col("n_common").cast("double") / F.col("n_lo")).alias("containment"),
+    )
+    rev = sized.select(
+        F.col("hi").alias("doc_a"),
+        F.col("lo").alias("doc_b"),
+        (F.col("n_common").cast("double") / F.col("n_hi")).alias("containment"),
+    )
+    return fwd.unionAll(rev).filter(F.col("containment") >= threshold)
+
+
 def simhash(
     df: DataFrame,
     text_col: str = "text",

@@ -770,3 +770,82 @@ def tokenize_with_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0)).alias("n_oov"),
         )
     )
+
+
+@register(
+    "dedup_containment",
+    oracle="""
+    WITH
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM tok, LATERAL (SELECT UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS i) ii
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS lo, b.doc_id AS hi, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    sized AS (
+        SELECT lo, hi, n_common, sl.n_sh AS n_lo, sh2.n_sh AS n_hi
+        FROM common
+        JOIN sz sl ON sl.doc_id = lo
+        JOIN sz sh2 ON sh2.doc_id = hi
+    ),
+    ori AS (
+        SELECT lo AS doc_a, hi AS doc_b,
+               CAST(n_common AS DOUBLE) / n_lo AS containment FROM sized
+        UNION ALL
+        SELECT hi, lo, CAST(n_common AS DOUBLE) / n_hi FROM sized
+    )
+    SELECT doc_a, doc_b, containment FROM ori WHERE containment >= 0.6
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Asymmetric shingle containment >= 0.6 — catches excerpt/superset
+    duplicates whose Jaccard is low. One inverted-index self-join; both
+    orientations projected from a single intersection count."""
+    from chainhouse_spark.operators.dedup import containment_pairs
+
+    return containment_pairs(
+        load_table(spark, sf_dir, "documents"), shingle_words=3, threshold=0.6
+    )
+
+
+@register(
+    "ann_pq_topk",
+    oracle="""
+    SELECT COUNT(*) AS n_queries, COUNT(*) * 10 AS n_results, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Product-quantization ANN (Jegou et al. 2011): 8 subspaces x 16
+    codewords, ADC shortlist of 50, exact cosine re-rank to top-10.
+    Iterative KMeans codebooks are not SQL-expressible, so (like
+    ann_ivf_topk) the oracled surface is the invariant summary: exact
+    query/result counts plus a bool asserting aggregate recall@10 vs the
+    exact brute-force baseline >= 0.6. Raw rows: operators/pq.py::pq_topk."""
+    from chainhouse_spark.operators.pq import pq_topk
+    from chainhouse_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = pq_topk(emb, q, k=10, dim=DIMS, m=8, k_sub=16, shortlist=50)
+    exact = brute_force_topk(emb, q, k=10)
+    hits = approx.join(
+        exact.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
+    )
+    counts = approx.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_results"),
+    )
+    return counts.crossJoin(
+        hits.agg(
+            (
+                F.count(F.lit(1)).cast("double")
+                >= F.lit(0.6) * F.lit(10.0) * F.lit(5.0)
+            ).alias("recall_ok")
+        )
+    )

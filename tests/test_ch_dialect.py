@@ -196,3 +196,135 @@ def test_date_arithmetic(spark):
     ).first()
     assert str(row.x) == "2024-01-03 10:30:00"
     assert row.h == 30
+
+
+def test_regex_family():
+    assert t("SELECT match(s, 'a.c')") == "SELECT (s RLIKE 'a.c')"
+    # capture group present -> group 1; absent -> whole match (group 0)
+    assert (
+        t(r"SELECT extract(s, 'id=(\d+)')")
+        == r"SELECT REGEXP_EXTRACT(s, 'id=(\d+)', 1)"
+    )
+    assert (
+        t(r"SELECT extractAll(s, '\d+')")
+        == r"SELECT REGEXP_EXTRACT_ALL(s, '\d+', 0)"
+    )
+    # ANSI EXTRACT(unit FROM ts) must pass through untouched
+    assert t("SELECT EXTRACT(YEAR FROM ts)") == "SELECT EXTRACT(YEAR FROM ts)"
+    assert (
+        t("SELECT replaceRegexpAll(s, 'x+', 'y')")
+        == "SELECT REGEXP_REPLACE(s, 'x+', 'y')"
+    )
+    with pytest.raises(CHTranslationError):
+        t("SELECT extract(s, pattern_col)")  # non-literal pattern
+
+
+def test_json_family():
+    assert (
+        t("SELECT JSONExtractString(j, 'a', 'b')")
+        == "SELECT GET_JSON_OBJECT(j, '$.a.b')"
+    )
+    assert (
+        t("SELECT JSONExtractInt(j, 'n')")
+        == "SELECT CAST(GET_JSON_OBJECT(j, '$.n') AS BIGINT)"
+    )
+    assert (
+        t("SELECT JSONHas(j, 'k')")
+        == "SELECT (GET_JSON_OBJECT(j, '$.k') IS NOT NULL)"
+    )
+
+
+def test_format_datetime(spark):
+    assert (
+        t("SELECT formatDateTime(ts, '%Y-%m-%d %H:%M:%S')")
+        == "SELECT DATE_FORMAT(ts, 'yyyy-MM-dd HH:mm:ss')"
+    )
+    # literal letter runs must be quoted for the Java pattern engine
+    assert (
+        t("SELECT formatDateTime(ts, '%FT%T')")
+        == "SELECT DATE_FORMAT(ts, 'yyyy-MM-dd''T''HH:mm:ss')"
+    )
+    row = ch_sql(
+        spark,
+        "SELECT formatDateTime(toDateTime('2024-03-05 07:08:09'), "
+        "'%Y/%m/%d %H:%M') AS s",
+    ).first()
+    assert row.s == "2024/03/05 07:08"
+    with pytest.raises(CHTranslationError):
+        t("SELECT formatDateTime(ts, '%Q%q')")  # %q unsupported
+
+
+def test_to_start_of_interval(spark):
+    out = t("SELECT toStartOfInterval(ts, INTERVAL 15 MINUTE)")
+    assert "FLOOR(UNIX_TIMESTAMP(ts) / 900) * 900" in out
+    row = ch_sql(
+        spark,
+        "SELECT toStartOfInterval(toDateTime('2024-01-01 10:44:59'), "
+        "INTERVAL 15 MINUTE) AS b",
+    ).first()
+    assert str(row.b) == "2024-01-01 10:30:00"
+    with pytest.raises(CHTranslationError):
+        t("SELECT toStartOfInterval(ts, INTERVAL 1 MONTH)")  # irregular
+
+
+def test_array_lambda_family(spark):
+    assert t("SELECT arrayExists(x -> x > 1, a)") == "SELECT EXISTS(a, x -> x > 1)"
+    assert t("SELECT arrayAll(x -> x > 1, a)") == "SELECT FORALL(a, x -> x > 1)"
+    assert t("SELECT arrayCount(x -> x > 1, a)") == "SELECT SIZE(FILTER(a, x -> x > 1))"
+    assert t("SELECT arrayCount(a)") == "SELECT SIZE(FILTER(a, _x -> _x <> 0))"
+    assert t("SELECT countEqual(a, 3)") == "SELECT SIZE(FILTER(a, _x -> _x = 3))"
+    assert t("SELECT arrayEnumerate(a)") == "SELECT SEQUENCE(1, SIZE(a))"
+    row = ch_sql(
+        spark,
+        "SELECT arrayCount(array(0, 1, 2, 0)) AS nz, "
+        "countEqual(array(1, 2, 2, 3), 2) AS eq, "
+        "arrayPushBack(array(1, 2), 3) AS pb, "
+        "range(4) AS r",
+    ).first()
+    assert row.nz == 2 and row.eq == 2
+    assert list(row.pb) == [1, 2, 3] and list(row.r) == [0, 1, 2, 3]
+
+
+def test_bitwise_and_quantiles(spark):
+    assert t("SELECT bitAnd(a, b)") == "SELECT (a & b)"
+    assert t("SELECT bitShiftLeft(a, 2)") == "SELECT (a << 2)"
+    assert t("SELECT bitNot(a)") == "SELECT (~(a))"
+    assert t("SELECT groupBitXor(f)") == "SELECT BIT_XOR(f)"
+    assert (
+        t("SELECT quantiles(0.5, 0.9)(x)")
+        == "SELECT PERCENTILE_APPROX(x, ARRAY(0.5, 0.9))"
+    )
+    assert (
+        t("SELECT quantilesExact(0.25, 0.75)(x)")
+        == "SELECT PERCENTILE(x, ARRAY(0.25, 0.75))"
+    )
+    row = ch_sql(
+        spark,
+        "SELECT quantilesExact(0.0, 1.0)(c) AS q FROM "
+        "(SELECT explode(array(1, 2, 3, 4)) AS c)",
+    ).first()
+    assert list(row.q) == [1.0, 4.0]
+
+
+def test_new_semantic_guards_raise():
+    for bad in (
+        "SELECT rand()",
+        "SELECT rand64()",
+        "SELECT topK(5)(x)",
+        "SELECT dictGet('d', 'v', k)",
+        "SELECT halfMD5(s)",
+        "SELECT farmHash64(s)",
+        "SELECT range(1, 10, 2)",
+    ):
+        with pytest.raises(CHTranslationError):
+            t(bad)
+
+
+def test_misc_new_renames():
+    assert t("SELECT lowerUTF8(s), upperUTF8(s)") == "SELECT LOWER(s), UPPER(s)"
+    assert t("SELECT replaceAll(s, 'a', 'b')") == "SELECT REPLACE(s, 'a', 'b')"
+    assert t("SELECT countDistinct(u)") == "SELECT COUNT(DISTINCT u)"
+    assert t("SELECT materialize(x)") == "SELECT (x)"
+    assert t("SELECT empty(a), notEmpty(a)") == "SELECT (SIZE(a) = 0), (SIZE(a) <> 0)"
+    assert t("SELECT arraySlice(a, 2, 3)") == "SELECT SLICE(a, 2, 3)"
+    assert t("SELECT arrayElement(a, 2)") == "SELECT ELEMENT_AT(a, 2)"

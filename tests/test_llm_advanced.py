@@ -291,3 +291,41 @@ def test_incremental_lsh_star_cap_interplay(spark):
         delta_col="is_delta",
     ).collect()
     assert sorted(r.doc_b for r in inc2) == [1, 5, 9]  # only delta partners
+
+
+def test_containment_detects_excerpt_superset(spark):
+    # doc 2 is a strict prefix-excerpt of doc 1: containment(2 -> 1) = 1.0
+    # while Jaccard(1, 2) is well below a dedup threshold.
+    from chainhouse_spark.operators.dedup import containment_pairs, ngram_jaccard_pairs
+
+    long_text = " ".join(f"w{i}" for i in range(30))
+    short_text = " ".join(f"w{i}" for i in range(10))
+    df = spark.createDataFrame(
+        [(1, long_text), (2, short_text), (3, "zz yy xx vv uu tt")],
+        ["doc_id", "text"],
+    )
+    pairs = {
+        (r.doc_a, r.doc_b): r.containment
+        for r in containment_pairs(df, threshold=0.5).collect()
+    }
+    assert pairs[(2, 1)] == 1.0           # excerpt fully contained
+    assert (3, 1) not in pairs            # unrelated doc never appears
+    # the reverse orientation is the small fraction long-side containment
+    assert (1, 2) not in pairs or pairs[(1, 2)] < 0.5
+    jac = ngram_jaccard_pairs(df, threshold=0.0).collect()
+    j12 = [r.jaccard for r in jac if (r.doc_a, r.doc_b) == (1, 2)]
+    assert j12 and j12[0] < 0.5           # Jaccard misses what containment catches
+
+
+def test_containment_is_single_intersection_plan(spark):
+    # both orientations project from ONE inverted-index join: exactly one
+    # shingle-keyed SortMergeJoin/ShuffledHashJoin pair in the plan.
+    from chainhouse_spark.operators.dedup import containment_pairs
+    from chainhouse_spark.tables import load_table
+
+    d = load_table(spark, "/root/testdata/sf0.001", "documents")
+    plan = (
+        containment_pairs(d)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert plan.count("xxhash64") >= 1

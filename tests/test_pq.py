@@ -1,0 +1,85 @@
+"""Product quantization: codebook fit determinism, encode bounds, ADC
+shortlist recall vs the exact baseline, and the bandwidth plan shape
+(rank shuffle carries codes, vectors only rejoin for the shortlist).
+
+Oracle-side equality for the registered `ann_pq_topk` summary is in
+test_oracle_parity.py; these pin what the invariant oracle can't.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from chainhouse_spark.operators.pq import pq_encode, pq_fit, pq_topk
+from chainhouse_spark.operators.similarity import brute_force_topk
+from chainhouse_spark.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb(spark):
+    return load_table(spark, SF, "embeddings")
+
+
+def test_codebook_shape_and_determinism(spark):
+    emb = _emb(spark)
+    b1 = pq_fit(emb, m=8, k_sub=16, n_iter=3)
+    b2 = pq_fit(emb, m=8, k_sub=16, n_iter=3)
+    assert len(b1) == 8
+    assert all(len(book) == 16 for book in b1)
+    assert all(len(cw) == 8 for book in b1 for cw in book)
+    assert b1 == b2  # hash-seeded init + deterministic fold arithmetic
+
+
+def test_encode_codes_in_range(spark):
+    emb = _emb(spark)
+    books = pq_fit(emb, m=8, k_sub=16, n_iter=2)
+    enc = pq_encode(emb, books)
+    row = enc.select(
+        F.min(F.array_min("codes")).alias("lo"),
+        F.max(F.array_max("codes")).alias("hi"),
+        F.min(F.size("codes")).alias("m_lo"),
+        F.max(F.size("codes")).alias("m_hi"),
+    ).first()
+    assert row.lo >= 0 and row.hi <= 15
+    assert row.m_lo == 8 and row.m_hi == 8
+
+
+def test_pq_recall_vs_bruteforce(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = pq_topk(emb, q, k=10, m=8, k_sub=16, shortlist=50)
+    exact = brute_force_topk(emb, q, k=10)
+    hits = approx.join(
+        exact.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
+    ).count()
+    # 5 queries x 10 results; ADC over 16 codewords/subspace + exact re-rank
+    # of a 50-deep shortlist lands well above the 0.6 oracle floor.
+    assert hits >= 30
+    # exactly k rows per query, ranks 1..k
+    per_q = approx.groupBy("query_id").count().select(F.collect_set("count")).first()[0]
+    assert per_q == [10]
+
+
+def test_pq_exact_rerank_scores_are_exact(spark):
+    # cos_sim on reported rows must equal the exact cosine for those pairs
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    approx = pq_topk(emb, q, k=5, m=8, k_sub=16, shortlist=30)
+    exact_all = brute_force_topk(emb, q, k=500)  # all candidates, exact
+    joined = approx.alias("a").join(
+        exact_all.alias("e"), ["query_id", "cand_id"]
+    ).select((F.col("a.cos_sim") == F.col("e.cos_sim")).alias("eq"))
+    rows = joined.collect()
+    assert rows and all(r.eq for r in rows)
+
+
+def test_pq_plan_broadcasts_queries_and_ships_codes(spark):
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 3)
+    plan = (
+        pq_topk(emb, q, k=5, m=8, k_sub=16, shortlist=30)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "BroadcastExchange" in plan  # query side broadcasts into the scan
+    assert "codes" in plan  # ADC path scores on codes, not raw vectors
