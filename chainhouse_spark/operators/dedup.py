@@ -237,19 +237,9 @@ def ngram_jaccard_pairs(
     |A ∩ B| by 1) vanishingly rare; tests/test_dedup.py pins zero
     collisions on the real test corpus.
     """
-    sh = (
-        spread(df, id_col)
-        .select(
-            F.col(id_col),
-            F.explode(word_shingles(text_col, shingle_words)).alias("_sh_str"),
-        )
-        .select(F.col(id_col), F.xxhash64("_sh_str").alias("shingle"))
-        .distinct()
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-
+    sh = _sized_shingles(df, text_col, id_col, shingle_words)
     a, b = sh.alias("a"), sh.alias("b")
-    common = (
+    return (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -258,13 +248,14 @@ def ngram_jaccard_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("doc_a"), F.col(f"b.{id_col}").alias("doc_b")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
-    )
-    sa = sizes.select(F.col(id_col).alias("doc_a"), F.col("n_sh").alias("n_a"))
-    sb = sizes.select(F.col(id_col).alias("doc_b"), F.col("n_sh").alias("n_b"))
-    return (
-        common.join(sa, "doc_a")
-        .join(sb, "doc_b")
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            # n_sh is constant per doc -> min() is exact, and folding the
+            # sizes into the pair aggregate avoids two extra joins against
+            # (and re-computations of) the shingle subtree.
+            F.min("a.n_sh").alias("n_a"),
+            F.min("b.n_sh").alias("n_b"),
+        )
         .withColumn(
             "jaccard",
             F.col("n_common").cast("double")
@@ -272,6 +263,33 @@ def ngram_jaccard_pairs(
         )
         .filter(F.col("jaccard") >= threshold)
         .select("doc_a", "doc_b", "jaccard")
+    )
+
+
+def _sized_shingles(
+    df: DataFrame, text_col: str, id_col: str, shingle_words: int
+) -> DataFrame:
+    """(id, shingle=xxhash64, n_sh) — each doc's distinct shingle keys with
+    the doc's shingle-set size on every row.
+
+    Built to evaluate ONCE per join side: `spread` partitions by the doc
+    id, so the distinct aggregates AND the size window both run without a
+    further exchange (hash(doc_id) satisfies both the (doc_id, shingle)
+    grouping and the window's partitioning) — sizes come from a sort
+    within already-placed partitions, not a second tokenize subtree."""
+    from pyspark.sql import Window
+
+    return (
+        spread(df, id_col)
+        .select(
+            F.col(id_col),
+            F.explode(word_shingles(text_col, shingle_words)).alias("_sh_str"),
+        )
+        .select(F.col(id_col), F.xxhash64("_sh_str").alias("shingle"))
+        .distinct()
+        .withColumn(
+            "n_sh", F.count(F.lit(1)).over(Window.partitionBy(id_col))
+        )
     )
 
 
@@ -293,19 +311,9 @@ def containment_pairs(
     dividing by each side's shingle count (a projection, not a second
     join). At scale, run on LSH candidates like the Jaccard verifier.
     """
-    sh = (
-        spread(df, id_col)
-        .select(
-            F.col(id_col),
-            F.explode(word_shingles(text_col, shingle_words)).alias("_sh_str"),
-        )
-        .select(F.col(id_col), F.xxhash64("_sh_str").alias("shingle"))
-        .distinct()
-    )
-    sizes = sh.groupBy(id_col).agg(F.count(F.lit(1)).alias("n_sh"))
-
+    sh = _sized_shingles(df, text_col, id_col, shingle_words)
     a, b = sh.alias("a"), sh.alias("b")
-    common = (
+    sized = (
         a.join(
             b,
             (F.col("a.shingle") == F.col("b.shingle"))
@@ -314,11 +322,12 @@ def containment_pairs(
         .groupBy(
             F.col(f"a.{id_col}").alias("lo"), F.col(f"b.{id_col}").alias("hi")
         )
-        .agg(F.count(F.lit(1)).alias("n_common"))
+        .agg(
+            F.count(F.lit(1)).alias("n_common"),
+            F.min("a.n_sh").alias("n_lo"),
+            F.min("b.n_sh").alias("n_hi"),
+        )
     )
-    slo = sizes.select(F.col(id_col).alias("lo"), F.col("n_sh").alias("n_lo"))
-    shi = sizes.select(F.col(id_col).alias("hi"), F.col("n_sh").alias("n_hi"))
-    sized = common.join(slo, "lo").join(shi, "hi")
     fwd = sized.select(
         F.col("lo").alias("doc_a"),
         F.col("hi").alias("doc_b"),
