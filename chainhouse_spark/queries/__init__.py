@@ -54,6 +54,7 @@ from chainhouse_spark.queries import aggregates  # noqa: E402,F401
 # queue behind the existing never-checked block in the rotation below.
 from chainhouse_spark.queries import llm_advanced  # noqa: E402,F401
 from chainhouse_spark.queries import ch_frontend  # noqa: E402,F401
+from chainhouse_spark.queries import streaming_queries  # noqa: E402,F401
 
 # Round-3 rotation. Non-green driver rows (CORRECTNESS_r01/r02 errs) plus
 # queries whose implementation changed since their last green row — the

@@ -1,0 +1,149 @@
+"""Driver-checkable Structured Streaming queries.
+
+The streaming operators in `chainhouse_spark/streaming/` are pytest-proven
+(stream-matches-batch on every one), but pytest is weaker evidence than the
+driver's DuckDB oracle gate. These queries close that gap: each runs a REAL
+streaming pipeline — file source -> stateful transformation -> memory sink,
+`Trigger.AvailableNow` — to completion inside the standard
+`(spark, sf_dir) -> DataFrame` contract, and each is constructed to be
+batch-deterministic so a plain SQL oracle can hash-check it:
+
+  - complete-mode aggregation: final state is a pure function of the input
+    set, independent of micro-batch boundaries;
+  - key-projected streaming dedup: the EMITTED ROW per duplicate key is
+    arbitrary under append-mode dropDuplicates, so the query projects to
+    the key first — the surviving key set is deterministic.
+
+Everything is JVM-side (file source, window aggregate, dropDuplicates) —
+no Python workers, so the pipeline runs in restricted sandboxes where
+Python-worker sockets may not connect.
+
+Scale notes: this is exactly the resident-ingest shape of the reference's
+follower loop (src/main.rs:167-239 poll-new-blocks -> insert), re-expressed
+as Structured Streaming. State is bounded: the tumbling aggregate holds
+one row per (window, event_type); the dedup holds one 16-byte hash per
+distinct doc (at 100 TB you bound it with a watermark over the ingest-time
+column, as streaming/ingest.py::dedup_within_watermark does — unbounded
+here because the oracle needs whole-corpus semantics).
+
+Doubles are decimal-cast before SUM (registry.py gotcha): float addition
+order across micro-batches would otherwise diverge from the oracle's.
+"""
+
+from __future__ import annotations
+
+import itertools
+import os
+import tempfile
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from chainhouse_spark.queries.registry import register
+
+_sink_counter = itertools.count()
+
+
+def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
+    """File-source stream over a single-parquet-file table. The streaming
+    file source requires a DIRECTORY to watch, so the file is exposed via a
+    symlink inside a temp dir (zero copy) — on a real deployment this is
+    just the landing directory new files arrive into."""
+    path = f"{sf_dir}/{table}.parquet"
+    schema = spark.read.parquet(path).schema
+    d = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    os.symlink(os.path.abspath(path), os.path.join(d, f"{table}.parquet"))
+    return spark.readStream.schema(schema).parquet(d)
+
+
+def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
+    """Run a streaming DataFrame to completion (AvailableNow) into a memory
+    sink; return the sink table. Unique sink name per call — the driver may
+    invoke a query several times in one session."""
+    name = f"_stream_sink_{next(_sink_counter)}"
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode(mode)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return stream_df.sparkSession.table(name)
+
+
+@register(
+    "stream_tumbling_counts",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
+    FROM events
+    GROUP BY 1, 2
+    """,
+)
+def stream_tumbling_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tumbling 1-hour (window, event_type) counts/sums computed BY A
+    STREAMING QUERY (file source, complete-mode state, AvailableNow) and
+    returned as its final state — bit-identical to the batch GROUP BY, so
+    the oracle gate applies to the streaming engine itself."""
+    stream = _stream_source(spark, sf_dir, "events")
+    agg = (
+        stream.groupBy(
+            F.window("ts", "1 hour").alias("w"), F.col("event_type")
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        F.col("w.start").alias("window_start"), "event_type", "n", "total_value"
+    )
+
+
+@register(
+    "stream_dedup_keys",
+    oracle="SELECT DISTINCT md5(text) AS content_hash FROM documents",
+)
+def stream_dedup_keys(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming exact dedup (append-mode dropDuplicates state) over the
+    document stream, projected to the content-hash key — the deterministic
+    surface of K8-at-stream-time: which ROW survives per key is arbitrary,
+    which KEYS survive is not."""
+    stream = _stream_source(spark, sf_dir, "documents")
+    deduped = (
+        stream.select(F.md5(F.col("text")).alias("content_hash"))
+        .dropDuplicates(["content_hash"])
+    )
+    return _run_to_table(deduped, "append")
+
+
+@register(
+    "stream_user_value_state",
+    oracle="""
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value,
+           CAST(COUNT(DISTINCT event_type) AS BIGINT) AS n_types
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def stream_user_value_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user running totals as complete-mode streaming state (count,
+    decimal-exact value sum, distinct event types) — the per-key
+    state-store shape of streaming/user_stats.py, here in the
+    oracle-checkable complete-mode form."""
+    stream = _stream_source(spark, sf_dir, "events")
+    agg = stream.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        # COUNT(DISTINCT) is unsupported on streams; the per-key distinct
+        # set is tiny (event types) so collect_set state is bounded.
+        F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
+    )
+    return _run_to_table(agg, "complete")

@@ -572,3 +572,29 @@ def test_user_stats_processor_logic():
     assert out2[0].iloc[0].to_dict() == {
         "user_id": 7, "n_events": 3, "sum_cents": 400, "max_cents": 250,
     }
+
+
+def test_registered_streaming_queries_match_batch(spark):
+    # The driver-checkable streaming queries (queries/streaming_queries.py)
+    # must equal their batch twins — micro-batch boundaries must not leak
+    # into the result.
+    from chainhouse_spark.queries import QUERIES
+    from pyspark.sql import functions as F
+
+    sf = "/root/testdata/sf0.001"
+    ev = spark.read.parquet(f"{sf}/events.parquet")
+
+    got = QUERIES["stream_tumbling_counts"](spark, sf)
+    want = (
+        ev.groupBy(F.window("ts", "1 hour").alias("w"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+        )
+        .select(F.col("w.start").alias("window_start"), "event_type", "n", "total_value")
+    )
+    assert got.exceptAll(want).count() == 0 and want.exceptAll(got).count() == 0
+
+    keys = QUERIES["stream_dedup_keys"](spark, sf)
+    docs = spark.read.parquet(f"{sf}/documents.parquet")
+    assert keys.count() == docs.select(F.md5("text")).distinct().count()
