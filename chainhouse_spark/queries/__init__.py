@@ -52,6 +52,8 @@ from chainhouse_spark.queries import aggregates  # noqa: E402,F401
 
 # Round-3 additions — imported LAST so their (never-driver-checked) queries
 # queue behind the existing never-checked block in the rotation below.
+# streaming_queries holds the driver-checkable Structured Streaming set
+# (pq/containment additions live in llm_advanced).
 from chainhouse_spark.queries import llm_advanced  # noqa: E402,F401
 from chainhouse_spark.queries import ch_frontend  # noqa: E402,F401
 from chainhouse_spark.queries import streaming_queries  # noqa: E402,F401
@@ -63,9 +65,9 @@ from chainhouse_spark.queries import streaming_queries  # noqa: E402,F401
 # ROUND-4 TODO (next session): after CORRECTNESS_r03.json lands, rebuild
 # this rotation — move the r03-green window (the first ~50 registered
 # names) into _DRIVER_GREEN, promote the still-never-checked tail
-# (including the round-3 llm_advanced/ch_frontend additions) to the front,
-# and pin any r03 errs first. `python tools/correctness_coverage.py`
-# prints the exact state.
+# (including the round-3 llm_advanced / ch_frontend / streaming_queries /
+# pq / containment additions) to the front, and pin any r03 errs first.
+# `python tools/correctness_coverage.py` prints the exact state.
 _RECHECK_FIRST = [
     "ann_ivf_topk",              # r02: pyspark.ml import crash — reimplemented
     "ann_lsh_multiprobe_topk",   # r02: oracle OOM — frugal oracle
