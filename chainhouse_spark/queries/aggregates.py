@@ -68,6 +68,69 @@ def agg_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
+    "agg_rollup_reagg",
+    oracle="""
+    SELECT
+        l_returnflag,
+        l_linestatus,
+        CAST(GROUPING(l_returnflag) AS INT) AS g_flag,
+        CAST(GROUPING(l_linestatus) AS INT) AS g_status,
+        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) AS sum_qty,
+        COUNT(*) AS n_rows
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+)
+def agg_rollup_reagg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The 100 TB rollup shape: native `rollup()` Expands every RAW row
+    N+1 ways before the partial aggregate — 3x scan-side CPU here, N+1x in
+    general. This version aggregates the finest grain ONCE (one shuffle on
+    the full key) and derives every coarser subtotal by re-aggregating the
+    already-compacted result, whose size is the number of groups, not rows.
+    Decimal sums make the re-aggregation exact, so the output (and oracle)
+    is identical to agg_rollup's.
+
+    Applicability note: works for decomposable aggregates (SUM/COUNT/MIN/
+    MAX, and AVG via sum+count); for holistic ones (exact percentiles,
+    COUNT DISTINCT) use the native rollup or sketch-mergeable forms.
+    """
+    li = spread(load_table(spark, sf_dir, "lineitem"))
+    base = li.groupBy("l_returnflag", "l_linestatus").agg(
+        F.sum(F.col("l_quantity").cast("decimal(12,2)")).alias("_sq"),
+        F.count(F.lit(1)).alias("_n"),
+    )
+    lvl0 = base.select(
+        "l_returnflag",
+        "l_linestatus",
+        F.lit(0).alias("g_flag"),
+        F.lit(0).alias("g_status"),
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_n").alias("n_rows"),
+    )
+    lvl1 = (
+        base.groupBy("l_returnflag")
+        .agg(F.sum("_sq").alias("_sq"), F.sum("_n").alias("_n"))
+        .select(
+            "l_returnflag",
+            F.lit(None).cast("string").alias("l_linestatus"),
+            F.lit(0).alias("g_flag"),
+            F.lit(1).alias("g_status"),
+            F.col("_sq").cast("double").alias("sum_qty"),
+            F.col("_n").alias("n_rows"),
+        )
+    )
+    lvl2 = base.agg(F.sum("_sq").alias("_sq"), F.sum("_n").alias("_n")).select(
+        F.lit(None).cast("string").alias("l_returnflag"),
+        F.lit(None).cast("string").alias("l_linestatus"),
+        F.lit(1).alias("g_flag"),
+        F.lit(1).alias("g_status"),
+        F.col("_sq").cast("double").alias("sum_qty"),
+        F.col("_n").alias("n_rows"),
+    )
+    return lvl0.unionAll(lvl1).unionAll(lvl2)
+
+
+@register(
     "agg_cube",
     oracle="""
     SELECT
