@@ -58,3 +58,49 @@ def ch_dialect_frontend(spark: SparkSession, sf_dir: str) -> DataFrame:
     with the reference's actual user-facing SQL surface."""
     register_views(spark, sf_dir)
     return ch_sql(spark, _CH_SQL)
+
+
+# Round-3 dialect widening exercised end-to-end: JSON extraction from the
+# props column, match() regex, 15-minute toStartOfInterval buckets, plural
+# quantiles, empty/array handling via extractAll.
+_CH_SQL_JSON = """
+    SELECT toStartOfInterval(ts, INTERVAL 15 MINUTE) AS bucket,
+           countIf(JSONExtractInt(props, 'k') >= 50) AS high_k,
+           toFloat64(sumIf(toDecimal64(value, 2),
+                           JSONHas(props, 'k'))) AS keyed_value,
+           countIf(match(event_type, '^(click|purchase)$')) AS click_or_buy,
+           uniqExact(JSONExtractInt(props, 'k')) AS distinct_k
+    FROM events
+    PREWHERE notEmpty(extractAll(props, '\\\\d+'))
+    GROUP BY bucket
+    SETTINGS max_threads = 8
+"""
+
+
+@register(
+    "ch_dialect_json_buckets",
+    oracle="""
+    SELECT CAST(to_timestamp(FLOOR(epoch(ts) / 900) * 900) AS TIMESTAMP)
+               AS bucket,
+           COUNT(CASE WHEN CAST(json_extract_string(props, '$.k') AS BIGINT)
+                           >= 50 THEN 1 END) AS high_k,
+           CAST(SUM(CASE WHEN json_extract_string(props, '$.k') IS NOT NULL
+                         THEN CAST(value AS DECIMAL(18,2)) END) AS DOUBLE)
+               AS keyed_value,
+           COUNT(CASE WHEN regexp_matches(event_type, '^(click|purchase)$')
+                      THEN 1 END) AS click_or_buy,
+           COUNT(DISTINCT CAST(json_extract_string(props, '$.k') AS BIGINT))
+               AS distinct_k
+    FROM events
+    WHERE len(regexp_extract_all(props, '\\d+')) > 0
+    GROUP BY 1
+    """,
+)
+def ch_dialect_json_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-3 dialect additions run end-to-end: JSONExtractInt/JSONHas
+    over the props column, match() regex, toStartOfInterval 15-minute
+    epoch-floor buckets, extractAll/notEmpty in PREWHERE, and a SETTINGS
+    tail — all translated to one Spark SQL statement and hash-checked
+    against hand-written ANSI."""
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _CH_SQL_JSON)
