@@ -438,3 +438,38 @@ def eth_erc20_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("transactionHash", "logIndex")
     )
+
+
+@register(
+    "eth_reorg_canonical",
+    oracle="""
+    SELECT i AS number, md5('blk' || i) AS hash
+    FROM range(0, 100) t(i)
+    """,
+)
+def eth_reorg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Reorg canonicalization (operators/reorg.py) on a deterministic
+    synthetic chain: 100 md5-hash-linked blocks plus a 3-deep stale fork at
+    heights 50-52. The canonical result must be exactly the base chain —
+    the oracle regenerates it from the same md5 construction, so a walk
+    that ever follows a fork link hash-mismatches. The reference's
+    ReplacingMergeTree keyed by (hash, number) (src/main.rs:87-88) keeps
+    stale fork rows forever; this is the query its users needed.
+    """
+    from chainhouse_spark.operators.reorg import canonical_chain
+
+    base = spark.range(100).select(
+        F.col("id").alias("number"),
+        F.md5(F.concat(F.lit("blk"), F.col("id"))).alias("hash"),
+        F.md5(F.concat(F.lit("blk"), F.col("id") - 1)).alias("parentHash"),
+    )
+    fork = spark.range(50, 53).select(
+        F.col("id").alias("number"),
+        F.md5(F.concat(F.lit("fork"), F.col("id"))).alias("hash"),
+        F.when(
+            F.col("id") == 50, F.md5(F.lit("blk49"))
+        ).otherwise(F.md5(F.concat(F.lit("fork"), F.col("id") - 1))).alias(
+            "parentHash"
+        ),
+    )
+    return canonical_chain(base.unionAll(fork))

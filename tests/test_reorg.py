@@ -1,0 +1,76 @@
+"""Chain-reorg canonicalization: mid-chain forks, tip forks, no-fork
+identity, and the bounded-iteration contract."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chainhouse_spark.operators.reorg import canonical_chain, reorged_out
+
+
+def _mk(spark, rows):
+    return spark.createDataFrame(rows, ["number", "hash", "parentHash"])
+
+
+def _chain(n, pref="c"):
+    return [
+        (i, f"{pref}{i}", f"{pref}{i - 1}" if i > 0 else "genesis")
+        for i in range(n)
+    ]
+
+
+def test_no_fork_is_identity(spark):
+    blocks = _mk(spark, _chain(10))
+    canon = canonical_chain(blocks)
+    assert canon.count() == 10
+    assert reorged_out(blocks).count() == 0
+
+
+def test_mid_chain_fork_resolved_by_parent_walk(spark):
+    rows = _chain(10)
+    # stale fork at heights 5-7, anchored at canonical height 4
+    rows += [(5, "f5", "c4"), (6, "f6", "f5"), (7, "f7", "f6")]
+    blocks = _mk(spark, rows)
+    canon = {(r.number, r.hash) for r in canonical_chain(blocks).collect()}
+    assert canon == {(i, f"c{i}") for i in range(10)}
+    out = {(r.number, r.hash) for r in reorged_out(blocks).collect()}
+    assert out == {(5, "f5"), (6, "f6"), (7, "f7")}
+
+
+def test_tip_fork_resolved_by_max_hash_then_walk(spark):
+    rows = _chain(8)  # canonical 0..7
+    # two competing tips at 8-9: 'z' branch wins the max-hash tiebreak and
+    # drags its whole fork in by parent links
+    rows += [(8, "a8", "c7"), (9, "a9", "a8")]
+    rows += [(8, "z8", "c7"), (9, "z9", "z8")]
+    blocks = _mk(spark, rows)
+    canon = {(r.number, r.hash) for r in canonical_chain(blocks).collect()}
+    assert canon == {(i, f"c{i}") for i in range(8)} | {(8, "z8"), (9, "z9")}
+    out = {(r.number, r.hash) for r in reorged_out(blocks).collect()}
+    assert out == {(8, "a8"), (9, "a9")}
+
+
+def test_two_separate_forks_resolve_in_parallel(spark):
+    rows = _chain(20)
+    rows += [(3, "f3", "c2")]
+    rows += [(10, "g10", "c9"), (11, "g11", "g10")]
+    blocks = _mk(spark, rows)
+    out = {(r.number, r.hash) for r in reorged_out(blocks).collect()}
+    assert out == {(3, "f3"), (10, "g10"), (11, "g11")}
+
+
+def test_deep_run_exceeding_max_depth_raises(spark):
+    rows = _chain(8)
+    rows += [(i, f"f{i}", f"f{i - 1}" if i > 4 else "c3") for i in range(4, 8)]
+    blocks = _mk(spark, rows)
+    with pytest.raises(ValueError, match="max_depth"):
+        canonical_chain(blocks, max_depth=2)
+
+
+def test_duplicate_ingest_rows_are_harmless(spark):
+    # the follower re-fetching a height must not create phantom ambiguity
+    rows = _chain(6) + _chain(6)  # every row twice
+    blocks = _mk(spark, rows)
+    assert canonical_chain(blocks).count() == 6
+    assert reorged_out(blocks).count() == 0
