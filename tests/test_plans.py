@@ -487,3 +487,43 @@ def test_simhash_one_generate_two_exchanges(spark):
     text = explain_formatted(df)
     gens = len(re.findall(r"^\s*\(\d+\)\s+Generate\b", text, re.M))
     assert gens == 1
+
+
+def test_rollup_reagg_has_no_expand(spark):
+    # Native rollup Expands every raw row N+1 ways; the re-aggregation form
+    # must not — its subtotals derive from the compacted finest grain.
+    from chainhouse_spark.plans.audit import explain_formatted
+
+    native = explain_formatted(q(spark, "agg_rollup"))
+    reagg = explain_formatted(q(spark, "agg_rollup_reagg"))
+    assert "Expand" in native
+    assert "Expand" not in reagg
+    f = plan_facts(q(spark, "agg_rollup_reagg"))
+    assert f.python_evals == 0
+
+
+def test_pq_adc_scan_carries_codes_not_vectors(spark):
+    # The PQ rank shuffle input is (query_id, cand_id, adc) — the corpus
+    # vectors must not flow through the window exchange.
+    from chainhouse_spark.operators.pq import pq_topk
+    from chainhouse_spark.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    df = pq_topk(emb, emb.filter(F.col("vec_id") < 3), k=5, shortlist=20)
+    f = plan_facts(df)
+    assert f.python_evals == 0
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastExchange" in plan  # query side broadcasts
+
+
+def test_reorg_full_table_touched_once_per_walk_step(spark):
+    # canonical_chain's per-iteration joins broadcast the frontier; the
+    # candidate side is height-pruned. No Python stages anywhere.
+    from chainhouse_spark.operators.reorg import canonical_chain
+
+    rows = [(i, f"c{i}", f"c{i-1}") for i in range(12)]
+    rows += [(5, "f5", "c4"), (6, "f6", "f5")]
+    blocks = spark.createDataFrame(rows, ["number", "hash", "parentHash"])
+    df = canonical_chain(blocks)
+    f = plan_facts(df)
+    assert f.python_evals == 0

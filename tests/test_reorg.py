@@ -74,3 +74,52 @@ def test_duplicate_ingest_rows_are_harmless(spark):
     blocks = _mk(spark, rows)
     assert canonical_chain(blocks).count() == 6
     assert reorged_out(blocks).count() == 0
+
+
+def test_streaming_follower_heals_reorg(spark, tmp_path):
+    """Two micro-batches: the chain, then a deeper fork that wins by tip.
+    The canonical table must converge to the fork chain — stale blocks
+    evicted — and a full replay must be a no-op."""
+    import pandas as pd
+
+    from chainhouse_spark.streaming.reorg_follower import run_reorg_aware_ingest
+
+    landing = str(tmp_path / "landing")
+    raw_dir = str(tmp_path / "raw")
+    canon_dir = str(tmp_path / "canon")
+
+    cols = ["number", "hash", "parentHash"]
+    batch1 = [(i, f"c{i}", f"c{i - 1}" if i else "genesis") for i in range(7)]
+    # reorg: heights 5-6 re-mined, fork extends to a new tip at 8
+    batch2 = [(5, "f5", "c4"), (6, "f6", "f5"), (7, "f7", "f6"), (8, "f8", "f7")]
+    import os
+
+    os.makedirs(landing, exist_ok=True)
+    pd.DataFrame(batch1, columns=cols).to_parquet(f"{landing}/b1.parquet")
+    pd.DataFrame(batch2, columns=cols).to_parquet(f"{landing}/b2.parquet")
+
+    schema = spark.read.parquet(landing).schema
+
+    def drain(ckpt: str) -> None:
+        stream = (
+            spark.readStream.schema(schema)
+            .option("maxFilesPerTrigger", 1)
+            .parquet(landing)
+        )
+        q = run_reorg_aware_ingest(stream, raw_dir, canon_dir, str(tmp_path / ckpt))
+        q.awaitTermination(180)
+
+    drain("ckpt1")
+    got = {(r.number, r.hash) for r in spark.read.parquet(canon_dir).collect()}
+    want = {(i, f"c{i}") for i in range(5)} | {
+        (5, "f5"), (6, "f6"), (7, "f7"), (8, "f8")
+    }
+    assert got == want
+    # raw keeps everything (append-only history)
+    assert spark.read.parquet(raw_dir).drop("epoch").dropDuplicates(
+        ["number", "hash"]
+    ).count() == len(batch1) + len(batch2)
+
+    drain("ckpt2")  # full replay, fresh checkpoint: epoch guard + overwrite
+    got2 = {(r.number, r.hash) for r in spark.read.parquet(canon_dir).collect()}
+    assert got2 == want
