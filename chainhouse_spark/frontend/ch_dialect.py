@@ -580,6 +580,23 @@ def _rewrite_call(name: str, args: list[str]) -> str:
     return f"{name}({', '.join(args)})"
 
 
+# Reserved words that may legitimately precede a parenthesized expression
+# (SELECT (a), IN (...), FROM (subquery), AND (cond) ...). Treating them as
+# function calls would re-emit them glued to the paren and re-join their
+# "arguments" — pass them through verbatim instead; the paren contents are
+# still translated when the scanner reaches them. Function-like names the
+# dialect rewrites (if, extract, count, ...) must NOT be listed.
+# NOTE: range/rows/values are deliberately absent — as keywords they never
+# directly precede '(' (ROWS BETWEEN ..., FROM VALUES (..)-with-space is
+# cosmetic), while range(...) IS a ClickHouse function this module rewrites.
+_SQL_KEYWORDS = frozenset(
+    """select from where and or not on when then else end case group order
+    having join inner left right full cross outer union all distinct limit
+    offset by as between in exists is null like rlike ilike over partition
+    with using interval asc desc""".split()
+)
+
+
 def _translate_calls(sql: str) -> str:
     out: list[str] = []
     i, n = 0, len(sql)
@@ -595,6 +612,10 @@ def _translate_calls(sql: str) -> str:
             while j < n and (sql[j].isalnum() or sql[j] == "_"):
                 j += 1
             name = sql[i:j]
+            if name.lower() in _SQL_KEYWORDS:
+                out.append(name)
+                i = j
+                continue
             k = j
             while k < n and sql[k].isspace():
                 k += 1

@@ -156,6 +156,11 @@ def test_translation_is_idempotent():
         "SELECT toStartOfHour(ts), countIf(a = 1), quantile(0.5)(x) FROM t PREWHERE b",
         "SELECT sumIf(toDecimal64(v, 2), toYear(ts) = 2024) FROM t",
         "SELECT argMax(u, v), intDiv(a, b), arrayUniq(xs) FROM t",
+        # round-3 additions
+        "SELECT match(s, 'a.c'), JSONExtractInt(j, 'k'), bitAnd(a, b) FROM t",
+        "SELECT formatDateTime(ts, '%Y-%m'), toStartOfInterval(ts, INTERVAL 5 MINUTE) FROM t",
+        "SELECT quantiles(0.5, 0.9)(x), arrayCount(v -> v > 0, a), empty(a) FROM t",
+        r"SELECT extractAll(s, '\d+'), replaceRegexpAll(s, 'x', 'y') FROM t",
     ]
     for s in samples:
         once = t(s)
