@@ -117,15 +117,27 @@ def canonical_chain(
         resolved_parts.append(step)
         frontier = step.select("number", "parent")
 
-    resolved = resolved_parts[0]
-    for p in resolved_parts[1:]:
-        resolved = resolved.unionAll(p)
-    # The tip pick may duplicate a walk-resolved row only if the tip height
-    # was also reachable from above, which cannot happen (nothing is above
-    # the tip) — plain union is safe.
-    return unique.select("number", "hash").unionAll(
-        resolved.select("number", "hash").dropDuplicates(["number", "hash"])
-    )
+    canon = unique.select("number", "hash")
+    if resolved_parts:
+        resolved = resolved_parts[0]
+        for p in resolved_parts[1:]:
+            resolved = resolved.unionAll(p)
+        canon = canon.unionAll(
+            resolved.select("number", "hash").dropDuplicates(["number", "hash"])
+        )
+    # Completeness: every height must resolve to exactly one block. A
+    # missing parent link (anchor's parentHash matching no candidate) would
+    # otherwise silently DROP the ambiguous heights from the canonical
+    # chain — for an ingest-correctness operator, fail loudly instead.
+    n_heights = cand.select("number").distinct().count()
+    n_canon = canon.count()
+    if n_canon != n_heights:
+        raise ValueError(
+            f"canonicalization incomplete: {n_canon} canonical rows for "
+            f"{n_heights} heights — broken parentHash linkage in the "
+            "ambiguous region (re-fetch those heights)"
+        )
+    return canon
 
 
 def reorged_out(

@@ -123,3 +123,13 @@ def test_streaming_follower_heals_reorg(spark, tmp_path):
     drain("ckpt2")  # full replay, fresh checkpoint: epoch guard + overwrite
     got2 = {(r.number, r.hash) for r in spark.read.parquet(canon_dir).collect()}
     assert got2 == want
+
+
+def test_broken_parent_linkage_fails_loudly(spark):
+    # two hashes at height 5, neither matching the anchor's parentHash:
+    # the walk cannot resolve the height and must raise, not silently drop
+    rows = [(i, f"c{i}", f"c{i - 1}") for i in (0, 1, 2, 3, 4, 6, 7)]
+    rows += [(5, "x5", "c4"), (5, "y5", "c4")]  # c6.parent = c5 matches neither
+    blocks = _mk(spark, rows)
+    with pytest.raises(ValueError, match="incomplete"):
+        canonical_chain(blocks)
