@@ -50,6 +50,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--explain", action="store_true", help="print the physical plan instead of rows")
     p.add_argument("--show", type=int, default=20, help="rows to display for --query")
     p.add_argument("--compact", help="compact a warehouse table (exact dedup rewrite); needs --output")
+    p.add_argument(
+        "--canonicalize",
+        action="store_true",
+        help="evict reorged-out blocks (and their child rows) from the "
+        "whole warehouse via parentHash-walk canonicalization; needs --output",
+    )
     p.add_argument("--warehouse", help="ingested warehouse base path: registers the four chain tables as views")
     p.add_argument("--sql", help="ad-hoc SQL to run over the registered views (with --warehouse)")
     p.add_argument(
@@ -153,6 +159,20 @@ def main(argv: list[str] | None = None) -> int:
         spark = _cli_spark("chainhouse-compact")
         compact_table(spark, args.compact, args.output)
         print(f"compacted {args.compact}")
+        _stop_if_owned(spark)
+        return 0
+
+    if args.canonicalize:
+        if not args.output:
+            raise SystemExit(
+                "--canonicalize needs --output (the warehouse base path)"
+            )
+        from chainhouse_spark.sinks.parquet import canonicalize_warehouse
+
+        spark = _cli_spark("chainhouse-canonicalize")
+        evicted = canonicalize_warehouse(spark, args.output)
+        for name, n in evicted.items():
+            print(f"{name}: evicted {n} reorged-out rows")
         _stop_if_owned(spark)
         return 0
 

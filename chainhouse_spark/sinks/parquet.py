@@ -107,3 +107,64 @@ def compact_table(
 
     shutil.rmtree(src)
     shutil.move(tmp, src)
+
+
+def canonicalize_warehouse(
+    spark: SparkSession, base_path: str, bucket_size: int = 10_000
+) -> dict[str, int]:
+    """Evict reorged-out blocks — and every child row they parented — from
+    the whole warehouse. The reorg-dedup ReplacingMergeTree cannot do
+    (operators/reorg.py): a stale block has a DIFFERENT hash, so key dedup
+    keeps it and every transaction/log/withdrawal it brought along.
+
+    Mechanics: derive the stale (number, hash) set from the blocks table
+    (tiny — fork residue), broadcast-anti-join each table against it
+    (blocks on (number, hash); children on blockHash), and rewrite with
+    the compaction swap. Returns per-table evicted-row counts. At 100 TB,
+    restrict the rewrite to the block_buckets containing stale heights —
+    the same dynamic-partition-overwrite note as compact_table.
+    """
+    from chainhouse_spark.operators.reorg import reorged_out
+
+    blocks = read_table(spark, "blocks", base_path)
+    stale = reorged_out(blocks).cache()
+    n_stale = stale.count()  # materializes the cache; 0 -> nothing to do
+    evicted: dict[str, int] = {}
+    if n_stale == 0:
+        return {name: 0 for name in BLOCK_COL}
+
+    stale_hashes = stale.select("hash")
+    for name in BLOCK_COL:
+        df = read_table(spark, name, base_path)
+        before = df.count()
+        if name == "blocks":
+            healed = df.join(
+                F.broadcast(stale), ["number", "hash"], "left_anti"
+            )
+        else:
+            healed = df.join(
+                F.broadcast(stale_hashes.withColumnRenamed("hash", "blockHash")),
+                ["blockHash"],
+                "left_anti",
+            )
+        src = f"{base_path}/{name}"
+        tmp = f"{base_path}/{name}__canonicalizing"
+        (
+            healed.drop("block_bucket")
+            .withColumn(
+                "block_bucket", F.expr(f"{BLOCK_COL[name]} div {bucket_size}")
+            )
+            .repartition("block_bucket")
+            .sortWithinPartitions(*DEDUP_KEYS[name])
+            .write.mode("overwrite")
+            .partitionBy("block_bucket")
+            .parquet(tmp)
+        )
+        import shutil
+
+        after = spark.read.parquet(tmp).count()
+        shutil.rmtree(src)
+        shutil.move(tmp, src)
+        evicted[name] = before - after
+    stale.unpersist()
+    return evicted

@@ -13,7 +13,7 @@ rescanned, the nightly cost is one pass over the new slice plus a
 key-cardinality-sized merge.
 
 The swap is write-temp-then-rename (same crash-safety pattern as
-`sinks/compaction.py`): a failed batch leaves the previous state intact and
+`sinks/parquet.py::compact_table`): a failed batch leaves the previous state intact and
 the checkpoint replays the batch; the merge is idempotent per epoch because
 it rebuilds new-state from (old-state, batch) rather than appending.
 """

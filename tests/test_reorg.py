@@ -133,3 +133,50 @@ def test_broken_parent_linkage_fails_loudly(spark):
     blocks = _mk(spark, rows)
     with pytest.raises(ValueError, match="incomplete"):
         canonical_chain(blocks)
+
+
+def test_canonicalize_warehouse_evicts_fork_and_children(spark, tmp_path):
+    """A stale fork block (same height, different hash) and the child rows
+    it parented are evicted from all four tables; canonical rows and
+    unrelated children survive untouched."""
+    from chainhouse_spark.sinks.parquet import (
+        canonicalize_warehouse,
+        read_table,
+        write_all,
+    )
+    from chainhouse_spark.sources.fixtures import raw_blocks_df
+    from chainhouse_spark.transforms import all_tables_from_raw
+
+    t = all_tables_from_raw(raw_blocks_df(spark, n_blocks=6, seed=42))
+    fake = b"\xff" * 32
+    stale_block = t["blocks"].filter(F.col("number") == 3).withColumn(
+        "hash", F.lit(fake)
+    )
+    stale_tx = t["transactions"].filter(F.col("blockNumber") == 3).withColumn(
+        "blockHash", F.lit(fake)
+    )
+    n_stale_tx = stale_tx.count()
+    assert n_stale_tx > 0
+    warehouse = {
+        "blocks": t["blocks"].unionByName(stale_block),
+        "transactions": t["transactions"].unionByName(stale_tx),
+        "events": t["events"],
+        "withdraws": t["withdraws"],
+    }
+    base = str(tmp_path / "wh")
+    write_all(warehouse, base)
+
+    evicted = canonicalize_warehouse(spark, base)
+    assert evicted["blocks"] == 1
+    assert evicted["transactions"] == n_stale_tx
+    assert evicted["events"] == 0 and evicted["withdraws"] == 0
+
+    blocks = read_table(spark, "blocks", base)
+    assert blocks.count() == 6
+    assert blocks.filter(F.col("hash") == F.lit(fake)).count() == 0
+    tx = read_table(spark, "transactions", base)
+    assert tx.count() == t["transactions"].count()
+    assert tx.filter(F.col("blockHash") == F.lit(fake)).count() == 0
+
+    # idempotent: a second pass evicts nothing
+    assert set(canonicalize_warehouse(spark, base).values()) == {0}
