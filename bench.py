@@ -92,12 +92,20 @@ def main() -> None:
 
 
 def _report_vs_baseline(timings: dict[str, float], total: float, sf: str) -> None:
-    """Round-over-round regression gate: compare against the committed
-    BENCH_BASELINE.json (round-1 numbers) on stderr — stdout stays the
-    one-JSON-line driver contract. The reference publishes no benchmark
-    figures (BASELINE.md), so round 1 is the anchor; a query >1.5x its
-    baseline is flagged loudly."""
-    path = os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_BASELINE.json")
+    """Regression gate on stderr — stdout stays the one-JSON-line driver
+    contract. Two reference files:
+      - BENCH_BASELINE.json: the ROUND-1 committed numbers, never refreshed
+        (the reference publishes no benchmark figures — see BASELINE.md —
+        so the round-1 single-node run is the number to match-or-beat and
+        the denominator every round's total is judged against);
+      - BENCH_STEADYSTATE.json: best-observed 9-run minima, refreshed when
+        code actually improves — the NOISE-AWARE per-query gate, preferred
+        for the >1.5x flag because minima don't inherit one round's host
+        contention."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    path = os.path.join(here, "BENCH_STEADYSTATE.json")
+    if not os.path.exists(path):
+        path = os.path.join(here, "BENCH_BASELINE.json")
     if not os.path.exists(path):
         return
     base = json.load(open(path))
@@ -106,7 +114,7 @@ def _report_vs_baseline(timings: dict[str, float], total: float, sf: str) -> Non
               file=sys.stderr)
         return
     bq = base["queries"]
-    print(f"[bench] vs round-{base.get('round', 1)} baseline "
+    print(f"[bench] vs {os.path.basename(path)} "
           f"(total {total:.3f}s / {base['value']:.3f}s = "
           f"{total / base['value']:.2f}x)", file=sys.stderr)
     regressions = 0
