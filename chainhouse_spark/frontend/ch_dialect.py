@@ -258,6 +258,21 @@ _UNSUPPORTED = {
             "contract in tests",
     "dictget": "no external dictionaries — join the dimension table "
                "(broadcast joins make this free for dictionary-sized sides)",
+    # Behavioral-analytics parametric aggregates: each has a tested Spark
+    # analogue in queries/funnel.py — a token-level rewrite cannot express
+    # their per-user ordered-state semantics in one expression.
+    "windowfunnel": "use the step-funnel analogue (queries/funnel.py::"
+                    "funnel_steps — window anchored at first step, oracled)",
+    "sequencematch": "use the regex event-pattern analogue (queries/"
+                     "funnel.py::sequence_match_regex, oracled)",
+    "sequencecount": "use the ordered A-then-B pair counter (queries/"
+                     "funnel.py::sequence_pairs_click_purchase, oracled)",
+    "retention": "use the weekly cohort retention matrix (queries/"
+                 "funnel.py::retention_weekly, oracled)",
+    "grouparraymovingavg": "use a window frame: AVG(x) OVER (ORDER BY ts "
+                           "ROWS BETWEEN n PRECEDING AND CURRENT ROW)",
+    "grouparraymovingsum": "use a window frame: SUM(x) OVER (ORDER BY ts "
+                           "ROWS BETWEEN n PRECEDING AND CURRENT ROW)",
 }
 
 _PARAMETRIC = {"quantile": "PERCENTILE_APPROX", "quantileexact": "PERCENTILE",

@@ -333,3 +333,15 @@ def test_misc_new_renames():
     assert t("SELECT empty(a), notEmpty(a)") == "SELECT (SIZE(a) = 0), (SIZE(a) <> 0)"
     assert t("SELECT arraySlice(a, 2, 3)") == "SELECT SLICE(a, 2, 3)"
     assert t("SELECT arrayElement(a, 2)") == "SELECT ELEMENT_AT(a, 2)"
+
+
+def test_behavioral_parametrics_raise_with_pointers():
+    for bad, hint in (
+        ("SELECT windowFunnel(3600)(ts, a, b) FROM t", "funnel_steps"),
+        ("SELECT sequenceMatch('(?1).*(?2)')(ts, a, b) FROM t", "sequence_match_regex"),
+        ("SELECT sequenceCount('(?1)(?2)')(ts, a, b) FROM t", "sequence_pairs"),
+        ("SELECT retention(c1, c2, c3) FROM t", "retention_weekly"),
+        ("SELECT groupArrayMovingAvg(10)(x) FROM t", "ROWS BETWEEN"),
+    ):
+        with pytest.raises(CHTranslationError, match=hint):
+            t(bad)
