@@ -234,3 +234,87 @@ def pq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+def ivfpq_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    n_cells: int = 16,
+    n_probe: int = 8,
+    m: int = 8,
+    k_sub: int = 16,
+    n_iter: int = 6,
+    shortlist: int = 50,
+    seed: int = 42,
+) -> DataFrame:
+    """IVF-PQ: the canonical billion-scale ANN layout (Jegou et al. 2011
+    §IV; what FAISS calls IVFPQ). The IVF coarse quantizer prunes the scan
+    to `n_probe`/`n_cells` of the corpus; PQ codes make the scanned
+    fraction `m` bytes per row instead of dim*4; an exact cosine re-rank
+    fixes the shortlist ordering.
+
+    At rest this is: corpus partitioned by `cell` (partition pruning does
+    the probe), `codes` stored alongside (the scan column), float vectors
+    cold (fetched for nq x shortlist rows only). Shuffle budget: the rank
+    shuffle carries (query_id, cand_id, adc) for the probed fraction only.
+    """
+    from chainhouse_spark.operators.ivf import assign_cells
+    from chainhouse_spark.functions.vector import cosine_sql as _cos
+
+    assigned, centroids = assign_cells(corpus, vec_col, n_cells, seed)
+    books = pq_fit(corpus, vec_col, dim, m, k_sub, n_iter)
+    d_sub = dim // m
+    enc = pq_encode(spread(assigned, id_col), books, vec_col).select(
+        F.col(id_col).alias("cand_id"), "cell", "codes"
+    )
+
+    spark = corpus.sparkSession
+    cent = spark.createDataFrame(centroids, ["cell", "centroid"])
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qc = q.crossJoin(F.broadcast(cent)).withColumn(
+        "c_sim", F.expr(_cos("q_vec", "centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_sim"), F.asc("cell"))
+    probes = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+
+    # Probe = equi-join on cell (partition pruning at rest); score = ADC
+    # over codes. Only (query_id, cand_id, adc) reaches the rank shuffle.
+    scored = (
+        enc.withColumn("_cb", _codebook_literal(books))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(_adc_expr("q_vec", "codes", m, d_sub)).alias("adc"),
+        )
+    )
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("cand_id"))
+    short = (
+        scored.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "cand_id")
+    )
+
+    cv = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    exact = (
+        short.join(cv, "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id", "cand_id", F.expr(_cos("q_vec", "c_vec")).alias("cos_sim")
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )

@@ -849,3 +849,44 @@ def ann_pq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok")
         )
     )
+
+
+@register(
+    "ann_ivfpq_topk",
+    oracle="""
+    SELECT COUNT(*) AS n_queries, COUNT(*) * 10 AS n_results, TRUE AS recall_ok
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF-PQ (the FAISS IVFPQ layout): coarse cells prune the scan to
+    n_probe/n_cells of the corpus, PQ codes make the probed fraction m
+    bytes per row, exact cosine re-ranks the shortlist. Invariant oracle
+    like the other iterative-quantizer queries: exact counts + aggregate
+    recall@10 >= 0.5 vs brute force (lower floor than pure PQ: cell
+    pruning and code quantization both cost recall at toy corpus sizes).
+    Raw rows: operators/pq.py::ivfpq_topk."""
+    from chainhouse_spark.operators.pq import ivfpq_topk
+    from chainhouse_spark.operators.similarity import brute_force_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = ivfpq_topk(
+        emb, q, k=10, dim=DIMS, n_cells=16, n_probe=8, m=8, k_sub=16, shortlist=50
+    )
+    exact = brute_force_topk(emb, q, k=10)
+    hits = approx.join(
+        exact.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
+    )
+    counts = approx.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_results"),
+    )
+    return counts.crossJoin(
+        hits.agg(
+            (
+                F.count(F.lit(1)).cast("double")
+                >= F.lit(0.5) * F.lit(10.0) * F.lit(5.0)
+            ).alias("recall_ok")
+        )
+    )

@@ -83,3 +83,18 @@ def test_pq_plan_broadcasts_queries_and_ships_codes(spark):
     )
     assert "BroadcastExchange" in plan  # query side broadcasts into the scan
     assert "codes" in plan  # ADC path scores on codes, not raw vectors
+
+
+def test_ivfpq_recall_and_row_contract(spark):
+    from chainhouse_spark.operators.pq import ivfpq_topk
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    approx = ivfpq_topk(emb, q, k=10, n_cells=16, n_probe=8, shortlist=50)
+    exact = brute_force_topk(emb, q, k=10)
+    hits = approx.join(
+        exact.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
+    ).count()
+    assert hits >= 25  # cell pruning + code quantization; floor 0.5 recall
+    per_q = approx.groupBy("query_id").count().select(F.collect_set("count")).first()[0]
+    assert per_q == [10]
