@@ -156,3 +156,103 @@ def dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_chars").alias("min_chars"),
         F.max("n_chars").alias("max_chars"),
     )
+
+
+@register(
+    "mixture_token_budget_plan",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH tok AS (
+        SELECT doc_id, source, len(string_split(text, ' ')) AS n_tok,
+               ({{h8}}) AS h32
+        FROM documents
+    ),
+    per_src AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_tok) AS BIGINT) AS src_tok
+        FROM tok GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(src_tok) AS BIGINT) AS total_tok,
+               CAST(COUNT(*) AS BIGINT) AS n_src
+        FROM per_src
+    ),
+    plan AS (
+        SELECT p.source, p.n_docs, p.src_tok,
+               CAST(FLOOR(t.total_tok / (2.0 * t.n_src)) AS BIGINT) AS target_tok,
+               LEAST(1.0, CAST(FLOOR(t.total_tok / (2.0 * t.n_src)) AS BIGINT)
+                          / CAST(p.src_tok AS DOUBLE)) AS rate
+        FROM per_src p, tot t
+    ),
+    kept AS (
+        SELECT k.source, CAST(COUNT(*) AS BIGINT) AS kept_docs,
+               CAST(SUM(k.n_tok) AS BIGINT) AS kept_tok
+        FROM tok k JOIN plan pl ON pl.source = k.source
+        WHERE k.h32 < CAST(FLOOR(pl.rate * 4294967296.0) AS BIGINT)
+        GROUP BY k.source
+    )
+    SELECT pl.source, pl.n_docs, pl.src_tok, pl.target_tok, pl.rate,
+           COALESCE(kept.kept_docs, 0) AS kept_docs,
+           COALESCE(kept.kept_tok, 0) AS kept_tok
+    FROM plan pl LEFT JOIN kept ON kept.source = pl.source
+    """.replace("{h8}", "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr(md5(CAST(doc_id AS VARCHAR)), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}" for i in range(8)) + ")"),
+)
+def mixture_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The data-mixing planner: given a total token budget (half the corpus
+    here) split equally across sources, COMPUTE each source's keep-rate
+    (capped at 1.0 — a source smaller than its share contributes all of
+    itself), then apply it with the deterministic 32-bit hash gate and
+    report planned vs achieved tokens per source.
+
+    This is the step training recipes call 'mixture weights': the planner
+    is two tiny aggregates (per-source token sums, then the total), the
+    application is the same map-only hash gate as every sampler here —
+    per-row cost is one md5, and the rate table broadcasts at any source
+    count. Achieved tokens track the target only in expectation (hash
+    gates select docs, not tokens); the exact per-source shortfall is the
+    point of reporting both columns.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        "source",
+        F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        F.expr(f"CAST(conv(substring({_KEY}, 1, 8), 16, 10) AS BIGINT)").alias("h32"),
+    )
+    per_src = tok.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"), F.sum("n_tok").alias("src_tok")
+    )
+    tot = per_src.agg(
+        F.sum("src_tok").alias("total_tok"), F.count(F.lit(1)).alias("n_src")
+    )
+    plan = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tok",
+        F.expr("CAST(FLOOR(total_tok / (2.0 * n_src)) AS BIGINT)").alias("target_tok"),
+        F.expr(
+            "LEAST(1.0, CAST(FLOOR(total_tok / (2.0 * n_src)) AS BIGINT)"
+            " / CAST(src_tok AS DOUBLE))"
+        ).alias("rate"),
+    )
+    kept = (
+        tok.join(F.broadcast(plan.select("source", "rate")), "source")
+        .filter(F.col("h32") < F.expr("CAST(FLOOR(rate * 4294967296.0) AS BIGINT)"))
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).alias("kept_docs"), F.sum("n_tok").alias("kept_tok")
+        )
+    )
+    return (
+        plan.join(kept, "source", "left")
+        .select(
+            "source",
+            "n_docs",
+            "src_tok",
+            "target_tok",
+            "rate",
+            F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
+            F.coalesce("kept_tok", F.lit(0)).alias("kept_tok"),
+        )
+    )
