@@ -209,3 +209,189 @@ def sketch_approx_percentile(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("amq"), F.element_at("qb", 1), F.element_at("qb", 2)
         ).alias("ok_median_qty"),
     )
+
+
+# -- KMV / theta-style set-operation sketches --------------------------------
+#
+# HLL answers "how many distinct" but cannot intersect; theta sketches can.
+# This is the KMV form: per segment keep the k-1 smallest 32-bit hashes and
+# theta = the k-th smallest (or 1.0 when the segment is smaller than k).
+# Unions/intersections operate on the retained hash sets below
+# min(theta_a, theta_b). Everything is deterministic given the hash, so —
+# unlike the HLL/GK rows above — the ESTIMATES themselves replay in DuckDB
+# bit-for-bit; the accuracy bools against the exact counts ride along.
+#
+# 100 TB shape: a segment's sketch is k longs regardless of cardinality,
+# built with one partial-agg shuffle (top-k-min per key), mergeable by
+# re-min; pairwise set ops touch sketches only, never rows.
+
+_KMV_K = 32
+_POW32 = 4_294_967_296
+
+
+def _duck_h32(expr: str) -> str:
+    """DuckDB: first 8 md5 hex digits of `expr` -> BIGINT (mirror of
+    Spark's conv(substring(md5(x), 1, 8), 16, 10))."""
+    return "(" + " + ".join(
+        f"(instr('0123456789abcdef', substr(md5({expr}), {i + 1}, 1)) - 1)"
+        f" * {16 ** (7 - i)}"
+        for i in range(8)
+    ) + ")"
+
+
+@register(
+    "sketch_theta_set_ops",
+    oracle=f"""
+    WITH uh AS (
+        SELECT DISTINCT event_type,
+               {_duck_h32("CAST(user_id AS VARCHAR)")} AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS r
+        FROM uh
+    ),
+    stats AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n_h,
+               CAST(COALESCE(MAX(CASE WHEN r = {_KMV_K} THEN h END),
+                             {_POW32}) AS BIGINT) AS theta
+        FROM ranked GROUP BY event_type
+    ),
+    sk AS (SELECT event_type, h FROM ranked WHERE r <= {_KMV_K - 1}),
+    pairs AS (
+        SELECT a.event_type AS event_a, b.event_type AS event_b,
+               LEAST(a.theta, b.theta) AS tm,
+               a.n_h AS n_a, b.n_h AS n_b
+        FROM stats a JOIN stats b ON a.event_type < b.event_type
+    ),
+    uni AS (
+        SELECT p.event_a, p.event_b, CAST(COUNT(DISTINCT s.h) AS BIGINT) AS n_u
+        FROM pairs p
+        JOIN sk s ON s.event_type IN (p.event_a, p.event_b) AND s.h < p.tm
+        GROUP BY p.event_a, p.event_b
+    ),
+    com AS (
+        SELECT p.event_a, p.event_b, CAST(COUNT(*) AS BIGINT) AS n_c
+        FROM pairs p
+        JOIN sk sa ON sa.event_type = p.event_a
+        JOIN sk sb ON sb.event_type = p.event_b AND sb.h = sa.h
+        WHERE sa.h < p.tm
+        GROUP BY p.event_a, p.event_b
+    ),
+    ex AS (
+        SELECT a.event_type AS event_a, b.event_type AS event_b,
+               CAST(COUNT(*) AS BIGINT) AS exact_inter
+        FROM uh a JOIN uh b ON a.h = b.h AND a.event_type < b.event_type
+        GROUP BY a.event_type, b.event_type
+    )
+    SELECT p.event_a, p.event_b,
+           COALESCE(u.n_u, 0) * {_POW32}.0 / p.tm AS est_union,
+           COALESCE(c.n_c, 0) * {_POW32}.0 / p.tm AS est_intersection,
+           p.n_a + p.n_b - COALESCE(e.exact_inter, 0) AS exact_union,
+           COALESCE(e.exact_inter, 0) AS exact_intersection,
+           ABS(COALESCE(u.n_u, 0) * {_POW32}.0 / p.tm
+               - (p.n_a + p.n_b - COALESCE(e.exact_inter, 0)))
+               <= 0.5 * (p.n_a + p.n_b - COALESCE(e.exact_inter, 0)) + 10
+               AS union_ok,
+           ABS(COALESCE(c.n_c, 0) * {_POW32}.0 / p.tm
+               - COALESCE(e.exact_inter, 0))
+               <= 0.5 * COALESCE(e.exact_inter, 0) + 10 AS inter_ok
+    FROM pairs p
+    LEFT JOIN uni u ON u.event_a = p.event_a AND u.event_b = p.event_b
+    LEFT JOIN com c ON c.event_a = p.event_a AND c.event_b = p.event_b
+    LEFT JOIN ex e ON e.event_a = p.event_a AND e.event_b = p.event_b
+    """,
+)
+def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pairwise distinct-user set operations between event-type segments
+    via KMV/theta sketches (k=32): union AND intersection estimates from
+    k-long sketches, with exact counts and accuracy bools alongside.
+    Deterministic md5-derived hashes make the estimates themselves
+    oracle-replayable — the whole point of choosing KMV over engine-opaque
+    sketch registers."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events")
+    uh = ev.select(
+        "event_type",
+        F.expr(
+            "CAST(conv(substring(md5(CAST(user_id AS STRING)), 1, 8), 16, 10)"
+            " AS BIGINT)"
+        ).alias("h"),
+    ).distinct()
+    w = Window.partitionBy("event_type").orderBy("h")
+    ranked = uh.withColumn("r", F.row_number().over(w))
+    stats = ranked.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.coalesce(
+            F.max(F.when(F.col("r") == _KMV_K, F.col("h"))), F.lit(_POW32)
+        ).alias("theta"),
+    )
+    sk = ranked.filter(F.col("r") <= _KMV_K - 1).select("event_type", "h")
+
+    a, b = stats.alias("a"), stats.alias("b")
+    pairs = (
+        a.join(b, F.col("a.event_type") < F.col("b.event_type"))
+        .select(
+            F.col("a.event_type").alias("event_a"),
+            F.col("b.event_type").alias("event_b"),
+            F.least("a.theta", "b.theta").alias("tm"),
+            F.col("a.n_h").alias("n_a"),
+            F.col("b.n_h").alias("n_b"),
+        )
+    )
+    uni = (
+        pairs.join(
+            sk,
+            sk["event_type"].isin(F.col("event_a"), F.col("event_b"))
+            & (sk["h"] < F.col("tm")),
+        )
+        .groupBy("event_a", "event_b")
+        .agg(F.countDistinct("h").alias("n_u"))
+    )
+    sa, sb = sk.alias("sa"), sk.alias("sb")
+    com = (
+        pairs.join(sa, F.col("sa.event_type") == F.col("event_a"))
+        .join(
+            sb,
+            (F.col("sb.event_type") == F.col("event_b"))
+            & (F.col("sb.h") == F.col("sa.h")),
+        )
+        .filter(F.col("sa.h") < F.col("tm"))
+        .groupBy("event_a", "event_b")
+        .agg(F.count(F.lit(1)).alias("n_c"))
+    )
+    ua, ub = uh.alias("ua"), uh.alias("ub")
+    ex = (
+        ua.join(
+            ub,
+            (F.col("ua.h") == F.col("ub.h"))
+            & (F.col("ua.event_type") < F.col("ub.event_type")),
+        )
+        .groupBy(
+            F.col("ua.event_type").alias("event_a"),
+            F.col("ub.event_type").alias("event_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("exact_inter"))
+    )
+    est_u = F.coalesce("n_u", F.lit(0)) * F.lit(float(_POW32)) / F.col("tm")
+    est_i = F.coalesce("n_c", F.lit(0)) * F.lit(float(_POW32)) / F.col("tm")
+    ex_u = F.col("n_a") + F.col("n_b") - F.coalesce("exact_inter", F.lit(0))
+    ex_i = F.coalesce("exact_inter", F.lit(0))
+    return (
+        pairs.join(uni, ["event_a", "event_b"], "left")
+        .join(com, ["event_a", "event_b"], "left")
+        .join(ex, ["event_a", "event_b"], "left")
+        .select(
+            "event_a",
+            "event_b",
+            est_u.alias("est_union"),
+            est_i.alias("est_intersection"),
+            ex_u.alias("exact_union"),
+            ex_i.alias("exact_intersection"),
+            (F.abs(est_u - ex_u) <= 0.5 * ex_u + 10).alias("union_ok"),
+            (F.abs(est_i - ex_i) <= 0.5 * ex_i + 10).alias("inter_ok"),
+        )
+    )
