@@ -78,7 +78,9 @@ def plan_facts(df: DataFrame) -> PlanFacts:
     f.read_schemas = re.findall(r"ReadSchema: (\S+)", text)
     f.python_evals = sum(
         nodes(n)
-        for n in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython", "FlatMapGroupsInPandas")
+        for n in ("MapInPandas", "ArrowEvalPython", "BatchEvalPython",
+                  "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas",
+                  "TransformWithStateInPandas", "AggregateInPandas")
     )
     f.aqe = "AdaptiveSparkPlan" in text
     return f

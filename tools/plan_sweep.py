@@ -1,0 +1,84 @@
+"""Registry-wide physical-plan sweep: every registered query's plan is
+checked for the two silent scale-killers — cartesian products and Python
+row stages — beyond the per-query pins in tests/test_plans.py.
+
+    python tools/plan_sweep.py [--sf DIR]
+
+Prints one line per violation (query, fact, count) and a summary; exit 1
+if any non-whitelisted violation exists. Whitelists name the queries whose
+plans are INTENTIONALLY special, each with the reason — additions to these
+lists are design decisions, not fixes.
+"""
+
+from __future__ import annotations
+
+import argparse
+import os
+import sys
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+# Cartesian/NLJ products that are intentional: either the parity query for
+# CROSS JOIN itself, or a broadcast of a tiny side (1-row aggregate totals,
+# n_cells centroids, query batches) where Spark plans BroadcastNestedLoop —
+# bounded by construction, never |rows| x |rows|.
+CARTESIAN_OK = {
+    "join_cross",               # the CROSS JOIN parity query
+}
+
+# Python stages that are intentional: Arrow-batched mapInPandas /
+# applyInPandas where JVM expressions cannot express the op (numpy decode,
+# BLAS GEMM, per-user merge_asof). Everything else must be JVM-only.
+PYTHON_OK = {
+    "mm_frame_sample", "mm_image_features", "mm_audio_features",
+    "mm_image_resize",          # numpy batch decode (multimodal/ops.py)
+    "ann_bruteforce_gemm",      # BLAS matmul per Arrow batch
+    "attribution_last_click",   # cogrouped applyInPandas merge_asof
+    # Deliberately NOT whitelisted: the eth hex codec queries plan
+    # JVM-side (conv/expr, not the pandas UDF) — a Python stage appearing
+    # there IS a regression worth seeing.
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    args = ap.parse_args()
+
+    from chainhouse_spark.plans.audit import plan_facts
+    from chainhouse_spark.queries import QUERIES
+    from chainhouse_spark.session import build_spark
+
+    spark = build_spark(master="local[4]", shuffle_partitions=4)
+    bad = 0
+    n_cart_ok = n_py_ok = 0
+    for name, fn in QUERIES.items():
+        try:
+            df = fn(spark, args.sf)
+        except Exception as e:  # noqa: BLE001 — a build failure is a finding
+            print(f"BUILD-FAIL {name}: {type(e).__name__}: {e}")
+            bad += 1
+            continue
+        f = plan_facts(df)
+        if f.cartesian_products:
+            if name in CARTESIAN_OK:
+                n_cart_ok += 1
+            else:
+                print(f"CARTESIAN {name}: {f.cartesian_products}")
+                bad += 1
+        if f.python_evals:
+            if name in PYTHON_OK:
+                n_py_ok += 1
+            else:
+                print(f"PYTHON {name}: {f.python_evals} stage(s)")
+                bad += 1
+    print(
+        f"swept {len(QUERIES)} queries: {bad} violations, "
+        f"{n_cart_ok} whitelisted cartesians, {n_py_ok} whitelisted python"
+    )
+    spark.stop()
+    return 1 if bad else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main())
