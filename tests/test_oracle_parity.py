@@ -24,7 +24,15 @@ def _duck_con(sf_dir: str) -> duckdb.DuckDBPyConnection:
     # The spill dir must be PER-CONNECTION: two concurrent pytest sessions
     # sharing one spill path can read each other's spill files and return
     # wrong oracle values (observed as sporadic window-query mismatches).
-    con.execute("SET memory_limit='16GB'")
+    # 600MB emulates the driver sandbox's observed cap (the r02 OOM class):
+    # an oracle that cannot run here cannot run there, so memory-hungry
+    # oracle SQL fails in CI instead of in the driver. Override with
+    # SPARK_GRAFT_ORACLE_MEM for local debugging.
+    import os as _os
+
+    con.execute(
+        f"SET memory_limit='{_os.environ.get('SPARK_GRAFT_ORACLE_MEM', '600MB')}'"
+    )
     spill = tempfile.mkdtemp(prefix="duckdb_spill_")
     con.execute(f"SET temp_directory='{spill}'")
     for t in [
