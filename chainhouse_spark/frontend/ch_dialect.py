@@ -378,6 +378,16 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         if len(args) != 1:
             raise CHTranslationError(f"{name}() takes one argument")
         return f"CAST({args[0]} AS {_CAST[low]})"
+    if low == "todatetime64":
+        if len(args) not in (1, 2):
+            raise CHTranslationError("toDateTime64(x[, precision])")
+        return f"CAST({args[0]} AS TIMESTAMP)"
+    if low == "todate32":
+        if len(args) != 1:
+            raise CHTranslationError("toDate32(x) takes one argument")
+        return f"CAST({args[0]} AS DATE)"
+    if low == "arrayzip":
+        return f"ARRAYS_ZIP({', '.join(args)})"
     if low in ("todecimal32", "todecimal64", "todecimal128"):
         if len(args) != 2:
             raise CHTranslationError(f"{name}(x, scale) takes two arguments")
@@ -675,6 +685,14 @@ def _translate_calls(sql: str) -> str:
 
 
 _PREWHERE = re.compile(r"\bPREWHERE\b", re.IGNORECASE)
+# FROM t FINAL — ReplacingMergeTree's read-time exact dedup. This engine
+# dedups exactly at WRITE time (K8, dropDuplicates on the merge keys), so
+# FINAL is semantically a no-op here and is stripped. Only the table-ref
+# position is matched; FINAL as a column/alias name is untouched.
+_FINAL = re.compile(
+    r"(\bFROM\s+[\w.`\"]+)\s+FINAL\b", re.IGNORECASE
+)
+_WITH_FILL = re.compile(r"\bWITH\s+FILL\b", re.IGNORECASE)
 # GLOBAL is a ClickHouse distribution hint (broadcast the right side to all
 # shards) — semantics are identical without it; Spark's optimizer owns the
 # distribution decision. ANY/ASOF joins CHANGE row multiplicity, so they
@@ -723,6 +741,13 @@ def translate_ch_sql(sql: str) -> str:
             "ROW_NUMBER() OVER (PARTITION BY cols ORDER BY ...) AS rn) "
             "WHERE rn <= n"
         )
+    if _WITH_FILL.search(sql):
+        raise CHTranslationError(
+            "ORDER BY ... WITH FILL generates spine rows the sort cannot "
+            "emit in Spark; join against an explicit sequence() spine "
+            "instead (the ts_minute_spine_gapfill query is the recipe)"
+        )
+    sql = _FINAL.sub(r"\1", sql)
     sql = _GLOBAL.sub("", sql)
     sql = _FORMAT_TAIL.sub("", sql.rstrip())
     sql = _SETTINGS_TAIL.sub("", sql.rstrip())

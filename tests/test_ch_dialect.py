@@ -345,3 +345,23 @@ def test_behavioral_parametrics_raise_with_pointers():
     ):
         with pytest.raises(CHTranslationError, match=hint):
             t(bad)
+
+
+def test_final_stripped_with_fill_raises():
+    # FINAL is ReplacingMergeTree read-time dedup; this engine dedups
+    # exactly at write time, so FINAL is a no-op and strips.
+    assert (
+        t("SELECT count() FROM blocks FINAL WHERE number > 5")
+        == "SELECT COUNT(*) FROM blocks WHERE number > 5"
+    )
+    assert t("SELECT a FROM db.t FINAL") == "SELECT a FROM db.t"
+    # FINAL as a column name is untouched
+    assert t("SELECT final FROM t") == "SELECT final FROM t"
+    with pytest.raises(CHTranslationError, match="spine"):
+        t("SELECT d FROM t ORDER BY d WITH FILL")
+
+
+def test_datetime64_date32_arrayzip():
+    assert t("SELECT toDateTime64(x, 3)") == "SELECT CAST(x AS TIMESTAMP)"
+    assert t("SELECT toDate32(x)") == "SELECT CAST(x AS DATE)"
+    assert t("SELECT arrayZip(a, b)") == "SELECT ARRAYS_ZIP(a, b)"
