@@ -1,6 +1,8 @@
-"""Round-3 additions to the LLM-pipeline surface: int8-quantized embedding
-search, Bloom-filter decontamination, corpus-vs-corpus overlap estimation,
-and k-means corpus clustering.
+"""Later-round additions to the LLM-pipeline surface: int8-quantized
+embedding search, Bloom-filter decontamination, corpus-vs-corpus overlap
+estimation, k-means corpus clustering, JL random projection, incremental
+MinHash dedup, vocabulary encoding, asymmetric containment dedup, and the
+product-quantization ANN family (PQ and IVF-PQ).
 
 Registered LAST (imported after every other query module in __init__.py) so
 they join the driver-verification queue behind the queries that are still
