@@ -6,7 +6,7 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion with the noop sink (full pipeline runs,
 nothing materializes on the driver) — the honest way to time Spark plans.
-The whole query list runs three times and the fastest time per query is
+The whole query list runs four times and the fastest time per query is
 reported: round 1 pays one-time JIT/codegen compilation, later rounds are
 the steady-state throughput a resident engine actually delivers. The
 repeats are INTERLEAVED (full list per round, not back-to-back per query)
@@ -56,7 +56,7 @@ BENCH_QUERIES = [
     "text_chunk_words",
 ]
 
-RUNS_PER_QUERY = 3
+RUNS_PER_QUERY = 4
 
 
 def main() -> None:
