@@ -892,3 +892,88 @@ def ann_ivfpq_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("recall_ok")
         )
     )
+
+
+@register(
+    "decontaminate_neardup_lsh",
+    oracle=f"""
+    WITH
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM tok, LATERAL (SELECT UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS i) ii
+    ),
+    hh AS (
+        SELECT doc_id,
+               {_duck_hex8("md5(shingle)", 1)} AS h1,
+               {_duck_hex8("md5(shingle)", 9)} AS h2
+        FROM sh
+    ),
+    mh AS (
+        SELECT doc_id, s.s AS s, MIN((h1 + s.s * h2) % {MINHASH_PRIME}) AS h
+        FROM hh, (SELECT UNNEST(range(0, 16)) AS s) s
+        GROUP BY doc_id, s.s
+    ),
+    sig AS (SELECT doc_id, ARRAY_AGG(h ORDER BY s) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.b AS band,
+               md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ',')) AS bh
+        FROM sig, (SELECT UNNEST(range(0, 4)) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+        WHERE (a.doc_id % 10 = 0) <> (b.doc_id % 10 = 0)
+    ),
+    est AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16
+                   AS est_jaccard
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.doc_a
+        JOIN mh mb ON mb.doc_id = c.doc_b AND mb.s = ma.s
+        GROUP BY c.doc_a, c.doc_b
+        HAVING CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16
+               >= 0.4
+    )
+    SELECT CASE WHEN doc_a % 10 = 0 THEN doc_b ELSE doc_a END AS train_id,
+           CAST(COUNT(*) AS BIGINT) AS n_test_matches,
+           MAX(est_jaccard) AS max_est_jaccard
+    FROM est
+    GROUP BY 1
+    """,
+)
+def decontaminate_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FUZZY decontamination: training docs that are NEAR-duplicates of a
+    held-out doc (MinHash/LSH candidates crossing the split with estimated
+    Jaccard >= 0.4) — catches the paraphrase/near-copy contamination the
+    exact n-gram and Bloom decontaminators miss. Reuses the incremental
+    machinery: the held-out split is the 'delta', so all-train buckets are
+    dropped before pair expansion and the per-run cost tracks the
+    held-out size, not the corpus."""
+    from chainhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_words=3).withColumn(
+        "is_delta", F.col("doc_id") % 10 == 0
+    )
+    pairs = lsh_candidate_pairs(
+        sigs, num_hashes=16, bands=4, delta_col="is_delta"
+    )
+    cross = pairs.filter(
+        ((F.col("doc_a") % 10 == 0) != (F.col("doc_b") % 10 == 0))
+        & (F.col("est_jaccard") >= 0.4)
+    )
+    return cross.select(
+        F.when(F.col("doc_a") % 10 == 0, F.col("doc_b"))
+        .otherwise(F.col("doc_a"))
+        .alias("train_id"),
+        "est_jaccard",
+    ).groupBy("train_id").agg(
+        F.count(F.lit(1)).alias("n_test_matches"),
+        F.max("est_jaccard").alias("max_est_jaccard"),
+    )
