@@ -643,3 +643,89 @@ def ts_ema_trailing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_id",
         F.round(F.expr(f"({num}) / ({den})"), 6).alias("ema"),
     )
+
+
+# Median of a sorted double array, explicit element arithmetic so Spark and
+# DuckDB execute the IDENTICAL IEEE ops (a built-in median() could average
+# differently): odd n -> middle element, even n -> (lower + upper) / 2.0.
+def _arr_median(arr: str) -> str:
+    return (
+        f"CASE WHEN size({arr}) % 2 = 1 "
+        f"THEN element_at(array_sort({arr}), CAST((size({arr}) + 1) DIV 2 AS INT)) "
+        f"ELSE (element_at(array_sort({arr}), CAST(size({arr}) DIV 2 AS INT)) "
+        f"      + element_at(array_sort({arr}), CAST(size({arr}) DIV 2 + 1 AS INT))) / 2.0 END"
+    )
+
+
+def _duck_arr_median(arr: str) -> str:
+    return (
+        f"CASE WHEN len({arr}) % 2 = 1 "
+        f"THEN list_sort({arr})[(len({arr}) + 1) // 2] "
+        f"ELSE (list_sort({arr})[len({arr}) // 2] "
+        f"      + list_sort({arr})[len({arr}) // 2 + 1]) / 2.0 END"
+    )
+
+
+@register(
+    "ts_rolling_mad_anomaly",
+    oracle=f"""
+    WITH fr AS (
+        SELECT event_id, event_type, ts, value,
+               list(value) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+                   ROWS BETWEEN 14 PRECEDING AND CURRENT ROW
+               ) AS arr
+        FROM events
+    ),
+    med AS (
+        SELECT event_id, event_type, ts, value, arr,
+               {_duck_arr_median('arr')} AS med
+        FROM fr
+    ),
+    mad AS (
+        SELECT event_id, event_type, value, med,
+               {_duck_arr_median('list_transform(arr, x -> abs(x - med))')} AS mad
+        FROM med
+    )
+    SELECT event_id, event_type, value, med, mad,
+           ABS(value - med) > 3.0 * 1.4826 * mad AS is_anomaly
+    FROM mad
+    WHERE ABS(value - med) > 3.0 * 1.4826 * mad
+    """,
+)
+def ts_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust rolling anomaly flags: per series (event_type), each point is
+    compared against the MEDIAN of its trailing 15-row frame, with the
+    deviation scale set by the frame's median absolute deviation (MAD x
+    1.4826 ~ robust sigma). Unlike mean/stddev z-scores, a burst of
+    outliers cannot drag its own threshold.
+
+    One window shuffle on the series key; the frame's values ride along as
+    a 15-element array and both medians are array expressions inside
+    codegen — no second window, no self-join. Emits only the anomalies
+    (the corpus-sized clean majority never leaves the executors).
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-14, 0)
+    )
+    fr = e.select(
+        "event_id", "event_type", "ts", "value",
+        F.collect_list("value").over(w).alias("arr"),
+    )
+    med = fr.withColumn("med", F.expr(_arr_median("arr")))
+    mad = med.withColumn(
+        "mad", F.expr(_arr_median("transform(arr, x -> abs(x - med))"))
+    )
+    return (
+        mad.withColumn(
+            "is_anomaly",
+            F.abs(F.col("value") - F.col("med")) > 3.0 * 1.4826 * F.col("mad"),
+        )
+        .filter("is_anomaly")
+        .select("event_id", "event_type", "value", "med", "mad", "is_anomaly")
+    )
