@@ -473,3 +473,37 @@ def eth_reorg_canonical(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return canonical_chain(base.unionAll(fork))
+
+
+@register(
+    "eth_fee_burn",
+    oracle=f"""
+    -- header u256 fields are digit-string VARCHARs in the JSONL (the
+    -- eth_blocks_table convention); wei math stays exact DECIMAL
+    SELECT number AS blockNumber,
+           CAST(CAST(baseFeePerGas AS DECIMAL(19,0)) AS VARCHAR) AS base_fee,
+           CAST(CAST(gasUsed AS DECIMAL(19,0)) AS VARCHAR) AS gas_used,
+           CAST(CAST(baseFeePerGas AS DECIMAL(19,0))
+                * CAST(gasUsed AS DECIMAL(19,0)) AS VARCHAR) AS burned_wei
+    FROM {_RAW_HEADERS}
+    WHERE baseFeePerGas IS NOT NULL
+    """,
+)
+def eth_fee_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIP-1559 burn per block: baseFeePerGas * gasUsed, exact DECIMAL
+    arithmetic (never floats for wei). Pre-1559 blocks (NULL baseFee, P4
+    nullability) are excluded — the era filter, not a default. Values
+    compare as digit strings (u256 oracle idiom)."""
+    b = _tables(spark)["blocks"]
+    base = F.col("baseFeePerGas").cast("decimal(19,0)")
+    gas = F.col("gasUsed").cast("decimal(19,0)")
+    return (
+        b.filter(F.col("baseFeePerGas").isNotNull())
+        .select(
+            F.col("number").alias("blockNumber"),
+            base.cast("string").alias("base_fee"),
+            gas.cast("string").alias("gas_used"),
+            (base * gas).cast("string").alias("burned_wei"),
+        )
+        .orderBy("blockNumber")
+    )
