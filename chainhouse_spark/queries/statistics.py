@@ -573,3 +573,96 @@ def stat_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_totalprice").alias("hi"),
         )
     )
+
+
+@register(
+    "stat_ks_two_sample",
+    oracle="""
+    WITH pooled AS (
+        SELECT value,
+               CASE WHEN event_type = 'click' THEN 1 ELSE 0 END AS is_a,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_b,
+               event_id
+        FROM events WHERE event_type IN ('click', 'purchase')
+    ),
+    n AS (
+        SELECT CAST(SUM(is_a) AS BIGINT) AS n_a,
+               CAST(SUM(is_b) AS BIGINT) AS n_b
+        FROM pooled
+    ),
+    run AS (
+        SELECT value,
+               SUM(is_a) OVER (ORDER BY value, event_id) AS c_a,
+               SUM(is_b) OVER (ORDER BY value, event_id) AS c_b
+        FROM pooled
+    ),
+    steps AS (
+        -- the ECDF step heights at each distinct pooled value: take the
+        -- LAST running counts per value (ties within a value collapse)
+        SELECT value, MAX(c_a) AS c_a, MAX(c_b) AS c_b
+        FROM run GROUP BY value
+    )
+    SELECT n.n_a, n.n_b,
+           CAST(MAX(ABS(c_a * n.n_b - c_b * n.n_a)) AS BIGINT) AS d_num,
+           n.n_a * n.n_b AS d_den,
+           CAST(MAX(ABS(c_a * n.n_b - c_b * n.n_a)) AS DOUBLE)
+               / (n.n_a * n.n_b) AS d_stat
+    FROM steps, n
+    GROUP BY n.n_a, n.n_b
+    """,
+)
+def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov D between the 'click' and
+    'purchase' value distributions. D = max |ECDF_a - ECDF_b| over the
+    pooled sample, computed as the INTEGER max of |c_a*n_b - c_b*n_a|
+    (running counts at each distinct pooled value) with ONE final float
+    division — no per-row float comparisons for the oracle to disagree on.
+
+    Scale: the pooled global sort is the honest cost of an exact ECDF
+    statistic (same contract as the equi-depth histogram); distributions
+    that fit a grid can use the binned approximation instead. One window
+    over (value, id), one small aggregate.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    pooled = e.select(
+        "value",
+        "event_id",
+        F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_b"),
+    )
+    w = Window.orderBy("value", "event_id").rowsBetween(
+        Window.unboundedPreceding, Window.currentRow
+    )
+    run = pooled.select(
+        "value",
+        F.sum("is_a").over(w).alias("c_a"),
+        F.sum("is_b").over(w).alias("c_b"),
+    )
+    steps = run.groupBy("value").agg(
+        F.max("c_a").alias("c_a"), F.max("c_b").alias("c_b")
+    )
+    n = pooled.agg(
+        F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b")
+    )
+    return (
+        steps.crossJoin(F.broadcast(n))
+        .groupBy("n_a", "n_b")
+        .agg(
+            F.max(
+                F.abs(F.col("c_a") * F.col("n_b") - F.col("c_b") * F.col("n_a"))
+            ).alias("d_num")
+        )
+        .select(
+            "n_a",
+            "n_b",
+            "d_num",
+            (F.col("n_a") * F.col("n_b")).alias("d_den"),
+            (F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b"))).alias(
+                "d_stat"
+            ),
+        )
+    )
