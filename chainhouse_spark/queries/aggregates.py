@@ -420,3 +420,41 @@ def agg_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.least(F.countDistinct("o_custkey"), F.lit(6)).alias("uniq_up_to_5"),
         (F.countDistinct("o_custkey") > 5).alias("saturated"),
     )
+
+
+@register(
+    "agg_sum_map_merge",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id % 10 AS cohort, event_type, COUNT(*) AS cnt
+        FROM events GROUP BY user_id % 10, event_type
+    )
+    SELECT cohort,
+           ARRAY_AGG(struct_pack(event_type := event_type, cnt := cnt)
+                     ORDER BY event_type) AS type_counts,
+           CAST(SUM(cnt) AS BIGINT) AS total
+    FROM per_user GROUP BY cohort
+    """,
+)
+def agg_sum_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse sumMap analogue: per-user (event_type -> count) maps
+    merged key-wise into per-cohort maps. Spark has no native map-merging
+    aggregate, so the merge is the explode -> sum-by-(group, key) ->
+    rebuild shape — which is also the SCALABLE shape: the shuffle carries
+    (cohort, type, partial count) rows, never serialized maps, and
+    map-side partial aggregation collapses duplicates before the exchange.
+    The map is emitted as a KEY-SORTED array of structs: deterministic
+    order (map iteration order is engine-specific) and hash-stable through
+    pandas."""
+    e = load_table(spark, sf_dir, "events")
+    per = e.groupBy(
+        (F.col("user_id") % 10).alias("cohort"), "event_type"
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    return per.groupBy("cohort").agg(
+        F.expr(
+            "array_sort(collect_list(struct(event_type, cnt)), "
+            "(l, r) -> CASE WHEN l.event_type < r.event_type THEN -1 "
+            "WHEN l.event_type > r.event_type THEN 1 ELSE 0 END)"
+        ).alias("type_counts"),
+        F.sum("cnt").alias("total"),
+    )
