@@ -271,6 +271,10 @@ _UNSUPPORTED = {
                  "funnel.py::retention_weekly, oracled)",
     "grouparraymovingavg": "use a window frame: AVG(x) OVER (ORDER BY ts "
                            "ROWS BETWEEN n PRECEDING AND CURRENT ROW)",
+    "summap": "key-wise map merging is the explode/sum/rebuild shape — see "
+              "queries/aggregates.py::agg_sum_map_merge (oracled)",
+    "minmap": "see sumMap — same explode/aggregate/rebuild recipe with MIN",
+    "maxmap": "see sumMap — same explode/aggregate/rebuild recipe with MAX",
     "grouparraymovingsum": "use a window frame: SUM(x) OVER (ORDER BY ts "
                            "ROWS BETWEEN n PRECEDING AND CURRENT ROW)",
 }

@@ -298,3 +298,52 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(_TOPK)
         .drop("__raw")
     )
+
+
+@register(
+    "search_phrase_match",
+    oracle="""
+    WITH tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+    pos AS (
+        SELECT doc_id, i.i AS pos, t[i.i] AS term
+        FROM tok, LATERAL (SELECT UNNEST(range(1, len(t) + 1)) AS i) i
+    )
+    SELECT a.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(MIN(a.pos) AS BIGINT) AS first_pos
+    FROM pos a JOIN pos b ON a.doc_id = b.doc_id AND b.pos = a.pos + 1
+    WHERE a.term = 'table' AND b.term = 'hash'
+    GROUP BY a.doc_id
+    """,
+)
+def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact phrase search ("table hash") via the POSITIONAL inverted
+    index: each phrase term's postings carry (doc, position), and the
+    phrase matches where consecutive terms' postings join on (doc,
+    pos + 1) — the classic IR positional-postings algorithm, the lexical
+    exact-match step BM25's bag-of-words scoring cannot express.
+
+    Scale: postings are filtered to the PHRASE'S OWN TERMS before the join
+    (term-selective pushdown — the corpus-sized positional index never
+    joins against itself), so the join input is the two terms' posting
+    lists, equi-keyed on (doc_id, pos). N-word phrases chain N-1 such
+    joins, each narrowing the candidate set.
+    """
+    d = load_table(spark, sf_dir, "documents")
+    pos = d.select(
+        "doc_id", F.posexplode(F.split("text", " ")).alias("pos0", "term")
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "term")
+    a = pos.filter(F.col("term") == "table").alias("a")
+    b = pos.filter(F.col("term") == "hash").alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.doc_id") == F.col("b.doc_id"))
+            & (F.col("b.pos") == F.col("a.pos") + 1),
+        )
+        .groupBy(F.col("a.doc_id").alias("doc_id"))
+        .agg(
+            F.count(F.lit(1)).alias("n_occurrences"),
+            F.min("a.pos").alias("first_pos"),
+        )
+    )
