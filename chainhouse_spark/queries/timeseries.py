@@ -729,3 +729,94 @@ def ts_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter("is_anomaly")
         .select("event_id", "event_type", "value", "med", "mad", "is_anomaly")
     )
+
+
+@register(
+    "ts_cusum_changepoint",
+    oracle="""
+    WITH o AS (
+        SELECT event_type, ts, event_id, CAST(value AS DECIMAL(18,2)) AS v,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS k,
+               SUM(CAST(value AS DECIMAL(18,2))) OVER (
+                   PARTITION BY event_type ORDER BY ts, event_id
+               ) AS s_k
+        FROM events
+    ),
+    tot AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n,
+               SUM(v) AS s_n
+        FROM o GROUP BY event_type
+    ),
+    dev AS (
+        -- n*S_k - k*S_n: the CUSUM deviation scaled by n — exact DECIMAL,
+        -- no per-row float the engines could disagree on
+        SELECT o.event_type, o.ts, o.k,
+               ABS(tot.n * o.s_k - o.k * tot.s_n) AS d,
+               tot.n, tot.s_n
+        FROM o JOIN tot USING (event_type)
+    ),
+    best AS (
+        SELECT event_type, ts, k, d, n,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY d DESC, k ASC
+               ) AS r
+        FROM dev
+    )
+    SELECT event_type, ts AS change_ts, k AS change_pos,
+           CAST(d AS DOUBLE) / n AS max_cusum_dev
+    FROM best WHERE r = 1
+    """,
+)
+def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUSUM changepoint per series: the position maximizing the cumulative
+    deviation from the series mean, |S_k - k*mean|. Computed as the exact
+    DECIMAL |n*S_k - k*S_n| (scaling by n clears the mean's division), so
+    every engine agrees on the argmax bit-for-bit; ONE final float
+    division reports the conventional magnitude. Earliest-position
+    tie-break. Two windows + one aggregate, all partitioned by the series
+    key — the 100 TB cost is a per-series sort, same contract as any exact
+    order statistic.
+    """
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    wo = Window.partitionBy("event_type").orderBy("ts", "event_id")
+    o = e.select(
+        "event_type",
+        "ts",
+        "event_id",
+        F.col("value").cast("decimal(18,2)").alias("v"),
+    ).select(
+        "event_type",
+        "ts",
+        F.row_number().over(wo).alias("k"),
+        F.sum("v").over(
+            Window.partitionBy("event_type")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        ).alias("s_k"),
+        "v",
+    )
+    tot = o.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("v").alias("s_n")
+    )
+    dev = o.join(tot, "event_type").select(
+        "event_type",
+        "ts",
+        "k",
+        F.abs(F.col("n") * F.col("s_k") - F.col("k") * F.col("s_n")).alias("d"),
+        "n",
+    )
+    wr = Window.partitionBy("event_type").orderBy(F.desc("d"), F.asc("k"))
+    return (
+        dev.withColumn("r", F.row_number().over(wr))
+        .filter(F.col("r") == 1)
+        .select(
+            "event_type",
+            F.col("ts").alias("change_ts"),
+            F.col("k").alias("change_pos"),
+            (F.col("d").cast("double") / F.col("n")).alias("max_cusum_dev"),
+        )
+    )
