@@ -820,3 +820,54 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("d").cast("double") / F.col("n")).alias("max_cusum_dev"),
         )
     )
+
+
+@register(
+    "ts_seasonal_naive_error",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type, date_trunc('hour', ts) AS h,
+               SUM(CAST(value AS DECIMAL(18,2))) AS v
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, h, v,
+               LAG(v, 24) OVER (PARTITION BY event_type ORDER BY h) AS pred
+        FROM hourly
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_scored,
+           CAST(SUM(ABS(v - pred)) AS DOUBLE) / COUNT(*) AS mae,
+           CAST(SUM(ABS(v - pred)) AS DOUBLE) / CAST(SUM(v) AS DOUBLE) AS wape
+    FROM lagged WHERE pred IS NOT NULL
+    GROUP BY event_type
+    """,
+)
+def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forecast-baseline evaluation: the seasonal-naive predictor (this
+    hour = same hour yesterday, lag 24 on the hourly rollup) scored with
+    MAE and WAPE per series. The yardstick every real forecasting model
+    must beat — and the decimal-exact error sums (one float division at
+    the end) make the scorecard engine-reproducible. Rollup + one lag
+    window + one aggregate, all keyed by series."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type", F.date_trunc("hour", F.col("ts")).alias("h")
+    ).agg(F.sum(F.col("value").cast("decimal(18,2)")).alias("v"))
+    w = Window.partitionBy("event_type").orderBy("h")
+    lagged = hourly.withColumn("pred", F.lag("v", 24).over(w)).filter(
+        F.col("pred").isNotNull()
+    )
+    return lagged.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_scored"),
+        (
+            F.sum(F.abs(F.col("v") - F.col("pred"))).cast("double")
+            / F.count(F.lit(1))
+        ).alias("mae"),
+        (
+            F.sum(F.abs(F.col("v") - F.col("pred"))).cast("double")
+            / F.sum("v").cast("double")
+        ).alias("wape"),
+    )
