@@ -666,3 +666,86 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# Benford expected first-digit fractions as PRE-RENDERED double literals —
+# embedding log10() calls would tie the oracle to two libm implementations;
+# a literal parses to the identical IEEE double in both engines.
+import math as _math
+
+_BENFORD = {d: repr(_math.log10(1.0 + 1.0 / d)) for d in range(1, 10)}
+# CAST each literal to DOUBLE: DuckDB parses long numeric literals as wide
+# DECIMALs, and decimal arithmetic then overflows in the chi-square terms.
+_BENFORD_CASE = "CASE " + " ".join(
+    f"WHEN digit = {d} THEN CAST({p} AS DOUBLE)" for d, p in _BENFORD.items()
+) + " END"
+
+
+@register(
+    "stat_benford_audit",
+    oracle=f"""
+    WITH d AS (
+        SELECT CAST(substr(CAST(CAST(o_totalprice AS DECIMAL(12,2)) AS VARCHAR),
+                           1, 1) AS INT) AS digit
+        FROM orders
+    ),
+    obs AS (
+        SELECT digit, CAST(COUNT(*) AS BIGINT) AS n_obs FROM d GROUP BY digit
+    ),
+    tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
+    terms AS (
+        SELECT o.digit, o.n_obs, t.n,
+               ({_BENFORD_CASE}) AS benford_frac,
+               CAST(o.n_obs AS DOUBLE) / t.n AS obs_frac,
+               ROUND((o.n_obs - t.n * ({_BENFORD_CASE}))
+                     * (o.n_obs - t.n * ({_BENFORD_CASE}))
+                     / (t.n * ({_BENFORD_CASE})), 10) AS term
+        FROM obs o, tot t
+    )
+    SELECT digit, n_obs, obs_frac, benford_frac,
+           CAST(SUM(CAST(term AS DECIMAL(28,10))) OVER () AS DOUBLE) AS chi2
+    FROM terms
+    """,
+)
+def stat_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benford's-law first-digit audit of order totals — the fraud/
+    data-quality forensic: observed leading-digit fractions vs log10(1+1/d)
+    with the chi-square statistic alongside (here it rejects loudly:
+    synthetic uniform prices are exactly what Benford flags). Digit comes
+    from the DECIMAL's canonical string (log10-based extraction is
+    engine-divergent at power-of-ten boundaries); expected fractions are
+    pre-rendered double literals (no libm in either engine); per-digit
+    chi-square terms are rounded-then-DECIMAL-summed (the statistics-module
+    idiom) so summation order cannot move the statistic."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    d = o.select(
+        F.substring(
+            F.col("o_totalprice").cast("decimal(12,2)").cast("string"), 1, 1
+        ).cast("int").alias("digit")
+    )
+    obs = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n_obs"))
+    tot = obs.agg(F.sum("n_obs").alias("n"))
+    terms = obs.crossJoin(F.broadcast(tot)).select(
+        "digit",
+        "n_obs",
+        "n",
+        F.expr(_BENFORD_CASE.replace("digit", "digit")).alias("benford_frac"),
+        (F.col("n_obs").cast("double") / F.col("n")).alias("obs_frac"),
+        F.expr(
+            f"ROUND((n_obs - n * ({_BENFORD_CASE})) "
+            f"* (n_obs - n * ({_BENFORD_CASE})) "
+            f"/ (n * ({_BENFORD_CASE})), 10)"
+        ).alias("term"),
+    )
+    return terms.select(
+        "digit",
+        "n_obs",
+        "obs_frac",
+        "benford_frac",
+        F.sum(F.col("term").cast("decimal(28,10)"))
+        .over(Window.partitionBy())
+        .cast("double")
+        .alias("chi2"),
+    )
