@@ -58,68 +58,132 @@ from chainhouse_spark.queries import llm_advanced  # noqa: E402,F401
 from chainhouse_spark.queries import ch_frontend  # noqa: E402,F401
 from chainhouse_spark.queries import streaming_queries  # noqa: E402,F401
 
-# Round-3 rotation. Non-green driver rows (CORRECTNESS_r01/r02 errs) plus
-# queries whose implementation changed since their last green row — the
-# driver must re-check these first.
-#
-# ROUND-4 TODO (next session): after CORRECTNESS_r03.json lands, rebuild
-# this rotation — move the r03-green window (the first ~50 registered
-# names) into _DRIVER_GREEN, promote the still-never-checked tail
-# (including the round-3 llm_advanced / ch_frontend / streaming_queries /
-# pq / containment additions) to the front, and pin any r03 errs first.
-# `python tools/correctness_coverage.py` prints the exact state.
-_RECHECK_FIRST = [
-    "ann_ivf_topk",              # r02: pyspark.ml import crash — reimplemented
-    "ann_lsh_multiprobe_topk",   # r02: oracle OOM — frugal oracle
-    "ann_knn_classify",          # r02: oracle OOM — frugal oracle
-    "ann_bruteforce_gemm",       # r02: oracle OOM — frugal oracle
-    "vocab_build",               # r02: oracle OOM — frugal oracle
-    "sample_stratified_per_lang",  # r02: oracle OOM — frugal oracle
-    "interleave_weighted_sources",  # r02: oracle OOM — frugal oracle
-    "agg_approx_distinct",       # r01: no_oracle — oracled in r2, unchecked
-    "dedup_simhash",             # impl rewritten r3 (no per-bit explode)
-    "dedup_simhash_pairs",       # consumes the rewritten sketch
+# Round-4 rotation. 140/222 queries hold a cumulative green driver verdict
+# (CORRECTNESS_r01+r02+r03, zero non-green rows outstanding); those rotate
+# to the back. The 82 never-driver-checked queries go in front, ordered so
+# the driver's ~50-query round-4 window lands on the highest-impact unproven
+# blocks first:
+#   1. eth parity family (#94-104 in the r03 ordering) — the external proof
+#      of the SURVEY §2 core (P1-P8, F1-F6, K8 vs reference src/main.rs).
+#   2. scalar library + UDF/UDAF/UDTF surface (#72-86) — the largest
+#      never-checked block.
+#   3. subqueries, set ops, sort/top-k, SQL frontend, pivot/lateral,
+#      windows tail, SCD2/CDC/incremental.
+# The remaining 32 never-checked names (_ROUND5_NEXT: graph/sketch-theta/
+# url-ip-geo/arrays, then the round-3 llm_advanced block, ch-dialect
+# frontend, streaming) are positioned 51-82 so they head the round-5
+# window deterministically. New round-4 queries register after them
+# (the mid bucket below) and queue for round 5+.
+_ROUND4_FRONT = [
+    # eth parity family — pinned first (VERDICT r03 task 2)
+    "eth_blocks_table", "eth_gas_by_block", "eth_event_topics",
+    "eth_withdrawal_totals", "eth_top_senders", "eth_contract_creations",
+    "eth_type2_fee_stats", "eth_log_address_activity",
+    "eth_erc20_transfer_decode", "eth_reorg_canonical", "eth_fee_burn",
+    # scalar library + UDF surface — largest unproven block
+    "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
+    "scalar_conditional", "scalar_json", "scalar_array_funcs",
+    "udtf_token_counts", "udaf_gmean_by_type", "scalar_map_funcs",
+    "scalar_bitwise", "scalar_higher_order", "scalar_variant_json",
+    "scalar_regex", "scalar_null_semantics", "scalar_try_safety",
+    # subqueries
+    "subquery_in", "subquery_not_in", "subquery_exists_correlated",
+    "subquery_scalar", "subquery_correlated_scalar",
+    # set operations
+    "setop_union_distinct", "setop_union_all", "setop_intersect",
+    "setop_except", "setop_except_all",
+    # sort/top-k + SQL frontend + pivot/lateral
+    "sort_limit_topk", "sql_frontend_passthrough",
+    "sql_recursive_cte_spine", "sql_group_by_all", "agg_pivot",
+    "lateral_topk_per_customer",
+    # windows tail
+    "window_rank_fractions", "window_ignore_nulls",
+    "window_cumulative_distinct_users", "window_rolling_corr",
+    "window_moving_median",
+    # SCD2 / CDC / incremental maintenance
+    "scd2_customer_merge", "cdc_snapshot_diff", "incremental_agg_merge",
 ]
 
-# Union of green rows across CORRECTNESS_r01.json + CORRECTNESS_r02.json
-# (tools/correctness_coverage.py) — these rotate to the back.
+_ROUND5_NEXT = [
+    "sketch_theta_set_ops", "graph_degree_distribution",
+    "graph_triangle_count", "graph_pagerank", "scalar_url_funcs",
+    "scalar_ip_funcs", "geo_grid_near_pairs", "array_set_algebra",
+    "array_zip_positional",
+    # round-3 llm_advanced block
+    "agg_rollup_reagg", "agg_sum_map_merge", "embedding_quantize_int8",
+    "ann_quantized_topk", "decontaminate_bloom", "corpus_overlap_minhash",
+    "cluster_kmeans_summary", "ann_two_stage_rerank", "text_rarity_score",
+    "bpe_pair_stats", "embedding_random_projection",
+    "ann_projected_lsh_topk", "dedup_minhash_incremental",
+    "tokenize_with_vocab", "dedup_containment", "ann_pq_topk",
+    "ann_ivfpq_topk", "decontaminate_neardup_lsh",
+    # ClickHouse-dialect frontend + streaming
+    "ch_dialect_frontend", "ch_dialect_json_buckets",
+    "stream_tumbling_counts", "stream_dedup_keys", "stream_user_value_state",
+]
+
+# Union of green rows across CORRECTNESS_r01 + r02 + r03 (140 names,
+# regenerated from the JSON files — tools/correctness_coverage.py verifies).
 _DRIVER_GREEN = {
-    "agg_cube", "agg_distinct", "agg_grouping_sets", "agg_min_max_by",
+    "agg_approx_distinct", "agg_conditional_bool", "agg_cube",
+    "agg_distinct", "agg_grouping_sets", "agg_min_max_by",
     "agg_mode_deterministic", "agg_percentiles", "agg_rollup",
     "agg_salted_two_phase", "agg_string_collect", "agg_uniq_up_to",
-    "agg_unpivot", "ann_bruteforce_topk", "ann_lsh_topk", "asof_next_error",
-    "asof_purchase_click", "attribution_last_click", "audience_overlap_matrix",
-    "dataset_profile", "decontaminate_against_testset",
-    "dedup_duplicate_clusters", "dedup_edit_distance_pairs", "dedup_exact",
-    "dedup_exact_normalized", "dedup_minhash_lsh", "dedup_ngram_jaccard",
-    "dedup_substring_spans", "embedding_near_pairs", "embedding_norms",
-    "filter_quality_gate_by_source", "funnel_depth_histogram", "funnel_steps",
+    "agg_unpivot", "ann_bruteforce_gemm", "ann_bruteforce_topk",
+    "ann_ivf_topk", "ann_knn_classify", "ann_lsh_multiprobe_topk",
+    "ann_lsh_topk", "asof_next_error", "asof_purchase_click",
+    "attribution_last_click", "audience_overlap_hll",
+    "audience_overlap_matrix", "dataset_profile",
+    "decontaminate_against_testset", "dedup_duplicate_clusters",
+    "dedup_edit_distance_pairs", "dedup_exact", "dedup_exact_normalized",
+    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_substring_spans", "embedding_near_pairs",
+    "embedding_norms", "filter_quality_gate_by_source",
+    "funnel_depth_histogram", "funnel_steps", "interleave_weighted_sources",
     "interval_join_binned", "join_anti", "join_cross", "join_fact_fact",
     "join_full_outer", "join_inner_broadcast", "join_left_outer",
-    "join_salted_skew", "join_self", "join_semi", "pack_documents_greedy",
-    "pipeline_clean_corpus", "q10_returned_items", "q11_important_parts",
-    "q12_lateness_priority", "q13_customer_distribution", "q14_promo_revenue",
-    "q15_top_supplier", "q16_supplier_count", "q17_small_quantity_revenue",
-    "q18_large_orders", "q19_disjunctive_revenue", "q1_pricing_summary",
-    "q20_excess_suppliers", "q21_waiting_supplier", "q22_idle_customers",
-    "q2_min_cost_supplier", "q3_shipping_priority", "q4_order_priority",
-    "q5_region_revenue", "q6_forecast_revenue", "q7_nation_volume",
-    "q8_market_share", "q9_product_profit", "range_join_sessions",
-    "retention_weekly", "search_bm25_topk", "search_hybrid_rrf",
-    "search_inverted_index", "semantic_dedup_kept", "sequence_match_regex",
-    "sequence_pairs_click_purchase", "split_train_test_hash",
-    "text_chunk_chars", "text_chunk_words", "text_fingerprint", "text_langid",
-    "text_pii_redaction", "text_quality_scores", "text_repetition_metrics",
-    "text_token_stats", "tfidf_top_terms", "window_first_last",
-    "window_lag_lead", "window_range_interval_frame",
+    "join_salted_skew", "join_self", "join_semi",
+    "mixture_token_budget_plan", "mm_audio_features", "mm_frame_sample",
+    "mm_image_features", "mm_image_resize", "mm_metadata_stats",
+    "pack_documents_greedy", "pipeline_clean_corpus", "q10_returned_items",
+    "q11_important_parts", "q12_lateness_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_quantity_revenue", "q18_large_orders",
+    "q19_disjunctive_revenue", "q1_pricing_summary", "q20_excess_suppliers",
+    "q21_waiting_supplier", "q22_idle_customers", "q2_min_cost_supplier",
+    "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
+    "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
+    "q9_product_profit", "range_join_sessions", "retention_weekly",
+    "sample_stratified_per_lang", "search_bm25_topk", "search_hybrid_rrf",
+    "search_inverted_index", "search_phrase_match", "semantic_dedup_kept",
+    "sequence_match_regex", "sequence_pairs_click_purchase",
+    "sessionize_batch", "sketch_approx_percentile", "sketch_freq_items",
+    "sketch_hll_merge", "split_train_test_hash", "stat_benford_audit",
+    "stat_chi_square", "stat_corr_regression", "stat_entropy",
+    "stat_equidepth_histogram", "stat_histogram_fixed_bins",
+    "stat_ks_two_sample", "stat_median_iqr", "stat_moments",
+    "stat_time_weighted_avg", "stat_weighted_median", "stat_welch_ttest",
+    "stat_zscore_outliers", "text_chunk_chars", "text_chunk_words",
+    "text_fingerprint", "text_langid", "text_pii_redaction",
+    "text_quality_scores", "text_repetition_metrics", "text_token_stats",
+    "tfidf_top_terms", "topk_heavy_hitters", "ts_cusum_changepoint",
+    "ts_ema_trailing", "ts_hopping_window", "ts_interpolate_linear",
+    "ts_lttb_downsample", "ts_minute_spine_gapfill", "ts_ohlc_bars",
+    "ts_rolling_mad_anomaly", "ts_rollup_hour_from_minute",
+    "ts_rollup_minute", "ts_seasonal_naive_error",
+    "ts_session_window_builtin", "ts_tumbling_window", "vocab_build",
+    "window_first_last", "window_lag_lead", "window_range_interval_frame",
     "window_rank_dense_ntile", "window_running_sum", "window_sliding_frame",
     "window_topn_per_group",
 }
 
 
 def _rotate() -> None:
-    front = [n for n in _RECHECK_FIRST if n in QUERIES]
+    front = [n for n in _ROUND4_FRONT + _ROUND5_NEXT if n in QUERIES]
     in_front = set(front)
+    assert len(in_front) == len(front), "duplicate name in rotation lists"
+    # New queries (registered but in neither explicit list nor the green
+    # set) queue after the never-checked tail, before the green back.
     mid = [n for n in QUERIES if n not in in_front and n not in _DRIVER_GREEN]
     back = [n for n in QUERIES if n in _DRIVER_GREEN and n not in in_front]
     order = front + mid + back
