@@ -287,7 +287,14 @@ _PARAMETRIC = {"quantile": "PERCENTILE_APPROX", "quantileexact": "PERCENTILE",
 _FMT_CODES = {
     "Y": "yyyy", "y": "yy", "m": "MM", "d": "dd", "H": "HH", "I": "hh",
     "M": "mm", "S": "ss", "F": "yyyy-MM-dd", "T": "HH:mm:ss", "j": "DDD",
-    "a": "EEE", "b": "MMM", "p": "a", "e": "d", "Q": "QQ",
+    "a": "EEE", "b": "MMM", "p": "a", "Q": "Q",
+}
+
+# %-codes with no output-identical Java pattern: a rename would silently
+# change the rendered text (module contract: raise instead).
+_FMT_UNSUPPORTED = {
+    "e": "%e is a SPACE-padded day-of-month (' 5'); Java has no "
+         "space-padded field — use %d (zero-padded) explicitly",
 }
 
 
@@ -316,6 +323,10 @@ def _convert_fmt(fmt: str) -> str:
             if code == "%":
                 lit.append("%")
             else:
+                if code in _FMT_UNSUPPORTED:
+                    raise CHTranslationError(
+                        f"formatDateTime: {_FMT_UNSUPPORTED[code]}"
+                    )
                 if code not in _FMT_CODES:
                     raise CHTranslationError(
                         f"formatDateTime: unsupported %-code %{code}"
@@ -533,7 +544,18 @@ def _rewrite_call(name: str, args: list[str]) -> str:
                 "SECOND/MINUTE/HOUR/DAY (month-granularity intervals are "
                 "irregular — use date_trunc)"
             )
-        sec = int(mm.group(1)) * _INTERVAL_SECONDS[mm.group(2).upper()]
+        unit = mm.group(2).upper()
+        if unit == "DAY":
+            # UTC epoch-floor aligns day buckets to UTC midnight, but
+            # ClickHouse aligns them to SERVER-timezone midnight — a silent
+            # divergence in non-UTC sessions. Raise, per module contract.
+            raise CHTranslationError(
+                "toStartOfInterval: DAY intervals align to server-timezone "
+                "midnight in ClickHouse but would epoch-floor to UTC here — "
+                "use date_trunc('DAY', ts) (session-timezone aligned) or a "
+                "sub-day interval"
+            )
+        sec = int(mm.group(1)) * _INTERVAL_SECONDS[unit]
         if sec <= 0:
             raise CHTranslationError("toStartOfInterval: zero-length interval")
         return (
@@ -558,7 +580,10 @@ def _rewrite_call(name: str, args: list[str]) -> str:
     if low == "arrayenumerate":
         if len(args) != 1:
             raise CHTranslationError("arrayEnumerate(array) takes one argument")
-        return f"SEQUENCE(1, SIZE({args[0]}))"
+        # TRANSFORM with the index lambda, not SEQUENCE(1, SIZE(a)):
+        # Spark's sequence() reverses direction when start > stop, so the
+        # SEQUENCE form turns an empty array into [1, 0] instead of [].
+        return f"TRANSFORM({args[0]}, (_x, _i) -> _i + 1)"
     if low == "arraypushback":
         if len(args) != 2:
             raise CHTranslationError("arrayPushBack(array, x) takes two arguments")
@@ -568,10 +593,21 @@ def _rewrite_call(name: str, args: list[str]) -> str:
             raise CHTranslationError("arrayPushFront(array, x) takes two arguments")
         return f"CONCAT(ARRAY({args[1]}), {args[0]})"
     if low == "range":
+        # ClickHouse range() is exclusive-end and empty when stop <= start;
+        # Spark's sequence() is inclusive and REVERSES when start > stop, so
+        # a bare SEQUENCE(start, stop - 1) silently turns CH-empty ranges
+        # into descending arrays (range(0) -> [0, -1]). Guard with CASE.
         if len(args) == 1:
-            return f"SEQUENCE(0, {args[0]} - 1)"
+            return (
+                f"CASE WHEN ({args[0]}) > 0 "
+                f"THEN SEQUENCE(0, ({args[0]}) - 1) ELSE ARRAY() END"
+            )
         if len(args) == 2:
-            return f"SEQUENCE({args[0]}, {args[1]} - 1)"
+            return (
+                f"CASE WHEN ({args[1]}) > ({args[0]}) "
+                f"THEN SEQUENCE(({args[0]}), ({args[1]}) - 1) "
+                f"ELSE ARRAY() END"
+            )
         raise CHTranslationError(
             "range(start, end, step) with a step has exclusive-end semantics "
             "Spark's inclusive SEQUENCE cannot mirror verbatim — state the "

@@ -257,6 +257,10 @@ def test_format_datetime(spark):
     assert row.s == "2024/03/05 07:08"
     with pytest.raises(CHTranslationError):
         t("SELECT formatDateTime(ts, '%Q%q')")  # %q unsupported
+    # %Q is ClickHouse's UNPADDED quarter ('1'), Java 'Q' — not 'QQ' ('01').
+    assert t("SELECT formatDateTime(ts, '%Q')") == "SELECT DATE_FORMAT(ts, 'Q')"
+    with pytest.raises(CHTranslationError):
+        t("SELECT formatDateTime(ts, '%e')")  # space-padded day: no Java field
 
 
 def test_to_start_of_interval(spark):
@@ -270,6 +274,9 @@ def test_to_start_of_interval(spark):
     assert str(row.b) == "2024-01-01 10:30:00"
     with pytest.raises(CHTranslationError):
         t("SELECT toStartOfInterval(ts, INTERVAL 1 MONTH)")  # irregular
+    with pytest.raises(CHTranslationError):
+        # DAY aligns to server-TZ midnight in CH; UTC epoch-floor diverges.
+        t("SELECT toStartOfInterval(ts, INTERVAL 1 DAY)")
 
 
 def test_array_lambda_family(spark):
@@ -278,7 +285,10 @@ def test_array_lambda_family(spark):
     assert t("SELECT arrayCount(x -> x > 1, a)") == "SELECT SIZE(FILTER(a, x -> x > 1))"
     assert t("SELECT arrayCount(a)") == "SELECT SIZE(FILTER(a, _x -> _x <> 0))"
     assert t("SELECT countEqual(a, 3)") == "SELECT SIZE(FILTER(a, _x -> _x = 3))"
-    assert t("SELECT arrayEnumerate(a)") == "SELECT SEQUENCE(1, SIZE(a))"
+    assert (
+        t("SELECT arrayEnumerate(a)")
+        == "SELECT TRANSFORM(a, (_x, _i) -> _i + 1)"
+    )
     row = ch_sql(
         spark,
         "SELECT arrayCount(array(0, 1, 2, 0)) AS nz, "
@@ -288,6 +298,17 @@ def test_array_lambda_family(spark):
     ).first()
     assert row.nz == 2 and row.eq == 2
     assert list(row.pb) == [1, 2, 3] and list(row.r) == [0, 1, 2, 3]
+    # Empty-range regression (ClickHouse returns [] for all of these;
+    # a bare SEQUENCE translation returned descending arrays instead).
+    row = ch_sql(
+        spark,
+        "SELECT range(0) AS r0, range(5, 3) AS rd, range(3, 3) AS re, "
+        "range(2, 5) AS up, arrayEnumerate(array()) AS en, "
+        "arrayEnumerate(array(7, 8, 9)) AS e3",
+    ).first()
+    assert list(row.r0) == [] and list(row.rd) == [] and list(row.re) == []
+    assert list(row.up) == [2, 3, 4]
+    assert list(row.en) == [] and list(row.e3) == [1, 2, 3]
 
 
 def test_bitwise_and_quantiles(spark):
