@@ -56,6 +56,14 @@ def build_parser() -> argparse.ArgumentParser:
         help="evict reorged-out blocks (and their child rows) from the "
         "whole warehouse via parentHash-walk canonicalization; needs --output",
     )
+    p.add_argument(
+        "--confirmation-depth",
+        type=int,
+        default=64,
+        help="--canonicalize keeps forks within this many heights of the "
+        "tip (an in-flight reorg can make the losing fork the current "
+        "longest chain); 0 evicts everything",
+    )
     p.add_argument("--warehouse", help="ingested warehouse base path: registers the four chain tables as views")
     p.add_argument("--sql", help="ad-hoc SQL to run over the registered views (with --warehouse)")
     p.add_argument(
@@ -170,7 +178,9 @@ def main(argv: list[str] | None = None) -> int:
         from chainhouse_spark.sinks.parquet import canonicalize_warehouse
 
         spark = _cli_spark("chainhouse-canonicalize")
-        evicted = canonicalize_warehouse(spark, args.output)
+        evicted = canonicalize_warehouse(
+            spark, args.output, confirmation_depth=args.confirmation_depth
+        )
         for name, n in evicted.items():
             print(f"{name}: evicted {n} reorged-out rows")
         _stop_if_owned(spark)

@@ -110,28 +110,50 @@ def compact_table(
 
 
 def canonicalize_warehouse(
-    spark: SparkSession, base_path: str, bucket_size: int = 10_000
+    spark: SparkSession,
+    base_path: str,
+    bucket_size: int = 10_000,
+    confirmation_depth: int = 64,
 ) -> dict[str, int]:
     """Evict reorged-out blocks — and every child row they parented — from
     the whole warehouse. The reorg-dedup ReplacingMergeTree cannot do
     (operators/reorg.py): a stale block has a DIFFERENT hash, so key dedup
     keeps it and every transaction/log/withdrawal it brought along.
 
+    Only SETTLED forks are evicted: heights above `tip - confirmation_depth`
+    are excluded. Immediately after a reorg the soon-to-lose fork can be the
+    longest chain in the ingested data (the follower saw the fork tip
+    first), so evicting near-tip "stale" rows would destroy the TRUE
+    canonical blocks and force a manual re-fetch once the real chain
+    overtakes. `confirmation_depth=0` evicts everything (explicit opt-in
+    for settled/offline warehouses).
+
     Mechanics: derive the stale (number, hash) set from the blocks table
-    (tiny — fork residue), broadcast-anti-join each table against it
-    (blocks on (number, hash); children on blockHash), and rewrite with
-    the compaction swap. Returns per-table evicted-row counts. At 100 TB,
-    restrict the rewrite to the block_buckets containing stale heights —
-    the same dynamic-partition-overwrite note as compact_table.
+    (tiny — fork residue), collect() it and rebuild it as a local DataFrame
+    BEFORE any table is rewritten (the rewrite rmtree+moves the very files
+    the lazy plan would re-read — a lost cache partition mid-swap must not
+    recompute against a deleted path), then broadcast-anti-join each table
+    against it (blocks on (number, hash); children on blockHash) and
+    rewrite with the compaction swap. Returns per-table evicted-row counts.
+    At 100 TB, restrict the rewrite to the block_buckets containing stale
+    heights — the same dynamic-partition-overwrite note as compact_table.
     """
     from chainhouse_spark.operators.reorg import reorged_out
 
     blocks = read_table(spark, "blocks", base_path)
-    stale = reorged_out(blocks).cache()
-    n_stale = stale.count()  # materializes the cache; 0 -> nothing to do
-    evicted: dict[str, int] = {}
-    if n_stale == 0:
+    tip = blocks.agg(F.max("number")).first()[0]
+    candidates = reorged_out(blocks)
+    if tip is not None and confirmation_depth > 0:
+        candidates = candidates.filter(
+            F.col("number") <= F.lit(tip - confirmation_depth)
+        )
+    # Fork residue is tiny by construction (reorg frequency x depth):
+    # materialize it off the files about to be destroyed.
+    stale_rows = candidates.collect()
+    if not stale_rows:
         return {name: 0 for name in BLOCK_COL}
+    stale = spark.createDataFrame(stale_rows, candidates.schema)
+    evicted: dict[str, int] = {}
 
     stale_hashes = stale.select("hash")
     for name in BLOCK_COL:
@@ -166,5 +188,4 @@ def canonicalize_warehouse(
         shutil.rmtree(src)
         shutil.move(tmp, src)
         evicted[name] = before - after
-    stale.unpersist()
     return evicted

@@ -166,7 +166,13 @@ def test_canonicalize_warehouse_evicts_fork_and_children(spark, tmp_path):
     base = str(tmp_path / "wh")
     write_all(warehouse, base)
 
-    evicted = canonicalize_warehouse(spark, base)
+    # Default confirmation window (64) >> the 6-block fixture: the fork at
+    # height 3 is near-tip, so nothing may be evicted — an in-flight reorg
+    # could make the "stale" side the true chain.
+    assert set(canonicalize_warehouse(spark, base).values()) == {0}
+    assert read_table(spark, "blocks", base).count() == 7
+
+    evicted = canonicalize_warehouse(spark, base, confirmation_depth=0)
     assert evicted["blocks"] == 1
     assert evicted["transactions"] == n_stale_tx
     assert evicted["events"] == 0 and evicted["withdraws"] == 0
@@ -179,4 +185,6 @@ def test_canonicalize_warehouse_evicts_fork_and_children(spark, tmp_path):
     assert tx.filter(F.col("blockHash") == F.lit(fake)).count() == 0
 
     # idempotent: a second pass evicts nothing
-    assert set(canonicalize_warehouse(spark, base).values()) == {0}
+    assert set(
+        canonicalize_warehouse(spark, base, confirmation_depth=0).values()
+    ) == {0}
