@@ -29,9 +29,89 @@ from chainhouse_spark.operators.partitioning import spread
 from chainhouse_spark.multimodal.codec import (
     decode_audio,
     decode_image,
+    decode_real,
     decode_video,
     encode_image,
 )
+
+NORMALIZED_SCHEMA = (
+    "asset_id long, modality string, width int, height int, channels int, "
+    "n_samples int, payload binary"
+)
+
+
+def normalize_assets(assets: DataFrame) -> DataFrame:
+    """Ingest bridge: decode ENCODED payloads (image/png via the pure-stdlib
+    codec, audio/wav via the stdlib wave module, '*/fake' raw passthrough)
+    into the raw at-rest format every downstream operator consumes — images
+    as H*W*C uint8 RGB bytes with metadata taken from the decoded array,
+    audio as little-endian PCM16 mono with n_samples recomputed.
+
+    Same slow-path contract as the feature ops: Arrow-batched mapInPandas,
+    modality/mime dispatch per row (decode is per-row Python work by
+    nature), explicit output schema. Grayscale images are expanded to 3
+    channels and RGBA alpha is dropped so the output always satisfies the
+    payload == 3*width*height invariant `image_features` enforces."""
+    from pyspark.sql import functions as F
+
+    # Raw ('*/fake') rows pass through with their upstream metadata; an
+    # encoded-only ingest table may lack those columns entirely, so default
+    # the optional ones to NULL rather than requiring them.
+    meta_cols = ["width", "height", "channels", "n_samples"]
+    have = set(assets.columns)
+    src = spread(assets, "asset_id").select(
+        "asset_id", "modality", "mime", "payload",
+        *[
+            (F.col(c) if c in have else F.lit(None)).cast("int").alias(f"_{c}")
+            for c in meta_cols
+        ],
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, modality, mime, payload, mw, mh, mc, mn in zip(
+                pdf["asset_id"], pdf["modality"], pdf["mime"], pdf["payload"],
+                pdf["_width"], pdf["_height"], pdf["_channels"],
+                pdf["_n_samples"],
+            ):
+                payload = bytes(payload)
+                if mime.endswith("/fake"):
+                    rows.append((aid, modality, mw, mh, mc, mn, payload))
+                    continue
+                arr = decode_real(payload, mime)
+                if modality == "image":
+                    if arr.ndim == 2:
+                        arr = np.repeat(arr[:, :, None], 3, axis=2)
+                    elif arr.shape[2] == 2:  # gray+alpha
+                        arr = np.repeat(arr[:, :, :1], 3, axis=2)
+                    elif arr.shape[2] == 4:  # RGBA
+                        arr = arr[:, :, :3]
+                    h, w, c = arr.shape
+                    rows.append((aid, modality, w, h, c, None, encode_image(arr)))
+                elif modality == "audio":
+                    samples = np.asarray(arr)
+                    if samples.ndim == 2:  # downmix: average channels
+                        samples = (
+                            samples.astype(np.int32).sum(axis=1)
+                            // samples.shape[1]
+                        ).astype(np.int16)
+                    rows.append(
+                        (aid, modality, None, None, None, int(samples.size),
+                         samples.astype("<i2").tobytes())
+                    )
+                else:
+                    raise NotImplementedError(
+                        f"normalize_assets: no encoded-payload path for "
+                        f"modality {modality!r} (mime {mime!r})"
+                    )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "modality", "width", "height",
+                         "channels", "n_samples", "payload"],
+            )
+
+    return src.mapInPandas(gen, schema=NORMALIZED_SCHEMA)
 
 IMAGE_FEATURES_SCHEMA = (
     "asset_id long, width int, height int, mean_r double, mean_g double, "

@@ -108,8 +108,120 @@ def test_frame_sample_counts_and_hashes(assets):
             assert r.frame_md5 == exp
 
 
-def test_real_decode_is_stubbed():
+def test_real_decode_gates():
+    # Formats with no stdlib codec still gate with a clear marker…
     with pytest.raises(NotImplementedError):
-        decode_real(b"\x00", "image/png")
+        decode_real(b"\x00", "image/jpeg")
     with pytest.raises(NotImplementedError):
         decode_real(b"\x00", "video/mp4")
+    # …while garbage claiming a natively-decoded format fails loudly.
+    with pytest.raises(ValueError, match="signature"):
+        decode_real(b"\x00", "image/png")
+
+
+def _rng_img(h, w, c, seed=0):
+    rng = np.random.default_rng(seed)
+    a = rng.integers(0, 256, size=(h, w, c), dtype=np.uint8)
+    return a[:, :, 0] if c == 1 else a
+
+
+def test_png_roundtrip_all_filters():
+    from chainhouse_spark.multimodal.png import decode_png, encode_png
+
+    for c in (1, 2, 3, 4):
+        img = _rng_img(13, 7, c, seed=c)
+        for strategy in ("none", "cycle"):  # cycle hits filters 0..4
+            assert np.array_equal(
+                decode_png(encode_png(img, filter_strategy=strategy)), img
+            )
+    # degenerate sizes
+    one = _rng_img(1, 1, 3, seed=9)
+    assert np.array_equal(decode_png(encode_png(one, "cycle")), one)
+
+
+def test_png_unsupported_raises():
+    from chainhouse_spark.multimodal.png import decode_png, encode_png
+    import struct
+    import zlib
+
+    # 16-bit depth IHDR
+    ihdr = struct.pack(">IIBBBBB", 2, 2, 16, 2, 0, 0, 0)
+    crc = struct.pack(">I", zlib.crc32(b"IHDR" + ihdr) & 0xFFFFFFFF)
+    png16 = (
+        b"\x89PNG\r\n\x1a\n" + struct.pack(">I", len(ihdr)) + b"IHDR" + ihdr + crc
+    )
+    with pytest.raises(NotImplementedError, match="bit depth"):
+        decode_png(png16)
+    with pytest.raises(ValueError):
+        encode_png(np.zeros((2, 2, 5), np.uint8))
+
+
+def test_wav_roundtrip_and_real_dispatch():
+    from chainhouse_spark.multimodal.codec import decode_wav, encode_wav
+
+    mono = (np.arange(-500, 500, dtype=np.int16) * 31).astype(np.int16)
+    assert np.array_equal(decode_wav(encode_wav(mono)), mono)
+    stereo = np.stack([mono, -mono], axis=1)
+    assert np.array_equal(decode_wav(encode_wav(stereo)), stereo)
+    # decode_real dispatches by mime AND by magic bytes
+    assert np.array_equal(decode_real(encode_wav(mono), "audio/wav"), mono)
+    from chainhouse_spark.multimodal.png import encode_png
+
+    img = _rng_img(5, 4, 3, seed=3)
+    assert np.array_equal(decode_real(encode_png(img), "image/png"), img)
+    assert np.array_equal(decode_real(encode_png(img), "image/unknown"), img)
+
+
+def test_normalize_assets_bridges_encoded_to_raw(spark):
+    """PNG/WAV payloads normalize to the raw at-rest format and then flow
+    through the standard feature operators; fake payloads pass through."""
+    from chainhouse_spark.multimodal.codec import encode_wav
+    from chainhouse_spark.multimodal.ops import normalize_assets
+    from chainhouse_spark.multimodal.png import encode_png
+
+    img_a = _rng_img(6, 5, 3, seed=11)
+    img_gray = _rng_img(4, 4, 1, seed=12)
+    img_rgba = _rng_img(3, 3, 4, seed=13)
+    pcm = (np.arange(400, dtype=np.int16) * 7 - 1000).astype(np.int16)
+    stereo = np.stack([pcm, pcm + 4], axis=1).astype(np.int16)
+    raw = b"\x01\x02\x03" * 8  # 2x4 RGB fake passthrough (metadata kept)
+    rows = [
+        (1, "image", "image/png", bytearray(encode_png(img_a, "cycle")), 0, 0, 0, 0),
+        (2, "image", "image/png", bytearray(encode_png(img_gray)), 0, 0, 0, 0),
+        (3, "image", "image/png", bytearray(encode_png(img_rgba)), 0, 0, 0, 0),
+        (4, "audio", "audio/wav", bytearray(encode_wav(pcm)), 0, 0, 0, 0),
+        (5, "audio", "audio/wav", bytearray(encode_wav(stereo)), 0, 0, 0, 0),
+        (6, "image", "image/fake", bytearray(raw), 4, 2, 3, 0),
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "asset_id long, modality string, mime string, payload binary, "
+        "width int, height int, channels int, n_samples int",
+    )
+    out = {r.asset_id: r for r in normalize_assets(df).collect()}
+    assert (out[1].width, out[1].height, out[1].channels) == (5, 6, 3)
+    assert bytes(out[1].payload) == img_a.tobytes()
+    # grayscale expanded to 3 channels; RGBA alpha dropped
+    assert bytes(out[2].payload) == np.repeat(
+        img_gray[:, :, None], 3, axis=2
+    ).tobytes()
+    assert bytes(out[3].payload) == img_rgba[:, :, :3].tobytes()
+    assert out[4].n_samples == 400
+    assert bytes(out[4].payload) == pcm.tobytes()
+    # stereo downmixed by floor-average
+    mixed = (stereo.astype(np.int32).sum(axis=1) // 2).astype(np.int16)
+    assert bytes(out[5].payload) == mixed.tobytes()
+    # passthrough keeps payload and upstream metadata
+    assert bytes(out[6].payload) == raw
+    assert (out[6].width, out[6].height) == (4, 2)
+
+    # normalized output feeds the standard feature op unchanged
+    feats = {
+        r.asset_id: r
+        for r in image_features(
+            normalize_assets(df).filter("modality = 'image' AND width IS NOT NULL")
+        ).collect()
+    }
+    px = img_a.reshape(-1, 3).astype(np.float64)
+    assert feats[1].mean_r == pytest.approx(px[:, 0].mean())
+    assert feats[1].brightness == pytest.approx(px.mean())
