@@ -6,14 +6,19 @@ JSON line: {"metric": ..., "value": total_sec, "unit": "sec",
 
 Each query is executed to completion with the noop sink (full pipeline runs,
 nothing materializes on the driver) — the honest way to time Spark plans.
-The whole query list runs four times and the fastest time per query is
+The whole query list runs six times and the fastest time per query is
 reported: round 1 pays one-time JIT/codegen compilation, later rounds are
 the steady-state throughput a resident engine actually delivers. The
 repeats are INTERLEAVED (full list per round, not back-to-back per query)
 so a multi-second host contention burst lands on different queries in
 different rounds instead of eating all of one query's repeats — measured
 to cut round-over-round noise on this host from ~3x spikes to <1.3x.
-Input data is NOT cached between rounds — every run scans parquet.
+Six rounds, not four: a per-query 8-run probe on the two cross-round
+oscillators (dedup_ngram_jaccard 6.36/1.83/1.07/0.82/0.82/0.77/0.79/0.68,
+ann_bruteforce_topk similar) shows the JIT/codegen tail still descending
+through run ~5 — min-of-4 sampled the descent, which is what made those
+queries look bimodal across rounds. Input data is NOT cached between
+rounds — every run scans parquet.
 """
 
 from __future__ import annotations
@@ -56,7 +61,7 @@ BENCH_QUERIES = [
     "text_chunk_words",
 ]
 
-RUNS_PER_QUERY = 4
+RUNS_PER_QUERY = 6
 
 
 def main() -> None:
