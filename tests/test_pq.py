@@ -98,3 +98,60 @@ def test_ivfpq_recall_and_row_contract(spark):
     assert hits >= 25  # cell pruning + code quantization; floor 0.5 recall
     per_q = approx.groupBy("query_id").count().select(F.collect_set("count")).first()[0]
     assert per_q == [10]
+
+
+def test_recall_curve_sf01(spark):
+    """Approximation-quality pin at the bench scale (sf0.1: 2000 vectors,
+    20 queries, dim 64): recall@10 vs exact brute force must clear floors
+    measured on this corpus AND respond to both quality knobs — deeper
+    shortlist (more exact re-ranking) and finer codebooks (more bits per
+    vector). Guards against a refactor that keeps row contracts green
+    while silently wrecking ranking quality.
+
+    Measured curve (2026-08, the floors sit ~0.05 under it):
+      m=8  k_sub=16 (32-bit codes): s=50 0.45, s=150 0.705, s=400 0.905
+      m=16 k_sub=16 (64-bit codes): s=50 0.71
+      ivfpq n_cells=16 n_probe=8 s=150: 0.66
+    The default 32-bit code is a bandwidth-first setting — at shortlist
+    2.5% of the corpus it recovers 0.7, and doubling the code budget to
+    64 bits buys the same recall at 1/3 the shortlist."""
+    from chainhouse_spark.operators.pq import ivfpq_topk, pq_topk
+
+    emb = load_table(spark, "/root/testdata/sf0.1", "embeddings").cache()
+    q = emb.filter(F.col("vec_id") < 20)
+    exact = (
+        brute_force_topk(emb, q, k=10)
+        .select("query_id", "cand_id")
+        .cache()
+    )
+    n_exact = exact.count()  # 20 queries x 10
+    assert n_exact == 200
+
+    def recall(approx):
+        return (
+            approx.join(exact, ["query_id", "cand_id"], "left_semi").count()
+            / n_exact
+        )
+
+    pq_curve = {
+        s: recall(pq_topk(emb, q, k=10, m=8, k_sub=16, shortlist=s))
+        for s in (50, 150, 400)
+    }
+    # deeper shortlist -> never worse (exact re-rank over a superset)
+    assert pq_curve[50] <= pq_curve[150] <= pq_curve[400], pq_curve
+    assert pq_curve[50] >= 0.40, pq_curve
+    assert pq_curve[150] >= 0.60, pq_curve
+    assert pq_curve[400] >= 0.85, pq_curve
+
+    # finer quantization (64-bit codes) must beat the 32-bit default at
+    # the same shortlist depth
+    r_m16 = recall(pq_topk(emb, q, k=10, m=16, k_sub=16, shortlist=50))
+    assert r_m16 >= 0.60, r_m16
+    assert r_m16 > pq_curve[50], (r_m16, pq_curve[50])
+
+    r_ivf = recall(
+        ivfpq_topk(emb, q, k=10, n_cells=16, n_probe=8, shortlist=150)
+    )
+    assert r_ivf >= 0.55, r_ivf
+    emb.unpersist()
+    exact.unpersist()
