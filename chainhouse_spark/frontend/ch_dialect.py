@@ -67,7 +67,9 @@ Supported rewrites (ClickHouse → Spark):
   parametric aggs quantiles(p, ...)(x) → percentile_approx(x, array(...)),
                   quantilesExact → percentile
   statement       PREWHERE → WHERE; trailing FORMAT <name> and
-                  SETTINGS ... stripped
+                  SETTINGS ... stripped; [LEFT] ARRAY JOIN expr AS alias →
+                  LATERAL VIEW [OUTER] EXPLODE (bare/multi-array forms
+                  raise: identifier rebinding / lockstep zip semantics)
 
 Unsupported-with-error: WITH TOTALS, cityHash64/sipHash64/halfMD5/
 farmHash64 (different algorithms — a silent rename would change results;
@@ -747,6 +749,84 @@ _FORMAT_TAIL = re.compile(r"\bFORMAT\s+\w+\s*;?\s*$", re.IGNORECASE)
 _SETTINGS_TAIL = re.compile(r"\bSETTINGS\s+[\w\s=,'.]+$", re.IGNORECASE)
 _WITH_TOTALS = re.compile(r"\bWITH\s+TOTALS\b", re.IGNORECASE)
 _SAMPLE = re.compile(r"\bSAMPLE\s+[\d./]+", re.IGNORECASE)
+_ARRAY_JOIN_START = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", re.IGNORECASE)
+_AS_ALIAS = re.compile(r"^(.*\S)\s+AS\s+([A-Za-z_]\w*)$", re.IGNORECASE | re.DOTALL)
+_CLAUSE_KEYWORD = re.compile(
+    r"\b(?:WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|FORMAT|UNION|"
+    r"INTERSECT|EXCEPT|LEFT|RIGHT|INNER|FULL|CROSS|JOIN|LATERAL|ARRAY)\b",
+    re.IGNORECASE,
+)
+
+
+def _array_join_body_end(sql: str, start: int) -> int:
+    """End offset of the ARRAY JOIN expression list: the next clause
+    keyword at paren-depth 0, a depth-closing ')' (subquery end), or EOS.
+    Paren/quote-aware — clause words inside nested calls or strings don't
+    terminate the scan."""
+    depth = 0
+    j = start
+    while j < len(sql):
+        c = sql[j]
+        if c in "'\"`":
+            j = _skip_string(sql, j)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            if depth == 0:
+                return j
+            depth -= 1
+        elif depth == 0 and c.isalpha():
+            m = _CLAUSE_KEYWORD.match(sql, j)
+            if m and (j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == "_")):
+                return j
+            while j < len(sql) and (sql[j].isalnum() or sql[j] == "_"):
+                j += 1
+            continue
+        j += 1
+    return j
+
+
+def _rewrite_array_join(sql: str) -> str:
+    """ClickHouse `[LEFT] ARRAY JOIN expr AS alias` → Spark
+    `LATERAL VIEW [OUTER] EXPLODE(expr) _aj_<alias> AS <alias>`.
+
+    Only the aliased single-array form translates: a bare `ARRAY JOIN arr`
+    rebinds the identifier `arr` to the element in ClickHouse, which in
+    Spark becomes an ambiguous reference (the lateral-view output cannot
+    shadow the table column), and the multi-array form iterates arrays in
+    LOCKSTEP (positional zip), not as a cross product — both raise with
+    the explicit recipe rather than silently changing semantics."""
+    out: list[str] = []
+    pos = 0
+    while True:
+        m = _ARRAY_JOIN_START.search(sql, pos)
+        if not m:
+            out.append(sql[pos:])
+            return "".join(out)
+        end = _array_join_body_end(sql, m.end())
+        body = sql[m.end() : end].strip().rstrip(",")
+        if len(_split_args(body)) > 1:
+            raise CHTranslationError(
+                "ARRAY JOIN over multiple arrays iterates them in lockstep "
+                "(positional zip), which a cross-product rewrite would "
+                "corrupt; use LATERAL VIEW POSEXPLODE(a) p AS pos, va with "
+                "element_at(b, pos + 1) for the other arrays"
+            )
+        am = _AS_ALIAS.match(body)
+        if not am:
+            raise CHTranslationError(
+                "bare ARRAY JOIN rebinds the array identifier to its "
+                "element — not expressible without shadowing in Spark; "
+                "write ARRAY JOIN <expr> AS <alias> and select the alias"
+            )
+        expr, alias = am.group(1), am.group(2)
+        outer = "OUTER " if m.group(1) else ""
+        out.append(sql[pos : m.start()])
+        out.append(
+            f"LATERAL VIEW {outer}EXPLODE({expr}) _aj_{alias} AS {alias} "
+        )
+        pos = end
 
 
 def translate_ch_sql(sql: str) -> str:
@@ -788,6 +868,7 @@ def translate_ch_sql(sql: str) -> str:
             "instead (the ts_minute_spine_gapfill query is the recipe)"
         )
     sql = _FINAL.sub(r"\1", sql)
+    sql = _rewrite_array_join(sql)
     sql = _GLOBAL.sub("", sql)
     sql = _FORMAT_TAIL.sub("", sql.rstrip())
     sql = _SETTINGS_TAIL.sub("", sql.rstrip())

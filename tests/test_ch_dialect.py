@@ -386,3 +386,38 @@ def test_datetime64_date32_arrayzip():
     assert t("SELECT toDateTime64(x, 3)") == "SELECT CAST(x AS TIMESTAMP)"
     assert t("SELECT toDate32(x)") == "SELECT CAST(x AS DATE)"
     assert t("SELECT arrayZip(a, b)") == "SELECT ARRAYS_ZIP(a, b)"
+
+
+def test_array_join_clause(spark):
+    # aliased single-array form translates to LATERAL VIEW EXPLODE
+    out = t("SELECT x FROM t ARRAY JOIN arr AS x WHERE x > 1")
+    assert "LATERAL VIEW EXPLODE(arr) _aj_x AS x" in out
+    assert "WHERE x > 1" in out
+    out = t("SELECT x FROM t LEFT ARRAY JOIN arr AS x")
+    assert "LATERAL VIEW OUTER EXPLODE(arr) _aj_x AS x" in out
+    # executes: element rows, and LEFT keeps the empty-array row as NULL
+    rows = ch_sql(
+        spark,
+        "SELECT id, x FROM (SELECT 1 AS id, array(10, 20) AS arr "
+        "UNION ALL SELECT 2, array()) "
+        "LEFT ARRAY JOIN arr AS x ORDER BY id, x",
+    ).collect()
+    assert [(r.id, r.x) for r in rows] == [(1, 10), (1, 20), (2, None)]
+    inner = ch_sql(
+        spark,
+        "SELECT id, x FROM (SELECT 1 AS id, array(10, 20) AS arr "
+        "UNION ALL SELECT 2, array()) "
+        "ARRAY JOIN arr AS x ORDER BY id, x",
+    ).collect()
+    assert [(r.id, r.x) for r in inner] == [(1, 10), (1, 20)]
+    # function-expression array with ORDER BY termination
+    out = t("SELECT v FROM t ARRAY JOIN splitByChar(',', s) AS v ORDER BY v")
+    assert "LATERAL VIEW EXPLODE(SPLIT(s, ',')) _aj_v AS v" in out
+    assert out.rstrip().endswith("ORDER BY v")
+
+
+def test_array_join_unsupported_forms_raise(spark):
+    with pytest.raises(CHTranslationError, match="rebinds"):
+        t("SELECT arr FROM t ARRAY JOIN arr")
+    with pytest.raises(CHTranslationError, match="lockstep"):
+        t("SELECT a, b FROM t ARRAY JOIN xs AS a, ys AS b")
