@@ -58,6 +58,10 @@ from chainhouse_spark.queries import llm_advanced  # noqa: E402,F401
 from chainhouse_spark.queries import ch_frontend  # noqa: E402,F401
 from chainhouse_spark.queries import streaming_queries  # noqa: E402,F401
 
+# Round-4 additions — land in the rotation's mid bucket (after the 82
+# never-checked names, before the driver-green back), i.e. round-6+ windows.
+from chainhouse_spark.queries import llm_training  # noqa: E402,F401
+
 # Round-4 rotation. 140/222 queries hold a cumulative green driver verdict
 # (CORRECTNESS_r01+r02+r03, zero non-green rows outstanding); those rotate
 # to the back. The 82 never-driver-checked queries go in front, ordered so

@@ -1,0 +1,232 @@
+"""Training-set export operators: deterministic global shuffle/sharding,
+weighted sampling without replacement, and length-bucketed batch packing —
+the last mile between a cleaned corpus (llm_pipeline.py / llm_sampling.py)
+and what a trainer's data loader actually reads.
+
+Like the samplers, everything here is HASH-deterministic (md5 — identical
+hex in Spark and DuckDB): a shuffle order or sample membership must not
+change between re-runs, engine swaps, or corpus append, or training becomes
+unreproducible.
+
+Scale notes (100 TB):
+  - The shuffle shard is a pure per-row function (one md5, map-only); the
+    within-shard ordering is ONE window per shard — shards bound the sort
+    so no global ORDER BY over the corpus ever runs; at export time shard =
+    output-file unit (`repartitionByRange(shard).sortWithinPartitions` —
+    1000 executors each sort their own shards).
+  - Weighted reservoir (Efraimidis–Spirakis A-ES) needs only a global
+    top-k by key: partial TakeOrderedAndProject per partition, k rows to
+    the driver-side final — never a full sort.
+  - Batch packing buckets by fixed-width length ranges FIRST, so the
+    row_number window partitions by bucket (bounded shuffle keys), not a
+    single global ordering; padding-waste accounting is a per-batch agg on
+    exact integers.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
+
+# md5 of a purpose-prefixed key: shuffle order must be independent of the
+# split/sample hashes used elsewhere (reusing one hash correlates the
+# artifacts — a doc's shard would predict its train/test split).
+_SHUF = "md5(concat('shuffle-', CAST(doc_id AS STRING)))"
+_SHUF_DUCK = "md5(concat('shuffle-', CAST(doc_id AS VARCHAR)))"
+
+
+def _duck_hex_fold(expr: str, start: int, n: int) -> str:
+    """DuckDB: `n` lowercase hex chars of `expr` from 1-based `start` ->
+    BIGINT (strpos fold — the conv()-less mirror of Spark's
+    conv(substring(e, start, n), 16, 10)). n <= 15 keeps the fold < 2^60."""
+    return (
+        "("
+        + " + ".join(
+            f"(strpos('0123456789abcdef', substr({expr}, {start + i}, 1)) - 1)"
+            f" * {16 ** (n - 1 - i)}"
+            for i in range(n)
+        )
+        + ")"
+    )
+
+
+N_SHARDS = 8
+
+
+@register(
+    "corpus_shuffle_shards",
+    oracle=f"""
+    SELECT doc_id,
+           {_duck_hex_fold(_SHUF_DUCK, 1, 8)} % {N_SHARDS} AS shard,
+           CAST(ROW_NUMBER() OVER (
+               PARTITION BY {_duck_hex_fold(_SHUF_DUCK, 1, 8)} % {N_SHARDS}
+               ORDER BY {_SHUF_DUCK}, doc_id) AS BIGINT) AS pos
+    FROM documents
+    """,
+)
+def corpus_shuffle_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic global corpus shuffle into N_SHARDS training shards:
+    shard = h32 % N, position-in-shard = rank of the full md5 within the
+    shard. The (shard, pos) pair IS the epoch-0 data order — reproducible
+    across engines and stable per doc under corpus append (existing docs
+    keep their shard; only in-shard positions shift).
+
+    The window partitions by shard, so each sort is corpus/N and the
+    shuffle carries (doc_id, 16-byte hash) only — no text moves. At export
+    this ordering maps 1:1 onto `repartitionByRange("shard")` +
+    `sortWithinPartitions(hash)` parquet writes.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    h = docs.select(
+        "doc_id",
+        F.expr(_SHUF).alias("h"),
+        F.expr(
+            f"CAST(conv(substring({_SHUF}, 1, 8), 16, 10) AS BIGINT) % {N_SHARDS}"
+        ).alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("h", "doc_id")
+    return h.select(
+        "doc_id", "shard", F.row_number().over(w).cast("long").alias("pos")
+    )
+
+
+_RESERVOIR_K = 50
+# 15 hex chars -> uniform in (0, 1]: (h + 1) / 2^60. Exact in both engines
+# (h < 2^60 is exactly representable; one correctly-rounded division).
+_U_SPARK = (
+    "(CAST(conv(substring(md5(concat('wsample-', CAST(doc_id AS STRING))), 1, 15),"
+    " 16, 10) AS DOUBLE) + 1.0) / 1152921504606846976.0"
+)
+_U_DUCK = (
+    "(CAST("
+    + _duck_hex_fold("md5(concat('wsample-', CAST(doc_id AS VARCHAR)))", 1, 15)
+    + " AS DOUBLE) + 1.0) / 1152921504606846976.0"
+)
+
+
+@register(
+    "sample_weighted_reservoir",
+    oracle=f"""
+    SELECT doc_id, n_chars
+    FROM (
+        SELECT doc_id, n_chars,
+               CAST(FLOOR(LN({_U_DUCK}) / n_chars * 1048576.0) AS BIGINT) AS kq
+        FROM documents
+        WHERE n_chars > 0
+    )
+    ORDER BY kq DESC, doc_id
+    LIMIT {_RESERVOIR_K}
+    """,
+)
+def sample_weighted_reservoir(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted sampling WITHOUT replacement (Efraimidis–Spirakis A-ES,
+    'Weighted random sampling with a reservoir', IPL 2006): each doc draws
+    a deterministic uniform u from md5 and gets key u^(1/w) with w =
+    n_chars; the top-k keys are the sample. Long documents are
+    proportionally more likely, yet every doc has a chance — the classic
+    trainer's length-weighted corpus subset.
+
+    Determinism across engines: ranking uses ln(u)/w (monotone in
+    u^(1/w)) QUANTIZED to a 2^-20 grid and tie-broken by doc_id — the
+    only cross-engine float risk is a last-ulp ln() difference, which can
+    flip an order only when a key lies within 1 ulp of a grid line
+    (~1e-10 per row); ties on the grid are resolved identically by doc_id.
+
+    Scale: the key is map-only per row; top-k is TakeOrderedAndProject
+    (per-partition partial top-k, k rows per partition to the final) — no
+    global sort, no corpus-sized shuffle.
+    """
+    docs = load_table(spark, sf_dir, "documents").filter("n_chars > 0")
+    keyed = docs.select(
+        "doc_id",
+        "n_chars",
+        F.expr(
+            f"CAST(FLOOR(LN({_U_SPARK}) / n_chars * 1048576.0) AS BIGINT)"
+        ).alias("kq"),
+    )
+    return (
+        keyed.orderBy(F.desc("kq"), F.asc("doc_id"))
+        .limit(_RESERVOIR_K)
+        .select("doc_id", "n_chars")
+    )
+
+
+_BUCKET_W = 64  # tokens per length bucket
+_BATCH_SZ = 8  # docs per batch
+
+
+@register(
+    "batch_by_length_buckets",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    assigned AS (
+        SELECT doc_id, n_tok, n_tok // {_BUCKET_W} AS bucket,
+               (ROW_NUMBER() OVER (PARTITION BY n_tok // {_BUCKET_W}
+                                   ORDER BY doc_id) - 1) // {_BATCH_SZ} AS batch_id
+        FROM tok
+    )
+    SELECT bucket, CAST(batch_id AS BIGINT) AS batch_id,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           MAX(n_tok) AS max_tokens,
+           CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
+           CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS pad_waste,
+           CAST(SUM(n_tok) AS DOUBLE) / (MAX(n_tok) * COUNT(*)) AS utilization
+    FROM assigned
+    GROUP BY bucket, batch_id
+    ORDER BY bucket, batch_id
+    """,
+)
+def batch_by_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Length-bucketed batch packing with padding-waste accounting: docs
+    bucket by token count (fixed 64-token ranges — exact integer
+    division, no float log2), batch 8-at-a-time within each
+    bucket, and every batch reports its padding utilization
+    (sum_tokens / (max_tokens * n_docs) — what fraction of the padded
+    batch tensor is real data). This is the standard curriculum/bucketing
+    step that keeps a trainer from padding a 40-token doc out to the
+    4000-token outlier in its batch.
+
+    Scale: one tokenize pass (map-only), a row_number window partitioned
+    by bucket (shuffle key cardinality = n_buckets, rows carry (doc_id,
+    n_tok) only), then a hash agg on (bucket, batch). All counts exact
+    integers; the single float op is the final utilization division.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.size(F.split("text", " ")).cast("long").alias("n_tok")
+    )
+    bucketed = tok.withColumn("bucket", F.expr(f"n_tok div {_BUCKET_W}"))
+    w = Window.partitionBy("bucket").orderBy("doc_id")
+    assigned = bucketed.withColumn(
+        "batch_id",
+        F.floor((F.row_number().over(w) - F.lit(1)) / _BATCH_SZ).cast("long"),
+    )
+    return (
+        assigned.groupBy("bucket", "batch_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.max("n_tok").alias("max_tokens"),
+            F.sum("n_tok").alias("sum_tokens"),
+        )
+        .select(
+            "bucket",
+            "batch_id",
+            "n_docs",
+            "max_tokens",
+            "sum_tokens",
+            (F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens")).alias(
+                "pad_waste"
+            ),
+            (
+                F.col("sum_tokens").cast("double")
+                / (F.col("max_tokens") * F.col("n_docs"))
+            ).alias("utilization"),
+        )
+        .orderBy("bucket", "batch_id")
+    )
