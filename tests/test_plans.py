@@ -527,3 +527,30 @@ def test_reorg_full_table_touched_once_per_walk_step(spark):
     df = canonical_chain(blocks)
     f = plan_facts(df)
     assert f.python_evals == 0
+
+
+def test_training_export_plan_shapes(spark):
+    """Round-4 training-export family: shuffles carry ids/hashes/counts,
+    never text; the reservoir is a top-k, never a global sort."""
+    # shuffle shards: one window exchange keyed by shard; map-only hash,
+    # no joins, no Python.
+    assert audit(q(spark, "corpus_shuffle_shards"),
+                 max_shuffle_exchanges=1, forbid_python=True) == []
+    f = plan_facts(q(spark, "corpus_shuffle_shards"))
+    # rows entering the exchange are (doc_id, hash, shard) — text pruned.
+    assert f.read_schemas and "text" not in f.read_schemas[0]
+
+    # weighted reservoir: TakeOrderedAndProject (partial per-partition
+    # top-k), NOT a global Sort+Limit over the corpus.
+    plan = (
+        QUERIES["sample_weighted_reservoir"](spark, SF)
+        ._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "TakeOrderedAndProject" in plan
+
+    # batch packing: window (by bucket) + final agg; one tokenize pass,
+    # text pruned after it, no joins.
+    f = plan_facts(q(spark, "batch_by_length_buckets"))
+    assert f.shuffle_exchanges <= 3
+    assert f.broadcast_joins == 0 and f.sortmerge_joins == 0
+    assert f.python_evals == 0
