@@ -178,7 +178,7 @@ _TRUNC = {
     "tostartofminute": "MINUTE",
     "tostartofhour": "HOUR",
     "tostartofday": "DAY",
-    "tostartofweek": "WEEK",
+    "tomonday": "WEEK",  # both mean the preceding Monday
     "tostartofmonth": "MONTH",
     "tostartofquarter": "QUARTER",
     "tostartofyear": "YEAR",
@@ -191,6 +191,8 @@ _PART = {
     "todayofmonth": "DAY",
     "tomonth": "MONTH",
     "toyear": "YEAR",
+    "toquarter": "QUARTER",
+    "todayofyear": "DAYOFYEAR",
 }
 
 _RENAME = {
@@ -235,6 +237,18 @@ _RENAME = {
     "fromunixtimestamp": "TIMESTAMP_SECONDS",  # NOT from_unixtime (string)
     "arraystringconcat": "ARRAY_JOIN",
     "substringutf8": "SUBSTRING",
+    "arraymin": "ARRAY_MIN",
+    "arraymax": "ARRAY_MAX",
+    "hasany": "ARRAYS_OVERLAP",
+    "mapkeys": "MAP_KEYS",
+    "mapvalues": "MAP_VALUES",
+    "mapcontains": "MAP_CONTAINS_KEY",
+    "reverseutf8": "REVERSE",
+    "base64encode": "BASE64",
+    "bitcount": "BIT_COUNT",
+    "roundbankers": "BROUND",
+    "concatwithseparator": "CONCAT_WS",
+    "tuple": "STRUCT",
 }
 
 # Arithmetic as functions (ClickHouse allows plus(a, b) etc.): rewrite to
@@ -245,12 +259,26 @@ _ARITH = {"plus": "+", "minus": "-", "multiply": "*", "divide": "/",
 _IF_AGG = {"countif": "COUNT", "sumif": "SUM", "avgif": "AVG",
            "minif": "MIN", "maxif": "MAX"}
 
+# toIntervalX(n) -> MAKE_DT_INTERVAL/MAKE_YM_INTERVAL with n in the right
+# slot: (slot index, constructor, constructor arity).
+_INTERVAL_CTOR = {
+    "tointervalday": (0, "MAKE_DT_INTERVAL", 1),
+    "tointervalhour": (1, "MAKE_DT_INTERVAL", 2),
+    "tointervalminute": (2, "MAKE_DT_INTERVAL", 3),
+    "tointervalsecond": (3, "MAKE_DT_INTERVAL", 4),
+    "tointervalyear": (0, "MAKE_YM_INTERVAL", 1),
+    "tointervalmonth": (1, "MAKE_YM_INTERVAL", 2),
+}
+
 _UNSUPPORTED = {
     "cityhash64": "different hash algorithm — use xxhash64()/md5() explicitly",
     "siphash64": "different hash algorithm — use xxhash64()/md5() explicitly",
     "halfmd5": "different hash algorithm — use xxhash64()/md5() explicitly",
     "farmhash64": "different hash algorithm — use xxhash64()/md5() explicitly",
     "uniqcombined": "sketch-specific — use uniq() (approx_count_distinct)",
+    "arraycumsum": "running-sum type depends on the element type; state it "
+                   "explicitly: TRANSFORM(a, (_x, _i) -> AGGREGATE("
+                   "SLICE(a, 1, _i + 1), CAST(0 AS BIGINT), (s, v) -> s + v))",
     "rand": "ClickHouse rand() is a uniform UInt32; Spark rand() is [0,1) — "
             "a silent rename would change every value. Use rand() on a "
             "Spark session directly and scale explicitly",
@@ -642,6 +670,92 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         # Array/map form; a string argument fails loudly at analysis (SIZE
         # is collection-only) rather than silently — use s = '' for strings.
         return f"(SIZE({args[0]}) {op} 0)"
+    if low == "tostartofweek":
+        # ClickHouse default (mode 0) starts weeks on SUNDAY; Spark's WEEK
+        # truncation starts Monday. Only the explicit Monday mode is safe.
+        if len(args) == 2 and args[1].strip() == "1":
+            return f"DATE_TRUNC('WEEK', {args[0]})"
+        raise CHTranslationError(
+            "toStartOfWeek defaults to Sunday-start weeks; Spark's WEEK "
+            "truncation is Monday-start — write toStartOfWeek(d, 1) or "
+            "toMonday(d) for Monday weeks, or DATE_SUB(DATE_TRUNC('WEEK', "
+            "DATE_ADD(d, 1)), 1) for Sunday weeks"
+        )
+    if low == "arrayavg":
+        if len(args) != 1:
+            raise CHTranslationError("arrayAvg(arr) takes one argument")
+        a = args[0]
+        return (
+            f"(AGGREGATE({a}, CAST(0 AS DOUBLE), (_s, _x) -> _s + _x)"
+            f" / SIZE({a}))"
+        )
+    if low == "assumenotnull":
+        if len(args) != 1:
+            raise CHTranslationError("assumeNotNull(x) takes one argument")
+        return f"({args[0]})"  # type-level in ClickHouse; value passthrough
+    if low == "ifnotfinite":
+        if len(args) != 2:
+            raise CHTranslationError("ifNotFinite(x, y) takes two arguments")
+        x, y = args
+        return (
+            f"(CASE WHEN ISNAN({x}) OR {x} = DOUBLE('Infinity') "
+            f"OR {x} = DOUBLE('-Infinity') THEN {y} ELSE {x} END)"
+        )
+    if low == "positioncaseinsensitive":
+        if len(args) != 2:
+            raise CHTranslationError(
+                "positionCaseInsensitive(haystack, needle) takes two arguments"
+            )
+        return f"INSTR(LOWER({args[0]}), LOWER({args[1]}))"
+    if low == "arraycompact":
+        if len(args) != 1:
+            raise CHTranslationError("arrayCompact(arr) takes one argument")
+        a = args[0]
+        # removes CONSECUTIVE duplicates (not array_distinct); null-safe
+        return f"FILTER({a}, (_x, _i) -> _i = 0 OR NOT (_x <=> {a}[_i - 1]))"
+    if low == "arraydifference":
+        if len(args) != 1:
+            raise CHTranslationError("arrayDifference(arr) takes one argument")
+        a = args[0]
+        return f"TRANSFORM({a}, (_x, _i) -> IF(_i = 0, 0, _x - {a}[_i - 1]))"
+    if low == "base64decode":
+        if len(args) != 1:
+            raise CHTranslationError("base64Decode(s) takes one argument")
+        return f"CAST(UNBASE64({args[0]}) AS STRING)"
+    if low == "hasall":
+        if len(args) != 2:
+            raise CHTranslationError("hasAll(arr, subset) takes two arguments")
+        return f"(SIZE(ARRAY_EXCEPT({args[1]}, {args[0]})) = 0)"
+    if low == "arrayintersect":
+        if len(args) < 2:
+            raise CHTranslationError("arrayIntersect takes >= 2 arrays")
+        out = f"ARRAY_INTERSECT({args[0]}, {args[1]})"
+        for extra in args[2:]:  # Spark's is binary; fold the n-ary form
+            out = f"ARRAY_INTERSECT({out}, {extra})"
+        return out
+    if low in ("intdivorzero", "moduloorzero"):
+        if len(args) != 2:
+            raise CHTranslationError(f"{name}(a, b) takes two arguments")
+        a, b = args
+        op = f"{a} DIV {b}" if low == "intdivorzero" else f"{a} % {b}"
+        return f"(IF({b} = 0, 0, {op}))"
+    if low == "tupleelement":
+        if len(args) != 2:
+            raise CHTranslationError("tupleElement(t, name|index) takes two arguments")
+        field = _string_literal(args[1])
+        if field is None:
+            raise CHTranslationError(
+                "tupleElement by POSITION has no Spark equivalent (struct "
+                "fields are name-addressed); use tupleElement(t, 'name')"
+            )
+        return f"({args[0]}).{field}"
+    if low in _INTERVAL_CTOR:
+        if len(args) != 1:
+            raise CHTranslationError(f"{name}(n) takes one argument")
+        pos, ctor, arity = _INTERVAL_CTOR[low]
+        zeros = ["0"] * arity
+        zeros[pos] = args[0]
+        return f"{ctor}({', '.join(zeros)})"
     if low in _RENAME:
         return f"{_RENAME[low]}({', '.join(args)})"
     return f"{name}({', '.join(args)})"

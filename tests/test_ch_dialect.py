@@ -421,3 +421,67 @@ def test_array_join_unsupported_forms_raise(spark):
         t("SELECT arr FROM t ARRAY JOIN arr")
     with pytest.raises(CHTranslationError, match="lockstep"):
         t("SELECT a, b FROM t ARRAY JOIN xs AS a, ys AS b")
+
+
+def test_round4_function_batch(spark):
+    # date parts / trunc
+    assert t("SELECT toMonday(d)") == "SELECT DATE_TRUNC('WEEK', d)"
+    assert t("SELECT toQuarter(d)") == "SELECT QUARTER(d)"
+    assert t("SELECT toDayOfYear(d)") == "SELECT DAYOFYEAR(d)"
+    assert t("SELECT toStartOfWeek(d, 1)") == "SELECT DATE_TRUNC('WEEK', d)"
+    with pytest.raises(CHTranslationError, match="Sunday"):
+        t("SELECT toStartOfWeek(d)")
+    # arrays / maps
+    assert t("SELECT arrayMin(a), arrayMax(a)") == "SELECT ARRAY_MIN(a), ARRAY_MAX(a)"
+    assert t("SELECT hasAny(a, b)") == "SELECT ARRAYS_OVERLAP(a, b)"
+    assert t("SELECT hasAll(a, b)") == "SELECT (SIZE(ARRAY_EXCEPT(b, a)) = 0)"
+    assert (
+        t("SELECT arrayIntersect(a, b, c)")
+        == "SELECT ARRAY_INTERSECT(ARRAY_INTERSECT(a, b), c)"
+    )
+    assert t("SELECT mapKeys(m), mapContains(m, 'k')") == (
+        "SELECT MAP_KEYS(m), MAP_CONTAINS_KEY(m, 'k')"
+    )
+    with pytest.raises(CHTranslationError, match="running-sum"):
+        t("SELECT arrayCumSum(a)")
+    # strings / misc renames
+    assert t("SELECT concatWithSeparator('-', a, b)") == "SELECT CONCAT_WS('-', a, b)"
+    assert t("SELECT positionCaseInsensitive(s, 'A')") == (
+        "SELECT INSTR(LOWER(s), LOWER('A'))"
+    )
+    assert t("SELECT roundBankers(x, 2)") == "SELECT BROUND(x, 2)"
+    assert t("SELECT base64Decode(s)") == "SELECT CAST(UNBASE64(s) AS STRING)"
+    # tuples
+    assert t("SELECT tuple(a, b)") == "SELECT STRUCT(a, b)"
+    assert t("SELECT tupleElement(tp, 'a')") == "SELECT (tp).a"
+    with pytest.raises(CHTranslationError, match="POSITION"):
+        t("SELECT tupleElement(tp, 1)")
+    # intervals
+    assert t("SELECT ts + toIntervalDay(3)") == "SELECT ts + MAKE_DT_INTERVAL(3)"
+    assert t("SELECT toIntervalMonth(2)") == "SELECT MAKE_YM_INTERVAL(0, 2)"
+    # null/finite helpers
+    assert t("SELECT assumeNotNull(x)") == "SELECT (x)"
+    # executed semantics: compact/difference/avg/finite/tuple/interval
+    row = ch_sql(
+        spark,
+        "SELECT arrayCompact(array(1, 1, 2, 2, 1)) AS ac, "
+        "arrayDifference(array(1, 2, 5)) AS ad, "
+        "arrayAvg(array(1, 2, 3, 4)) AS aa, "
+        "ifNotFinite(DOUBLE('Infinity'), 42.0) AS fin, "
+        "ifNotFinite(2.5, 9.9) AS fin2, "
+        "hasAll(array(1, 2, 3), array(2, 3)) AS hall, "
+        "hasAll(array(1), array(2)) AS hnot, "
+        "tupleElement(tuple(7, 8), 'col1') AS te, "
+        "intDivOrZero(7, 0) AS dz, moduloOrZero(7, 0) AS mz, "
+        "toMonday(toDate('2024-01-04')) AS mon, "
+        "CAST(toDateTime('2024-01-01 00:00:00') + toIntervalDay(3) AS STRING) AS plus3",
+    ).first()
+    assert list(row.ac) == [1, 2, 1]
+    assert list(row.ad) == [0, 1, 3]
+    assert row.aa == 2.5
+    assert row.fin == 42.0 and row.fin2 == 2.5
+    assert row.hall is True and row.hnot is False
+    assert row.te == 7
+    assert row.dz == 0 and row.mz == 0
+    assert str(row.mon)[:10] == "2024-01-01"
+    assert row.plus3.startswith("2024-01-04")
