@@ -172,3 +172,93 @@ def filter_quality_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
             "micro_top_word_frac"
         ),
     )
+
+
+# -- encoding quality gate ---------------------------------------------------
+#
+# Bad decode artifacts a crawl corpus carries: U+FFFD replacement characters
+# (lossy transcode), C0 control characters other than \t\n\r (binary leaked
+# into text), and the 'Ã'/'â' lead characters of UTF-8-decoded-as-Latin-1
+# mojibake. Each count is a length difference after stripping, so both
+# engines compute identical integers; there are no floats anywhere.
+_REPL = "�"
+_CTRL_RE = "[\\x00-\\x08\\x0b\\x0c\\x0e-\\x1f]"
+_MOJI_A = "Ã"  # lead of 2-byte UTF-8 misdecoded as Latin-1
+_MOJI_B = "â"  # lead of 3-byte punctuation mojibake ('â€¦', 'â€”')
+
+
+def _enc_count_exprs(dialect: str) -> list[str]:
+    """The three artifact-count expressions over `text`, aliased. Dialect
+    differences: DuckDB's regexp_replace is FIRST-match-only without the
+    'g' flag (Spark's is global), and Spark's string literals consume
+    backslash escapes (so the \\x class needs doubled backslashes there;
+    DuckDB single-quoted literals are escape-free)."""
+    flags = ", 'g'" if dialect == "duckdb" else ""
+    cls = _CTRL_RE.replace("\\", "\\\\") if dialect == "spark" else _CTRL_RE
+    return [
+        f"length(text) - length(replace(text, '{_REPL}', '')) AS n_repl",
+        f"length(text) - length(regexp_replace(text, '{cls}', ''{flags}))"
+        " AS n_ctrl",
+        f"(length(text) - length(replace(text, '{_MOJI_A}', '')))"
+        f" + (length(text) - length(replace(text, '{_MOJI_B}', '')))"
+        " AS n_moji",
+    ]
+
+
+@register(
+    "text_encoding_quality",
+    oracle=f"""
+    WITH c AS (
+        SELECT doc_id, source, length(text) AS n_chars_txt,
+               {", ".join(_enc_count_exprs("duckdb"))}
+        FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN n_repl > 0 OR n_ctrl > 0
+                         OR n_moji * 1000 > n_chars_txt
+                    THEN 1 ELSE 0 END) AS BIGINT) AS n_flagged,
+           CAST(SUM(n_repl) AS BIGINT) AS total_repl,
+           CAST(SUM(n_ctrl) AS BIGINT) AS total_ctrl,
+           CAST(SUM(n_moji) AS BIGINT) AS total_moji
+    FROM c
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Encoding-health gate per source: count U+FFFD replacement chars,
+    stray C0 control chars (binary contamination; tab/newline/CR exempt),
+    and Latin-1 mojibake lead characters; flag docs with any hard artifact
+    or a mojibake rate over 0.1% (integer cross-multiplication — no float
+    threshold anywhere).
+
+    This is the cheap pre-filter a crawl pipeline runs before any
+    tokenizer work: one map-only pass (two string replaces + one regex,
+    all JVM-side inside WholeStageCodegen), then a per-source partial-agg
+    shuffle whose key cardinality is the source count. Detection logic is
+    unit-proven on crafted artifacts in tests/test_python_surface.py.
+    """
+    docs = load_table(spark, sf_dir, "documents")
+    c = docs.selectExpr(
+        "doc_id", "source", "length(text) AS n_chars_txt",
+        *_enc_count_exprs("spark"),
+    )
+    return (
+        c.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(
+                F.expr(
+                    "CASE WHEN n_repl > 0 OR n_ctrl > 0 "
+                    "OR n_moji * 1000 > n_chars_txt THEN 1 ELSE 0 END"
+                )
+            )
+            .cast("long")
+            .alias("n_flagged"),
+            F.sum("n_repl").cast("long").alias("total_repl"),
+            F.sum("n_ctrl").cast("long").alias("total_ctrl"),
+            F.sum("n_moji").cast("long").alias("total_moji"),
+        )
+        .orderBy("source")
+    )

@@ -45,3 +45,60 @@ def test_udaf_gmean_matches_local(spark):
         vals.sort()
         exp = math.exp(sum(math.log(v) for v in vals) / len(vals))
         assert math.isclose(got[t], exp, rel_tol=1e-9), t
+
+
+def test_encoding_quality_detects_crafted_artifacts(spark):
+    """The text_encoding_quality expressions on crafted strings: U+FFFD,
+    C0 control chars (tab/newline/CR exempt), and mojibake lead chars
+    count exactly; the flag fires on hard artifacts and the 0.1% mojibake
+    rate, not on clean text."""
+    from chainhouse_spark.queries.llm_quality import _enc_count_exprs
+
+    rows = [
+        (1, "clean text with tabs\tand\nnewlines\rok", "s"),
+        (2, "bad � repl � twice", "s"),
+        (3, "binary \x00 leak \x1f and \x0b here", "s"),
+        (4, "mojibake Ã© and â€¦ artifacts", "s"),
+        (5, "Ã" + "x" * 5000, "s"),  # 1 mojibake char in 5001 -> under 0.1%
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string, source string")
+    got = {
+        r.doc_id: r
+        for r in df.selectExpr(
+            "doc_id", "length(text) AS n_chars_txt", *_enc_count_exprs("spark")
+        ).collect()
+    }
+    assert (got[1].n_repl, got[1].n_ctrl, got[1].n_moji) == (0, 0, 0)
+    assert got[2].n_repl == 2
+    assert got[3].n_ctrl == 3
+    assert got[4].n_moji == 2  # 'Ã' + 'â'
+    assert got[5].n_moji == 1
+
+    flagged = df.selectExpr(
+        "doc_id", "length(text) AS n_chars_txt", *_enc_count_exprs("spark")
+    ).selectExpr(
+        "doc_id",
+        "n_repl > 0 OR n_ctrl > 0 OR n_moji * 1000 > n_chars_txt AS flag",
+    ).collect()
+    assert {r.doc_id: r.flag for r in flagged} == {
+        1: False, 2: True, 3: True, 4: True, 5: False,
+    }
+
+    # DuckDB twin computes the same counts on the same strings
+    import duckdb
+
+    con = duckdb.connect()
+    con.execute(
+        "CREATE TABLE t AS SELECT * FROM (VALUES "
+        + ", ".join(
+            "(%d, ?, 's')" % i for i, _, _ in rows
+        )
+        + ") v(doc_id, text, source)",
+        [t for _, t, _ in rows],
+    )
+    duck = con.execute(
+        "SELECT doc_id, " + ", ".join(_enc_count_exprs("duckdb")) + " FROM t"
+    ).fetchall()
+    for doc_id, n_repl, n_ctrl, n_moji in duck:
+        g = got[doc_id]
+        assert (n_repl, n_ctrl, n_moji) == (g.n_repl, g.n_ctrl, g.n_moji)
