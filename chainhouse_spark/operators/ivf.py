@@ -150,3 +150,89 @@ def ivf_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+def ivf_write(
+    corpus: DataFrame,
+    path: str,
+    vec_col: str = "embedding",
+    n_cells: int = 16,
+    seed: int = 42,
+    n_iter: int = 8,
+) -> None:
+    """Persist the corpus as an at-rest IVF index: vectors land in parquet
+    PARTITIONED BY their coarse-quantizer cell, centroids next to them
+    (`<path>/centroids`, n_cells rows). This is the module docstring's
+    '100 TB layout note' made real: after this write, a probe is a
+    partition-PRUNED scan (only n_probe/n_cells of the files open) — the
+    same mechanics ClickHouse gets from a partition key, with no index
+    service in the loop."""
+    assigned, centroids = assign_cells(corpus, vec_col, n_cells, seed, n_iter)
+    (
+        assigned.repartition("cell")
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(f"{path}/vectors")
+    )
+    spark = corpus.sparkSession
+    spark.createDataFrame(centroids, ["cell", "centroid"]).coalesce(1).write.mode(
+        "overwrite"
+    ).parquet(f"{path}/centroids")
+
+
+def ivf_probe(
+    spark,
+    path: str,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    n_probe: int = 4,
+) -> DataFrame:
+    """Query an `ivf_write` index from disk. Each query ranks the stored
+    centroids (n_cells rows — driver/broadcast scale) and keeps its
+    n_probe nearest cells; the vector scan then filters on the UNION of
+    probed cells as a LITERAL IN-list, which Spark turns into
+    PartitionFilters — files of unprobed cells are never opened
+    (pinned by tests/test_ivf.py::test_ivf_at_rest_partition_pruning).
+
+    The collect is bounded: n_queries x n_probe (cell, query) pairs with
+    cell ids < n_cells; the IN-list is at most n_cells integers. Output
+    shape matches ivf_topk/brute_force_topk: (query_id, cand_id, cos_sim,
+    rank), exact cosine on scanned candidates."""
+    cent = spark.read.parquet(f"{path}/centroids")
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    qc = q.crossJoin(F.broadcast(cent)).withColumn(
+        "c_dist", F.expr(cosine_sql("q_vec", "centroid"))
+    )
+    wq = Window.partitionBy("query_id").orderBy(F.desc("c_dist"), F.asc("cell"))
+    probes = (
+        qc.withColumn("r", F.row_number().over(wq))
+        .filter(F.col("r") <= n_probe)
+        .select("query_id", "q_vec", "cell")
+    )
+    probed_cells = sorted(
+        {r.cell for r in probes.select("cell").distinct().collect()}
+    )
+
+    vecs = spark.read.parquet(f"{path}/vectors").filter(
+        F.col("cell").isin(probed_cells)  # literal IN -> partition pruning
+    )
+    c = vecs.select(
+        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), "cell"
+    )
+    scored = (
+        c.join(F.broadcast(probes), "cell")
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )

@@ -110,3 +110,35 @@ def test_ivf_cell_partitioned_layout_prunes_scan(spark, tmp_path):
         for r in probed.select(F.input_file_name()).distinct().collect()
     ]
     assert files and all(f"cell={probe_cell}" in f for f in files)
+
+
+def test_ivf_at_rest_partition_pruning(spark, tmp_path):
+    """ivf_write lays vectors out partitioned by cell; ivf_probe's scan
+    must carry PartitionFilters (only probed cells' files open) and its
+    results must match the in-memory ivf_topk with identical params."""
+    from chainhouse_spark.operators.ivf import ivf_probe, ivf_topk, ivf_write
+    from chainhouse_spark.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    q = emb.filter("vec_id < 5")
+    idx = str(tmp_path / "ivf")
+    ivf_write(emb, idx, n_cells=8)
+
+    # at-rest layout: one directory per cell
+    import os
+
+    cells = sorted(
+        d for d in os.listdir(f"{idx}/vectors") if d.startswith("cell=")
+    )
+    assert len(cells) >= 2
+
+    got = ivf_probe(spark, idx, q, k=10, n_probe=3)
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    # a NON-EMPTY partition filter with the literal cell IN-list — proof
+    # the unprobed cells' files never open (plus runtime dynamic pruning)
+    assert "PartitionFilters: [cell" in plan and " IN (" in plan
+
+    mem = ivf_topk(emb, q, k=10, n_cells=8, n_probe=3)
+    g = {(r.query_id, r.cand_id, r.rank) for r in got.collect()}
+    m = {(r.query_id, r.cand_id, r.rank) for r in mem.collect()}
+    assert g == m and len(g) > 0
