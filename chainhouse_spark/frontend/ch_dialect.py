@@ -69,7 +69,10 @@ Supported rewrites (ClickHouse → Spark):
   statement       PREWHERE → WHERE; trailing FORMAT <name> and
                   SETTINGS ... stripped; [LEFT] ARRAY JOIN expr AS alias →
                   LATERAL VIEW [OUTER] EXPLODE (bare/multi-array forms
-                  raise: identifier rebinding / lockstep zip semantics)
+                  raise: identifier rebinding / lockstep zip semantics);
+                  ORDER BY o LIMIT n BY g [LIMIT m] → ranked subquery
+                  (row_number over (PARTITION BY g ORDER BY o) <= n;
+                  no-ORDER-BY / offset / subquery forms raise)
 
 Unsupported-with-error: WITH TOTALS, cityHash64/sipHash64/halfMD5/
 farmHash64 (different algorithms — a silent rename would change results;
@@ -859,6 +862,87 @@ _ANY_JOIN = re.compile(r"\b(?:LEFT|RIGHT|INNER)?\s*ANY\s+(?:LEFT\s+|RIGHT\s+|INN
                        re.IGNORECASE)
 _ASOF_JOIN = re.compile(r"\bASOF\s+(?:LEFT\s+)?JOIN\b", re.IGNORECASE)
 _LIMIT_BY = re.compile(r"\bLIMIT\s+\d+\s+BY\b", re.IGNORECASE)
+_LIMIT_BY_FULL = re.compile(r"\bLIMIT\s+(\d+)\s+BY\s+", re.IGNORECASE)
+_LIMIT_BY_OFFSET = re.compile(r"\bLIMIT\s+\d+\s*,\s*\d+\s+BY\b", re.IGNORECASE)
+_ORDER_BY_TOK = re.compile(r"\bORDER\s+BY\s+", re.IGNORECASE)
+_TAIL_LIMIT = re.compile(r"\bLIMIT\s+(\d+)\s*$", re.IGNORECASE)
+
+
+def _depth0_matches(sql: str, pattern: re.Pattern) -> list[re.Match]:
+    """All `pattern` matches that start at paren-depth 0 outside strings."""
+    out: list[re.Match] = []
+    depth = 0
+    j = 0
+    while j < len(sql):
+        c = sql[j]
+        if c in "'\"`":
+            j = _skip_string(sql, j)
+            continue
+        if c in "([":
+            depth += 1
+        elif c in ")]":
+            depth -= 1
+        elif depth == 0:
+            m = pattern.match(sql, j)
+            if m and (j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == "_")):
+                out.append(m)
+                j = m.end()
+                continue
+        j += 1
+    return out
+
+
+def _rewrite_limit_by(sql: str) -> str:
+    """ClickHouse `... ORDER BY o LIMIT n BY g [LIMIT m]` → ranked
+    subquery: row_number over (PARTITION BY g ORDER BY o), keep rn <= n.
+
+    Top-level clause only, and ORDER BY is REQUIRED (ClickHouse applies
+    LIMIT BY after ORDER BY; without one 'first n per group' is
+    nondeterministic — raise rather than pick an order). The ORDER BY /
+    group expressions must reference selected columns (the rewrite wraps
+    the query as a subquery, so source-only columns are out of scope —
+    Spark's analyzer reports those). LIMIT n, offset BY and LIMIT BY
+    inside subqueries raise with the manual recipe."""
+    if _LIMIT_BY_OFFSET.search(sql):
+        raise CHTranslationError(
+            "LIMIT n, offset BY has no single-window equivalent; use a "
+            "ranked subquery with rn > offset AND rn <= offset + n"
+        )
+    hits = _depth0_matches(sql, _LIMIT_BY_FULL)
+    if not hits:
+        if _LIMIT_BY.search(sql):
+            raise CHTranslationError(
+                "LIMIT n BY inside a subquery is not rewritten; state it "
+                "explicitly with a ranked subquery: SELECT * FROM (... "
+                "ROW_NUMBER() OVER (PARTITION BY cols ORDER BY ...) AS rn) "
+                "WHERE rn <= n"
+            )
+        return sql
+    m = hits[0]
+    obs = [o for o in _depth0_matches(sql, _ORDER_BY_TOK) if o.end() <= m.start()]
+    if not obs:
+        raise CHTranslationError(
+            "LIMIT n BY without a top-level ORDER BY is nondeterministic "
+            "('first n per group' of an unordered set); add ORDER BY"
+        )
+    ob = obs[-1]
+    head = sql[: ob.start()].strip()
+    order_expr = sql[ob.end() : m.start()].strip().rstrip(",")
+    n = int(m.group(1))
+    rest = sql[m.end() :].strip()
+    tail = _TAIL_LIMIT.search(rest)
+    if tail:
+        group = rest[: tail.start()].strip().rstrip(",")
+        tail_sql = f" LIMIT {tail.group(1)}"
+    else:
+        group, tail_sql = rest.rstrip(","), ""
+    if not group:
+        raise CHTranslationError("LIMIT n BY: empty group expression list")
+    return (
+        f"SELECT * EXCEPT(__rn) FROM (SELECT *, ROW_NUMBER() OVER "
+        f"(PARTITION BY {group} ORDER BY {order_expr}) AS __rn FROM "
+        f"({head}) __lb) WHERE __rn <= {n} ORDER BY {order_expr}{tail_sql}"
+    )
 _FORMAT_TAIL = re.compile(r"\bFORMAT\s+\w+\s*;?\s*$", re.IGNORECASE)
 _SETTINGS_TAIL = re.compile(r"\bSETTINGS\s+[\w\s=,'.]+$", re.IGNORECASE)
 _WITH_TOTALS = re.compile(r"\bWITH\s+TOTALS\b", re.IGNORECASE)
@@ -968,13 +1052,7 @@ def translate_ch_sql(sql: str) -> str:
             "deduplicate the right side explicitly (dropDuplicates / "
             "row_number() = 1) to state which match you want"
         )
-    if _LIMIT_BY.search(sql):
-        raise CHTranslationError(
-            "LIMIT n BY cols depends on the outer query's row order; state "
-            "it explicitly with a ranked subquery: SELECT * FROM (... "
-            "ROW_NUMBER() OVER (PARTITION BY cols ORDER BY ...) AS rn) "
-            "WHERE rn <= n"
-        )
+    sql = _rewrite_limit_by(sql)
     if _WITH_FILL.search(sql):
         raise CHTranslationError(
             "ORDER BY ... WITH FILL generates spine rows the sort cannot "

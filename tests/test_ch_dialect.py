@@ -167,9 +167,29 @@ def test_translation_is_idempotent():
         assert t(once) == once
 
 
-def test_limit_by_raises_with_recipe():
-    with pytest.raises(CHTranslationError, match="ROW_NUMBER"):
-        t("SELECT a, b FROM t ORDER BY b LIMIT 3 BY a")
+def test_limit_by_translates(spark):
+    out = t("SELECT a, b FROM t ORDER BY b LIMIT 3 BY a")
+    assert "ROW_NUMBER() OVER (PARTITION BY a ORDER BY b)" in out
+    assert "__rn <= 3" in out and out.rstrip().endswith("ORDER BY b")
+    # trailing LIMIT m survives after the per-group cut
+    out = t("SELECT a, b FROM t ORDER BY b DESC LIMIT 2 BY a LIMIT 5")
+    assert "__rn <= 2" in out and out.rstrip().endswith("LIMIT 5")
+    # executed: first-2-per-group in the stated order
+    rows = ch_sql(
+        spark,
+        "SELECT v % 2 AS g, v FROM (SELECT explode(sequence(1, 9)) AS v) "
+        "ORDER BY v LIMIT 2 BY g",
+    ).collect()
+    assert sorted((r.g, r.v) for r in rows) == [(0, 2), (0, 4), (1, 1), (1, 3)]
+
+
+def test_limit_by_guards_raise():
+    with pytest.raises(CHTranslationError, match="nondeterministic"):
+        t("SELECT a, b FROM t LIMIT 3 BY a")
+    with pytest.raises(CHTranslationError, match="offset"):
+        t("SELECT a, b FROM t ORDER BY b LIMIT 3, 2 BY a")
+    with pytest.raises(CHTranslationError, match="subquery"):
+        t("SELECT * FROM (SELECT a, b FROM t ORDER BY b LIMIT 3 BY a) q")
 
 
 def test_timestamp_and_weekday_conventions(spark):
