@@ -51,6 +51,12 @@ def build_parser() -> argparse.ArgumentParser:
     p.add_argument("--show", type=int, default=20, help="rows to display for --query")
     p.add_argument("--compact", help="compact a warehouse table (exact dedup rewrite); needs --output")
     p.add_argument(
+        "--compact-buckets",
+        help="comma-separated block_bucket ids for --compact: rewrite only "
+        "those partitions via dynamic partition overwrite (the buckets a "
+        "re-ingest touched); omit for the full-table rewrite",
+    )
+    p.add_argument(
         "--canonicalize",
         action="store_true",
         help="evict reorged-out blocks (and their child rows) from the "
@@ -165,8 +171,14 @@ def main(argv: list[str] | None = None) -> int:
         from chainhouse_spark.sinks.parquet import compact_table
 
         spark = _cli_spark("chainhouse-compact")
-        compact_table(spark, args.compact, args.output)
-        print(f"compacted {args.compact}")
+        buckets = (
+            [int(b) for b in args.compact_buckets.split(",")]
+            if args.compact_buckets
+            else None
+        )
+        compact_table(spark, args.compact, args.output, buckets=buckets)
+        scope = f"buckets {buckets}" if buckets else "all buckets"
+        print(f"compacted {args.compact} ({scope})")
         _stop_if_owned(spark)
         return 0
 

@@ -16,6 +16,8 @@ Replaces the ClickHouse MergeTree side of the reference's contract
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -27,6 +29,18 @@ BLOCK_COL = {
     "events": "blockNumber",
     "withdraws": "blockNumber",
 }
+
+
+@contextmanager
+def _partition_overwrite(spark: SparkSession, mode: str):
+    """Temporarily set spark.sql.sources.partitionOverwriteMode."""
+    key = "spark.sql.sources.partitionOverwriteMode"
+    old = spark.conf.get(key, "static")
+    spark.conf.set(key, mode)
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
 
 
 def write_table(
@@ -78,20 +92,43 @@ def read_table(spark: SparkSession, name: str, base_path: str) -> DataFrame:
 
 
 def compact_table(
-    spark: SparkSession, name: str, base_path: str, bucket_size: int = 10_000
+    spark: SparkSession,
+    name: str,
+    base_path: str,
+    bucket_size: int = 10_000,
+    buckets: list[int] | None = None,
 ) -> None:
     """The ReplacingMergeTree background-merge analogue, made explicit:
     rewrite the table with exact key dedup applied, restoring the K9 sort
     within each partition. After compaction, plain `read_table` (no
     read-side dedup) is exact again.
 
-    Runs as overwrite-into-temp + swap so a crash never leaves a half-merged
-    table. At 100 TB this runs per-partition (block_bucket) on the buckets a
-    re-ingest actually touched — dynamic partition overwrite keeps untouched
-    history immutable.
+    Full-table mode (buckets=None) runs as overwrite-into-temp + swap so a
+    crash never leaves a half-merged table.
+
+    Targeted mode (`buckets=[...]`) is the 100 TB shape: only the
+    block_buckets a re-ingest actually touched rewrite, via Spark's
+    DYNAMIC partition overwrite — the scan partition-prunes to those
+    buckets, the write replaces exactly the partitions it emits, and every
+    untouched bucket's files stay byte-identical on disk (pinned by
+    tests/test_reorg.py::test_compact_targeted_buckets). The bucket list
+    for an ingest slice is `range(lo div bucket_size, hi div bucket_size + 1)`.
     """
     keys = DEDUP_KEYS[name]
     src = f"{base_path}/{name}"
+    if buckets is not None:
+        if not buckets:
+            return
+        healed = (
+            spark.read.parquet(src)
+            .filter(F.col("block_bucket").isin([int(b) for b in buckets]))
+            .dropDuplicates(keys)
+            .repartition("block_bucket")
+            .sortWithinPartitions(*keys)
+        )
+        with _partition_overwrite(spark, "dynamic"):
+            healed.write.mode("overwrite").partitionBy("block_bucket").parquet(src)
+        return
     tmp = f"{base_path}/{name}__compacting"
     (
         spark.read.parquet(src)

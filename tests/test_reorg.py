@@ -188,3 +188,46 @@ def test_canonicalize_warehouse_evicts_fork_and_children(spark, tmp_path):
     assert set(
         canonicalize_warehouse(spark, base, confirmation_depth=0).values()
     ) == {0}
+
+
+def test_compact_targeted_buckets(spark, tmp_path):
+    """Targeted compaction (dynamic partition overwrite) dedups ONLY the
+    named block_buckets; untouched buckets' files stay byte-identical."""
+    import os
+
+    from chainhouse_spark.sinks.parquet import (
+        compact_table,
+        read_table,
+        write_table,
+    )
+    from chainhouse_spark.sources.fixtures import raw_blocks_df
+    from chainhouse_spark.transforms import all_tables_from_raw
+
+    t = all_tables_from_raw(raw_blocks_df(spark, n_blocks=8, seed=7))
+    base = str(tmp_path / "wh")
+    # bucket_size=4 -> blocks 0-3 in bucket 0, 4-7 in bucket 1
+    write_table(t["blocks"], "blocks", base, bucket_size=4)
+    # re-ingest a slice covering bucket 1 only -> duplicates at rest there
+    dup = t["blocks"].filter(F.col("number") >= 4)
+    write_table(dup, "blocks", base, bucket_size=4, mode="append")
+    assert read_table(spark, "blocks", base).count() == 12
+
+    def file_state(bucket):
+        d = f"{base}/blocks/block_bucket={bucket}"
+        return sorted(
+            (f, os.path.getmtime(os.path.join(d, f)), os.path.getsize(os.path.join(d, f)))
+            for f in os.listdir(d)
+            if f.endswith(".parquet")
+        )
+
+    before_b0 = file_state(0)
+    compact_table(spark, "blocks", base, bucket_size=4, buckets=[1])
+    # bucket 1 deduped, bucket 0 rows intact, total back to 8
+    healed = read_table(spark, "blocks", base)
+    assert healed.count() == 8
+    assert healed.filter("block_bucket = 1").count() == 4
+    # bucket 0 files untouched byte-for-byte (name, mtime, size)
+    assert file_state(0) == before_b0
+    # no-op call
+    compact_table(spark, "blocks", base, bucket_size=4, buckets=[])
+    assert read_table(spark, "blocks", base).count() == 8
