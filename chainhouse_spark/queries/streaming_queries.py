@@ -147,3 +147,62 @@ def stream_user_value_state(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.collect_set("event_type")).cast("bigint").alias("n_types"),
     )
     return _run_to_table(agg, "complete")
+
+
+@register(
+    "stream_click_purchase_join",
+    oracle="""
+    SELECT c.user_id, c.ts AS click_ts, p.ts AS purchase_ts
+    FROM (SELECT user_id, ts FROM events WHERE event_type = 'click') c
+    JOIN (SELECT user_id, ts FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts > c.ts AND p.ts <= c.ts + INTERVAL 1 HOUR
+    """,
+)
+def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STREAM inner join with watermarks and a time-range condition
+    — the state-store join the pytest suite proves but the driver gate
+    never saw: clicks and purchases arrive as two independent streams of
+    the same source; each click joins the purchases of the same user
+    within the following hour.
+
+    Deterministic by construction: inner joins emit exactly the matching
+    pair set once both sides drain, and the single-file AvailableNow
+    sources run in one micro-batch, so the watermarks (which exist to
+    bound join state in a resident deployment) never drop a row here. The
+    emitted (user_id, click_ts, purchase_ts) rows equal the batch
+    interval-join, so the DuckDB hash gate applies to the streaming join
+    operator itself. At scale the 1-hour constraint + watermark is what
+    keeps both state stores bounded to an hour of traffic."""
+    # Watermarks demand TIMESTAMP (tz-aware); the tables carry
+    # timestamp_ntz. The session TZ is UTC, so cast -> process -> cast
+    # back is value-preserving and the output still hash-matches the
+    # oracle's ntz timestamps.
+    clicks = (
+        _stream_source(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "click")
+        .select("user_id", F.col("ts").cast("timestamp").alias("click_ts"))
+        .withWatermark("click_ts", "2 hours")
+    )
+    purchases = (
+        _stream_source(spark, sf_dir, "events")
+        .filter(F.col("event_type") == "purchase")
+        .select(
+            F.col("user_id").alias("p_user"),
+            F.col("ts").cast("timestamp").alias("purchase_ts"),
+        )
+        .withWatermark("purchase_ts", "2 hours")
+    )
+    joined = clicks.join(
+        purchases,
+        (F.col("user_id") == F.col("p_user"))
+        & (F.col("purchase_ts") > F.col("click_ts"))
+        & (F.col("purchase_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 HOUR")),
+        "inner",
+    ).select("user_id", "click_ts", "purchase_ts")
+    out = _run_to_table(joined, "append")
+    return out.select(
+        "user_id",
+        F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
+        F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
+    )
