@@ -161,6 +161,11 @@ def test_translation_is_idempotent():
         "SELECT formatDateTime(ts, '%Y-%m'), toStartOfInterval(ts, INTERVAL 5 MINUTE) FROM t",
         "SELECT quantiles(0.5, 0.9)(x), arrayCount(v -> v > 0, a), empty(a) FROM t",
         r"SELECT extractAll(s, '\d+'), replaceRegexpAll(s, 'x', 'y') FROM t",
+        # round-4 additions
+        "SELECT x FROM t ARRAY JOIN arr AS x WHERE x > 1",
+        "SELECT a, b FROM t ORDER BY b LIMIT 3 BY a",
+        "SELECT arrayCompact(a), hasAll(a, b), tupleElement(tp, 'k') FROM t",
+        "SELECT toMonday(d), toIntervalDay(3), roundBankers(x, 2) FROM t",
     ]
     for s in samples:
         once = t(s)
