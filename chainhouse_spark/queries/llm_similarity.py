@@ -373,3 +373,60 @@ def ann_bruteforce_gemm(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     res = brute_force_topk_gemm(emb, emb.filter(F.col("vec_id") < 5), k=10)
     return res.select("query_id", "cand_id", F.col("rank").cast("int").alias("rank"))
+
+
+@register(
+    "ann_ivf_at_rest_topk",
+    oracle="""
+    SELECT COUNT(*) AS n_queries, COUNT(*) * 10 AS n_results,
+           TRUE AS recall_ok, TRUE AS matches_memory
+    FROM embeddings WHERE vec_id < 5
+    """,
+)
+def ann_ivf_at_rest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The persisted-index flavor of ann_ivf_topk: ivf_write lays the
+    corpus out as parquet PARTITIONED BY coarse-quantizer cell (centroids
+    alongside), ivf_probe reads it back with a literal probed-cell IN-list
+    the scan turns into PartitionFilters — unprobed cells' files never
+    open. Invariant oracle (KMeans is not SQL-expressible): exact
+    query/result counts, recall@10 >= 0.6 vs brute force, AND
+    at-rest results == the in-memory ivf_topk at identical params (the
+    persisted path must not change a single rank)."""
+    import tempfile
+
+    from chainhouse_spark.operators.ivf import ivf_probe, ivf_topk, ivf_write
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    ivf_write(emb, idx, n_cells=16)
+    at_rest = ivf_probe(spark, idx, q, k=10, n_probe=8)
+    mem = ivf_topk(emb, q, k=10, n_cells=16, n_probe=8)
+
+    exact = brute_force_topk(emb, q, k=10)
+    hits = at_rest.join(
+        exact.select("query_id", "cand_id"), ["query_id", "cand_id"], "left_semi"
+    )
+    sym_diff = at_rest.select("query_id", "cand_id", "rank").exceptAll(
+        mem.select("query_id", "cand_id", "rank")
+    ).unionAll(
+        mem.select("query_id", "cand_id", "rank").exceptAll(
+            at_rest.select("query_id", "cand_id", "rank")
+        )
+    )
+    counts = at_rest.agg(
+        F.countDistinct("query_id").alias("n_queries"),
+        F.count(F.lit(1)).alias("n_results"),
+    )
+    return (
+        counts.crossJoin(
+            hits.agg(
+                (
+                    F.count(F.lit(1)).cast("double")
+                    >= F.lit(0.6) * F.lit(10.0) * F.lit(5.0)
+                ).alias("recall_ok")
+            )
+        ).crossJoin(
+            sym_diff.agg((F.count(F.lit(1)) == 0).alias("matches_memory"))
+        )
+    )
