@@ -206,3 +206,117 @@ def stream_click_purchase_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("click_ts").cast("timestamp_ntz").alias("click_ts"),
         F.col("purchase_ts").cast("timestamp_ntz").alias("purchase_ts"),
     )
+
+
+def _lsh_full_oracle() -> str:
+    """The batch dedup_minhash_lsh oracle, reused verbatim: the streaming
+    epochs' union must equal the full-corpus LSH candidate set."""
+    from chainhouse_spark.queries.llm_dedup import _DUCK_MINHASH, _DUCK_SHINGLES
+
+    return (
+        "WITH " + _DUCK_SHINGLES + ", " + _DUCK_MINHASH + """,
+    sig AS (SELECT doc_id, ARRAY_AGG(h ORDER BY s) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.b AS band,
+               md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ',')) AS bh
+        FROM sig, (SELECT UNNEST(range(0, 4)) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    )
+    SELECT c.doc_a, c.doc_b,
+           CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16
+               AS est_jaccard
+    FROM cand c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b AND mb.s = ma.s
+    GROUP BY c.doc_a, c.doc_b
+    """
+    )
+
+
+@register("stream_incremental_lsh_pairs", oracle=None)
+def stream_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Resident-ingest near-dedup: documents arrive as two 'crawl days'
+    (even doc_ids, then odd), and each foreachBatch increment signs ONLY
+    the new docs, unions the persisted signature store, and runs LSH in
+    incremental mode — all-old buckets dropped before expansion, only
+    delta-involving pairs emitted (operators/dedup.py lsh_candidate_pairs
+    delta contract). Because every pair involves a newest-arrival doc in
+    exactly one epoch, the epochs are disjoint and their union equals the
+    full-corpus batch LSH candidate set — which is exactly what the DuckDB
+    oracle (the dedup_minhash_lsh SQL, unfiltered) checks. The driver's
+    hash gate therefore covers the streaming incremental path end to end.
+
+    At a steady state the per-increment cost tracks the delta: signatures
+    computed for new docs only, the store read is (doc_id, sig) rows (16
+    BIGINTs per doc, never text), and bucket pruning drops the all-old
+    buckets that dominate a mature corpus. Epoch output lands in
+    epoch=N subdirs (idempotent overwrite per epoch — replays rewrite,
+    never duplicate).
+    """
+    import glob as _glob
+
+    from chainhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    land = tempfile.mkdtemp(prefix="lsh_land_")
+    # Simulate two crawl days WITHOUT driver-collecting the corpus: write
+    # each half via Spark, then symlink its part file into the landing dir.
+    for i, pred in enumerate(["doc_id % 2 = 0", "doc_id % 2 = 1"]):
+        d = tempfile.mkdtemp(prefix=f"lsh_day{i}_")
+        docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(d)
+        part = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
+        os.symlink(part, os.path.join(land, f"day{i}.parquet"))
+
+    sig_store = tempfile.mkdtemp(prefix="lsh_sigs_")
+    out_dir = tempfile.mkdtemp(prefix="lsh_pairs_")
+
+    def handle(batch_df: DataFrame, epoch_id: int) -> None:
+        delta = minhash_signatures(
+            batch_df, num_hashes=16, shingle_words=3
+        ).withColumn("is_delta", F.lit(True))
+        stored = _glob.glob(os.path.join(sig_store, "epoch=*"))
+        if stored:
+            old = spark.read.parquet(*stored).withColumn("is_delta", F.lit(False))
+            sigs = old.unionByName(delta)
+        else:
+            sigs = delta
+        pairs = lsh_candidate_pairs(
+            sigs, num_hashes=16, bands=4, delta_col="is_delta"
+        )
+        pairs.write.mode("overwrite").parquet(
+            os.path.join(out_dir, f"epoch={int(epoch_id)}")
+        )
+        delta.drop("is_delta").write.mode("overwrite").parquet(
+            os.path.join(sig_store, f"epoch={int(epoch_id)}")
+        )
+
+    schema = docs.schema
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(land)
+    )
+    q = (
+        stream.writeStream.foreachBatch(handle)
+        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_lsh_"))
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    epochs = _glob.glob(os.path.join(out_dir, "epoch=*"))
+    return spark.read.parquet(*epochs).select("doc_a", "doc_b", "est_jaccard")
+
+
+# Attach the oracle after definition: it needs llm_dedup's CTE fragments,
+# and register(oracle=...) runs at import time before that module may be
+# loaded when this module is imported standalone.
+from chainhouse_spark.queries.registry import ORACLES as _ORACLES  # noqa: E402
+
+_ORACLES["stream_incremental_lsh_pairs"] = _lsh_full_oracle()
