@@ -201,18 +201,22 @@ def lsh_candidate_pairs(
     )
     if delta_col is not None:
         expansion = f"filter({expansion}, p -> p.keep)"
-    pairs = (
+    # est_jaccard is computed BEFORE the cross-bucket pair dedup: it is a
+    # pure function of the pair, so deduping (doc_a, doc_b, est) equals
+    # deduping (doc_a, doc_b) — and the dedup exchange then carries 24
+    # bytes per pair instead of two 16-element BIGINT signatures (~10x
+    # less shuffle payload on the widest stage of the job).
+    return (
         buckets.select(F.explode(F.expr(expansion)).alias("p"))
-        .select("p.doc_a", "p.doc_b", "p.sig_a", "p.sig_b")
+        .select(
+            "p.doc_a",
+            "p.doc_b",
+            F.expr(
+                f"CAST(size(filter(zip_with(p.sig_a, p.sig_b, (x, y) -> x = y),"
+                f" v -> v)) AS DOUBLE) / {num_hashes}"
+            ).alias("est_jaccard"),
+        )
         .dropDuplicates(["doc_a", "doc_b"])
-    )
-    return pairs.select(
-        "doc_a",
-        "doc_b",
-        F.expr(
-            f"CAST(size(filter(zip_with(sig_a, sig_b, (x, y) -> x = y), v -> v)) AS DOUBLE)"
-            f" / {num_hashes}"
-        ).alias("est_jaccard"),
     )
 
 
