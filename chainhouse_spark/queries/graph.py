@@ -169,3 +169,65 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.abs(F.sum("rank") - F.lit(1.0)) < F.lit(1e-6)).alias("mass_conserved"),
         (F.min("rank") > F.lit(0.0)).alias("all_positive"),
     )
+
+
+@register(
+    "graph_bfs_hops",
+    # the recursive fixpoint needs the RECURSIVE keyword in DuckDB
+    oracle=_EDGE_CTE.replace("WITH op", "WITH RECURSIVE op") + """,
+    und AS (
+        SELECT src, dst FROM e UNION ALL SELECT dst, src FROM e
+    ),
+    s AS (SELECT MIN(src) AS s FROM e),
+    r AS (
+        SELECT s AS node, 0 AS hops FROM s
+        UNION
+        SELECT und.dst AS node, r.hops + 1 AS hops
+        FROM r JOIN und ON und.src = r.node
+        WHERE r.hops < 3
+    )
+    SELECT CAST(hops AS INT) AS hops, CAST(COUNT(*) AS BIGINT) AS n_nodes
+    FROM (SELECT node, MIN(hops) AS hops FROM r GROUP BY node)
+    GROUP BY hops ORDER BY hops
+    """,
+)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bounded BFS from the minimum-id node: how many parts sit 0/1/2/3
+    co-purchase hops away. Iterative frontier expansion — each level is
+    ONE join of the current frontier against the (undirected) edge list
+    plus an anti-join against the visited set, so level cost tracks
+    frontier x avg-degree, never nodes^2. The DuckDB oracle is the exact
+    recursive-CTE fixpoint (UNION-dedup on (node, hops), MIN per node),
+    making this one of the few ITERATIVE operators with a full value
+    oracle rather than an invariant twin.
+
+    At 100 TB the visited set and frontier are (node, hop) pairs —
+    broadcastable for the hub-and-spoke graphs BFS is used on; for
+    adversarial giant frontiers the joins degrade gracefully to shuffle
+    joins on node id."""
+    edges = _edges(spark, sf_dir)
+    und = edges.unionAll(
+        edges.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    ).localCheckpoint()
+    source = edges.agg(F.min("src")).first()[0]
+
+    visited = spark.createDataFrame([(int(source), 0)], "node long, hops int")
+    frontier = visited
+    for depth in range(1, 4):
+        nxt = (
+            frontier.join(und, frontier.node == und.src)
+            .select(F.col("dst").alias("node"))
+            .distinct()
+            .join(visited.select("node"), "node", "left_anti")
+            .withColumn("hops", F.lit(depth))
+            .localCheckpoint()
+        )
+        if nxt.isEmpty():
+            break
+        visited = visited.unionByName(nxt).localCheckpoint()
+        frontier = nxt
+    return (
+        visited.groupBy("hops")
+        .agg(F.count(F.lit(1)).alias("n_nodes"))
+        .orderBy("hops")
+    )
