@@ -136,3 +136,55 @@ def range_join(
             & (F.col(f"r.{right_ts}") <= hi),
         )
     )
+
+
+def asof_join_nearest(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    right_payload: list[str],
+    tie_col: str | None = None,
+) -> DataFrame:
+    """Nearest as-of join: for each left row, the right row with the
+    SMALLEST absolute time gap in the key group — before or after
+    (sensor/price alignment where either neighbor is acceptable). Equal
+    gaps prefer the backward (at-or-before) match, mirroring the
+    tie-matching of the directional joins.
+
+    Built as backward-carry then forward-carry chained over the same key
+    — two windows on one partitioning (Catalyst reuses the exchange), so
+    still no inequality join anywhere. Output adds `__asof_dir`
+    ('b'/'f'/NULL) naming which side won.
+    """
+    rts = "__nearest_rts"
+    r = right.withColumn(rts, F.col(ts))
+    payload = list(right_payload) + [rts]
+    back = asof_join(left, r, by, ts, payload, tie_col)
+    for c in payload:
+        back = back.withColumnRenamed(c, f"__b_{c}")
+    both = asof_join_forward(back, r, by, ts, payload, tie_col)
+    for c in payload:
+        both = both.withColumnRenamed(c, f"__f_{c}")
+
+    # plain subtraction: day-time INTERVAL for timestamps, numeric for
+    # numeric ts columns — both compare with <= (a double cast would
+    # reject TIMESTAMP_NTZ)
+    gap_b = F.col(ts) - F.col(f"__b_{rts}")
+    gap_f = F.col(f"__f_{rts}") - F.col(ts)
+    pick_b = F.when(F.col(f"__b_{rts}").isNull(), F.lit(False)).otherwise(
+        F.col(f"__f_{rts}").isNull() | (gap_b <= gap_f)
+    )
+    out_cols = [c for c in left.columns]
+    sel = [F.col(c) for c in out_cols]
+    for c in right_payload:
+        sel.append(
+            F.when(pick_b, F.col(f"__b_{c}")).otherwise(F.col(f"__f_{c}")).alias(c)
+        )
+    sel.append(
+        F.when(F.col(f"__b_{rts}").isNull() & F.col(f"__f_{rts}").isNull(), F.lit(None))
+        .when(pick_b, F.lit("b"))
+        .otherwise(F.lit("f"))
+        .alias("__asof_dir")
+    )
+    return both.select(*sel)

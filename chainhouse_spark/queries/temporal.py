@@ -205,3 +205,69 @@ def asof_next_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_seconds(F.col("ts").cast("timestamp"))
         ).cast("bigint").alias("secs_to_error"),
     )
+
+
+@register(
+    "asof_nearest_click",
+    oracle="""
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts AS cts, event_id AS click_id
+        FROM events WHERE event_type = 'click'
+    ),
+    j AS (
+        SELECT p.event_id, p.user_id, p.ts, c.cts, c.click_id,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY CASE WHEN c.cts <= p.ts THEN p.ts - c.cts
+                                 ELSE c.cts - p.ts END ASC,
+                            CASE WHEN c.cts <= p.ts THEN 0 ELSE 1 END ASC,
+                            CASE WHEN c.cts <= p.ts THEN -c.click_id
+                                 ELSE c.click_id END ASC
+               ) AS rn
+        FROM p JOIN c ON p.user_id = c.user_id
+    )
+    SELECT event_id, user_id, click_id,
+           CASE WHEN cts <= ts THEN 'b' ELSE 'f' END AS direction,
+           CAST(epoch_us(CASE WHEN cts <= ts THEN ts - cts ELSE cts - ts END)
+                AS BIGINT) AS gap_us
+    FROM j WHERE rn = 1
+    """,
+)
+def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """NEAREST-neighbor as-of: each purchase matched to the closest click
+    of the same user — before OR after, whichever is nearer (equal gaps
+    prefer the preceding click). The sensor-alignment flavor DuckDB/kdb
+    ship as ASOF's 'nearest' mode; here it is the backward+forward
+    union-carry pair sharing one key partitioning, so the whole operator
+    stays at one logical shuffle with no inequality join. The oracle is
+    the exact per-purchase argmin with the operator's literal tie order
+    (backward: greatest click id at equal ts; forward: smallest)."""
+    from chainhouse_spark.operators.asof import asof_join_nearest
+
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter("event_type = 'purchase'").select(
+        "event_id", "user_id", "ts"
+    )
+    clicks = e.filter("event_type = 'click'").select(
+        "user_id",
+        "ts",
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("cts"),
+    )
+    matched = asof_join_nearest(
+        purchases, clicks, by="user_id", ts="ts",
+        right_payload=["click_id", "cts"], tie_col="click_id",
+    )
+    return matched.filter(F.col("click_id").isNotNull()).select(
+        "event_id",
+        "user_id",
+        "click_id",
+        F.col("__asof_dir").alias("direction"),
+        F.abs(
+            F.unix_micros(F.col("ts").cast("timestamp"))
+            - F.unix_micros(F.col("cts").cast("timestamp"))
+        ).alias("gap_us"),
+    )
