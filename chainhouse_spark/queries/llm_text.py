@@ -343,3 +343,59 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("token_id")
         .limit(1000)
     )
+
+
+_FH_BUCKETS = 64
+
+
+@register(
+    "feature_hashing_vectorize",
+    oracle=f"""
+    WITH tok AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents WHERE doc_id < 100
+    ),
+    bucketed AS (
+        SELECT doc_id,
+               ((strpos('0123456789abcdef', substr(md5(token), 1, 1)) - 1) * 16
+                + (strpos('0123456789abcdef', substr(md5(token), 2, 1)) - 1))
+               % {_FH_BUCKETS} AS bucket
+        FROM tok WHERE token <> ''
+    )
+    SELECT doc_id, CAST(bucket AS INT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS weight
+    FROM bucketed
+    GROUP BY doc_id, bucket
+    ORDER BY doc_id, bucket
+    """,
+)
+def feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hashing-trick featurization (Weinberger et al. 2009, 'Feature
+    hashing for large scale multitask learning'): every token maps to one
+    of 64 buckets by md5, and a document's feature vector is the bucket
+    count histogram — emitted in sparse (doc_id, bucket, weight) form,
+    the layout a trainer's sparse-matrix loader ingests directly.
+
+    Vocabulary-free by design: no dictionary to build, broadcast, or keep
+    consistent across corpus versions — the mapping is a pure hash, so
+    features are stable under corpus growth (same property as the hash
+    samplers). One tokenize pass, map-side bucket assignment, one
+    (doc_id, bucket)-keyed hash aggregation; the shuffle carries two ints
+    and a count per nonzero, never tokens. md5-derived buckets reproduce
+    exactly in the oracle."""
+    docs = load_table(spark, sf_dir, "documents").filter("doc_id < 100")
+    tok = docs.select(
+        "doc_id", F.explode(F.split("text", " ")).alias("token")
+    ).filter("token <> ''")
+    bucketed = tok.select(
+        "doc_id",
+        F.expr(
+            f"CAST(CAST(conv(substring(md5(token), 1, 2), 16, 10) AS BIGINT)"
+            f" % {_FH_BUCKETS} AS INT)"
+        ).alias("bucket"),
+    )
+    return (
+        bucketed.groupBy("doc_id", "bucket")
+        .agg(F.count(F.lit(1)).alias("weight"))
+        .orderBy("doc_id", "bucket")
+    )
