@@ -26,7 +26,7 @@ lists are the only large state, and they partition by term hash.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chainhouse_spark.functions.vector import cosine_sql
@@ -347,3 +347,156 @@ def search_phrase_match(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.min("a.pos").alias("first_pos"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Hard-negative mining for contrastive retrieval training
+# --------------------------------------------------------------------------
+
+_HN_POS = 3       # top-ranked docs = positives
+_HN_CAND = 20     # candidate pool = next _HN_CAND ranks
+_HN_K = 10        # negatives kept
+_HN_SIM = 0.5     # near-dup exclusion threshold (est Jaccard)
+
+
+@register(
+    "mine_hard_negatives",
+    oracle=None,  # composed below after the CTE fragments import
+)
+def mine_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hard-negative mining, the data-prep step of contrastive retrieval
+    training (e.g. DPR, Karpukhin et al. 2020): the BM25 top-3 docs are
+    the positives; the next 20 ranks are the candidate pool ('close but
+    not chosen' — the informative negatives); candidates that are MinHash
+    near-duplicates (est Jaccard >= 0.5) of ANY positive are excluded
+    (they are unlabeled positives, the classic false-negative trap); the
+    first 10 survivors by rank are the negatives.
+
+    Scale: the expensive parts are exactly the two already-bounded
+    operators it composes — the map-only BM25 scorer with its top-k, and
+    LSH signatures restricted by semi-join to the positive∪candidate set
+    (3 + 20 docs), so the near-dup check is a tiny bucket join no matter
+    the corpus size."""
+    from chainhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    stats = d.selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS dl",
+        *[
+            f"size(filter(split(text, ' '), x -> x = '{t}')) AS tf_{t}"
+            for t in _QUERY_TERMS
+        ],
+    )
+    g = stats.selectExpr(
+        "COUNT(*) AS n",
+        "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl",
+        *[
+            f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+            for t in _QUERY_TERMS
+        ],
+    )
+    score = _bm25_score_sql()
+    ranked = (
+        stats.crossJoin(F.broadcast(g))
+        .filter(F.expr(" + ".join(f"tf_{t}" for t in _QUERY_TERMS)) > 0)
+        .select("doc_id", F.expr(score).alias("__raw"))
+        .orderBy(F.desc("__raw"), F.asc("doc_id"))
+        .limit(_HN_POS + _HN_CAND)
+        .select(
+            "doc_id",
+            F.row_number()
+            .over(Window.orderBy(F.desc("__raw"), F.asc("doc_id")))
+            .alias("bm25_rank"),
+        )
+    )
+    pos = ranked.filter(F.col("bm25_rank") <= _HN_POS)
+    cand = ranked.filter(F.col("bm25_rank") > _HN_POS)
+
+    pool = d.join(
+        F.broadcast(ranked.select("doc_id")), "doc_id", "left_semi"
+    )
+    sigs = minhash_signatures(pool, num_hashes=16, shingle_words=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=16, bands=4).filter(
+        F.col("est_jaccard") >= _HN_SIM
+    )
+    # near-dup of a positive, in either pair orientation
+    dup_of_pos = (
+        pairs.join(
+            F.broadcast(pos.select(F.col("doc_id").alias("doc_a"))), "doc_a", "left_semi"
+        )
+        .select(F.col("doc_b").alias("doc_id"))
+        .unionAll(
+            pairs.join(
+                F.broadcast(pos.select(F.col("doc_id").alias("doc_b"))),
+                "doc_b",
+                "left_semi",
+            ).select(F.col("doc_a").alias("doc_id"))
+        )
+        .distinct()
+    )
+    survivors = cand.join(F.broadcast(dup_of_pos), "doc_id", "left_anti")
+    return (
+        survivors.select(
+            "doc_id",
+            "bm25_rank",
+            F.row_number()
+            .over(Window.orderBy(F.asc("bm25_rank")))
+            .alias("neg_rank"),
+        )
+        .filter(F.col("neg_rank") <= _HN_K)
+        .orderBy("neg_rank")
+    )
+
+
+def _hard_negatives_oracle() -> str:
+    from chainhouse_spark.queries.llm_dedup import _DUCK_MINHASH, _DUCK_SHINGLES
+
+    return f"""
+    WITH ranked AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY score DESC, doc_id) AS bm25_rank
+        FROM (
+            SELECT doc_id, {_bm25_score_sql()} AS score
+            FROM ({_bm25_stats_sql("string_split(text, ' ')")}) stats,
+                 ({_BM25_GLOBALS.replace("FROM stats",
+                     "FROM (" + _bm25_stats_sql("string_split(text, ' ')") + ") stats")}) g
+            WHERE {" + ".join(f"tf_{t}" for t in _QUERY_TERMS)} > 0
+        )
+        ORDER BY bm25_rank LIMIT {_HN_POS + _HN_CAND}
+    ),
+    {_DUCK_SHINGLES.strip().lstrip()},
+    {_DUCK_MINHASH.strip()},
+    sim AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(SUM(CASE WHEN a.h = b.h THEN 1 ELSE 0 END) AS DOUBLE) / 16
+                   AS est
+        FROM mh a JOIN mh b ON a.s = b.s AND a.doc_id < b.doc_id
+        WHERE a.doc_id IN (SELECT doc_id FROM ranked)
+          AND b.doc_id IN (SELECT doc_id FROM ranked)
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    dup_of_pos AS (
+        SELECT s.doc_b AS doc_id FROM sim s
+        JOIN ranked p ON p.doc_id = s.doc_a AND p.bm25_rank <= {_HN_POS}
+        WHERE s.est >= {_HN_SIM}
+        UNION
+        SELECT s.doc_a FROM sim s
+        JOIN ranked p ON p.doc_id = s.doc_b AND p.bm25_rank <= {_HN_POS}
+        WHERE s.est >= {_HN_SIM}
+    )
+    SELECT doc_id, CAST(bm25_rank AS BIGINT) AS bm25_rank,
+           CAST(ROW_NUMBER() OVER (ORDER BY bm25_rank) AS BIGINT) AS neg_rank
+    FROM ranked
+    WHERE bm25_rank > {_HN_POS}
+      AND doc_id NOT IN (SELECT doc_id FROM dup_of_pos)
+    ORDER BY neg_rank LIMIT {_HN_K}
+    """
+
+
+from chainhouse_spark.queries.registry import ORACLES as _SEARCH_ORACLES  # noqa: E402
+
+_SEARCH_ORACLES["mine_hard_negatives"] = _hard_negatives_oracle()
