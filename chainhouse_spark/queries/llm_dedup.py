@@ -7,7 +7,7 @@ strings reproduce exactly across engines).
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chainhouse_spark.operators.dedup import (
@@ -371,4 +371,115 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.size(F.collect_set("doc_id")).cast("long").alias("n_docs"))
         .filter(F.col("n_docs") >= 2)
         .select(F.md5("shingle").alias("shingle_md5"), "n_docs")
+    )
+
+
+@register(
+    "dedup_ppjoin_exact",
+    oracle="""
+    WITH
+    """ + _DUCK_SHINGLES + """,
+    freq AS (SELECT shingle, COUNT(*) AS cnt FROM sh GROUP BY shingle),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    ordered AS (
+        SELECT s.doc_id, s.shingle,
+               ROW_NUMBER() OVER (PARTITION BY s.doc_id
+                                  ORDER BY f.cnt, s.shingle) AS pos
+        FROM sh s JOIN freq f ON f.shingle = s.shingle
+    ),
+    prefix AS (
+        SELECT o.doc_id, o.shingle
+        FROM ordered o JOIN sz ON sz.doc_id = o.doc_id
+        WHERE o.pos <= sz.n_sh - ((4 * sz.n_sh + 4) // 5) + 1
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM prefix a JOIN prefix b
+          ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+    ),
+    common AS (
+        SELECT c.doc_a, c.doc_b, COUNT(*) AS n_common
+        FROM cand c
+        JOIN sh a ON a.doc_id = c.doc_a
+        JOIN sh b ON b.doc_id = c.doc_b AND b.shingle = a.shingle
+        GROUP BY c.doc_a, c.doc_b
+    )
+    SELECT doc_a, doc_b,
+           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+    FROM common
+    JOIN sz sa ON sa.doc_id = doc_a
+    JOIN sz sb ON sb.doc_id = doc_b
+    WHERE n_common * 5 >= 4 * (sa.n_sh + sb.n_sh - n_common)
+    """,
+)
+def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PPJoin-style EXACT Jaccard >= 0.8 similarity join via prefix
+    filtering (Xiao et al. 2008, 'Efficient similarity joins for near
+    duplicate detection') — the no-false-negative alternative to LSH
+    candidate generation: sort each doc's shingles rarest-first by global
+    frequency; two docs can reach Jaccard >= t only if they share a token
+    inside their first |x| - ceil(t|x|) + 1 shingles, so the candidate
+    join runs on PREFIX tokens only (rare by construction — tiny posting
+    lists), then exact verification counts the full intersections of the
+    surviving pairs.
+
+    Everything is integer-exact: ceil(0.8 n) computed as (4n + 4) div 5
+    (a float 0.8*n misrounds at n % 5 == 0 boundaries), the threshold
+    filter as the cross-multiplication 5*common >= 4*union, one final
+    float division for the reported jaccard. Shuffles carry (shingle,
+    doc_id) pairs and counts — never text. Pinned equal to the all-pairs
+    dedup_ngram_jaccard at the same threshold in tests."""
+    docs = load_table(spark, sf_dir, "documents")
+    sh = (
+        docs.select(
+            "doc_id",
+            F.explode(
+                F.expr(
+                    "array_distinct(transform(sequence(1, "
+                    "greatest(size(split(text, ' ')) - 2, 1)), "
+                    "i -> concat_ws(' ', slice(split(text, ' '), i, 3))))"
+                )
+            ).alias("shingle"),
+        )
+    ).localCheckpoint()
+    freq = sh.groupBy("shingle").agg(F.count(F.lit(1)).alias("cnt"))
+    sz = sh.groupBy("doc_id").agg(F.count(F.lit(1)).alias("n_sh"))
+    w = Window.partitionBy("doc_id").orderBy("cnt", "shingle")
+    prefix = (
+        sh.join(freq, "shingle")
+        .withColumn("pos", F.row_number().over(w))
+        .join(sz, "doc_id")
+        .filter(F.expr("pos <= n_sh - ((4 * n_sh + 4) div 5) + 1"))
+        .select("doc_id", "shingle")
+    )
+    a = prefix.alias("a")
+    b = prefix.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.shingle") == F.col("b.shingle"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+    common = (
+        cand.join(sh.alias("sa"), F.col("sa.doc_id") == F.col("doc_a"))
+        .join(
+            sh.alias("sb"),
+            (F.col("sb.doc_id") == F.col("doc_b"))
+            & (F.col("sb.shingle") == F.col("sa.shingle")),
+        )
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count(F.lit(1)).alias("n_common"))
+    )
+    return (
+        common.join(sz.selectExpr("doc_id AS doc_a", "n_sh AS na"), "doc_a")
+        .join(sz.selectExpr("doc_id AS doc_b", "n_sh AS nb"), "doc_b")
+        .filter("n_common * 5 >= 4 * (na + nb - n_common)")
+        .select(
+            "doc_a",
+            "doc_b",
+            (F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias("jaccard"),
+        )
     )

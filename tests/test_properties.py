@@ -279,3 +279,21 @@ def test_lsh_star_cap_preserves_near_dup_clusters(spark):
 
     sizes = Counter(cid for _, cid in uncapped)
     assert sorted(v for v in sizes.values() if v > 1) == [40] * 5
+
+
+def test_ppjoin_equals_allpairs_jaccard(spark):
+    """Prefix filtering must lose NOTHING: dedup_ppjoin_exact (candidate
+    generation on rarest-first prefixes) returns exactly the all-pairs
+    exact-Jaccard >= 0.8 result."""
+    from chainhouse_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    pp = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in QUERIES["dedup_ppjoin_exact"](spark, sf).collect()
+    }
+    full = {
+        (r.doc_a, r.doc_b, round(r.jaccard, 12))
+        for r in QUERIES["dedup_ngram_jaccard"](spark, sf).collect()
+    }
+    assert pp == full and len(pp) > 0
