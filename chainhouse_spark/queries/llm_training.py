@@ -230,3 +230,77 @@ def batch_by_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket", "batch_id")
     )
+
+
+@register(
+    "export_training_shards",
+    oracle=f"""
+    WITH assigned AS (
+        SELECT doc_id,
+               {_duck_hex_fold(_SHUF_DUCK, 1, 8)} % {N_SHARDS} AS shard,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    )
+    SELECT shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           md5(string_agg(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id))
+               AS checksum
+    FROM assigned
+    GROUP BY shard
+    ORDER BY shard
+    """,
+)
+def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PHYSICAL last mile of corpus_shuffle_shards: write the corpus
+    to shard-partitioned parquet, read the files back, and emit the
+    export manifest per shard — doc count, token count, and an md5
+    checksum of the sorted doc-id list. The oracle recomputes every
+    manifest value from the SOURCE table, so a write that dropped,
+    duplicated, or cross-assigned a single row breaks the hash gate:
+    the driver is verifying the round-trip through the filesystem, not
+    just the assignment arithmetic.
+
+    Scale: the write is repartition(shard) + partitionBy (one shuffle,
+    each executor streams its shards); the manifest is a per-shard agg
+    over (doc_id, n_tok) — the checksum's collect_list is per-shard
+    (corpus/N ids of 8 bytes), the standard manifest-builder cost."""
+    import tempfile
+
+    docs = load_table(spark, sf_dir, "documents")
+    assigned = docs.select(
+        "doc_id",
+        "text",
+        F.expr(
+            f"CAST(conv(substring({_SHUF}, 1, 8), 16, 10) AS BIGINT) % {N_SHARDS}"
+        ).alias("shard"),
+    )
+    out = tempfile.mkdtemp(prefix="shards_")
+    (
+        assigned.repartition("shard")
+        .write.mode("overwrite")
+        .partitionBy("shard")
+        .parquet(out)
+    )
+    reloaded = spark.read.parquet(out)
+    return (
+        reloaded.select(
+            "shard",
+            "doc_id",
+            F.size(F.split("text", " ")).cast("long").alias("n_tok"),
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tok").alias("n_tokens"),
+            # sort the LONGS, then render: sorting rendered strings would
+            # order "10" before "2" and break the oracle's numeric ORDER BY
+            F.md5(
+                F.expr(
+                    "concat_ws(',', transform(array_sort(collect_list(doc_id)),"
+                    " x -> CAST(x AS STRING)))"
+                )
+            ).alias("checksum"),
+        )
+        .orderBy("shard")
+    )
