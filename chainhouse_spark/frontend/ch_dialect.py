@@ -262,6 +262,21 @@ _ARITH = {"plus": "+", "minus": "-", "multiply": "*", "divide": "/",
 _IF_AGG = {"countif": "COUNT", "sumif": "SUM", "avgif": "AVG",
            "minif": "MIN", "maxif": "MAX"}
 
+# Aggregates whose -If combinator reduces to NULL-gating the argument
+# (every Spark agg here skips NULLs). Single-argument aggs only — argMaxIf
+# etc. would need the condition applied across BOTH args; uniqExactIf has
+# its own COUNT(DISTINCT ...) shape below.
+_GENERIC_IF_AGG = {
+    "uniq": "APPROX_COUNT_DISTINCT",
+    "grouparray": "COLLECT_LIST",
+    "groupuniqarray": "COLLECT_SET",
+    "stddevpop": "STDDEV_POP",
+    "stddevsamp": "STDDEV_SAMP",
+    "varpop": "VAR_POP",
+    "varsamp": "VAR_SAMP",
+    "median": "MEDIAN",
+}
+
 # toIntervalX(n) -> MAKE_DT_INTERVAL/MAKE_YM_INTERVAL with n in the right
 # slot: (slot index, constructor, constructor arity).
 _INTERVAL_CTOR = {
@@ -481,6 +496,27 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         if len(args) != 2:
             raise CHTranslationError(f"{name}(x, cond) takes two arguments")
         return f"{agg}(IF({args[1]}, {args[0]}, NULL))"
+    if (low.endswith("state") or low.endswith("merge")) and low[:-5] in (
+        "count", "sum", "avg", "min", "max", "uniq", "uniqexact",
+        "uniqcombined", "quantile", "quantiles", "grouparray", "any",
+    ):
+        raise CHTranslationError(
+            f"{name}: -State/-Merge combinators exchange ClickHouse's "
+            "internal sketch/state serialization, which has no Spark "
+            "equivalent — keep partial aggregates as plain columns and "
+            "merge them associatively (the operators/incremental.py "
+            "partial_state/merge_states pattern)"
+        )
+    if low == "uniqexactif":
+        if len(args) != 2:
+            raise CHTranslationError("uniqExactIf(x, cond) takes two arguments")
+        return f"COUNT(DISTINCT IF({args[1]}, {args[0]}, NULL))"
+    if low.endswith("if") and low[:-2] in _GENERIC_IF_AGG:
+        # the -If combinator composes with any aggregate; NULL-gating the
+        # argument reproduces it for every agg that skips NULLs
+        if len(args) != 2:
+            raise CHTranslationError(f"{name}(x, cond) takes two arguments")
+        return f"{_GENERIC_IF_AGG[low[:-2]]}(IF({args[1]}, {args[0]}, NULL))"
     if low == "uniqexact":
         return f"COUNT(DISTINCT {', '.join(args)})"
     if low == "multiif":

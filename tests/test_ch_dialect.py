@@ -510,3 +510,28 @@ def test_round4_function_batch(spark):
     assert row.dz == 0 and row.mz == 0
     assert str(row.mon)[:10] == "2024-01-01"
     assert row.plus3.startswith("2024-01-04")
+
+
+def test_if_combinator_generalized(spark):
+    assert t("SELECT uniqIf(u, a = 1)") == (
+        "SELECT APPROX_COUNT_DISTINCT(IF(a = 1, u, NULL))"
+    )
+    assert t("SELECT uniqExactIf(u, a = 1)") == (
+        "SELECT COUNT(DISTINCT IF(a = 1, u, NULL))"
+    )
+    assert t("SELECT groupArrayIf(x, x > 0)") == (
+        "SELECT COLLECT_LIST(IF(x > 0, x, NULL))"
+    )
+    assert t("SELECT stddevPopIf(x, x > 0)") == (
+        "SELECT STDDEV_POP(IF(x > 0, x, NULL))"
+    )
+    row = ch_sql(
+        spark,
+        "SELECT uniqExactIf(v, v % 2 = 0) AS evens "
+        "FROM (SELECT explode(sequence(1, 10)) AS v)",
+    ).first()
+    assert row.evens == 5
+    with pytest.raises(CHTranslationError, match="State/-Merge"):
+        t("SELECT uniqState(u) FROM t")
+    with pytest.raises(CHTranslationError, match="State/-Merge"):
+        t("SELECT sumMerge(s) FROM t")
