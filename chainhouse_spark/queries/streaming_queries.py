@@ -320,3 +320,45 @@ def stream_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 from chainhouse_spark.queries.registry import ORACLES as _ORACLES  # noqa: E402
 
 _ORACLES["stream_incremental_lsh_pairs"] = _lsh_full_oracle()
+
+
+@register(
+    "stream_static_enrichment",
+    oracle="""
+    WITH dim AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(dim.first_day AS TIMESTAMP) AS cohort_day,
+           e.event_type,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(e.value AS DECIMAL(18, 2))) AS DOUBLE) AS total_value
+    FROM events e JOIN dim ON e.user_id = dim.user_id
+    GROUP BY 1, 2
+    """,
+)
+def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STREAM-STATIC join — the dimension-enrichment shape every resident
+    pipeline runs (stream fact rows against a broadcastable dim table):
+    the event stream joins a batch-computed per-user first-seen-day
+    dimension, then aggregates (cohort_day, event_type) in complete mode.
+    The static side re-evaluates per micro-batch in real deployments
+    (picking up dim updates); here it is fixed, which is exactly what
+    makes the final state equal the batch join — so the DuckDB gate
+    covers the streaming join operator itself. All JVM-side (no Python
+    workers)."""
+    dim = (
+        spark.read.parquet(f"{sf_dir}/events.parquet")
+        .groupBy("user_id")
+        .agg(F.min(F.col("ts").cast("date")).alias("first_day"))
+    )
+    stream = _stream_source(spark, sf_dir, "events")
+    enriched = stream.join(dim, "user_id")
+    agg = enriched.groupBy(
+        F.col("first_day").cast("timestamp_ntz").alias("cohort_day"),
+        "event_type",
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
+    )
+    return _run_to_table(agg, "complete")
