@@ -271,3 +271,90 @@ def asof_nearest_click(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.unix_micros(F.col("cts").cast("timestamp"))
         ).alias("gap_us"),
     )
+
+
+@register(
+    "interval_overlap_join_binned",
+    oracle="""
+    WITH a AS (
+        SELECT i AS a_id,
+               TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 12 HOUR AS a_start,
+               TIMESTAMP '2024-01-01 00:00:00' + i * INTERVAL 12 HOUR
+                 + INTERVAL 45 MINUTE AS a_end
+        FROM (SELECT unnest(generate_series(0, 59)) AS i)
+    ),
+    b AS (
+        SELECT j AS b_id,
+               TIMESTAMP '2024-01-01 00:00:00' + j * INTERVAL 8 HOUR AS b_start,
+               TIMESTAMP '2024-01-01 00:00:00' + j * INTERVAL 8 HOUR
+                 + INTERVAL 90 MINUTE AS b_end
+        FROM (SELECT unnest(generate_series(0, 89)) AS j)
+    )
+    SELECT a_id, b_id,
+           CAST(epoch_us(LEAST(a_end, b_end) - GREATEST(a_start, b_start))
+                / 60000000 AS BIGINT) AS overlap_min
+    FROM a JOIN b ON a_start < b_end AND b_start < a_end
+    ORDER BY a_id, b_id
+    """,
+)
+def interval_overlap_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Interval OVERLAP join — BOTH sides carry intervals and a pair
+    matches when they intersect (maintenance windows x incident windows:
+    'which incidents touched a maintenance window, and for how long').
+    The other classic key-less temporal join next to containment
+    (interval_join_binned): both interval sets explode into the 1-hour
+    epoch bins they touch, the planner gets an EQUI join on the bin,
+    shared-bin duplicates collapse with a distinct, and the exact
+    intersection predicate + overlap measure run post-join. Hash-joinable
+    at any interval-set size — the inequality form is a nested loop.
+    Both interval sets are deterministic constructions, so the oracle
+    states the raw inequality join with the exact overlap minutes."""
+    def mk(n: int, period_h: int, dur_min: int, id_name: str, pre: str):
+        return spark.range(n).select(
+            F.col("id").cast("int").alias(id_name),
+            F.expr(
+                f"TIMESTAMP_NTZ '2024-01-01 00:00:00' + id * INTERVAL {period_h} HOUR"
+            ).alias(f"{pre}_start"),
+            F.expr(
+                f"TIMESTAMP_NTZ '2024-01-01 00:00:00' + id * INTERVAL {period_h} HOUR"
+                f" + INTERVAL {dur_min} MINUTE"
+            ).alias(f"{pre}_end"),
+        )
+
+    a = mk(60, 12, 45, "a_id", "a")
+    b = mk(90, 8, 90, "b_id", "b")
+    bin_sec = 3600
+
+    def binned(df, pre):
+        return df.select(
+            "*",
+            F.explode(
+                F.sequence(
+                    (F.unix_seconds(F.col(f"{pre}_start").cast("timestamp")) / bin_sec).cast("long"),
+                    (F.unix_seconds(F.col(f"{pre}_end").cast("timestamp")) / bin_sec).cast("long"),
+                )
+            ).alias("bin"),
+        )
+
+    pairs = (
+        binned(a, "a")
+        .join(binned(b, "b"), "bin")
+        .filter(
+            (F.col("a_start") < F.col("b_end")) & (F.col("b_start") < F.col("a_end"))
+        )
+        .select("a_id", "b_id", "a_start", "a_end", "b_start", "b_end")
+        .distinct()
+    )
+    return pairs.select(
+        "a_id",
+        "b_id",
+        (
+            (
+                F.unix_micros(F.least("a_end", "b_end").cast("timestamp"))
+                - F.unix_micros(F.greatest("a_start", "b_start").cast("timestamp"))
+            )
+            / 60_000_000
+        )
+        .cast("long")
+        .alias("overlap_min"),
+    ).orderBy("a_id", "b_id")
