@@ -248,3 +248,33 @@ def test_bloom_identical_doc_always_flagged(spark):
     test = spark.createDataFrame([(100, text)], "doc_id long, text string")
     flagged = bloom_decontaminate(train, test).collect()
     assert any(r.doc_id == 0 for r in flagged)
+
+
+def test_asof_nearest_edges(spark):
+    """asof_join_nearest: backward-only, forward-only, exact-tie (prefers
+    backward), equidistant (prefers backward), and no-match keys."""
+    from chainhouse_spark.operators.asof import asof_join_nearest
+
+    left = spark.createDataFrame(
+        [(1, 100), (1, 10), (2, 5), (3, 50), (4, 7)],
+        "k long, t long",
+    )
+    right = spark.createDataFrame(
+        # k=1: rights at 20, 90 -> t=100 nearest 90 (b); t=10 nearest 20 (f)
+        # k=2: right at 5 -> exact tie matches backward
+        # k=3: rights at 40 and 60 -> equidistant, prefer backward (40)
+        # k=4: no rights
+        [(1, 20, 111), (1, 90, 222), (2, 5, 333), (3, 40, 444), (3, 60, 555)],
+        "k long, t long, payload long",
+    )
+    got = {
+        (r.k, r.t): (r.payload, r["__asof_dir"])
+        for r in asof_join_nearest(
+            left, right, by="k", ts="t", right_payload=["payload"]
+        ).collect()
+    }
+    assert got[(1, 100)] == (222, "b")
+    assert got[(1, 10)] == (111, "f")
+    assert got[(2, 5)] == (333, "b")   # exact ts tie counts as backward
+    assert got[(3, 50)] == (444, "b")  # equidistant -> backward wins
+    assert got[(4, 7)] == (None, None)
