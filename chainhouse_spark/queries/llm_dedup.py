@@ -18,7 +18,7 @@ from chainhouse_spark.operators.dedup import (
     simhash,
     simhash_near_pairs,
 )
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import FRUGAL_ORACLE, register
 from chainhouse_spark.tables import load_table
 
 # Shared DuckDB CTEs: distinct 3-word shingles per doc.
@@ -376,7 +376,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "dedup_ppjoin_exact",
-    oracle="""
+    oracle=FRUGAL_ORACLE + """
     WITH
     """ + _DUCK_SHINGLES + """,
     freq AS (SELECT shingle, COUNT(*) AS cnt FROM sh GROUP BY shingle),
