@@ -749,3 +749,85 @@ def stat_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("double")
         .alias("chi2"),
     )
+
+
+@register(
+    "stat_mann_whitney_u",
+    oracle="""
+    WITH v AS (
+        SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS na,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'error') AS BIGINT) AS nb
+        FROM events WHERE event_type IN ('purchase', 'error')
+        GROUP BY 1
+    ),
+    r AS (
+        SELECT c, na, nb, na + nb AS t,
+               COALESCE(SUM(na + nb) OVER (
+                   ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS c_lt
+        FROM v
+    ),
+    agg AS (
+        SELECT CAST(SUM(na) AS DOUBLE) AS n1,
+               CAST(SUM(nb) AS DOUBLE) AS n2,
+               CAST(SUM(na * (2 * c_lt + t + 1)) AS DOUBLE) AS r1_x2,
+               CAST(SUM(t * t * t - t) AS DOUBLE) AS ties
+        FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_a,
+           CAST(n2 AS BIGINT) AS n_b,
+           (r1_x2 - n1 * (n1 + 1.0)) / 2.0 AS u_stat,
+           ((r1_x2 - n1 * (n1 + 1.0)) / 2.0 - n1 * n2 / 2.0)
+             / SQRT(n1 * n2 / 12.0
+                    * ((n1 + n2 + 1.0)
+                       - ties / ((n1 + n2) * (n1 + n2 - 1.0)))) AS z_stat
+    FROM agg
+    """,
+)
+def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mann-Whitney U (Wilcoxon rank-sum) between two event populations —
+    the NONPARAMETRIC member of the A/B family next to Welch's t and the
+    KS D: rank-based, so outliers and non-normal value distributions
+    cannot distort it. Midranks come from exact integer counting over
+    DISTINCT cent values (2*midrank = 2*below + ties + 1 keeps every rank
+    term integral — no .5 floats in the aggregation), the tie-corrected
+    normal approximation uses the exact Σ(t³ − t), and the only float ops
+    are the final U/2 and z formulas on one aggregate row. The ordered
+    cumulative window runs over DISTINCT values (bounded cardinality —
+    the same shape as the KS/equi-depth queries), never raw rows."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    v = (
+        e.select(
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+            (F.col("event_type") == "purchase").alias("is_a"),
+        )
+        .groupBy("c")
+        .agg(
+            F.count(F.when(F.col("is_a"), 1)).alias("na"),
+            F.count(F.when(~F.col("is_a"), 1)).alias("nb"),
+        )
+        .withColumn("t", F.col("na") + F.col("nb"))
+    )
+    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
+    r = v.withColumn("c_lt", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    agg = r.agg(
+        F.sum("na").cast("double").alias("n1"),
+        F.sum("nb").cast("double").alias("n2"),
+        F.sum(F.col("na") * (2 * F.col("c_lt") + F.col("t") + 1))
+        .cast("double")
+        .alias("r1_x2"),
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("double")
+        .alias("ties"),
+    )
+    return agg.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_a",
+        "CAST(n2 AS BIGINT) AS n_b",
+        "(r1_x2 - n1 * (n1 + 1.0)) / 2.0 AS u_stat",
+        "((r1_x2 - n1 * (n1 + 1.0)) / 2.0 - n1 * n2 / 2.0)"
+        " / SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1.0)"
+        " - ties / ((n1 + n2) * (n1 + n2 - 1.0)))) AS z_stat",
+    )
