@@ -318,3 +318,96 @@ def ivfpq_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "cos_sim", "rank")
     )
+
+
+def pq_topk_broadcast_lut(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+    dim: int = 64,
+    m: int = 8,
+    k_sub: int = 16,
+    n_iter: int = 6,
+    shortlist: int = 50,
+) -> DataFrame:
+    """pq_topk with the ADC scan as an Arrow-batched numpy LUT pass — the
+    transport for LARGE codebooks (k_sub = 256 and up), where the
+    plan-literal form bloats every task's serialized plan with m*k*d_sub
+    doubles. Here the per-query lookup tables (LUT[q][j][code] =
+    dot(q_sub_j, codeword[j][code]), nq x m x k doubles) are broadcast
+    once via the SparkContext, and each Arrow batch scores all queries
+    with m vectorized gathers — per-row Python never runs.
+
+    Scoring floats come from numpy dot products, whose summation order
+    differs from the SQL fold at the last ulp, so this path re-ranks its
+    OWN shortlist with the same exact cosine as pq_topk; outputs match
+    pq_topk except where an ulp moved the shortlist boundary (tested
+    equal on the fixtures). Same bounded-collect contract: the query side
+    is a batch (collected to build the LUT), the corpus only streams."""
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    books = pq_fit(corpus, vec_col, dim, m, k_sub, n_iter)
+    d_sub = dim // m
+    enc = pq_encode(spread(corpus, id_col), books, vec_col).select(
+        F.col(id_col).alias("cand_id"), "codes"
+    )
+
+    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    qids = np.array([r[0] for r in q_rows], dtype=np.int64)
+    Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
+    B = np.array(books, dtype=np.float64)  # m x k x d_sub
+    lut = np.einsum("qjd,jkd->qjk", Q.reshape(len(qids), m, d_sub), B)
+    spark = corpus.sparkSession
+    bc = spark.sparkContext.broadcast((qids, lut))
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        ids, table = bc.value
+        nq = len(ids)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            codes = np.stack(pdf["codes"].to_numpy()).astype(np.int64)  # B x m
+            scores = np.zeros((nq, len(pdf)), dtype=np.float64)
+            for j in range(m):
+                scores += table[:, j, codes[:, j]]
+            cand = pdf["cand_id"].to_numpy()
+            yield pd.DataFrame(
+                {
+                    "query_id": np.repeat(ids, len(pdf)),
+                    "cand_id": np.tile(cand, nq),
+                    "adc": scores.reshape(-1),
+                }
+            )
+
+    scored = enc.mapInPandas(
+        gen, schema="query_id long, cand_id long, adc double"
+    ).filter(F.col("cand_id") != F.col("query_id"))
+
+    ws = Window.partitionBy("query_id").orderBy(F.desc("adc"), F.asc("cand_id"))
+    short = (
+        scored.withColumn("r", F.row_number().over(ws))
+        .filter(F.col("r") <= shortlist)
+        .select("query_id", "cand_id")
+    )
+    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    cv = corpus.select(F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"))
+    exact = (
+        short.join(cv, "cand_id")
+        .join(F.broadcast(q), "query_id")
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
+    return (
+        exact.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "cand_id", "cos_sim", "rank")
+    )

