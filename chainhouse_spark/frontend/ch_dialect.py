@@ -986,8 +986,11 @@ _SAMPLE = re.compile(r"\bSAMPLE\s+[\d./]+", re.IGNORECASE)
 _ARRAY_JOIN_START = re.compile(r"\b(LEFT\s+)?ARRAY\s+JOIN\s+", re.IGNORECASE)
 _AS_ALIAS = re.compile(r"^(.*\S)\s+AS\s+([A-Za-z_]\w*)$", re.IGNORECASE | re.DOTALL)
 _CLAUSE_KEYWORD = re.compile(
+    # ARRAY terminates only as 'ARRAY JOIN' — a bare ARRAY would truncate
+    # array(...) literal calls in the expression body (ADVICE r04).
     r"\b(?:WHERE|PREWHERE|GROUP|HAVING|ORDER|LIMIT|SETTINGS|FORMAT|UNION|"
-    r"INTERSECT|EXCEPT|LEFT|RIGHT|INNER|FULL|CROSS|JOIN|LATERAL|ARRAY)\b",
+    r"INTERSECT|EXCEPT|LEFT|RIGHT|INNER|FULL|CROSS|JOIN|LATERAL|"
+    r"ARRAY(?=\s+JOIN\b))\b",
     re.IGNORECASE,
 )
 
@@ -1088,6 +1091,11 @@ def translate_ch_sql(sql: str) -> str:
             "deduplicate the right side explicitly (dropDuplicates / "
             "row_number() = 1) to state which match you want"
         )
+    # Strip FORMAT/SETTINGS tails BEFORE the LIMIT BY rewrite: _TAIL_LIMIT
+    # anchors at end-of-string, so 'LIMIT 3 BY a SETTINGS ...' would
+    # otherwise swallow the tail into the PARTITION BY list.
+    sql = _FORMAT_TAIL.sub("", sql.rstrip())
+    sql = _SETTINGS_TAIL.sub("", sql.rstrip())
     sql = _rewrite_limit_by(sql)
     if _WITH_FILL.search(sql):
         raise CHTranslationError(
@@ -1098,8 +1106,6 @@ def translate_ch_sql(sql: str) -> str:
     sql = _FINAL.sub(r"\1", sql)
     sql = _rewrite_array_join(sql)
     sql = _GLOBAL.sub("", sql)
-    sql = _FORMAT_TAIL.sub("", sql.rstrip())
-    sql = _SETTINGS_TAIL.sub("", sql.rstrip())
     sql = _PREWHERE.sub("WHERE", sql)
     return _translate_calls(sql).strip()
 

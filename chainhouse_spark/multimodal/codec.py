@@ -86,7 +86,12 @@ def decode_real(payload: bytes, mime: str):
         from chainhouse_spark.multimodal.png import decode_png
 
         return decode_png(payload)
-    if mime in ("audio/wav", "audio/x-wav", "audio/wave") or payload[:4] == b"RIFF":
+    # RIFF is a container family (WAV but also WEBP/AVI): sniff requires
+    # the 'WAVE' form tag at bytes 8-12, else webp/avi payloads would die
+    # in the WAV decoder instead of the optional-library path (ADVICE r04).
+    if mime in ("audio/wav", "audio/x-wav", "audio/wave") or (
+        payload[:4] == b"RIFF" and payload[8:12] == b"WAVE"
+    ):
         return decode_wav(payload)
     try:
         if mime.startswith("image/"):

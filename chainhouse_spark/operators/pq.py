@@ -331,6 +331,7 @@ def pq_topk_broadcast_lut(
     k_sub: int = 16,
     n_iter: int = 6,
     shortlist: int = 50,
+    max_queries: int = 10_000,
 ) -> DataFrame:
     """pq_topk with the ADC scan as an Arrow-batched numpy LUT pass — the
     transport for LARGE codebooks (k_sub = 256 and up), where the
@@ -345,7 +346,14 @@ def pq_topk_broadcast_lut(
     OWN shortlist with the same exact cosine as pq_topk; outputs match
     pq_topk except where an ulp moved the shortlist boundary (tested
     equal on the fixtures). Same bounded-collect contract: the query side
-    is a batch (collected to build the LUT), the corpus only streams."""
+    is a batch (collected to build the LUT), the corpus only streams.
+
+    Broadcast lifecycle: the LUT broadcast must outlive the returned (lazy)
+    DataFrame, so it is NOT unpersisted here. In a resident session making
+    many calls, blocks accumulate (bounded by max_queries*m*k_sub doubles
+    each) until Spark's ContextCleaner collects them when the returned
+    plan is garbage-collected — force with `spark.sparkContext._jvm
+    .System.gc()` or recreate the session between large batches."""
     from collections.abc import Iterator
 
     import numpy as np
@@ -357,7 +365,22 @@ def pq_topk_broadcast_lut(
         F.col(id_col).alias("cand_id"), "codes"
     )
 
-    q_rows = queries.select(F.col(id_col), F.col(vec_col)).collect()
+    # Same bounded-collect guard as similarity.brute_force_topk_gemm: the
+    # query side lands on the driver (nq*m*k LUT doubles) — a mis-sized
+    # call must fail loudly, not OOM the driver. limit(max+1) bounds the
+    # collect itself.
+    q_rows = (
+        queries.select(F.col(id_col), F.col(vec_col))
+        .limit(max_queries + 1)
+        .collect()
+    )
+    if len(q_rows) > max_queries:
+        raise ValueError(
+            f"pq_topk_broadcast_lut: query side exceeds {max_queries} rows — "
+            "this operator collects the queries and broadcasts an nq*m*k LUT "
+            "(small-side contract). Batch the queries or raise max_queries "
+            "explicitly if the driver can hold the LUT."
+        )
     qids = np.array([r[0] for r in q_rows], dtype=np.int64)
     Q = np.array([list(r[1]) for r in q_rows], dtype=np.float64)
     B = np.array(books, dtype=np.float64)  # m x k x d_sub

@@ -62,91 +62,65 @@ from chainhouse_spark.queries import streaming_queries  # noqa: E402,F401
 # never-checked names, before the driver-green back), i.e. round-6+ windows.
 from chainhouse_spark.queries import llm_training  # noqa: E402,F401
 
-# Round-4 rotation. 140/222 queries hold a cumulative green driver verdict
-# (CORRECTNESS_r01+r02+r03, zero non-green rows outstanding); those rotate
-# to the back. The 82 never-driver-checked queries go in front, ordered so
-# the driver's ~50-query round-4 window lands on the highest-impact unproven
-# blocks first:
-#   1. eth parity family (#94-104 in the r03 ordering) — the external proof
-#      of the SURVEY §2 core (P1-P8, F1-F6, K8 vs reference src/main.rs).
-#   2. scalar library + UDF/UDAF/UDTF surface (#72-86) — the largest
-#      never-checked block.
-#   3. subqueries, set ops, sort/top-k, SQL frontend, pivot/lateral,
-#      windows tail, SCD2/CDC/incremental.
-# The remaining 32 never-checked names (_ROUND5_NEXT: graph/sketch-theta/
-# url-ip-geo/arrays, then the round-3 llm_advanced block, ch-dialect
-# frontend, streaming) are positioned 51-82 so they head the round-5
-# window deterministically. New round-4 queries register after them
-# (the mid bucket below) and queue for round 5+.
-_ROUND4_FRONT = [
-    # eth parity family — pinned first (VERDICT r03 task 2)
-    "eth_blocks_table", "eth_gas_by_block", "eth_event_topics",
-    "eth_withdrawal_totals", "eth_top_senders", "eth_contract_creations",
-    "eth_type2_fee_stats", "eth_log_address_activity",
-    "eth_erc20_transfer_decode", "eth_reorg_canonical", "eth_fee_burn",
-    # scalar library + UDF surface — largest unproven block
-    "scalar_string_funcs", "scalar_date_funcs", "scalar_math_funcs",
-    "scalar_conditional", "scalar_json", "scalar_array_funcs",
-    "udtf_token_counts", "udaf_gmean_by_type", "scalar_map_funcs",
-    "scalar_bitwise", "scalar_higher_order", "scalar_variant_json",
-    "scalar_regex", "scalar_null_semantics", "scalar_try_safety",
-    # subqueries
-    "subquery_in", "subquery_not_in", "subquery_exists_correlated",
-    "subquery_scalar", "subquery_correlated_scalar",
-    # set operations
-    "setop_union_distinct", "setop_union_all", "setop_intersect",
-    "setop_except", "setop_except_all",
-    # sort/top-k + SQL frontend + pivot/lateral
-    "sort_limit_topk", "sql_frontend_passthrough",
-    "sql_recursive_cte_spine", "sql_group_by_all", "agg_pivot",
-    "lateral_topk_per_customer",
-    # windows tail
-    "window_rank_fractions", "window_ignore_nulls",
-    "window_cumulative_distinct_users", "window_rolling_corr",
-    "window_moving_median",
-    # SCD2 / CDC / incremental maintenance
-    "scd2_customer_merge", "cdc_snapshot_diff", "incremental_agg_merge",
-]
-
-_ROUND5_NEXT = [
-    "sketch_theta_set_ops", "graph_degree_distribution",
-    "graph_triangle_count", "graph_pagerank", "scalar_url_funcs",
-    "scalar_ip_funcs", "geo_grid_near_pairs", "array_set_algebra",
-    "array_zip_positional",
-    # round-3 llm_advanced block
-    "agg_rollup_reagg", "agg_sum_map_merge", "embedding_quantize_int8",
-    "ann_quantized_topk", "decontaminate_bloom", "corpus_overlap_minhash",
-    "cluster_kmeans_summary", "ann_two_stage_rerank", "text_rarity_score",
-    "bpe_pair_stats", "embedding_random_projection",
-    "ann_projected_lsh_topk", "dedup_minhash_incremental",
-    "tokenize_with_vocab", "dedup_containment", "ann_pq_topk",
-    "ann_ivfpq_topk", "decontaminate_neardup_lsh",
-    # ClickHouse-dialect frontend + streaming
-    "ch_dialect_frontend", "ch_dialect_json_buckets",
+# Round-5 rotation. 187/239 queries hold a cumulative green driver verdict
+# (CORRECTNESS_r01..r04); those rotate to the back. Front = the 3 non-green
+# r04 rows (all root-caused + fixed this round: array/map outputs
+# string-serialized, oracle fixture write made atomic) followed by all 49
+# never-driver-checked queries, ordered by family impact per VERDICT r04:
+# streaming (zero external verdicts), the ANN quantizer family, ch-dialect,
+# the remaining array-surface fixes, then graph/sketch/url-ip-geo/arrays,
+# the llm_advanced remainder, and the round-4 training-pipeline additions.
+# 52 names vs a ~50-row window: the last two (batch_by_length_buckets,
+# export_training_shards) may spill to round 6.
+_ROUND5_FRONT = [
+    "eth_blocks_table", "eth_erc20_transfer_decode", "scalar_higher_order",
     "stream_tumbling_counts", "stream_dedup_keys", "stream_user_value_state",
+    "stream_click_purchase_join", "stream_incremental_lsh_pairs",
+    "stream_static_enrichment", "embedding_quantize_int8",
+    "ann_quantized_topk", "ann_pq_topk", "ann_ivfpq_topk",
+    "ann_ivf_at_rest_topk", "ann_two_stage_rerank",
+    "embedding_random_projection", "ann_projected_lsh_topk",
+    "ch_dialect_frontend", "ch_dialect_json_buckets", "array_set_algebra",
+    "agg_sum_map_merge", "tokenize_with_vocab", "graph_degree_distribution",
+    "graph_triangle_count", "graph_pagerank", "graph_bfs_hops",
+    "sketch_theta_set_ops", "scalar_url_funcs", "scalar_ip_funcs",
+    "geo_grid_near_pairs", "array_zip_positional", "agg_rollup_reagg",
+    "decontaminate_bloom", "corpus_overlap_minhash",
+    "cluster_kmeans_summary", "text_rarity_score", "bpe_pair_stats",
+    "dedup_minhash_incremental", "dedup_containment",
+    "decontaminate_neardup_lsh", "dedup_ppjoin_exact",
+    "feature_hashing_vectorize", "text_encoding_quality",
+    "pipeline_training_ready", "mine_hard_negatives", "asof_nearest_click",
+    "interval_overlap_join_binned", "stat_mann_whitney_u",
+    "corpus_shuffle_shards", "sample_weighted_reservoir",
+    "batch_by_length_buckets", "export_training_shards",
 ]
 
-# Union of green rows across CORRECTNESS_r01 + r02 + r03 (140 names,
-# regenerated from the JSON files — tools/correctness_coverage.py verifies).
+# Union of green rows across CORRECTNESS_r01..r04 (187 names, regenerated by
+# tools/build_rotation.py — tools/correctness_coverage.py verifies).
 _DRIVER_GREEN = {
     "agg_approx_distinct", "agg_conditional_bool", "agg_cube",
     "agg_distinct", "agg_grouping_sets", "agg_min_max_by",
-    "agg_mode_deterministic", "agg_percentiles", "agg_rollup",
+    "agg_mode_deterministic", "agg_percentiles", "agg_pivot", "agg_rollup",
     "agg_salted_two_phase", "agg_string_collect", "agg_uniq_up_to",
     "agg_unpivot", "ann_bruteforce_gemm", "ann_bruteforce_topk",
     "ann_ivf_topk", "ann_knn_classify", "ann_lsh_multiprobe_topk",
     "ann_lsh_topk", "asof_next_error", "asof_purchase_click",
     "attribution_last_click", "audience_overlap_hll",
-    "audience_overlap_matrix", "dataset_profile",
+    "audience_overlap_matrix", "cdc_snapshot_diff", "dataset_profile",
     "decontaminate_against_testset", "dedup_duplicate_clusters",
     "dedup_edit_distance_pairs", "dedup_exact", "dedup_exact_normalized",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_simhash",
     "dedup_simhash_pairs", "dedup_substring_spans", "embedding_near_pairs",
-    "embedding_norms", "filter_quality_gate_by_source",
-    "funnel_depth_histogram", "funnel_steps", "interleave_weighted_sources",
-    "interval_join_binned", "join_anti", "join_cross", "join_fact_fact",
-    "join_full_outer", "join_inner_broadcast", "join_left_outer",
-    "join_salted_skew", "join_self", "join_semi",
+    "embedding_norms", "eth_contract_creations", "eth_event_topics",
+    "eth_fee_burn", "eth_gas_by_block", "eth_log_address_activity",
+    "eth_reorg_canonical", "eth_top_senders", "eth_type2_fee_stats",
+    "eth_withdrawal_totals", "filter_quality_gate_by_source",
+    "funnel_depth_histogram", "funnel_steps", "incremental_agg_merge",
+    "interleave_weighted_sources", "interval_join_binned", "join_anti",
+    "join_cross", "join_fact_fact", "join_full_outer",
+    "join_inner_broadcast", "join_left_outer", "join_salted_skew",
+    "join_self", "join_semi", "lateral_topk_per_customer",
     "mixture_token_budget_plan", "mm_audio_features", "mm_frame_sample",
     "mm_image_features", "mm_image_resize", "mm_metadata_stats",
     "pack_documents_greedy", "pipeline_clean_corpus", "q10_returned_items",
@@ -158,16 +132,25 @@ _DRIVER_GREEN = {
     "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "range_join_sessions", "retention_weekly",
-    "sample_stratified_per_lang", "search_bm25_topk", "search_hybrid_rrf",
-    "search_inverted_index", "search_phrase_match", "semantic_dedup_kept",
-    "sequence_match_regex", "sequence_pairs_click_purchase",
-    "sessionize_batch", "sketch_approx_percentile", "sketch_freq_items",
-    "sketch_hll_merge", "split_train_test_hash", "stat_benford_audit",
-    "stat_chi_square", "stat_corr_regression", "stat_entropy",
-    "stat_equidepth_histogram", "stat_histogram_fixed_bins",
-    "stat_ks_two_sample", "stat_median_iqr", "stat_moments",
-    "stat_time_weighted_avg", "stat_weighted_median", "stat_welch_ttest",
-    "stat_zscore_outliers", "text_chunk_chars", "text_chunk_words",
+    "sample_stratified_per_lang", "scalar_array_funcs", "scalar_bitwise",
+    "scalar_conditional", "scalar_date_funcs", "scalar_json",
+    "scalar_map_funcs", "scalar_math_funcs", "scalar_null_semantics",
+    "scalar_regex", "scalar_string_funcs", "scalar_try_safety",
+    "scalar_variant_json", "scd2_customer_merge", "search_bm25_topk",
+    "search_hybrid_rrf", "search_inverted_index", "search_phrase_match",
+    "semantic_dedup_kept", "sequence_match_regex",
+    "sequence_pairs_click_purchase", "sessionize_batch", "setop_except",
+    "setop_except_all", "setop_intersect", "setop_union_all",
+    "setop_union_distinct", "sketch_approx_percentile", "sketch_freq_items",
+    "sketch_hll_merge", "sort_limit_topk", "split_train_test_hash",
+    "sql_frontend_passthrough", "sql_group_by_all",
+    "sql_recursive_cte_spine", "stat_benford_audit", "stat_chi_square",
+    "stat_corr_regression", "stat_entropy", "stat_equidepth_histogram",
+    "stat_histogram_fixed_bins", "stat_ks_two_sample", "stat_median_iqr",
+    "stat_moments", "stat_time_weighted_avg", "stat_weighted_median",
+    "stat_welch_ttest", "stat_zscore_outliers", "subquery_correlated_scalar",
+    "subquery_exists_correlated", "subquery_in", "subquery_not_in",
+    "subquery_scalar", "text_chunk_chars", "text_chunk_words",
     "text_fingerprint", "text_langid", "text_pii_redaction",
     "text_quality_scores", "text_repetition_metrics", "text_token_stats",
     "tfidf_top_terms", "topk_heavy_hitters", "ts_cusum_changepoint",
@@ -175,15 +158,18 @@ _DRIVER_GREEN = {
     "ts_lttb_downsample", "ts_minute_spine_gapfill", "ts_ohlc_bars",
     "ts_rolling_mad_anomaly", "ts_rollup_hour_from_minute",
     "ts_rollup_minute", "ts_seasonal_naive_error",
-    "ts_session_window_builtin", "ts_tumbling_window", "vocab_build",
-    "window_first_last", "window_lag_lead", "window_range_interval_frame",
-    "window_rank_dense_ntile", "window_running_sum", "window_sliding_frame",
+    "ts_session_window_builtin", "ts_tumbling_window", "udaf_gmean_by_type",
+    "udtf_token_counts", "vocab_build", "window_cumulative_distinct_users",
+    "window_first_last", "window_ignore_nulls", "window_lag_lead",
+    "window_moving_median", "window_range_interval_frame",
+    "window_rank_dense_ntile", "window_rank_fractions",
+    "window_rolling_corr", "window_running_sum", "window_sliding_frame",
     "window_topn_per_group",
 }
 
 
 def _rotate() -> None:
-    front = [n for n in _ROUND4_FRONT + _ROUND5_NEXT if n in QUERIES]
+    front = [n for n in _ROUND5_FRONT if n in QUERIES]
     in_front = set(front)
     assert len(in_front) == len(front), "duplicate name in rotation lists"
     # New queries (registered but in neither explicit list nor the green

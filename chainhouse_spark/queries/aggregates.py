@@ -430,8 +430,8 @@ def agg_uniq_up_to(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY user_id % 10, event_type
     )
     SELECT cohort,
-           ARRAY_AGG(struct_pack(event_type := event_type, cnt := cnt)
-                     ORDER BY event_type) AS type_counts,
+           array_to_string(ARRAY_AGG(event_type || ':' || cnt
+                     ORDER BY event_type), ',') AS type_counts,
            CAST(SUM(cnt) AS BIGINT) AS total
     FROM per_user GROUP BY cohort
     """,
@@ -443,18 +443,20 @@ def agg_sum_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     rebuild shape — which is also the SCALABLE shape: the shuffle carries
     (cohort, type, partial count) rows, never serialized maps, and
     map-side partial aggregation collapses duplicates before the exchange.
-    The map is emitted as a KEY-SORTED array of structs: deterministic
+    The map is emitted as a KEY-SORTED 'type:count' string: deterministic
     order (map iteration order is engine-specific) and hash-stable through
-    pandas."""
+    pandas (the driver canonicalizer cannot hash list/map cells)."""
     e = load_table(spark, sf_dir, "events")
     per = e.groupBy(
         (F.col("user_id") % 10).alias("cohort"), "event_type"
     ).agg(F.count(F.lit(1)).alias("cnt"))
     return per.groupBy("cohort").agg(
         F.expr(
+            "array_join(transform("
             "array_sort(collect_list(struct(event_type, cnt)), "
             "(l, r) -> CASE WHEN l.event_type < r.event_type THEN -1 "
-            "WHEN l.event_type > r.event_type THEN 1 ELSE 0 END)"
+            "WHEN l.event_type > r.event_type THEN 1 ELSE 0 END), "
+            "s -> concat(s.event_type, ':', s.cnt)), ',')"
         ).alias("type_counts"),
         F.sum("cnt").alias("total"),
     )

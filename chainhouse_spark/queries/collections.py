@@ -42,10 +42,11 @@ from chainhouse_spark.tables import load_table
     SELECT
         ns.n_regionkey,
         len(ns.all_nations) AS n_nations,
-        list_sort(list_intersect(ns.all_nations,
-                  coalesce(sn.supp_nations, CAST([] AS VARCHAR[])))) AS with_rich_supplier,
-        list_filter(ns.all_nations,
-                    x -> NOT list_contains(coalesce(sn.supp_nations, CAST([] AS VARCHAR[])), x))
+        -- coalesce('') twice: DuckDB array_to_string([]) is NULL, Spark's ''
+        coalesce(array_to_string(list_sort(list_intersect(ns.all_nations,
+                  coalesce(sn.supp_nations, CAST([] AS VARCHAR[])))), ','), '') AS with_rich_supplier,
+        coalesce(array_to_string(list_filter(ns.all_nations,
+                    x -> NOT list_contains(coalesce(sn.supp_nations, CAST([] AS VARCHAR[])), x)), ','), '')
           AS without_rich_supplier,
         len(list_distinct(list_concat(ns.all_nations,
                   coalesce(sn.supp_nations, CAST([] AS VARCHAR[]))))) AS n_union
@@ -57,7 +58,9 @@ def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     nations having a high-balance supplier — intersect / except / union at
     the array level (ClickHouse groupUniqArray + arrayIntersect parity).
     Both inputs aggregate to |regions| rows before the join, so the join is
-    a broadcast of a handful of rows no matter the fact-side scale."""
+    a broadcast of a handful of rows no matter the fact-side scale. Array
+    outputs serialize via array_join — the driver canonicalizer cannot
+    hash list cells (CORRECTNESS_r04)."""
     n = load_table(spark, sf_dir, "nation")
     s = load_table(spark, sf_dir, "supplier")
     ns = n.groupBy("n_regionkey").agg(
@@ -76,8 +79,12 @@ def array_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ns.join(sn, "n_regionkey", "left").select(
         "n_regionkey",
         F.size("all_nations").alias("n_nations"),
-        F.array_sort(F.array_intersect("all_nations", supp)).alias("with_rich_supplier"),
-        F.array_except("all_nations", supp).alias("without_rich_supplier"),
+        F.array_join(
+            F.array_sort(F.array_intersect("all_nations", supp)), ","
+        ).alias("with_rich_supplier"),
+        F.array_join(F.array_except("all_nations", supp), ",").alias(
+            "without_rich_supplier"
+        ),
         F.size(F.array_union("all_nations", supp)).alias("n_union"),
     )
 

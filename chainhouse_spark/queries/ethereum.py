@@ -102,7 +102,9 @@ _BLOCK_BIN_COLS = (
     -- u256 columns stay digit-string VARCHARs: wide DECIMALs degrade to
     -- float64 through pandas; Spark Decimal(38,0) canonicalizes to the
     -- same digit string (the eth_gas_by_block pattern).
-    SELECT hash, number, parentHash, uncles, sha3Uncles,
+    SELECT hash, number, parentHash,
+           -- DuckDB array_to_string([]) is NULL, Spark array_join([]) is ''
+           coalesce(array_to_string(uncles, ','), '') AS uncles, sha3Uncles,
            totalDifficulty, miner, difficulty, nonce, mixHash,
            baseFeePerGas, gasLimit, gasUsed,
            stateRoot, transactionsRoot, receiptsRoot, logsBloom,
@@ -125,9 +127,15 @@ def eth_blocks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         if f.name in _BLOCK_BIN_COLS or f.name == "withdrawlsRoot":
             cols.append(to_hex(f.name).alias(f.name))
         elif f.name == "uncles":
+            # array columns serialize to a canonical string: the driver's
+            # canonicalizer pandas-sorts every output column and dies on
+            # unhashable lists (CORRECTNESS_r04 eth_blocks_table err).
             cols.append(
-                F.transform(
-                    "uncles", lambda x: F.concat(F.lit("0x"), F.lower(F.hex(x)))
+                F.array_join(
+                    F.transform(
+                        "uncles", lambda x: F.concat(F.lit("0x"), F.lower(F.hex(x)))
+                    ),
+                    ",",
                 ).alias("uncles")
             )
         else:

@@ -43,15 +43,18 @@ _IDX = f"(SELECT UNNEST(range(1, {DIMS + 1})) AS i) i"
         SELECT vec_id, embedding, {_DUCK_SCALE} AS scale FROM embeddings
     )
     SELECT vec_id, scale,
-           ARRAY_AGG({_DUCK_QELEM} ORDER BY i.i) AS q
+           array_to_string(ARRAY_AGG({_DUCK_QELEM} ORDER BY i.i), ',') AS q
     FROM sc, {_IDX}
     GROUP BY vec_id, scale
     """,
 )
 def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Symmetric int8 quantization of every embedding: (vec_id, scale, q).
-    Map-only; q is the 4×-narrower column downstream stages shuffle."""
-    return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    Map-only; q is the 4×-narrower column downstream stages shuffle. The
+    query surface serializes q with array_join (driver canonicalizer can't
+    hash list cells); the operator keeps the real array column."""
+    out = quantize_int8(load_table(spark, sf_dir, "embeddings"))
+    return out.select("vec_id", "scale", F.array_join("q", ",").alias("q"))
 
 
 @register(
@@ -506,7 +509,7 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e, s
         GROUP BY e.vec_id, s.j
     )
-    SELECT vec_id, ARRAY_AGG(p ORDER BY j) AS proj FROM proj GROUP BY vec_id
+    SELECT vec_id, CAST(j AS INT) AS j, p FROM proj
     """,
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -514,12 +517,16 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     cheap geometry-preserving reduction in front of LSH/clustering at
     scale. The sign matrix is a pure function of (i, j) (md5 hex parity),
     so the oracle regenerates it in SQL; each output coordinate is the
-    ordered double fold both engines reproduce bit-for-bit."""
+    ordered double fold both engines reproduce bit-for-bit. The query
+    surface posexplodes to (vec_id, j, p) rows: doubles stay typed doubles
+    through the driver's float canonicalization (stringifying them would
+    hit engine-specific float formatting; list cells would not hash)."""
     from chainhouse_spark.operators.projection import project_signs
 
-    return project_signs(
+    out = project_signs(
         load_table(spark, sf_dir, "embeddings"), in_dims=DIMS, out_dims=16
     )
+    return out.select("vec_id", F.posexplode("proj").alias("j", "p"))
 
 
 # Projected-LSH: the composed scale path — JL-project 64 -> 16 dims
@@ -727,7 +734,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE t[i.i] <> ''
     )
     SELECT s.doc_id,
-           ARRAY_AGG(COALESCE(v.token_id, -1) ORDER BY s.pos) AS ids,
+           array_to_string(ARRAY_AGG(COALESCE(v.token_id, -1) ORDER BY s.pos), ',') AS ids,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
            CAST(SUM(CASE WHEN v.token_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
                AS n_oov
@@ -765,8 +772,8 @@ def tokenize_with_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.expr(
-                "transform(array_sort(collect_list(struct(pos, "
-                "coalesce(token_id, -1) AS tid))), s -> s.tid)"
+                "array_join(transform(array_sort(collect_list(struct(pos, "
+                "coalesce(token_id, -1) AS tid))), s -> s.tid), ',')"
             ).alias("ids"),
             F.count(F.lit(1)).alias("n_tokens"),
             F.sum(F.when(F.col("token_id").isNull(), 1).otherwise(0)).alias("n_oov"),

@@ -340,8 +340,8 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
     "scalar_higher_order",
     oracle="""
     SELECT o_orderkey,
-           list_transform(range(1, CAST(o_orderkey % 5 + 4 AS BIGINT)), x -> x * x) AS squares,
-           list_filter(range(1, CAST(o_orderkey % 5 + 4 AS BIGINT)), x -> x % 2 = 0) AS evens,
+           array_to_string(list_transform(range(1, CAST(o_orderkey % 5 + 4 AS BIGINT)), x -> x * x), ',') AS squares,
+           array_to_string(list_filter(range(1, CAST(o_orderkey % 5 + 4 AS BIGINT)), x -> x % 2 = 0), ',') AS evens,
            CAST(list_reduce(list_transform(range(1, CAST(o_orderkey % 5 + 4 AS BIGINT)), x -> x * x),
                             (acc, x) -> acc + x) AS BIGINT) AS sq_sum
     FROM orders
@@ -351,13 +351,15 @@ def scalar_bitwise(spark: SparkSession, sf_dir: str) -> DataFrame:
 def scalar_higher_order(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Higher-order array functions (transform / filter / aggregate) — all
     JVM lambda expressions inside codegen, the Spark-native replacement for
-    row-level Python loops."""
+    row-level Python loops. Array outputs are serialized with array_join:
+    the driver canonicalizer pandas-sorts columns and cannot hash lists
+    (CORRECTNESS_r04 scalar_higher_order err)."""
     o = load_table(spark, sf_dir, "orders").filter(F.col("o_orderkey") < 300)
     seq = "sequence(1, o_orderkey % 5 + 3)"
     return o.select(
         "o_orderkey",
-        F.expr(f"transform({seq}, x -> x * x)").alias("squares"),
-        F.expr(f"filter({seq}, x -> x % 2 = 0)").alias("evens"),
+        F.expr(f"array_join(transform({seq}, x -> x * x), ',')").alias("squares"),
+        F.expr(f"array_join(filter({seq}, x -> x % 2 = 0), ',')").alias("evens"),
         F.expr(
             f"CAST(aggregate(transform({seq}, x -> x * x), 0L, (acc, x) -> acc + x) AS BIGINT)"
         ).alias("sq_sum"),

@@ -22,6 +22,8 @@ from __future__ import annotations
 
 import hashlib
 import json
+import os
+import tempfile
 from decimal import Decimal
 
 from pyspark.sql import DataFrame, SparkSession
@@ -197,8 +199,33 @@ def _json_safe(v):
 def write_raw_blocks_jsonl(path: str, n_blocks: int = 5, seed: int = 42) -> str:
     """Serialize the deterministic raw fixture blocks as JSONL so an
     independent engine (DuckDB read_json) can replay the flatten pipeline
-    as an oracle — see queries/ethereum.py."""
-    with open(path, "w") as f:
-        for b in generate_raw_blocks(n_blocks, seed):
-            f.write(json.dumps(_json_safe(b)) + "\n")
+    as an oracle — see queries/ethereum.py.
+
+    Written atomically (temp file + os.replace) and skipped when the bytes
+    are already on disk: the path is shared across concurrently-importing
+    processes (builder replay + driver harness), and an unconditional
+    in-place rewrite can tear a reader mid-overwrite — the one plausible
+    cause of round 4's single eth_erc20_transfer_decode hash flake."""
+    payload = "".join(
+        json.dumps(_json_safe(b)) + "\n" for b in generate_raw_blocks(n_blocks, seed)
+    ).encode()
+    try:
+        with open(path, "rb") as f:
+            if f.read() == payload:
+                return path
+    except OSError:
+        pass
+    fd, tmp = tempfile.mkstemp(
+        dir=os.path.dirname(path) or ".", prefix=os.path.basename(path) + ".tmp"
+    )
+    try:
+        with os.fdopen(fd, "wb") as f:
+            f.write(payload)
+        os.replace(tmp, path)
+    except BaseException:
+        try:
+            os.unlink(tmp)
+        except OSError:
+            pass
+        raise
     return path

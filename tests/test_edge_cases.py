@@ -207,6 +207,25 @@ def test_events_load_requires_utc_session(spark):
         spark.conf.set("spark.sql.session.timeZone", saved)
 
 
+def test_utc_equivalent_zones_accepted(spark):
+    """Zone ALIASES of UTC ('Etc/UTC', 'GMT', '+00:00') are offset-equal and
+    must pass the guard — compare offsets, not strings (VERDICT r04 nit)."""
+    from chainhouse_spark.tables import _is_utc_zone, load_table
+
+    for tz in ("UTC", "Etc/UTC", "GMT", "+00:00", "Z"):
+        assert _is_utc_zone(tz), tz
+    for tz in ("America/New_York", "Europe/Berlin", "+01:00"):
+        assert not _is_utc_zone(tz), tz
+
+    saved = spark.conf.get("spark.sql.session.timeZone")
+    spark.conf.set("spark.sql.session.timeZone", "Etc/UTC")
+    try:
+        df = load_table(spark, "/root/testdata/sf0.001", "events")
+        assert df.count() > 0
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", saved)
+
+
 def test_quantize_zero_and_degenerate_vectors(spark):
     """Zero vectors quantize to all-zero with scale 0 (no NaN/∞ storm);
     single-element and constant vectors round-trip within the bound."""

@@ -117,6 +117,13 @@ def test_real_decode_gates():
     # …while garbage claiming a natively-decoded format fails loudly.
     with pytest.raises(ValueError, match="signature"):
         decode_real(b"\x00", "image/png")
+    # RIFF-container non-WAV payloads (webp: 'RIFF....WEBP') must reach the
+    # optional-library gate, not die inside the WAV decoder (ADVICE r04).
+    webp = b"RIFF\x10\x00\x00\x00WEBPVP8 "
+    with pytest.raises(NotImplementedError):
+        decode_real(webp, "image/webp")
+    with pytest.raises(NotImplementedError):
+        decode_real(b"RIFF\x10\x00\x00\x00AVI LIST", "video/x-msvideo")
 
 
 def _rng_img(h, w, c, seed=0):

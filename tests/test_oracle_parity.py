@@ -52,7 +52,21 @@ def duck():
 
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
+    from pyspark.sql.types import ArrayType, MapType
+
     sdf = QUERIES[name](spark, sf_dir)
+    # No query surface may emit array/map columns: the driver's canonicalizer
+    # pandas-sorts every output column and dies on unhashable list cells
+    # (CORRECTNESS_r04 eth_blocks_table / scalar_higher_order). Serialize
+    # collections to canonical strings (array_join / to_json) or explode.
+    bad = [
+        f.name for f in sdf.schema.fields
+        if isinstance(f.dataType, (ArrayType, MapType))
+    ]
+    assert not bad, (
+        f"{name}: array/map output columns {bad} break the driver "
+        "canonicalizer — serialize them to strings or explode to rows"
+    )
     spdf = sdf.toPandas()
     if name not in ORACLES:
         # Rows-only check (driver's weaker gate for non-SQL-expressible ops).

@@ -177,3 +177,16 @@ def test_broadcast_lut_transport_matches_literal(spark):
     big = pq_topk_broadcast_lut(emb, q, k=5, m=8, k_sub=64, shortlist=30)
     per_q = big.groupBy("query_id").count().select(F.collect_set("count")).first()[0]
     assert per_q == [5]
+
+
+def test_broadcast_lut_guard_rejects_oversized_query_set(spark):
+    """The LUT path collects the query side to the driver (nq*m*k doubles);
+    an oversized query set must raise loudly instead of OOMing — the same
+    bound as similarity.brute_force_topk_gemm (VERDICT r04 nit)."""
+    import pytest
+
+    from chainhouse_spark.operators.pq import pq_topk_broadcast_lut
+
+    emb = _emb(spark)
+    with pytest.raises(ValueError, match="small-side contract"):
+        pq_topk_broadcast_lut(emb, emb, k=5, max_queries=10)
