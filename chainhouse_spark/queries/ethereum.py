@@ -515,3 +515,190 @@ def eth_fee_burn(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("blockNumber")
     )
+
+
+@register(
+    "eth_address_net_flow",
+    oracle=f"""
+    WITH tx AS (SELECT unnest(transactions) AS t FROM {_RAW}),
+    flows AS (
+        SELECT t."from" AS addr,
+               -CAST(t."value" AS DECIMAL(38,0)) AS delta,
+               1 AS n_out, 0 AS n_in
+        FROM tx
+        UNION ALL
+        SELECT t."to" AS addr,
+               CAST(t."value" AS DECIMAL(38,0)) AS delta,
+               0, 1
+        FROM tx WHERE t."to" IS NOT NULL
+    )
+    SELECT addr AS address_hex,
+           CAST(SUM(delta) AS VARCHAR) AS net_wei,
+           CAST(SUM(n_out) AS BIGINT) AS n_sent,
+           CAST(SUM(n_in) AS BIGINT) AS n_received
+    FROM flows GROUP BY addr
+    ORDER BY SUM(delta) DESC, addr ASC
+    LIMIT 20
+    """,
+)
+def eth_address_net_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-address net wei flow — the balance-delta ledger a reference user
+    derives from the transactions table (value out as sender, value in as
+    recipient; contract creations have no recipient row). The union is two
+    map-side projections of the same scan; ONE shuffle on address. At 100 TB
+    the address key space is large but unskewed (hot exchanges are the
+    exception — AQE skew-join handles the groupBy spill); wei stays exact
+    DECIMAL(38,0), never floats (u256 digit-string idiom for the compare)."""
+    from chainhouse_spark.functions.bytes import to_hex
+
+    tx = _tables(spark)["transactions"]
+    val = F.col("value").cast("decimal(38,0)")
+    out_ = tx.select(
+        F.col("from").alias("addr"),
+        (-val).alias("delta"),
+        F.lit(1).alias("n_out"),
+        F.lit(0).alias("n_in"),
+    )
+    in_ = tx.filter(F.col("to").isNotNull()).select(
+        F.col("to").alias("addr"),
+        val.alias("delta"),
+        F.lit(0).alias("n_out"),
+        F.lit(1).alias("n_in"),
+    )
+    return (
+        out_.unionByName(in_)
+        .groupBy("addr")
+        .agg(
+            F.sum("delta").cast("decimal(38,0)").alias("net"),
+            F.sum("n_out").alias("n_sent"),
+            F.sum("n_in").alias("n_received"),
+        )
+        .orderBy(F.desc("net"), F.asc(to_hex("addr")))
+        .limit(20)
+        .select(
+            to_hex("addr").alias("address_hex"),
+            F.col("net").cast("string").alias("net_wei"),
+            "n_sent",
+            "n_received",
+        )
+    )
+
+
+@register(
+    "eth_block_fullness",
+    oracle=f"""
+    SELECT number,
+           CAST(CAST(gasUsed AS DECIMAL(38,0)) AS VARCHAR) AS gas_used,
+           CAST(CAST(gasUsed AS DOUBLE) / CAST(gasLimit AS DOUBLE) AS DOUBLE)
+             AS fullness,
+           CASE
+             WHEN CAST(gasUsed AS DECIMAL(38,0)) = 0 THEN 'empty'
+             WHEN CAST(gasUsed AS DOUBLE) / CAST(gasLimit AS DOUBLE) < 0.3
+               THEN 'low'
+             WHEN CAST(gasUsed AS DOUBLE) / CAST(gasLimit AS DOUBLE) < 0.9
+               THEN 'normal'
+             ELSE 'full'
+           END AS utilization
+    FROM {_RAW_HEADERS}
+    ORDER BY number
+    """,
+)
+def eth_block_fullness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Block gas utilization — the capacity dashboard query (gasUsed /
+    gasLimit with an ops-style bucket label). Map-only over the blocks
+    table; the ratio is the one deliberate double (both engines divide the
+    same exact integers, so the float is bit-identical)."""
+    b = _tables(spark)["blocks"]
+    used_d = F.col("gasUsed").cast("decimal(38,0)").cast("double")
+    lim_d = F.col("gasLimit").cast("decimal(38,0)").cast("double")
+    ratio = used_d / lim_d
+    return (
+        b.select(
+            "number",
+            F.col("gasUsed").cast("decimal(38,0)").cast("string").alias("gas_used"),
+            ratio.alias("fullness"),
+            F.when(F.col("gasUsed").cast("decimal(38,0)") == 0, "empty")
+            .when(ratio < 0.3, "low")
+            .when(ratio < 0.9, "normal")
+            .otherwise("full")
+            .alias("utilization"),
+        )
+        .orderBy("number")
+    )
+
+
+@register(
+    "eth_effective_gas_price_stats",
+    oracle=f"""
+    WITH rc AS (SELECT number, unnest(receipts) AS r FROM {_RAW})
+    SELECT number AS blockNumber,
+           COUNT(*) AS n_tx,
+           CAST(MIN(CAST(r.effectiveGasPrice AS DECIMAL(38,0))) AS VARCHAR)
+             AS min_price,
+           CAST(MAX(CAST(r.effectiveGasPrice AS DECIMAL(38,0))) AS VARCHAR)
+             AS max_price,
+           CAST(SUM(CAST(r.effectiveGasPrice AS DECIMAL(38,0))) AS VARCHAR)
+             AS sum_price
+    FROM rc GROUP BY number
+    ORDER BY number
+    """,
+)
+def eth_effective_gas_price_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-block effective-gas-price spread (the fee-market view over the
+    pre-joined tx⨝receipt table). min/max/sum stay exact DECIMAL — the
+    mean is sum/n_tx computed by the consumer, keeping the compare
+    float-free (u256 digit-string idiom)."""
+    tx = _tables(spark)["transactions"]
+    p = F.col("effectiveGasPrice").cast("decimal(38,0)")
+    return (
+        tx.groupBy("blockNumber")
+        .agg(
+            F.count(F.lit(1)).alias("n_tx"),
+            F.min(p).cast("string").alias("min_price"),
+            F.max(p).cast("string").alias("max_price"),
+            F.sum(p).cast("decimal(38,0)").cast("string").alias("sum_price"),
+        )
+        .orderBy("blockNumber")
+    )
+
+
+@register(
+    "eth_log_payload_stats",
+    oracle=f"""
+    WITH lg AS (
+        SELECT unnest(r.logs) AS l
+        FROM (SELECT unnest(receipts) AS r FROM {_RAW})
+    )
+    SELECT l.address AS address_hex,
+           COUNT(*) AS n_logs,
+           CAST(SUM((len(l.data) - 2) // 2) AS BIGINT) AS total_data_bytes,
+           CAST(MAX(len(l.topics)) AS INT) AS max_topics
+    FROM lg GROUP BY 1
+    ORDER BY total_data_bytes DESC, address_hex ASC
+    LIMIT 20
+    """,
+)
+def eth_log_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-payload footprint per emitting contract: total log `data`
+    bytes and max topic count — the storage-planning query for an event
+    indexer. BinaryType length is byte length on the Spark side; the
+    oracle recomputes it from the 0x-hex JSONL encoding ((len-2)/2)."""
+    from chainhouse_spark.functions.bytes import to_hex
+
+    ev = _tables(spark)["events"]
+    return (
+        ev.groupBy(F.col("address").alias("addr"))
+        .agg(
+            F.count(F.lit(1)).alias("n_logs"),
+            F.sum(F.length("data")).alias("total_data_bytes"),
+            F.max(F.size("topics")).alias("max_topics"),
+        )
+        .orderBy(F.desc("total_data_bytes"), F.asc(to_hex("addr")))
+        .limit(20)
+        .select(
+            to_hex("addr").alias("address_hex"),
+            "n_logs",
+            "total_data_bytes",
+            "max_topics",
+        )
+    )
