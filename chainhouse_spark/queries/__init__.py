@@ -62,6 +62,9 @@ from chainhouse_spark.queries import streaming_queries  # noqa: E402,F401
 # never-checked names, before the driver-green back), i.e. round-6+ windows.
 from chainhouse_spark.queries import llm_training  # noqa: E402,F401
 
+# Round-5 additions — mid bucket, round-6 window.
+from chainhouse_spark.queries import bpe_queries  # noqa: E402,F401
+
 # Round-5 rotation. 187/239 queries hold a cumulative green driver verdict
 # (CORRECTNESS_r01..r04); those rotate to the back. Front = the 3 non-green
 # r04 rows (all root-caused + fixed this round: array/map outputs
