@@ -66,6 +66,16 @@ Supported rewrites (ClickHouse → Spark):
                   materialize(x) → x
   parametric aggs quantiles(p, ...)(x) → percentile_approx(x, array(...)),
                   quantilesExact → percentile
+  URL             protocol/domain/domainWithoutWWW/topLevelDomain/path/
+                  pathFull/queryString/fragment/extractURLParameter →
+                  parse_url parts; cutQueryString/cutFragment → regex cuts
+  IP              IPv4StringToNum/IPv4NumToString (octet folds),
+                  isIPv4String → anchored octet regex
+  strings (more)  countSubstrings → length-difference fold, splitByString
+                  (literal separator, regex-quoted) → split
+  arrays (yet more) arrayFirst/arrayFirstIndex → try_element_at(filter),
+                  toStartOfFiveMinutes/TenMinutes/FifteenMinutes →
+                  epoch-floor
   statement       PREWHERE → WHERE; trailing FORMAT <name> and
                   SETTINGS ... stripped; [LEFT] ARRAY JOIN expr AS alias →
                   LATERAL VIEW [OUTER] EXPLODE (bare/multi-array forms
@@ -402,6 +412,19 @@ def _string_literal(arg: str) -> str | None:
     return None
 
 
+# ClickHouse URL-part accessors -> Spark PARSE_URL part names. ClickHouse's
+# scheme-less tolerance ('example.com/x') is NOT reproduced — PARSE_URL
+# needs a scheme, and a silent empty-result divergence is acceptable only
+# because both engines return NULL-ish for unparseable inputs.
+_URL_PART = {
+    "protocol": "PROTOCOL",
+    "domain": "HOST",
+    "path": "PATH",
+    "pathfull": "FILE",
+    "querystring": "QUERY",
+    "fragment": "REF",
+}
+
 _REGEX_GROUP = re.compile(r"(?<!\\)\((?!\?)")
 
 _INTERVAL = re.compile(
@@ -630,6 +653,112 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         return (
             f"TIMESTAMP_SECONDS((FLOOR(UNIX_TIMESTAMP({args[0]}) / {sec})"
             f" * {sec}))"
+        )
+    if low in ("tostartoffiveminutes", "tostartoftenminutes",
+               "tostartoffifteenminutes"):
+        if len(args) != 1:
+            raise CHTranslationError(f"{name}(ts) takes one argument")
+        sec = {"tostartoffiveminutes": 300, "tostartoftenminutes": 600,
+               "tostartoffifteenminutes": 900}[low]
+        return (
+            f"TIMESTAMP_SECONDS((FLOOR(UNIX_TIMESTAMP({args[0]}) / {sec})"
+            f" * {sec}))"
+        )
+    if low in _URL_PART:
+        if len(args) != 1:
+            raise CHTranslationError(f"{name}(url) takes one argument")
+        return f"PARSE_URL({args[0]}, '{_URL_PART[low]}')"
+    if low == "domainwithoutwww":
+        if len(args) != 1:
+            raise CHTranslationError("domainWithoutWWW(url) takes one argument")
+        return (
+            f"REGEXP_REPLACE(PARSE_URL({args[0]}, 'HOST'), '^www\\\\.', '')"
+        )
+    if low == "topleveldomain":
+        if len(args) != 1:
+            raise CHTranslationError("topLevelDomain(url) takes one argument")
+        return f"REGEXP_EXTRACT(PARSE_URL({args[0]}, 'HOST'), '([^.]+)$', 1)"
+    if low == "extracturlparameter":
+        if len(args) != 2:
+            raise CHTranslationError(
+                "extractURLParameter(url, name) takes two arguments"
+            )
+        return f"PARSE_URL({args[0]}, 'QUERY', {args[1]})"
+    if low == "cutquerystring":
+        # removes '?...' up to (not including) any '#fragment' — the
+        # ClickHouse contract keeps the fragment.
+        if len(args) != 1:
+            raise CHTranslationError("cutQueryString(url) takes one argument")
+        return f"REGEXP_REPLACE({args[0]}, '\\\\?[^#]*', '')"
+    if low == "cutfragment":
+        if len(args) != 1:
+            raise CHTranslationError("cutFragment(url) takes one argument")
+        return f"REGEXP_REPLACE({args[0]}, '#.*$', '')"
+    if low == "ipv4stringtonum":
+        if len(args) != 1:
+            raise CHTranslationError("IPv4StringToNum(s) takes one argument")
+        return (
+            f"AGGREGATE(TRANSFORM(SPLIT({args[0]}, '\\\\.'), "
+            f"_o -> CAST(_o AS BIGINT)), CAST(0 AS BIGINT), "
+            f"(_acc, _o) -> _acc * 256 + _o)"
+        )
+    if low == "ipv4numtostring":
+        if len(args) != 1:
+            raise CHTranslationError("IPv4NumToString(n) takes one argument")
+        a = args[0]
+        return (
+            f"CONCAT_WS('.', CAST(({a} DIV 16777216) % 256 AS STRING), "
+            f"CAST(({a} DIV 65536) % 256 AS STRING), "
+            f"CAST(({a} DIV 256) % 256 AS STRING), "
+            f"CAST({a} % 256 AS STRING))"
+        )
+    if low == "isipv4string":
+        if len(args) != 1:
+            raise CHTranslationError("isIPv4String(s) takes one argument")
+        octet = "(25[0-5]|2[0-4][0-9]|[01]?[0-9][0-9]?)"
+        return f"({args[0]} RLIKE '^({octet}\\\\.){{3}}{octet}$')"
+    if low == "countsubstrings":
+        if len(args) != 2:
+            raise CHTranslationError(
+                "countSubstrings(s, needle) takes two arguments"
+            )
+        s, n = args
+        return (
+            f"((LENGTH({s}) - LENGTH(REPLACE({s}, {n}, ''))) "
+            f"DIV LENGTH({n}))"
+        )
+    if low == "splitbystring":
+        # Spark SPLIT takes a REGEX; only literal separators can be
+        # regex-quoted safely at translation time.
+        if len(args) != 2:
+            raise CHTranslationError("splitByString(sep, s) takes two arguments")
+        sep = _string_literal(args[0])
+        if sep is None:
+            raise CHTranslationError(
+                "splitByString: separator must be a string literal (a "
+                "column-valued separator would need regex-quoting at run "
+                "time — use splitByChar or an explicit split())"
+            )
+        quoted = re.sub(r"([.\\+*?\[\]^$(){}=!<>|:#&~-])", r"\\\1", sep)
+        lit = quoted.replace("'", "''").replace("\\", "\\\\")
+        return f"SPLIT({args[1]}, '{lit}')"
+    if low == "arrayfirst":
+        # no-match yields NULL here (ClickHouse yields the element type's
+        # default value); values agree whenever a match exists.
+        if len(args) != 2:
+            raise CHTranslationError("arrayFirst(lambda, array) takes two arguments")
+        return f"TRY_ELEMENT_AT(FILTER({args[1]}, {args[0]}), 1)"
+    if low == "arrayfirstindex":
+        if len(args) != 2:
+            raise CHTranslationError(
+                "arrayFirstIndex(lambda, array) takes two arguments"
+            )
+        # 1-based index of the first match, 0 when none — the ClickHouse
+        # contract; COALESCE covers the empty-filter NULL.
+        arr, lam = args[1], args[0]
+        return (
+            f"COALESCE(ARRAY_POSITION({arr}, "
+            f"TRY_ELEMENT_AT(FILTER({arr}, {lam}), 1)), 0)"
         )
     if low in ("arrayexists", "arrayall"):
         if len(args) != 2:

@@ -104,3 +104,113 @@ def ch_dialect_json_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
     against hand-written ANSI."""
     register_views(spark, sf_dir)
     return ch_sql(spark, _CH_SQL_JSON)
+
+
+# Round-5 dialect widening: the ClickHouse URL family (domain/path/
+# extractURLParameter/cutQueryString), countSubstrings, splitByString and
+# arrayFirstIndex — the log-analytics idioms a ClickHouse user writes
+# daily — translated and hash-checked against regex-based ANSI.
+_CH_SQL_URL = """
+    SELECT doc_id,
+           domain(url) AS host,
+           domainWithoutWWW(url) AS host_nw,
+           topLevelDomain(url) AS tld,
+           path(url) AS url_path,
+           extractURLParameter(url, 'lang') AS lang_param,
+           cutQueryString(url) AS base_url,
+           countSubstrings(url, '.') AS n_dots,
+           arrayFirstIndex(x -> x = 'docs',
+                           splitByString('/', path(url))) AS docs_pos
+    FROM (SELECT doc_id,
+                 concat('https://www.', source, '.example.com/docs/',
+                        toString(doc_id), '?lang=', lang, '&n=',
+                        toString(n_chars)) AS url
+          FROM documents)
+    FORMAT JSON
+"""
+
+
+@register(
+    "ch_dialect_url_funcs",
+    oracle="""
+    WITH u AS (
+        SELECT doc_id,
+               concat('https://www.', source, '.example.com/docs/',
+                      CAST(doc_id AS VARCHAR), '?lang=', lang, '&n=',
+                      CAST(n_chars AS VARCHAR)) AS url
+        FROM documents
+    ),
+    p AS (
+        SELECT doc_id, url,
+               regexp_extract(url, '^[a-z]+://([^/?#]+)', 1) AS host,
+               regexp_extract(url, '^[a-z]+://[^/?#]+([^?#]*)', 1) AS url_path
+        FROM u
+    )
+    SELECT doc_id,
+           host,
+           regexp_replace(host, '^www\\.', '') AS host_nw,
+           regexp_extract(host, '([^.]+)$', 1) AS tld,
+           url_path,
+           regexp_extract(url, '[?&]lang=([^&]*)', 1) AS lang_param,
+           regexp_replace(url, '\\?[^#]*', '') AS base_url,
+           CAST(len(url) - len(replace(url, '.', '')) AS BIGINT) AS n_dots,
+           CAST(COALESCE(list_position(string_split(url_path, '/'), 'docs'),
+                         0) AS BIGINT) AS docs_pos
+    FROM p
+    """,
+)
+def ch_dialect_url_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The round-5 URL/string/array dialect additions run end-to-end over
+    a deterministically synthesized URL column (the web_geo.py generator):
+    parse_url-backed domain/path/parameter accessors, regex-cut
+    cutQueryString, the countSubstrings length fold, literal-separator
+    splitByString (regex-quoted), and arrayFirstIndex — one translated
+    statement, hash-checked against hand-written regex ANSI."""
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _CH_SQL_URL)
+
+
+_CH_SQL_IP = """
+    SELECT intDiv(IPv4StringToNum(ip), 16777216) AS octet1,
+           count() AS n_users,
+           countIf(isIPv4String(ip)) AS n_valid,
+           uniqExact(IPv4NumToString(IPv4StringToNum(ip))) AS n_roundtrip
+    FROM (SELECT DISTINCT user_id,
+                 concat(toString((user_id * 131 + 7) % 224 + 1), '.',
+                        toString((user_id * 31 + 3) % 256), '.',
+                        toString((user_id * 17 + 11) % 256), '.',
+                        toString((user_id * 7 + 5) % 254 + 1)) AS ip
+          FROM events)
+    GROUP BY octet1
+    SETTINGS max_threads = 4
+"""
+
+
+@register(
+    "ch_dialect_ip_rollup",
+    oracle="""
+    WITH ips AS (
+        SELECT DISTINCT user_id,
+               concat(CAST((user_id * 131 + 7) % 224 + 1 AS VARCHAR), '.',
+                      CAST((user_id * 31 + 3) % 256 AS VARCHAR), '.',
+                      CAST((user_id * 17 + 11) % 256 AS VARCHAR), '.',
+                      CAST((user_id * 7 + 5) % 254 + 1 AS VARCHAR)) AS ip
+        FROM events
+    )
+    SELECT CAST((user_id * 131 + 7) % 224 + 1 AS BIGINT) AS octet1,
+           COUNT(*) AS n_users,
+           COUNT(*) AS n_valid,
+           COUNT(DISTINCT ip) AS n_roundtrip
+    FROM ips
+    GROUP BY 1
+    """,
+)
+def ch_dialect_ip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse IPv4 family end-to-end: IPv4StringToNum (octet fold),
+    IPv4NumToString round-trip inside uniqExact, isIPv4String validation
+    under countIf, grouped by the first octet via intDiv — the traffic
+    rollup shape. The oracle regenerates octet1 from the same LCG the IP
+    string was synthesized with, so the fold arithmetic is independently
+    proven."""
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _CH_SQL_IP)

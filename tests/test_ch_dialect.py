@@ -223,6 +223,70 @@ def test_limit_by_guards_raise():
         t("SELECT * FROM (SELECT a, b FROM t ORDER BY b LIMIT 3 BY a) q")
 
 
+def test_url_functions_translate_and_execute(spark):
+    url = "'https://www.shop.example.com/a/b?x=1&y=2#frag'"
+    row = ch_sql(
+        spark,
+        f"SELECT protocol({url}) AS p, domain({url}) AS d, "
+        f"domainWithoutWWW({url}) AS dw, topLevelDomain({url}) AS tld, "
+        f"path({url}) AS pa, pathFull({url}) AS pf, "
+        f"queryString({url}) AS q, fragment({url}) AS f, "
+        f"extractURLParameter({url}, 'y') AS y, "
+        f"cutQueryString({url}) AS cq, cutFragment({url}) AS cf",
+    ).collect()[0]
+    assert row.p == "https" and row.d == "www.shop.example.com"
+    assert row.dw == "shop.example.com" and row.tld == "com"
+    assert row.pa == "/a/b" and row.pf == "/a/b?x=1&y=2"
+    assert row.q == "x=1&y=2" and row.f == "frag" and row.y == "2"
+    assert row.cq == "https://www.shop.example.com/a/b#frag"
+    assert row.cf == "https://www.shop.example.com/a/b?x=1&y=2"
+
+
+def test_ip_functions_translate_and_execute(spark):
+    row = ch_sql(
+        spark,
+        "SELECT IPv4StringToNum('192.168.1.10') AS n, "
+        "IPv4NumToString(3232235786) AS s, "
+        "isIPv4String('10.0.0.256') AS bad, "
+        "isIPv4String('10.0.0.25') AS good",
+    ).collect()[0]
+    assert row.n == 3232235786 and row.s == "192.168.1.10"
+    assert row.bad is False and row.good is True
+
+
+def test_string_and_array_additions(spark):
+    row = ch_sql(
+        spark,
+        "SELECT countSubstrings('abcabcab', 'ab') AS c, "
+        "splitByString('::', 'a::b::c') AS parts_n, "
+        "arrayFirst(x -> x > 2, array(1, 2, 3, 4)) AS first_gt2, "
+        "arrayFirstIndex(x -> x > 2, array(1, 2, 3, 4)) AS idx_gt2, "
+        "arrayFirstIndex(x -> x > 9, array(1, 2)) AS idx_none, "
+        "toStartOfFiveMinutes(timestamp'2024-01-01 10:07:22') AS t5",
+    ).collect()[0]
+    assert row.c == 3
+    assert row.parts_n == ["a", "b", "c"]
+    assert row.first_gt2 == 3 and row.idx_gt2 == 3 and row.idx_none == 0
+    assert str(row.t5) == "2024-01-01 10:05:00"
+
+
+def test_splitbystring_requires_literal_separator():
+    with pytest.raises(CHTranslationError, match="literal"):
+        t("SELECT splitByString(col, s) FROM t")
+    # regex metachars in the literal separator must not act as regex
+    out = t("SELECT splitByString('.', s) FROM t")
+    assert "SPLIT" in out
+
+
+def test_splitbystring_regex_metachar_literal(spark):
+    row = ch_sql(
+        spark, "SELECT splitByString('.', '1.2.3') AS p, "
+        "splitByString('a+', 'xa+ya+z') AS q"
+    ).collect()[0]
+    assert row.p == ["1", "2", "3"]
+    assert row.q == ["x", "y", "z"]
+
+
 def test_timestamp_and_weekday_conventions(spark):
     assert t("SELECT toUnixTimestamp(ts)") == "SELECT UNIX_TIMESTAMP(ts)"
     assert t("SELECT fromUnixTimestamp(x)") == "SELECT TIMESTAMP_SECONDS(x)"
