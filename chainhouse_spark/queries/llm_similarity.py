@@ -392,13 +392,12 @@ def ann_ivf_at_rest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     query/result counts, recall@10 >= 0.6 vs brute force, AND
     at-rest results == the in-memory ivf_topk at identical params (the
     persisted path must not change a single rank)."""
-    import tempfile
-
+    from chainhouse_spark.scratch import scratch_dir
     from chainhouse_spark.operators.ivf import ivf_probe, ivf_topk, ivf_write
 
     emb = load_table(spark, sf_dir, "embeddings")
     q = emb.filter(F.col("vec_id") < 5)
-    idx = tempfile.mkdtemp(prefix="ivf_idx_")
+    idx = scratch_dir(prefix="ivf_idx_")
     ivf_write(emb, idx, n_cells=16)
     at_rest = ivf_probe(spark, idx, q, k=10, n_probe=8)
     mem = ivf_topk(emb, q, k=10, n_cells=16, n_probe=8)

@@ -265,7 +265,7 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
     each executor streams its shards); the manifest is a per-shard agg
     over (doc_id, n_tok) — the checksum's collect_list is per-shard
     (corpus/N ids of 8 bytes), the standard manifest-builder cost."""
-    import tempfile
+    from chainhouse_spark.scratch import scratch_dir
 
     docs = load_table(spark, sf_dir, "documents")
     assigned = docs.select(
@@ -275,7 +275,7 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(conv(substring({_SHUF}, 1, 8), 16, 10) AS BIGINT) % {N_SHARDS}"
         ).alias("shard"),
     )
-    out = tempfile.mkdtemp(prefix="shards_")
+    out = scratch_dir(prefix="shards_")
     (
         assigned.repartition("shard")
         .write.mode("overwrite")

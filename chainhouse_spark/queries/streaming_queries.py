@@ -34,7 +34,7 @@ from __future__ import annotations
 
 import itertools
 import os
-import tempfile
+from chainhouse_spark.scratch import scratch_dir
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
@@ -51,7 +51,7 @@ def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     just the landing directory new files arrive into."""
     path = f"{sf_dir}/{table}.parquet"
     schema = spark.read.parquet(path).schema
-    d = tempfile.mkdtemp(prefix=f"stream_{table}_")
+    d = scratch_dir(prefix=f"stream_{table}_")
     os.symlink(os.path.abspath(path), os.path.join(d, f"{table}.parquet"))
     return spark.readStream.schema(schema).parquet(d)
 
@@ -65,7 +65,7 @@ def _run_to_table(stream_df: DataFrame, mode: str) -> DataFrame:
         stream_df.writeStream.format("memory")
         .queryName(name)
         .outputMode(mode)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_"))
+        .option("checkpointLocation", scratch_dir(prefix="chk_"))
         .trigger(availableNow=True)
         .start()
     )
@@ -265,17 +265,17 @@ def stream_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
-    land = tempfile.mkdtemp(prefix="lsh_land_")
+    land = scratch_dir(prefix="lsh_land_")
     # Simulate two crawl days WITHOUT driver-collecting the corpus: write
     # each half via Spark, then symlink its part file into the landing dir.
     for i, pred in enumerate(["doc_id % 2 = 0", "doc_id % 2 = 1"]):
-        d = tempfile.mkdtemp(prefix=f"lsh_day{i}_")
+        d = scratch_dir(prefix=f"lsh_day{i}_")
         docs.filter(pred).coalesce(1).write.mode("overwrite").parquet(d)
         part = _glob.glob(os.path.join(d, "part-*.parquet"))[0]
         os.symlink(part, os.path.join(land, f"day{i}.parquet"))
 
-    sig_store = tempfile.mkdtemp(prefix="lsh_sigs_")
-    out_dir = tempfile.mkdtemp(prefix="lsh_pairs_")
+    sig_store = scratch_dir(prefix="lsh_sigs_")
+    out_dir = scratch_dir(prefix="lsh_pairs_")
 
     def handle(batch_df: DataFrame, epoch_id: int) -> None:
         delta = minhash_signatures(
@@ -305,7 +305,7 @@ def stream_incremental_lsh_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     q = (
         stream.writeStream.foreachBatch(handle)
-        .option("checkpointLocation", tempfile.mkdtemp(prefix="chk_lsh_"))
+        .option("checkpointLocation", scratch_dir(prefix="chk_lsh_"))
         .trigger(availableNow=True)
         .start()
     )
