@@ -65,29 +65,35 @@ from chainhouse_spark.queries import llm_training  # noqa: E402,F401
 # Round-5 additions — mid bucket, round-6 window.
 from chainhouse_spark.queries import bpe_queries  # noqa: E402,F401
 
-# Round-5 rotation. 187/239 queries hold a cumulative green driver verdict
+# Round-5 rotation. 187/249 queries hold a cumulative green driver verdict
 # (CORRECTNESS_r01..r04); those rotate to the back. Front = the 3 non-green
 # r04 rows (all root-caused + fixed this round: array/map outputs
-# string-serialized, oracle fixture write made atomic) followed by all 49
+# string-serialized, oracle fixture write made atomic) followed by all 59
 # never-driver-checked queries, ordered by family impact per VERDICT r04:
-# streaming (zero external verdicts), the ANN quantizer family, ch-dialect,
-# the remaining array-surface fixes, then graph/sketch/url-ip-geo/arrays,
-# the llm_advanced remainder, and the round-4 training-pipeline additions.
-# 52 names vs a ~50-row window: the last two (batch_by_length_buckets,
-# export_training_shards) may spill to round 6.
+# streaming (zero external verdicts, incl. the round-5 session_window +
+# custom-stateful pair — the first external proof of the §2.6 custom
+# stateful row), the ANN quantizer family, ch-dialect (incl. the round-5
+# url/ip families), the remaining array-surface fixes, graph, sketch /
+# url-ip-geo / arrays, the round-5 eth analytics, the llm_advanced block,
+# then the training-pipeline and BPE additions. 62 names vs a ~50-row
+# window: the tail (~12, training/BPE/export) spills to the round-6 front.
 _ROUND5_FRONT = [
     "eth_blocks_table", "eth_erc20_transfer_decode", "scalar_higher_order",
     "stream_tumbling_counts", "stream_dedup_keys", "stream_user_value_state",
     "stream_click_purchase_join", "stream_incremental_lsh_pairs",
-    "stream_static_enrichment", "embedding_quantize_int8",
+    "stream_static_enrichment", "stream_session_window",
+    "stream_sessionize_custom_state", "embedding_quantize_int8",
     "ann_quantized_topk", "ann_pq_topk", "ann_ivfpq_topk",
     "ann_ivf_at_rest_topk", "ann_two_stage_rerank",
     "embedding_random_projection", "ann_projected_lsh_topk",
-    "ch_dialect_frontend", "ch_dialect_json_buckets", "array_set_algebra",
+    "ch_dialect_frontend", "ch_dialect_json_buckets", "ch_dialect_url_funcs",
+    "ch_dialect_ip_rollup", "array_set_algebra",
     "agg_sum_map_merge", "tokenize_with_vocab", "graph_degree_distribution",
     "graph_triangle_count", "graph_pagerank", "graph_bfs_hops",
     "sketch_theta_set_ops", "scalar_url_funcs", "scalar_ip_funcs",
-    "geo_grid_near_pairs", "array_zip_positional", "agg_rollup_reagg",
+    "geo_grid_near_pairs", "eth_address_net_flow", "eth_block_fullness",
+    "eth_effective_gas_price_stats", "eth_log_payload_stats",
+    "array_zip_positional", "agg_rollup_reagg",
     "decontaminate_bloom", "corpus_overlap_minhash",
     "cluster_kmeans_summary", "text_rarity_score", "bpe_pair_stats",
     "dedup_minhash_incremental", "dedup_containment",
@@ -95,6 +101,7 @@ _ROUND5_FRONT = [
     "feature_hashing_vectorize", "text_encoding_quality",
     "pipeline_training_ready", "mine_hard_negatives", "asof_nearest_click",
     "interval_overlap_join_binned", "stat_mann_whitney_u",
+    "bpe_train_merges", "bpe_encode_compression",
     "corpus_shuffle_shards", "sample_weighted_reservoir",
     "batch_by_length_buckets", "export_training_shards",
 ]

@@ -362,3 +362,117 @@ def stream_static_enrichment(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("value").cast("decimal(18,2)")).cast("double").alias("total_value"),
     )
     return _run_to_table(agg, "complete")
+
+
+@register(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    isl AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           MAX(ts) + INTERVAL 30 MINUTE AS session_end,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM isl GROUP BY user_id, sid
+    """,
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Built-in session_window aggregation ON A STREAM (30-minute gap,
+    complete mode): Spark merges overlapping session candidates inside the
+    streaming state store; the final state is a pure function of the input
+    set, so the batch gaps-and-islands oracle (ts_session_window_builtin's)
+    hash-checks the streaming session-merge machinery itself. State is one
+    row per open session; at scale a watermark bounds it — complete mode
+    here because the oracle needs whole-input semantics."""
+    stream = _stream_source(spark, sf_dir, "events")
+    agg = (
+        stream.select("user_id", F.col("ts").cast("timestamp").alias("ts"))
+        .groupBy(F.session_window("ts", "30 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    out = _run_to_table(agg, "complete")
+    return out.select(
+        "user_id",
+        F.col("session_window.start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_window.end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )
+
+
+@register(
+    "stream_sessionize_custom_state",
+    oracle="""
+    WITH ordered AS (
+        SELECT user_id, ts,
+               CASE WHEN lag(ts) OVER w IS NULL
+                         OR ts - lag(ts) OVER w > INTERVAL 30 MINUTE
+                    THEN 1 ELSE 0 END AS is_new
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts)
+    ),
+    isl AS (
+        SELECT user_id, ts,
+               SUM(is_new) OVER (PARTITION BY user_id ORDER BY ts
+                                 ROWS UNBOUNDED PRECEDING) AS sid
+        FROM ordered
+    ),
+    sess AS (
+        SELECT user_id, sid,
+               MIN(ts) AS session_start,
+               MAX(ts) AS session_end,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               MAX(sid) OVER (PARTITION BY user_id) AS max_sid
+        FROM isl GROUP BY user_id, sid
+    )
+    SELECT user_id, session_start, session_end, n_events
+    FROM sess WHERE sid < max_sid
+    """,
+)
+def stream_sessionize_custom_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The CUSTOM stateful streaming operator (applyInPandasWithState,
+    streaming/sessionize.py) under the external oracle gate — the §2.6
+    'custom stateful op' row's first driver-checkable surface. The
+    operator emits a session only when a LATER event of the same user
+    closes it (open sessions wait for the processing-time timeout, which
+    an AvailableNow run never reaches) — so the deterministic output is
+    exactly 'every session except each user's last', which the oracle
+    states via gaps-and-islands + max-island exclusion. session_end is
+    the last event (the operator's contract), not last+gap.
+
+    sum_value is part of the operator schema but deliberately NOT part of
+    this surface: its Python float accumulation order under tied
+    timestamps is the one nondeterminism the hash gate would see."""
+    from chainhouse_spark.streaming.sessionize import sessionized
+
+    stream = (
+        _stream_source(spark, sf_dir, "events")
+        # watermark needs tz-aware TIMESTAMP; tables carry ntz (UTC session
+        # makes the cast lossless; cast back below for the hash)
+        .select(
+            "user_id", F.col("ts").cast("timestamp").alias("ts"), "value"
+        )
+    )
+    # use_timeout=False: a registered ProcessingTimeTimeout would keep the
+    # AvailableNow trigger scheduling empty micro-batches forever (the query
+    # never terminates); without it the run drains in one batch and the
+    # output is exactly the oracle's "all but each user's last session".
+    ses = sessionized(stream, gap_seconds=1800, use_timeout=False)
+    out = _run_to_table(ses, "append")
+    return out.select(
+        "user_id",
+        F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+        F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+        "n_events",
+    )

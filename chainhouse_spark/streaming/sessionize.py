@@ -44,10 +44,18 @@ STATE_SCHEMA = StructType(
 )
 
 
-def make_sessionizer(gap_seconds: int = 1800):
+def make_sessionizer(gap_seconds: int = 1800, use_timeout: bool = True):
     """Returns the (key, pdf_iter, state) -> pdf_iter function for
     applyInPandasWithState. Pure function of inputs + state: deterministic
-    replay under failure recovery."""
+    replay under failure recovery.
+
+    use_timeout=False skips timeout registration entirely (pair with
+    GroupStateTimeout.NoTimeout): sessions then close only when a LATER
+    event of the same key arrives past the gap, and each key's final
+    session stays open forever. Needed for Trigger.AvailableNow runs —
+    a registered ProcessingTimeTimeout keeps the trigger scheduling empty
+    micro-batches waiting for wall-clock expiry, so the query never
+    terminates (observed: batchId 0->63 with zero new input rows)."""
 
     def sessionize(
         key: Tuple[Any, ...],
@@ -74,12 +82,13 @@ def make_sessionizer(gap_seconds: int = 1800):
             n += 1
             sv += float(value)
 
-        if state.hasTimedOut:
+        if use_timeout and state.hasTimedOut:
             closed.append((user_id, start, last, n, sv))
             state.remove()
         else:
             state.update((start, last, n, sv))
-            state.setTimeoutDuration(gap_seconds * 1000)
+            if use_timeout:
+                state.setTimeoutDuration(gap_seconds * 1000)
 
         if closed:
             yield pd.DataFrame(
@@ -90,16 +99,27 @@ def make_sessionizer(gap_seconds: int = 1800):
     return sessionize
 
 
-def sessionized(events_stream: DataFrame, gap_seconds: int = 1800) -> DataFrame:
-    """events(user_id, ts, value) stream -> closed sessions stream."""
+def sessionized(
+    events_stream: DataFrame, gap_seconds: int = 1800, use_timeout: bool = True
+) -> DataFrame:
+    """events(user_id, ts, value) stream -> closed sessions stream.
+
+    use_timeout=True (resident deployments): idle sessions also close via
+    processing-time timeout. use_timeout=False (Trigger.AvailableNow /
+    batch-deterministic runs): no timeout registration, so the trigger can
+    drain and terminate — see make_sessionizer."""
     return (
         events_stream.withWatermark("ts", "1 hour")
         .groupBy("user_id")
         .applyInPandasWithState(
-            make_sessionizer(gap_seconds),
+            make_sessionizer(gap_seconds, use_timeout=use_timeout),
             outputStructType=SESSION_SCHEMA,
             stateStructType=STATE_SCHEMA,
             outputMode="append",
-            timeoutConf=GroupStateTimeout.ProcessingTimeTimeout,
+            timeoutConf=(
+                GroupStateTimeout.ProcessingTimeTimeout
+                if use_timeout
+                else GroupStateTimeout.NoTimeout
+            ),
         )
     )
