@@ -82,7 +82,10 @@ Supported rewrites (ClickHouse → Spark):
                   raise: identifier rebinding / lockstep zip semantics);
                   ORDER BY o LIMIT n BY g [LIMIT m] → ranked subquery
                   (row_number over (PARTITION BY g ORDER BY o) <= n;
-                  no-ORDER-BY / offset / subquery forms raise)
+                  no-ORDER-BY / offset / subquery forms raise);
+                  QUALIFY pred → subquery hop + WHERE (predicate must
+                  reference SELECT-list aliases; inline OVER(...) in the
+                  predicate / subquery forms raise)
 
 Unsupported-with-error: WITH TOTALS, cityHash64/sipHash64/halfMD5/
 farmHash64 (different algorithms — a silent rename would change results;
@@ -1108,6 +1111,51 @@ def _rewrite_limit_by(sql: str) -> str:
         f"(PARTITION BY {group} ORDER BY {order_expr}) AS __rn FROM "
         f"({head}) __lb) WHERE __rn <= {n} ORDER BY {order_expr}{tail_sql}"
     )
+_QUALIFY_ANY = re.compile(r"\bQUALIFY\b", re.IGNORECASE)
+_QUALIFY_TOK = re.compile(r"QUALIFY\s", re.IGNORECASE)
+_QUALIFY_TAIL = re.compile(r"(?:ORDER\s+BY|LIMIT)\b", re.IGNORECASE)
+
+
+def _rewrite_qualify(sql: str) -> str:
+    """ClickHouse `QUALIFY <pred>` (post-window filter) → wrap everything
+    before QUALIFY as a subquery and filter it with WHERE, keeping any
+    trailing ORDER BY / LIMIT outside. QUALIFY evaluates AFTER window
+    functions, which a plain WHERE cannot do in Spark — the subquery hop
+    makes the window results ordinary columns first.
+
+    The predicate must reference SELECT-list aliases (ClickHouse also
+    allows inline window calls in QUALIFY; those would need the window
+    duplicated into the subquery, a silent double-evaluation — raise with
+    the aliasing recipe instead). Top-level clause only: QUALIFY inside a
+    subquery raises with the manual rewrite."""
+    hits = _depth0_matches(sql, _QUALIFY_TOK)
+    if not hits:
+        if _QUALIFY_ANY.search(sql):
+            raise CHTranslationError(
+                "QUALIFY inside a subquery is not rewritten; apply the "
+                "rewrite manually: SELECT * FROM (<query>) WHERE <pred>"
+            )
+        return sql
+    m = hits[0]
+    head = sql[: m.start()].strip()
+    rest = sql[m.end() :].strip()
+    tails = _depth0_matches(rest, _QUALIFY_TAIL)
+    if tails:
+        pred = rest[: tails[0].start()].strip().rstrip(",")
+        tail_sql = " " + rest[tails[0].start() :].strip()
+    else:
+        pred, tail_sql = rest.rstrip(","), ""
+    if not pred:
+        raise CHTranslationError("QUALIFY: empty predicate")
+    if re.search(r"\bOVER\s*\(", pred, re.IGNORECASE):
+        raise CHTranslationError(
+            "QUALIFY over an inline window call would re-evaluate the "
+            "window; alias the window expression in the SELECT list and "
+            "reference the alias in QUALIFY"
+        )
+    return f"SELECT * FROM ({head}) __qf WHERE {pred}{tail_sql}"
+
+
 _FORMAT_TAIL = re.compile(r"\bFORMAT\s+\w+\s*;?\s*$", re.IGNORECASE)
 _SETTINGS_TAIL = re.compile(r"\bSETTINGS\s+[\w\s=,'.]+$", re.IGNORECASE)
 _WITH_TOTALS = re.compile(r"\bWITH\s+TOTALS\b", re.IGNORECASE)
@@ -1225,6 +1273,9 @@ def translate_ch_sql(sql: str) -> str:
     # otherwise swallow the tail into the PARTITION BY list.
     sql = _FORMAT_TAIL.sub("", sql.rstrip())
     sql = _SETTINGS_TAIL.sub("", sql.rstrip())
+    # QUALIFY before LIMIT BY: the LIMIT BY rewrite wraps the statement in
+    # subqueries, which would push a top-level QUALIFY below depth 0.
+    sql = _rewrite_qualify(sql)
     sql = _rewrite_limit_by(sql)
     if _WITH_FILL.search(sql):
         raise CHTranslationError(

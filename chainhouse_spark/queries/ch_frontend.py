@@ -214,3 +214,46 @@ def ch_dialect_ip_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     proven."""
     register_views(spark, sf_dir)
     return ch_sql(spark, _CH_SQL_IP)
+
+
+# Round-5 dialect widening #2: QUALIFY — the post-window filter ClickHouse
+# (and DuckDB) support natively and Spark lacks. The translation wraps the
+# statement in a subquery so window results become filterable columns; the
+# oracle runs DuckDB's NATIVE QUALIFY, so the rewrite is checked against a
+# real implementation of the clause, not a hand-expansion of it.
+_CH_SQL_QUALIFY = """
+    SELECT user_id, event_type, ts, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, ts, event_type) AS rn,
+           toFloat64(sum(toDecimal64(value, 2))
+                     OVER (PARTITION BY user_id)) AS user_total
+    FROM events
+    QUALIFY rn <= 3
+    ORDER BY user_id, rn
+    SETTINGS max_threads = 4
+"""
+
+
+@register(
+    "ch_dialect_qualify",
+    oracle="""
+    SELECT user_id, event_type, ts, value,
+           row_number() OVER (PARTITION BY user_id
+                              ORDER BY value DESC, ts, event_type) AS rn,
+           CAST(SUM(CAST(value AS DECIMAL(18,2)))
+                OVER (PARTITION BY user_id) AS DOUBLE) AS user_total
+    FROM events
+    QUALIFY rn <= 3
+    ORDER BY user_id, rn
+    """,
+)
+def ch_dialect_qualify(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """QUALIFY translated to a subquery-hop filter (frontend/ch_dialect.py
+    ::_rewrite_qualify) and hash-checked against DuckDB executing the same
+    clause natively. Top-3 events per user by value with an exact-decimal
+    per-user total: the window sort key (value, ts, event_type) is a total
+    order per user up to full-row duplicates, so row_number assignment is
+    engine-independent. One window shuffle on user_id, filter applied
+    before the final order — the plan Spark's own TopK-per-group takes."""
+    register_views(spark, sf_dir)
+    return ch_sql(spark, _CH_SQL_QUALIFY)

@@ -625,3 +625,53 @@ def test_if_combinator_generalized(spark):
         t("SELECT uniqState(u) FROM t")
     with pytest.raises(CHTranslationError, match="State/-Merge"):
         t("SELECT sumMerge(s) FROM t")
+
+
+def test_qualify_translates(spark):
+    out = t(
+        "SELECT a, row_number() OVER (PARTITION BY a ORDER BY b) AS rn "
+        "FROM t QUALIFY rn <= 2"
+    )
+    assert "QUALIFY" not in out.upper()
+    assert out.startswith("SELECT * FROM (") and "WHERE rn <= 2" in out
+    # trailing ORDER BY / LIMIT stay outside the subquery hop
+    out = t(
+        "SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t "
+        "QUALIFY rn <= 2 ORDER BY a LIMIT 5"
+    )
+    assert out.rstrip().endswith("WHERE rn <= 2 ORDER BY a LIMIT 5")
+    # executed: top-1 per group, window alias filterable
+    rows = ch_sql(
+        spark,
+        "SELECT v % 2 AS g, v, row_number() OVER "
+        "(PARTITION BY v % 2 ORDER BY v DESC) AS rn "
+        "FROM (SELECT explode(sequence(1, 9)) AS v) QUALIFY rn = 1",
+    ).collect()
+    assert sorted((r.g, r.v) for r in rows) == [(0, 8), (1, 9)]
+
+
+def test_qualify_composes_with_tails_and_limit_by(spark):
+    # SETTINGS/FORMAT tails strip before the rewrite
+    out = t(
+        "SELECT a, row_number() OVER (ORDER BY b) AS rn FROM t "
+        "QUALIFY rn <= 2 SETTINGS max_threads = 4"
+    )
+    assert "SETTINGS" not in out.upper() and "WHERE rn <= 2" in out
+    # QUALIFY then LIMIT BY: both rewrites compose on one statement
+    out = t(
+        "SELECT a, b, row_number() OVER (ORDER BY b) AS rn FROM t "
+        "QUALIFY rn <= 10 ORDER BY b LIMIT 2 BY a"
+    )
+    assert "WHERE rn <= 10" in out and "__rn <= 2" in out
+
+
+def test_qualify_guards_raise():
+    with pytest.raises(CHTranslationError, match="alias the window"):
+        t("SELECT a FROM t QUALIFY row_number() OVER (ORDER BY b) <= 2")
+    with pytest.raises(CHTranslationError, match="subquery"):
+        t(
+            "SELECT * FROM (SELECT a, row_number() OVER (ORDER BY b) AS rn "
+            "FROM t QUALIFY rn <= 2) q"
+        )
+    with pytest.raises(CHTranslationError, match="empty predicate"):
+        t("SELECT a, 1 AS rn FROM t QUALIFY ORDER BY a")
