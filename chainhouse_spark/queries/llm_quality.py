@@ -262,3 +262,103 @@ def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "lm_bigram_perplexity_rank",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    big AS (
+        SELECT doc_id, ws[i] AS w1, ws[i + 1] AS w2
+        FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c FROM big GROUP BY w1),
+    v AS (SELECT CAST(COUNT(DISTINCT w) AS DOUBLE) AS v
+          FROM (SELECT unnest(ws) AS w FROM d)),
+    scored AS (
+        SELECT big.doc_id,
+               CAST(ROUND(LOG10((CAST(c12.c AS DOUBLE) + 0.5)
+                                / (CAST(c1.c AS DOUBLE) + 0.5 * v.v)), 6)
+                    AS DECIMAL(20,6)) AS lp
+        FROM big, v
+        JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
+        JOIN c1 ON big.w1 = c1.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(lp) AS DOUBLE) AS sum_lp,
+           CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_lp
+    FROM scored GROUP BY doc_id
+    ORDER BY avg_lp ASC, doc_id ASC LIMIT 100
+    """,
+)
+def lm_bigram_perplexity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CCNet-style language-model quality filter (Wenzek et al. 2020
+    "CCNet": rank documents by LM perplexity, drop the tail): a bigram LM
+    with add-1/2 smoothing is trained ON the corpus in one pass, every
+    document is scored under it, and the 100 most-surprising documents
+    (lowest mean log10-probability per bigram) surface for the filter.
+
+    Determinism across engines: counts are exact integers; each bigram's
+    log10 P(w2|w1) is rounded to 6 decimals and summed as DECIMAL (libm
+    last-ulp and float-order differences absorbed — the stat_entropy
+    recipe); the final mean is one double division of identical inputs.
+
+    Scale: tokenize once (map-only), bigram expansion map-side; training =
+    two partial-agg shuffles (bigram and context counts — the classic
+    heavy-hitter skew on stopword pairs is exactly what AQE skew-join and
+    partial aggregation absorb); scoring joins re-use the bigram-key
+    partitioning of the counts; V travels as a broadcast scalar; the final
+    rank is TakeOrderedAndProject(100), never a global sort. No step holds
+    a vocabulary or document in driver memory, so the same plan runs at
+    100 TB with the counts tables as the only state."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    docs = d.select("doc_id", ws.alias("ws"))
+    big = (
+        docs.filter(F.size("ws") >= 2)  # sequence(1, 0) would REVERSE
+        .select(
+            "doc_id",
+            F.expr(
+                "explode(transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w1, "
+                "element_at(ws, i + 1) AS w2)))"
+            ).alias("pr"),
+        )
+        .select("doc_id", "pr.w1", "pr.w2")
+    )
+    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    vdf = (
+        docs.select(F.explode("ws").alias("w"))
+        .agg(F.countDistinct("w").cast("double").alias("v"))
+    )
+    p = (F.col("c12").cast("double") + F.lit(0.5)) / (
+        F.col("c1").cast("double") + F.lit(0.5) * F.col("v")
+    )
+    scored = (
+        big.join(c12, ["w1", "w2"])
+        .join(c1, ["w1"])
+        .crossJoin(F.broadcast(vdf))
+        .select("doc_id", F.round(F.log10(p), 6).cast("decimal(20,6)").alias("lp"))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bigrams"),
+            F.sum("lp").alias("slp"),
+        )
+        .select(
+            "doc_id",
+            "n_bigrams",
+            F.col("slp").cast("double").alias("sum_lp"),
+            (F.col("slp").cast("double") / F.col("n_bigrams")).alias("avg_lp"),
+        )
+        .orderBy(F.asc("avg_lp"), F.asc("doc_id"))
+        .limit(100)
+    )
