@@ -256,3 +256,110 @@ def mixture_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("kept_tok", F.lit(0)).alias("kept_tok"),
         )
     )
+
+
+@register(
+    "dsir_importance_select",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, source, substr(md5(w), 1, 2) AS b
+        FROM (SELECT doc_id, source, unnest(list_filter(
+                  string_split(text, ' '), x -> x <> '')) AS w
+              FROM documents)
+    ),
+    cor AS (SELECT b, COUNT(*) AS cc FROM tok GROUP BY b),
+    tgt AS (SELECT b, COUNT(*) AS tc FROM tok WHERE source = 'src0'
+            GROUP BY b),
+    tot AS (SELECT CAST((SELECT COUNT(*) FROM tok) AS DOUBLE) AS ct,
+                   CAST((SELECT COUNT(*) FROM tok WHERE source = 'src0')
+                        AS DOUBLE) AS tt),
+    w AS (
+        SELECT cor.b,
+               CAST(ROUND(LOG10((CAST(COALESCE(tgt.tc, 0) AS DOUBLE) + 0.5)
+                                / (tot.tt + 128.0))
+                          - LOG10((CAST(cor.cc AS DOUBLE) + 0.5)
+                                  / (tot.ct + 128.0)), 6)
+                    AS DECIMAL(20,6)) AS wt
+        FROM cor LEFT JOIN tgt ON cor.b = tgt.b, tot
+    ),
+    doc_b AS (
+        SELECT doc_id, b, COUNT(*) AS c FROM tok
+        WHERE source <> 'src0' GROUP BY doc_id, b
+    )
+    SELECT doc_id,
+           CAST(SUM(c) AS BIGINT) AS n_tokens,
+           CAST(SUM(c * wt) AS DOUBLE) AS importance
+    FROM doc_b JOIN w ON doc_b.b = w.b
+    GROUP BY doc_id
+    ORDER BY importance DESC, doc_id ASC LIMIT 100
+    """,
+)
+def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style data selection (Xie et al. 2023 "Data Selection for
+    Language Models via Importance Resampling"): hashed-unigram features,
+    importance weight per feature bucket = log target-likelihood ratio
+    against the raw corpus, per-document importance = sum of its tokens'
+    bucket weights; the 100 highest-importance non-target documents are
+    selected as "most target-like". Target domain here: source = 'src0'.
+
+    Cross-engine determinism: buckets are the first two md5 hex chars (the
+    split_train_test_hash recipe — no engine-specific hash function);
+    bucket weights are log10 ratios rounded to 6 decimals as DECIMAL;
+    per-doc importance = SUM(count x weight) in exact decimal arithmetic.
+
+    Scale: one tokenize pass; bucket histograms are 256-row aggregates
+    (partial-agg shuffles); the weight table is broadcast; the per-doc
+    accumulation shuffles on (doc_id, bucket) then doc_id; the rank is
+    TakeOrderedAndProject(100). The feature space is CONSTANT-size by
+    construction, so weight state never grows with the corpus — the
+    property that makes DSIR run at 100 TB."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    tok = d.select(
+        "doc_id", "source", F.explode(ws).alias("w")
+    ).select("doc_id", "source", F.expr("substr(md5(w), 1, 2)").alias("b"))
+    cor = tok.groupBy("b").agg(F.count(F.lit(1)).alias("cc"))
+    tgt = (
+        tok.filter(F.col("source") == "src0")
+        .groupBy("b")
+        .agg(F.count(F.lit(1)).alias("tc"))
+    )
+    tot = tok.agg(
+        F.count(F.lit(1)).cast("double").alias("ct"),
+        F.count(F.when(F.col("source") == "src0", 1)).cast("double").alias("tt"),
+    )
+    wt = (
+        cor.join(tgt, "b", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "b",
+            F.round(
+                F.log10(
+                    (F.coalesce(F.col("tc"), F.lit(0)).cast("double") + F.lit(0.5))
+                    / (F.col("tt") + F.lit(128.0))
+                )
+                - F.log10(
+                    (F.col("cc").cast("double") + F.lit(0.5))
+                    / (F.col("ct") + F.lit(128.0))
+                ),
+                6,
+            )
+            .cast("decimal(20,6)")
+            .alias("wt"),
+        )
+    )
+    doc_b = (
+        tok.filter(F.col("source") != "src0")
+        .groupBy("doc_id", "b")
+        .agg(F.count(F.lit(1)).alias("c"))
+    )
+    return (
+        doc_b.join(F.broadcast(wt), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.sum("c").cast("bigint").alias("n_tokens"),
+            F.sum(F.col("c") * F.col("wt")).cast("double").alias("importance"),
+        )
+        .orderBy(F.desc("importance"), F.asc("doc_id"))
+        .limit(100)
+    )
