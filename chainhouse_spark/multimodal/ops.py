@@ -314,3 +314,51 @@ def frame_sample(assets: DataFrame, every_n: int = 2) -> DataFrame:
             )
 
     return vid.mapInPandas(gen, schema=FRAME_SAMPLE_SCHEMA)
+
+
+AHASH_SCHEMA = (
+    "asset_id long, band0 int, band1 int, band2 int, band3 int, nbits int"
+)
+
+
+def image_ahash(assets: DataFrame) -> DataFrame:
+    """Perceptual average-hash per image, emitted as four 16-bit bands
+    (the simhash-banding trick: near-duplicate images agree on at least
+    one band with high probability, so band equality is the LSH bucket
+    key for a dedup join — no all-pairs comparison).
+
+    Bit k (block row-major, k = oy*8 + ox) is set when block k's summed
+    intensity exceeds the image mean. ENTIRELY integer arithmetic
+    (S_block * 64 > S_total over the 8x8-cropped region): no float
+    rounding exists to diverge between engines, so the hash is exactly
+    SQL-reproducible from the payload hex."""
+    img = spread(assets.filter("modality = 'image'"), "asset_id").select(
+        "asset_id", "width", "height", "payload"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        weights = 1 << np.arange(16, dtype=np.int64)
+        for pdf in batches:
+            rows = []
+            for aid, w, h, payload in zip(
+                pdf["asset_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                a = decode_image(payload, int(h), int(w)).astype(np.int64)
+                bh, bw = int(h) // 8, int(w) // 8
+                if bh < 1 or bw < 1:
+                    raise ValueError(f"asset {aid}: {h}x{w} smaller than 8x8")
+                gray = a[: bh * 8, : bw * 8, :].sum(axis=2)
+                blocks = gray.reshape(8, bh, 8, bw).sum(axis=(1, 3))
+                tot = int(blocks.sum())
+                bits = (blocks.reshape(-1) * 64 > tot).astype(np.int64)
+                bands = [
+                    int((bits[i * 16 : (i + 1) * 16] * weights).sum())
+                    for i in range(4)
+                ]
+                rows.append((aid, *bands, int(bits.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "band0", "band1", "band2", "band3", "nbits"],
+            )
+
+    return img.mapInPandas(gen, schema=AHASH_SCHEMA)

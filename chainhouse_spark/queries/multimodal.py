@@ -28,6 +28,7 @@ from chainhouse_spark.multimodal.assets import (
 from chainhouse_spark.multimodal.ops import (
     audio_features,
     frame_sample,
+    image_ahash,
     image_features,
     image_resize,
 )
@@ -247,3 +248,88 @@ def mm_image_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("octet_length(payload)").alias("payload_bytes"),
         F.md5(F.lower(F.hex("payload"))).alias("payload_md5"),
     )
+
+
+@register(
+    "mm_image_ahash_dedup",
+    oracle=f"""
+    WITH {_image_bytes_cte()},
+    px AS (
+        SELECT asset_id, bh, bw,
+               (pos // 3) // width AS y,
+               (pos // 3) % width AS x,
+               v
+        FROM b
+    ),
+    blk AS (
+        SELECT asset_id, ((y // bh) * 8 + (x // bw)) AS k, SUM(v) AS s
+        FROM px WHERE y < bh * 8 AND x < bw * 8
+        GROUP BY asset_id, k
+    ),
+    tot AS (SELECT asset_id, SUM(s) AS t FROM blk GROUP BY asset_id),
+    bits AS (
+        SELECT blk.asset_id, k,
+               CASE WHEN s * 64 > t THEN 1 ELSE 0 END AS bit
+        FROM blk JOIN tot ON blk.asset_id = tot.asset_id
+    ),
+    bands AS (
+        SELECT asset_id, k // 16 AS bi,
+               CAST(SUM(bit * (1 << (k % 16))) AS INT) AS bv
+        FROM bits GROUP BY asset_id, bi
+    ),
+    cnt AS (SELECT bi, bv, COUNT(*) AS c FROM bands GROUP BY bi, bv),
+    coll AS (
+        SELECT bands.asset_id, CAST(SUM(cnt.c - 1) AS BIGINT) AS n_band_collisions
+        FROM bands JOIN cnt ON bands.bi = cnt.bi AND bands.bv = cnt.bv
+        GROUP BY bands.asset_id
+    ),
+    wide AS (
+        SELECT asset_id,
+               CAST(MAX(CASE WHEN bi = 0 THEN bv END) AS INT) AS band0,
+               CAST(MAX(CASE WHEN bi = 1 THEN bv END) AS INT) AS band1,
+               CAST(MAX(CASE WHEN bi = 2 THEN bv END) AS INT) AS band2,
+               CAST(MAX(CASE WHEN bi = 3 THEN bv END) AS INT) AS band3
+        FROM bands GROUP BY asset_id
+    ),
+    nb AS (
+        SELECT asset_id, CAST(SUM(bit) AS INT) AS nbits FROM bits
+        GROUP BY asset_id
+    )
+    SELECT wide.asset_id, band0, band1, band2, band3, nb.nbits,
+           coll.n_band_collisions
+    FROM wide
+    JOIN nb ON wide.asset_id = nb.asset_id
+    JOIN coll ON wide.asset_id = coll.asset_id
+    """,
+)
+def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual average-hash: 64
+    integer-exact bits per image banded into four 16-bit LSH keys
+    (multimodal/ops.py::image_ahash), plus each image's band-collision
+    count — the candidate-pair fan-in a dedup join would process. The
+    banding is the dedup_simhash recipe applied to pixels instead of
+    tokens: candidates meet on band equality (equi-join), never all-pairs.
+    The oracle rebuilds every hash from the payload hex bytes, so the
+    decode -> block-sum -> threshold -> band pipeline is checked
+    bit-for-bit."""
+    ah = image_ahash(_assets(spark, sf_dir))
+    melted = ah.select(
+        "asset_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"), F.col(f"band{i}").alias("bv")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("m"),
+    ).select("asset_id", "m.bi", "m.bv")
+    cnt = melted.groupBy("bi", "bv").agg(F.count(F.lit(1)).alias("c"))
+    coll = (
+        melted.join(cnt, ["bi", "bv"])
+        .groupBy("asset_id")
+        .agg(F.sum(F.col("c") - 1).cast("bigint").alias("n_band_collisions"))
+    )
+    return ah.join(coll, "asset_id")

@@ -232,3 +232,25 @@ def test_normalize_assets_bridges_encoded_to_raw(spark):
     px = img_a.reshape(-1, 3).astype(np.float64)
     assert feats[1].mean_r == pytest.approx(px[:, 0].mean())
     assert feats[1].brightness == pytest.approx(px.mean())
+
+
+def test_image_ahash_matches_numpy(assets):
+    from chainhouse_spark.multimodal.ops import image_ahash
+
+    got = {r.asset_id: r for r in image_ahash(assets).collect()}
+    raw = {r.asset_id: r for r in assets.filter("modality='image'").collect()}
+    assert set(got) == set(raw) and len(got) > 0
+    for aid, r in list(got.items())[:5]:
+        a = decode_image(
+            bytes(raw[aid].payload), raw[aid].height, raw[aid].width
+        ).astype(np.int64)
+        bh, bw = raw[aid].height // 8, raw[aid].width // 8
+        gray = a[: bh * 8, : bw * 8, :].sum(axis=2)
+        blocks = gray.reshape(8, bh, 8, bw).sum(axis=(1, 3)).reshape(-1)
+        bits = (blocks * 64 > blocks.sum()).astype(np.int64)
+        for i in range(4):
+            exp = int((bits[i * 16 : (i + 1) * 16] << np.arange(16)).sum())
+            assert getattr(r, f"band{i}") == exp
+        assert r.nbits == int(bits.sum())
+        # a constant image has no above-average block: all bands zero
+    # bit order is pinned: band0 bit 0 is block (oy=0, ox=0)
