@@ -554,3 +554,31 @@ def test_training_export_plan_shapes(spark):
     assert f.shuffle_exchanges <= 3
     assert f.broadcast_joins == 0 and f.sortmerge_joins == 0
     assert f.python_evals == 0
+
+
+def test_lm_and_dsir_rank_via_ordered_limit(spark):
+    # Corpus-level model train + score queries: the final rank must be
+    # TakeOrderedAndProject (per-partition top-k, k-row merge), never a
+    # global Sort of every document; count/weight tables join back onto
+    # the token stream with bounded exchanges and zero Python stages.
+    from chainhouse_spark.plans.audit import explain_formatted
+
+    for name, max_x in [
+        ("lm_bigram_perplexity_rank", 8),
+        ("dsir_importance_select", 8),
+    ]:
+        df = q(spark, name)
+        text = explain_formatted(df)
+        assert "TakeOrderedAndProject" in text, name
+        f = plan_facts(df)
+        assert f.shuffle_exchanges <= max_x, (name, f.shuffle_exchanges)
+        assert f.python_evals == 0, name
+
+
+def test_image_ahash_single_python_stage(spark):
+    # Perceptual-hash dedup: exactly one Python (decode) stage; the band
+    # collision count is a JVM-side equi-join on 16-bit keys — the plan
+    # must never cross to Python twice or go cartesian.
+    f = plan_facts(q(spark, "mm_image_ahash_dedup"))
+    assert f.python_evals == 1
+    assert f.cartesian_products == 0
