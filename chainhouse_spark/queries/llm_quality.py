@@ -362,3 +362,135 @@ def lm_bigram_perplexity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.asc("avg_lp"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+@register(
+    "nb_classify_confusion",
+    oracle="""
+    WITH tok AS (
+        SELECT doc_id, lang, substr(md5(w), 1, 2) AS b
+        FROM (SELECT doc_id, lang, unnest(list_filter(
+                  string_split(text, ' '), x -> x <> '')) AS w
+              FROM documents)
+    ),
+    langs AS (SELECT lang, COUNT(DISTINCT doc_id) AS n_docs,
+                     COUNT(*) AS n_tok
+              FROM tok GROUP BY lang),
+    buckets AS (SELECT DISTINCT b FROM tok),
+    cnt AS (SELECT lang, b, COUNT(*) AS c FROM tok GROUP BY lang, b),
+    wt AS (
+        SELECT langs.lang, buckets.b,
+               CAST(ROUND(LOG10((CAST(COALESCE(cnt.c, 0) AS DOUBLE) + 0.5)
+                                / (CAST(langs.n_tok AS DOUBLE) + 128.0)), 6)
+                    AS DECIMAL(20,6)) AS w
+        FROM langs CROSS JOIN buckets
+        LEFT JOIN cnt ON cnt.lang = langs.lang AND cnt.b = buckets.b
+    ),
+    prior AS (
+        SELECT lang,
+               CAST(ROUND(LOG10(CAST(n_docs AS DOUBLE)
+                                / (SELECT CAST(SUM(n_docs) AS DOUBLE)
+                                   FROM langs)), 6)
+                    AS DECIMAL(20,6)) AS p
+        FROM langs
+    ),
+    doc_b AS (SELECT doc_id, lang AS actual, b, COUNT(*) AS c
+              FROM tok GROUP BY doc_id, lang, b),
+    score AS (
+        SELECT doc_b.doc_id, doc_b.actual, wt.lang AS cand,
+               SUM(doc_b.c * wt.w) + MIN(prior.p) AS s
+        FROM doc_b
+        JOIN wt ON doc_b.b = wt.b
+        JOIN prior ON prior.lang = wt.lang
+        GROUP BY doc_b.doc_id, doc_b.actual, wt.lang
+    ),
+    pred AS (
+        SELECT doc_id, actual, cand AS predicted
+        FROM (SELECT doc_id, actual, cand,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, cand ASC) AS rn
+              FROM score)
+        WHERE rn = 1
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY actual, predicted
+    """,
+)
+def nb_classify_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus labeling at scale: a multinomial Naive Bayes
+    classifier over hashed-unigram features, trained on the corpus's own
+    lang labels and evaluated on it — the confusion matrix is the output
+    (the fastText-supervised quality-classifier shape with exact-arithmetic
+    training: NB's MLE is pure counting, so the whole train+predict
+    pipeline is closed-form and engine-reproducible — no SGD order
+    dependence).
+
+    Determinism: per-(bucket, class) log-likelihoods and log-priors are
+    rounded to 6 decimals as DECIMAL; per-doc per-class scores are exact
+    decimal dot products; argmax breaks ties by class name.
+
+    Scale: the model is CONSTANT-size (256 buckets x |classes| weights +
+    |classes| priors — broadcast both); scoring fans each doc-bucket row
+    out by |classes| through a broadcast join, aggregates on
+    (doc_id, class), then one row_number window per doc picks the argmax.
+    Shuffles: token histogram, score aggregate, argmax window (the last
+    two share the doc_id grouping). The confusion matrix is a |classes|^2
+    aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    tok = d.select(
+        "doc_id", "lang", F.explode(ws).alias("w")
+    ).select("doc_id", "lang", F.expr("substr(md5(w), 1, 2)").alias("b"))
+    doc_b = tok.groupBy("doc_id", F.col("lang").alias("actual"), "b").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    cnt = tok.groupBy("lang", "b").agg(F.count(F.lit(1)).alias("c"))
+    langs = tok.groupBy("lang").agg(
+        F.countDistinct("doc_id").alias("n_docs"),
+        F.count(F.lit(1)).alias("n_tok"),
+    )
+    buckets = tok.select("b").distinct()
+    wt = (
+        langs.crossJoin(buckets)
+        .join(cnt, ["lang", "b"], "left")
+        .select(
+            "lang",
+            "b",
+            F.round(
+                F.log10(
+                    (F.coalesce(F.col("c"), F.lit(0)).cast("double") + F.lit(0.5))
+                    / (F.col("n_tok").cast("double") + F.lit(128.0))
+                ),
+                6,
+            )
+            .cast("decimal(20,6)")
+            .alias("w"),
+        )
+    )
+    total_docs = langs.agg(F.sum("n_docs").cast("double").alias("td"))
+    prior = (
+        langs.crossJoin(F.broadcast(total_docs))
+        .select(
+            "lang",
+            F.round(F.log10(F.col("n_docs").cast("double") / F.col("td")), 6)
+            .cast("decimal(20,6)")
+            .alias("p"),
+        )
+    )
+    score = (
+        doc_b.join(F.broadcast(wt), "b")
+        .join(F.broadcast(prior), "lang")
+        .groupBy("doc_id", "actual", F.col("lang").alias("cand"))
+        .agg((F.sum(F.col("c") * F.col("w")) + F.min("p")).alias("s"))
+    )
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("cand"))
+    pred = (
+        score.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("actual", F.col("cand").alias("predicted"))
+    )
+    return pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs")
+    )

@@ -32,6 +32,7 @@ CARTESIAN_OK = {
 PYTHON_OK = {
     "mm_frame_sample", "mm_image_features", "mm_audio_features",
     "mm_image_resize",          # numpy batch decode (multimodal/ops.py)
+    "mm_image_ahash_dedup",     # numpy batch decode -> integer aHash
     "ann_bruteforce_gemm",      # BLAS matmul per Arrow batch
     "attribution_last_click",   # cogrouped applyInPandas merge_asof
     # Deliberately NOT whitelisted: the eth hex codec queries plan
