@@ -483,3 +483,49 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias("jaccard"),
         )
     )
+
+
+@register(
+    "dedup_clusters_star",
+    oracle="""
+    WITH RECURSIVE
+    """ + _DUCK_SHINGLES + """,
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    pairs AS (
+        SELECT doc_a, doc_b FROM common
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ),
+    edges AS (
+        SELECT doc_a AS a, doc_b AS b FROM pairs
+        UNION ALL SELECT doc_b, doc_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    )
+    SELECT a AS node, MIN(b) AS cluster_id FROM reach GROUP BY a
+    """,
+)
+def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The same duplicate clusters as `dedup_duplicate_clusters`, computed
+    by the alternating large-star/small-star algorithm (Kiveris et al.
+    2014; operators/components.py::connected_components_star) instead of
+    min-label propagation. Propagation needs diameter rounds; the star
+    form converges in O(log^2 n) regardless of diameter — the variant a
+    100 TB web-graph-shaped dedup needs. The oracle is the identical
+    recursive-CTE fixpoint, so the driver independently proves BOTH
+    component algorithms reach the same clustering."""
+    from chainhouse_spark.operators.components import connected_components_star
+
+    pairs = ngram_jaccard_pairs(
+        load_table(spark, sf_dir, "documents"), shingle_words=3, threshold=0.8
+    )
+    return connected_components_star(pairs, src="doc_a", dst="doc_b")
