@@ -31,11 +31,16 @@ Supported rewrites (ClickHouse → Spark):
   conditionals    if, multiIf, ifNull, nullIf (renames / CASE expansion)
   agg combinators countIf, sumIf, avgIf, minIf, maxIf
   parametric aggs quantile(p)(x) → percentile_approx,
-                  quantileExact(p)(x) → percentile
+                  quantileExact(p)(x) → percentile,
+                  quantileTDigest/quantileTiming (+ plurals) →
+                  percentile_approx (approximate → approximate),
+                  uniqUpTo(N)(x...) → LEAST(count distinct, N + 1)
   set aggs        uniq → approx_count_distinct, uniqExact →
                   count(distinct ...), groupArray → collect_list,
                   groupUniqArray → collect_set, any/anyLast → any_value,
-                  argMax/argMin → max_by/min_by, count() → count(*)
+                  argMax/argMin → max_by/min_by, count() → count(*),
+                  groupBitmap → count(distinct ...) (bitmap cardinality
+                  of an int column IS the exact distinct count)
   arrays          arrayJoin → explode, has → array_contains,
                   indexOf → array_position, arrayMap/arrayFilter →
                   transform/filter (lambda moves to second position),
@@ -341,7 +346,16 @@ _UNSUPPORTED = {
 }
 
 _PARAMETRIC = {"quantile": "PERCENTILE_APPROX", "quantileexact": "PERCENTILE",
-               "quantiles": "PERCENTILE_APPROX", "quantilesexact": "PERCENTILE"}
+               "quantiles": "PERCENTILE_APPROX", "quantilesexact": "PERCENTILE",
+               # approximate -> approximate: same contract as quantile();
+               # ClickHouse's t-digest/timing sketches and Spark's
+               # percentile_approx all answer "p-quantile, approximately"
+               "quantiletdigest": "PERCENTILE_APPROX",
+               "quantilestdigest": "PERCENTILE_APPROX",
+               "quantiletiming": "PERCENTILE_APPROX",
+               "quantilestiming": "PERCENTILE_APPROX"}
+_PARAMETRIC_PLURAL = {"quantiles", "quantilesexact", "quantilestdigest",
+                      "quantilestiming"}
 
 # ClickHouse formatDateTime %-codes -> Java/Spark datetime pattern letters.
 # (ClickHouse's set, NOT MySQL's: %M is minute, not month name.)
@@ -545,6 +559,11 @@ def _rewrite_call(name: str, args: list[str]) -> str:
         return f"{_GENERIC_IF_AGG[low[:-2]]}(IF({args[1]}, {args[0]}, NULL))"
     if low == "uniqexact":
         return f"COUNT(DISTINCT {', '.join(args)})"
+    if low == "groupbitmap":
+        # bitmap cardinality of an integer column == exact distinct count
+        if len(args) != 1:
+            raise CHTranslationError("groupBitmap(x) takes one argument")
+        return f"COUNT(DISTINCT {args[0]})"
     if low == "multiif":
         if len(args) < 3 or len(args) % 2 == 0:
             raise CHTranslationError(
@@ -979,13 +998,33 @@ def _translate_calls(sql: str) -> str:
                 while k2 < n and sql[k2].isspace():
                     k2 += 1
                 if (
+                    name.lower() == "uniqupto"
+                    and k2 < n
+                    and sql[k2] == "("
+                ):
+                    # uniqUpTo(N)(x...): exact distinct count saturating at
+                    # N + 1 ("more than N" marker) — exactly expressible.
+                    close2 = _matching_paren(sql, k2)
+                    inner = _split_args(_translate_calls(sql[k2 + 1 : close2]))
+                    if len(args) != 1 or not inner:
+                        raise CHTranslationError(
+                            "uniqUpTo(N)(x...) takes one parameter and at "
+                            "least one argument"
+                        )
+                    out.append(
+                        f"LEAST(COUNT(DISTINCT {', '.join(inner)}), "
+                        f"({args[0]}) + 1)"
+                    )
+                    i = close2 + 1
+                    continue
+                if (
                     name.lower() in _PARAMETRIC
                     and k2 < n
                     and sql[k2] == "("
                 ):
                     close2 = _matching_paren(sql, k2)
                     inner = _split_args(_translate_calls(sql[k2 + 1 : close2]))
-                    plural = name.lower() in ("quantiles", "quantilesexact")
+                    plural = name.lower() in _PARAMETRIC_PLURAL
                     if len(inner) != 1 or (not plural and len(args) != 1):
                         raise CHTranslationError(
                             f"{name}(p...)(x) takes one argument"

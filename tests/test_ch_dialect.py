@@ -675,3 +675,21 @@ def test_qualify_guards_raise():
         )
     with pytest.raises(CHTranslationError, match="empty predicate"):
         t("SELECT a, 1 AS rn FROM t QUALIFY ORDER BY a")
+
+
+def test_uniq_up_to_and_bitmap_translate_and_execute(spark):
+    out = t("SELECT uniqUpTo(3)(x) AS u FROM t")
+    assert "LEAST(COUNT(DISTINCT x), (3) + 1)" in out
+    assert "COUNT(DISTINCT user_id)" in t("SELECT groupBitmap(user_id) FROM t")
+    assert "PERCENTILE_APPROX(x, 0.5)" in t("SELECT quantileTDigest(0.5)(x) FROM t")
+    assert "PERCENTILE_APPROX(x, ARRAY(0.5, 0.9))" in t(
+        "SELECT quantilesTiming(0.5, 0.9)(x) FROM t"
+    )
+    # executed: saturation at N + 1 when the true cardinality exceeds N
+    row = ch_sql(
+        spark,
+        "SELECT uniqUpTo(3)(v) AS capped, uniqUpTo(20)(v) AS exact_u, "
+        "groupBitmap(v) AS gb "
+        "FROM (SELECT explode(sequence(1, 9)) AS v)",
+    ).collect()[0]
+    assert (row.capped, row.exact_u, row.gb) == (4, 9, 9)
