@@ -395,3 +395,94 @@ def sketch_theta_set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.abs(est_i - ex_i) <= 0.5 * ex_i + 10).alias("inter_ok"),
         )
     )
+
+
+@register(
+    "sketch_countmin_heavy",
+    oracle="""
+    WITH cms AS (
+        SELECT d, substr(md5(CAST(d AS VARCHAR) || ':'
+                             || CAST(user_id AS VARCHAR)), 1, 2) AS b,
+               COUNT(*) AS c
+        FROM events, UNNEST([0, 1, 2, 3]) AS t(d)
+        GROUP BY 1, 2
+    ),
+    exact AS (
+        SELECT user_id, COUNT(*) AS exact_n FROM events GROUP BY user_id
+        ORDER BY exact_n DESC, user_id ASC LIMIT 10
+    ),
+    probes AS (
+        SELECT user_id, exact_n, d,
+               substr(md5(CAST(d AS VARCHAR) || ':'
+                          || CAST(user_id AS VARCHAR)), 1, 2) AS b
+        FROM exact, UNNEST([0, 1, 2, 3]) AS t(d)
+    )
+    SELECT probes.user_id,
+           CAST(MIN(probes.exact_n) AS BIGINT) AS exact_n,
+           CAST(MIN(cms.c) AS BIGINT) AS cms_estimate,
+           CAST(MIN(cms.c) - MIN(probes.exact_n) AS BIGINT) AS overestimate,
+           MIN(cms.c) >= MIN(probes.exact_n) AS never_undercounts
+    FROM probes JOIN cms ON probes.d = cms.d AND probes.b = cms.b
+    GROUP BY probes.user_id
+    """,
+)
+def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Count-min sketch frequency estimation: a 4x256 counter table (rows =
+    independent md5-salted hashes, the split_train_test_hash engine-neutral
+    recipe), point estimate = min over rows — checked against the exact
+    counts of the 10 heaviest users, with the CMS one-sided-error
+    invariant (estimate >= truth, ALWAYS) emitted as a column.
+
+    Why it matters at 100 TB: the sketch is CONSTANT-size and MERGEABLE —
+    partial aggregation builds per-partition counter tables and the final
+    merge is elementwise addition, which is exactly what the
+    groupBy(d, bucket) partial-agg shuffle does; no per-key state ever
+    materializes. The probe side is 40 rows joined against a broadcast of
+    the 1024-cell sketch."""
+    e = load_table(spark, sf_dir, "events")
+    bucket = lambda d: F.expr(  # noqa: E731
+        f"substr(md5(concat('{d}', ':', CAST(user_id AS STRING))), 1, 2)"
+    )
+    cms = (
+        e.select(
+            F.explode(
+                F.array(
+                    *[
+                        F.struct(F.lit(d).alias("d"), bucket(d).alias("b"))
+                        for d in range(4)
+                    ]
+                )
+            ).alias("x")
+        )
+        .groupBy("x.d", "x.b")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .select(F.col("d"), F.col("b"), F.col("c"))
+    )
+    exact = (
+        e.groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("exact_n"))
+        .orderBy(F.desc("exact_n"), F.asc("user_id"))
+        .limit(10)
+    )
+    probes = exact.select(
+        "user_id",
+        "exact_n",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(F.lit(d).alias("d"), bucket(d).alias("b"))
+                    for d in range(4)
+                ]
+            )
+        ).alias("x"),
+    ).select("user_id", "exact_n", "x.d", "x.b")
+    return (
+        probes.join(F.broadcast(cms), ["d", "b"])
+        .groupBy("user_id")
+        .agg(
+            F.min("exact_n").cast("bigint").alias("exact_n"),
+            F.min("c").cast("bigint").alias("cms_estimate"),
+            (F.min("c") - F.min("exact_n")).cast("bigint").alias("overestimate"),
+            (F.min("c") >= F.min("exact_n")).alias("never_undercounts"),
+        )
+    )
