@@ -399,3 +399,88 @@ def feature_hashing_vectorize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("weight"))
         .orderBy("doc_id", "bucket")
     )
+
+
+@register(
+    "text_collocations_pmi",
+    oracle="""
+    WITH d AS (
+        SELECT doc_id,
+               list_filter(string_split(text, ' '), x -> x <> '') AS ws
+        FROM documents
+    ),
+    big AS (
+        SELECT ws[i] AS w1, ws[i + 1] AS w2
+        FROM d, UNNEST(generate_series(1, len(ws) - 1)) AS t(i)
+    ),
+    n AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM big),
+    c12 AS (SELECT w1, w2, COUNT(*) AS c FROM big GROUP BY w1, w2),
+    c1 AS (SELECT w1, COUNT(*) AS c FROM big GROUP BY w1),
+    c2 AS (SELECT w2, COUNT(*) AS c FROM big GROUP BY w2)
+    SELECT c12.w1, c12.w2, CAST(c12.c AS BIGINT) AS n_pair,
+           ROUND(LOG10(CAST(c12.c AS DOUBLE) * n.n
+                       / (CAST(c1.c AS DOUBLE) * CAST(c2.c AS DOUBLE))), 6)
+             AS pmi
+    FROM c12, n
+    JOIN c1 ON c12.w1 = c1.w1
+    JOIN c2 ON c12.w2 = c2.w2
+    WHERE c12.c >= 5
+    ORDER BY pmi DESC, c12.w1 ASC, c12.w2 ASC LIMIT 50
+    """,
+)
+def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Collocation mining by pointwise mutual information: the 50 most
+    associated adjacent word pairs (min support 5) — the phrase-extraction
+    step feeding tokenizer merge candidates and stopword curation.
+    PMI = log( P(w1,w2) / (P(w1) P(w2)) ) from exact bigram/unigram
+    counts, rounded to 6 decimals for the cross-engine hash; position-1
+    unigram and position-2 unigram margins are kept separate (asymmetric,
+    the textbook definition for ordered bigrams).
+
+    Scale: one tokenize pass, bigram expansion map-side, three partial-agg
+    count shuffles; margins join back on their word keys (AQE handles the
+    stopword skew); the min-support filter prunes the long tail BEFORE
+    the joins; the rank is TakeOrderedAndProject(50)."""
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    big = (
+        d.select(ws.alias("ws"))
+        .filter(F.size("ws") >= 2)  # sequence(1, 0) would REVERSE
+        .select(
+            F.expr(
+                "explode(transform(sequence(1, size(ws) - 1), "
+                "i -> struct(element_at(ws, i) AS w1, "
+                "element_at(ws, i + 1) AS w2)))"
+            ).alias("pr")
+        )
+        .select("pr.w1", "pr.w2")
+    )
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") >= 5)
+    )
+    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    c2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
+    n = big.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    # rounded DOUBLE, not DECIMAL: nothing is summed downstream, and the
+    # 6-decimal round already absorbs the cross-engine log10 ulp — a
+    # decimal output would only reintroduce scale-formatting mismatches.
+    pmi = F.round(
+        F.log10(
+            F.col("c").cast("double")
+            * F.col("n")
+            / (F.col("c1").cast("double") * F.col("c2").cast("double"))
+        ),
+        6,
+    )
+    return (
+        c12.join(c1, "w1")
+        .join(c2, "w2")
+        .crossJoin(F.broadcast(n))
+        .select(
+            "w1", "w2", F.col("c").cast("bigint").alias("n_pair"), pmi.alias("pmi")
+        )
+        .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
+        .limit(50)
+    )
