@@ -494,3 +494,140 @@ def nb_classify_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pred.groupBy("actual", "predicted").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_docs")
     )
+
+
+# --- Cohen's kappa: chance-corrected agreement between the heuristic
+# language classifier (text_langid's stopword argmax) and the labeled lang
+# column. Everything is derived from ONE contingency cube
+# groupBy(source, actual, predicted) — a single shuffle whose map-side
+# partial agg collapses 100 TB of documents to <= |sources| * |langs|^2
+# rows; the marginal joins below run over that tiny cube, never the corpus.
+# kappa = (N*agree - S) / (N*N - S) with S = sum_k rowmarg_k * colmarg_k:
+# numerator and denominator are EXACT integers, so the final single
+# division is bit-identical across engines (no rounding chain needed).
+_KAPPA_PRED = """
+CASE
+    WHEN {en} >= {de} AND {en} >= {fr} AND {en} >= {es} THEN 'en'
+    WHEN {de} >= {fr} AND {de} >= {es} THEN 'de'
+    WHEN {fr} >= {es} THEN 'fr'
+    ELSE 'es'
+END
+"""
+
+# DuckDB-side stopword-hit expressions, shared with text_langid's oracle.
+from chainhouse_spark.queries.llm_text import _DUCK_HITS  # noqa: E402
+
+
+@register(
+    "eval_cohens_kappa",
+    oracle=f"""
+    WITH pred AS (
+        SELECT source, lang AS a,
+               {_KAPPA_PRED.format(en=_DUCK_HITS["en"], de=_DUCK_HITS["de"],
+                                   fr=_DUCK_HITS["fr"], es=_DUCK_HITS["es"])} AS p
+        FROM documents
+    ),
+    ct AS (
+        SELECT source, a, p, CAST(COUNT(*) AS BIGINT) AS c
+        FROM pred GROUP BY source, a, p
+    ),
+    tot AS (
+        SELECT source,
+               CAST(SUM(c) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN a = p THEN c ELSE 0 END) AS BIGINT) AS agree
+        FROM ct GROUP BY source
+    ),
+    ma AS (SELECT source, a AS k, CAST(SUM(c) AS BIGINT) AS ca FROM ct GROUP BY source, a),
+    mb AS (SELECT source, p AS k, CAST(SUM(c) AS BIGINT) AS cb FROM ct GROUP BY source, p),
+    s AS (
+        SELECT ma.source, CAST(SUM(ma.ca * mb.cb) AS BIGINT) AS s
+        FROM ma JOIN mb ON ma.source = mb.source AND ma.k = mb.k
+        GROUP BY ma.source
+    )
+    SELECT tot.source, n AS n_docs, agree AS n_agree,
+           CAST(agree AS DOUBLE) / n AS po,
+           CAST(s AS DOUBLE) / (n * n) AS pe,
+           CASE WHEN n * n = s THEN NULL
+                ELSE CAST(n * agree - s AS DOUBLE) / (n * n - s) END AS kappa
+    FROM tot JOIN s ON tot.source = s.source
+    """,
+)
+def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-source Cohen's kappa of the stopword-argmax language classifier
+    against the labeled `lang` column — the agreement metric an annotation /
+    autolabel pipeline reports alongside raw accuracy (kappa corrects for
+    chance agreement under the two raters' marginals). Degenerate sources
+    where chance agreement is 1 (both raters constant) yield NULL kappa
+    rather than 0/0."""
+    from chainhouse_spark.functions.text import LANG_STOPWORDS, stopword_hits_sql
+
+    hits = {
+        lang: stopword_hits_sql("text", ws) for lang, ws in LANG_STOPWORDS.items()
+    }
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.col("lang").alias("a"),
+        F.expr(_KAPPA_PRED.format(**hits)).alias("p"),
+    )
+    ct = d.groupBy("source", "a", "p").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    # Single lineage past the cube (a groupBy+join fan-out here would re-scan
+    # and re-predict the corpus once per branch — observed 6 parquet scans):
+    # per-source totals ride along as window sums, then each cube row emits
+    # its two marginal events (class a contributes to the row marginal, class
+    # p to the column marginal), so one more groupBy yields ca_k/cb_k and a
+    # final fold computes S = sum_k ca_k*cb_k. Every post-cube exchange moves
+    # <= |sources|*|langs|^2 rows regardless of corpus size.
+    w = Window.partitionBy("source")
+    evt = (
+        ct.withColumn("n", F.sum("c").over(w))
+        .withColumn(
+            "agree",
+            F.sum(
+                F.when(F.col("a") == F.col("p"), F.col("c")).otherwise(F.lit(0))
+            ).over(w),
+        )
+        .select(
+            "source",
+            "n",
+            "agree",
+            F.explode(
+                F.array(
+                    F.struct(
+                        F.col("a").alias("k"),
+                        F.col("c").alias("ca_part"),
+                        F.lit(0).cast("bigint").alias("cb_part"),
+                    ),
+                    F.struct(
+                        F.col("p").alias("k"),
+                        F.lit(0).cast("bigint").alias("ca_part"),
+                        F.col("c").alias("cb_part"),
+                    ),
+                )
+            ).alias("m"),
+        )
+        .select("source", "n", "agree", "m.k", "m.ca_part", "m.cb_part")
+    )
+    marg = evt.groupBy("source", "k").agg(
+        F.min("n").alias("n"),
+        F.min("agree").alias("agree"),
+        F.sum("ca_part").alias("ca"),
+        F.sum("cb_part").alias("cb"),
+    )
+    folded = marg.groupBy("source").agg(
+        F.min("n").alias("n"),
+        F.min("agree").alias("agree"),
+        F.sum(F.col("ca") * F.col("cb")).cast("bigint").alias("s"),
+    )
+    n, agree, sv = F.col("n"), F.col("agree"), F.col("s")
+    return folded.select(
+        "source",
+        n.alias("n_docs"),
+        agree.alias("n_agree"),
+        (agree.cast("double") / n).alias("po"),
+        (sv.cast("double") / (n * n)).alias("pe"),
+        F.when(n * n == sv, F.lit(None).cast("double"))
+        .otherwise((n * agree - sv).cast("double") / (n * n - sv))
+        .alias("kappa"),
+    )

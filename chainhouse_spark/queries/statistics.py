@@ -831,3 +831,132 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1.0)"
         " - ties / ((n1 + n2) * (n1 + n2 - 1.0)))) AS z_stat",
     )
+
+
+@register(
+    "drift_psi_by_source",
+    oracle="""
+    WITH base AS (
+        SELECT source,
+               CAST(doc_id % 2 AS INT) AS snap,
+               CAST(LEAST(n_chars // 64, 9) AS INT) AS bin
+        FROM documents
+    ),
+    cnt AS (
+        SELECT source, bin,
+               CAST(COUNT(*) FILTER (WHERE snap = 0) AS BIGINT) AS c0,
+               CAST(COUNT(*) FILTER (WHERE snap = 1) AS BIGINT) AS c1
+        FROM base GROUP BY source, bin
+    ),
+    spine AS (
+        SELECT s.source, CAST(b AS INT) AS bin
+        FROM (SELECT DISTINCT source FROM cnt) s, UNNEST(range(0, 10)) t(b)
+    ),
+    full_cnt AS (
+        SELECT spine.source, spine.bin,
+               COALESCE(cnt.c0, 0) AS c0, COALESCE(cnt.c1, 0) AS c1
+        FROM spine LEFT JOIN cnt
+          ON spine.source = cnt.source AND spine.bin = cnt.bin
+    ),
+    tot AS (
+        SELECT source, bin, c0, c1,
+               SUM(c0) OVER (PARTITION BY source) AS n0,
+               SUM(c1) OVER (PARTITION BY source) AS n1
+        FROM full_cnt
+    ),
+    term AS (
+        SELECT source, bin, c0, c1, n0, n1,
+               CAST(c0 + 1 AS DOUBLE) / (n0 + 10) AS p0,
+               CAST(c1 + 1 AS DOUBLE) / (n1 + 10) AS p1,
+               ABS((c1 + 1) * (n0 + 10) - (c0 + 1) * (n1 + 10)) AS shift_mag
+        FROM tot
+    )
+    SELECT source,
+           CAST(MIN(n0) AS BIGINT) AS n_base,
+           CAST(MIN(n1) AS BIGINT) AS n_cur,
+           CAST(SUM(CAST(ROUND((p1 - p0) * LN(p1 / p0), 6)
+                    AS DECIMAL(20,6))) AS DOUBLE) AS psi,
+           CAST(MIN(CASE WHEN shift_rank = 1 THEN bin END) AS INT) AS top_shift_bin
+    FROM (
+        SELECT *,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY shift_mag DESC, bin ASC) AS shift_rank
+        FROM term
+    )
+    GROUP BY source
+    """,
+)
+def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Population Stability Index of each source's document-length
+    distribution between two corpus snapshots (deterministically split by
+    doc_id parity) — the drift monitor a recurring training-data refresh
+    runs before accepting a new crawl. Lengths bin into 10 fixed buckets;
+    bin probabilities are Laplace-smoothed ((c+1)/(n+10)) so empty bins
+    contribute finite terms, and each PSI term is rounded to 6 decimals and
+    summed as DECIMAL (the stat_entropy recipe: LN may differ in the last
+    ulp across engines, float sum order is engine-dependent). The reported
+    top-shift bin is ranked by the INTEGER cross-product
+    |(c1+1)(n0+10) - (c0+1)(n1+10)| — within a source the denominators are
+    constant, so this orders |p1 - p0| exactly with no float compare.
+
+    Scale: one count shuffle collapses the corpus map-side to
+    <= |sources| * 10 * 2 cells; the bin spine is derived from the cube (not
+    a second corpus scan) and every later op moves only cube-sized rows."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("doc_id") % 2).cast("int").alias("snap"),
+        F.least(F.col("n_chars") / F.lit(64), F.lit(9)).cast("int").alias("bin"),
+    )
+    cnt = d.groupBy("source", "bin").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).cast("bigint").alias("c0"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+    )
+    spine = (
+        cnt.select("source")
+        .distinct()
+        .select("source", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"))
+        .select("source", F.col("bin").cast("int").alias("bin"))
+    )
+    full_cnt = spine.join(cnt, ["source", "bin"], "left").select(
+        "source",
+        "bin",
+        F.coalesce("c0", F.lit(0)).alias("c0"),
+        F.coalesce("c1", F.lit(0)).alias("c1"),
+    )
+    w = Window.partitionBy("source")
+    tot = full_cnt.withColumn("n0", F.sum("c0").over(w)).withColumn(
+        "n1", F.sum("c1").over(w)
+    )
+    p0 = (F.col("c0") + 1).cast("double") / (F.col("n0") + 10)
+    p1 = (F.col("c1") + 1).cast("double") / (F.col("n1") + 10)
+    term = tot.select(
+        "source",
+        "bin",
+        "n0",
+        "n1",
+        p0.alias("p0"),
+        p1.alias("p1"),
+        F.abs(
+            (F.col("c1") + 1) * (F.col("n0") + 10)
+            - (F.col("c0") + 1) * (F.col("n1") + 10)
+        ).alias("shift_mag"),
+    )
+    ranked = term.withColumn(
+        "shift_rank",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                F.desc("shift_mag"), F.asc("bin")
+            )
+        ),
+    )
+    psi_term = F.round(
+        (F.col("p1") - F.col("p0")) * F.log(F.col("p1") / F.col("p0")), 6
+    ).cast("decimal(20,6)")
+    return ranked.groupBy("source").agg(
+        F.min("n0").cast("bigint").alias("n_base"),
+        F.min("n1").cast("bigint").alias("n_cur"),
+        F.sum(psi_term).cast("double").alias("psi"),
+        F.min(F.when(F.col("shift_rank") == 1, F.col("bin")))
+        .cast("int")
+        .alias("top_shift_bin"),
+    )
