@@ -362,3 +362,128 @@ def image_ahash(assets: DataFrame) -> DataFrame:
             )
 
     return img.mapInPandas(gen, schema=AHASH_SCHEMA)
+
+
+# Fixed-point DCT-II basis for the perceptual hash: B[u][x] =
+# round(cos(pi*(2x+1)*u/32) * 4096) for u in 0..7 (kept frequencies), x in
+# 0..15 (pooled grid). Computed ONCE here and shared verbatim by the Spark
+# op below and the DuckDB oracle's literal VALUES table
+# (queries/multimodal.py), so the transform is pure integer arithmetic —
+# no libm cosine runs in either engine at query time and the hash is
+# bit-for-bit reproducible.
+import math as _math
+
+PHASH_N = 16  # pooled grid side
+PHASH_K = 8  # kept low-frequency coefficients per axis
+PHASH_SCALE = 4096
+PHASH_BASIS = [
+    [
+        int(round(_math.cos(_math.pi * (2 * x + 1) * u / (2 * PHASH_N)) * PHASH_SCALE))
+        for x in range(PHASH_N)
+    ]
+    for u in range(PHASH_K)
+]
+
+PHASH_SCHEMA = (
+    "asset_id long, band0 int, band1 int, band2 int, band3 int, nbits int"
+)
+
+
+def image_phash(assets: DataFrame) -> DataFrame:
+    """Perceptual DCT hash per image (pHash family), emitted as four 16-bit
+    LSH bands like `image_ahash`. Pipeline per image: channel-sum to gray,
+    block-pool to a 16x16 integer grid (crop to the largest block multiple,
+    block SUMS not means — the DCT is linear so a constant block-size factor
+    scales every coefficient equally within an image and cancels in the
+    median threshold), then a separable fixed-point DCT-II
+    C = B @ P @ B^T keeping the 8x8 low-frequency block. Bit k (row-major
+    over the 8x8) is set when C_k exceeds the exact median of the 63 AC
+    coefficients (the 32nd smallest, rank-based — integer compare, no float
+    anywhere: |C| <= 16*4096 * 16*4096*3060 ~ 1.3e13 < 2^53).
+
+    aHash thresholds on local mean intensity; the DCT hash thresholds on
+    low-frequency STRUCTURE, so it survives brightness shifts that flip
+    aHash bits. Same banding contract: near-duplicates meet on band
+    equality (equi-join), never all-pairs."""
+    img = spread(assets.filter("modality = 'image'"), "asset_id").select(
+        "asset_id", "width", "height", "payload"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        basis = np.asarray(PHASH_BASIS, dtype=np.int64)  # (8, 16)
+        weights = 1 << np.arange(16, dtype=np.int64)
+        n = PHASH_N
+        for pdf in batches:
+            rows = []
+            for aid, w, h, payload in zip(
+                pdf["asset_id"], pdf["width"], pdf["height"], pdf["payload"]
+            ):
+                a = decode_image(payload, int(h), int(w)).astype(np.int64)
+                bh, bw = int(h) // n, int(w) // n
+                if bh < 1 or bw < 1:
+                    raise ValueError(f"asset {aid}: {h}x{w} smaller than {n}x{n}")
+                gray = a[: bh * n, : bw * n, :].sum(axis=2)
+                pooled = gray.reshape(n, bh, n, bw).sum(axis=(1, 3))
+                coeff = basis @ pooled @ basis.T  # (8, 8) int64, exact
+                flat = coeff.reshape(-1)
+                med = int(np.partition(flat[1:], 31)[31])  # 32nd-smallest AC
+                bits = (flat > med).astype(np.int64)
+                bands = [
+                    int((bits[i * 16 : (i + 1) * 16] * weights).sum())
+                    for i in range(4)
+                ]
+                rows.append((aid, *bands, int(bits.sum())))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "band0", "band1", "band2", "band3", "nbits"],
+            )
+
+    return img.mapInPandas(gen, schema=PHASH_SCHEMA)
+
+
+SCENE_CUTS_SCHEMA = (
+    "asset_id long, n_frames int, n_cuts int, total_diff long, "
+    "max_diff long, max_diff_frame int"
+)
+
+
+def video_scene_cuts(assets: DataFrame) -> DataFrame:
+    """Scene-change detection per video: the L1 distance between consecutive
+    frames (sum of absolute per-byte differences — pure integer), a cut
+    wherever a frame's diff STRICTLY exceeds the video's mean diff,
+    compared as the integer cross-product d_i * n_pairs > total (no float
+    division anywhere, so the oracle replays it exactly from payload hex).
+    Emits per-video cut count, total/max diff energy, and the first frame
+    index attaining the max — the summary a frame-sampling pipeline uses to
+    pick representative frames per scene instead of blind every-Nth."""
+    vid = spread(assets.filter("modality = 'video'"), "asset_id").select(
+        "asset_id", "n_frames", "height", "width", "channels", "payload"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, nf, h, w, c, payload in zip(
+                pdf["asset_id"], pdf["n_frames"], pdf["height"], pdf["width"],
+                pdf["channels"], pdf["payload"],
+            ):
+                frames = decode_video(
+                    payload, int(nf), int(h), int(w), int(c)
+                ).astype(np.int64)
+                d = np.abs(frames[1:] - frames[:-1]).sum(axis=(1, 2, 3))
+                n_pairs = int(nf) - 1
+                total = int(d.sum())
+                cuts = int((d * n_pairs > total).sum())
+                mx = int(d.max())
+                # first frame index attaining the max (diff i is between
+                # frames i and i+1; report the later frame, where the new
+                # scene starts)
+                mx_frame = int(np.argmax(d)) + 1
+                rows.append((aid, int(nf), cuts, total, mx, mx_frame))
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_frames", "n_cuts", "total_diff",
+                         "max_diff", "max_diff_frame"],
+            )
+
+    return vid.mapInPandas(gen, schema=SCENE_CUTS_SCHEMA)

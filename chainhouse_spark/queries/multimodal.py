@@ -351,3 +351,199 @@ def mm_image_ahash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("c") - 1).cast("bigint").alias("n_band_collisions"),
         )
     )
+
+
+def _phash_basis_values() -> str:
+    """The fixed-point DCT basis as a DuckDB VALUES literal (u, x, w) —
+    the same integers multimodal/ops.py::PHASH_BASIS computed once at
+    import, so neither engine evaluates a cosine at query time."""
+    from chainhouse_spark.multimodal.ops import PHASH_BASIS
+
+    rows = ", ".join(
+        f"({u}, {x}, {w})"
+        for u, row in enumerate(PHASH_BASIS)
+        for x, w in enumerate(row)
+    )
+    return f"(VALUES {rows}) AS basis(u, x, w)"
+
+
+@register(
+    "mm_image_phash_dedup",
+    oracle=f"""
+    WITH assets AS ({{assets_sql}}),
+    img AS (
+        SELECT asset_id, width, height, nbytes, payload_hex,
+               (height // 16) AS bh, (width // 16) AS bw
+        FROM assets WHERE modality = 'image'
+    ),
+    b AS (
+        SELECT asset_id, width, bh, bw,
+               CAST(p AS BIGINT) AS pos,
+               {{byte_at}} AS v
+        FROM img, UNNEST(range(0, nbytes)) AS t(p)
+    ),
+    pooled AS (
+        SELECT asset_id,
+               ((pos // 3) // width) // bh AS r,
+               ((pos // 3) % width) // bw AS c,
+               CAST(SUM(v) AS BIGINT) AS s
+        FROM b
+        WHERE (pos // 3) // width < bh * 16 AND (pos // 3) % width < bw * 16
+        GROUP BY asset_id, r, c
+    ),
+    pass1 AS (
+        SELECT pooled.asset_id, basis.u AS u, pooled.c AS c,
+               CAST(SUM(CAST(basis.w AS BIGINT) * pooled.s) AS BIGINT) AS t
+        FROM pooled JOIN {_phash_basis_values()} ON basis.x = pooled.r
+        GROUP BY pooled.asset_id, basis.u, pooled.c
+    ),
+    cmat AS (
+        SELECT pass1.asset_id, pass1.u AS u, basis.u AS v,
+               CAST(SUM(CAST(basis.w AS BIGINT) * pass1.t) AS BIGINT) AS cv
+        FROM pass1 JOIN {_phash_basis_values()} ON basis.x = pass1.c
+        GROUP BY pass1.asset_id, pass1.u, basis.u
+    ),
+    med AS (
+        SELECT asset_id, cv AS med FROM (
+            SELECT asset_id, cv,
+                   ROW_NUMBER() OVER (PARTITION BY asset_id
+                                      ORDER BY cv, u * 8 + v) AS rn
+            FROM cmat WHERE NOT (u = 0 AND v = 0)
+        ) WHERE rn = 32
+    ),
+    bits AS (
+        SELECT cmat.asset_id, u * 8 + v AS k,
+               CASE WHEN cv > med THEN 1 ELSE 0 END AS bit
+        FROM cmat JOIN med ON cmat.asset_id = med.asset_id
+    ),
+    bands AS (
+        SELECT asset_id, k // 16 AS bi,
+               CAST(SUM(bit * (1 << (k % 16))) AS INT) AS bv
+        FROM bits GROUP BY asset_id, bi
+    ),
+    cnt AS (SELECT bi, bv, COUNT(*) AS c FROM bands GROUP BY bi, bv),
+    coll AS (
+        SELECT bands.asset_id, CAST(SUM(cnt.c - 1) AS BIGINT) AS n_band_collisions
+        FROM bands JOIN cnt ON bands.bi = cnt.bi AND bands.bv = cnt.bv
+        GROUP BY bands.asset_id
+    ),
+    wide AS (
+        SELECT asset_id,
+               CAST(MAX(CASE WHEN bi = 0 THEN bv END) AS INT) AS band0,
+               CAST(MAX(CASE WHEN bi = 1 THEN bv END) AS INT) AS band1,
+               CAST(MAX(CASE WHEN bi = 2 THEN bv END) AS INT) AS band2,
+               CAST(MAX(CASE WHEN bi = 3 THEN bv END) AS INT) AS band3
+        FROM bands GROUP BY asset_id
+    ),
+    nb AS (
+        SELECT asset_id, CAST(SUM(bit) AS INT) AS nbits FROM bits
+        GROUP BY asset_id
+    )
+    SELECT wide.asset_id, band0, band1, band2, band3, nb.nbits,
+           coll.n_band_collisions
+    FROM wide
+    JOIN nb ON wide.asset_id = nb.asset_id
+    JOIN coll ON wide.asset_id = coll.asset_id
+    """.format(assets_sql=assets_oracle_sql(with_hex=True), byte_at=_byte_at("p")),
+)
+def mm_image_phash_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Image near-duplicate detection by perceptual DCT hash: pool to a
+    16x16 integer grid, separable fixed-point DCT-II, threshold the 8x8
+    low-frequency block on the exact AC median (multimodal/ops.py::
+    image_phash — all-integer, so the oracle replays the full
+    decode -> pool -> DCT -> median -> band pipeline from payload hex).
+    Complements mm_image_ahash_dedup: aHash bits flip under global
+    brightness shifts, DCT bits don't. Same banded-LSH dedup contract and
+    the same single-lineage melt (a groupBy+join here would re-run the
+    Python decode stage per branch)."""
+    from pyspark.sql import Window
+
+    from chainhouse_spark.multimodal.ops import image_phash
+
+    ph = image_phash(_assets(spark, sf_dir))
+    melted = ph.select(
+        "asset_id",
+        "band0",
+        "band1",
+        "band2",
+        "band3",
+        "nbits",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("bi"), F.col(f"band{i}").alias("bv")
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("m"),
+    ).select("asset_id", "band0", "band1", "band2", "band3", "nbits", "m.bi", "m.bv")
+    c = F.count(F.lit(1)).over(Window.partitionBy("bi", "bv"))
+    return (
+        melted.withColumn("c", c)
+        .groupBy("asset_id")
+        .agg(
+            F.min("band0").alias("band0"),
+            F.min("band1").alias("band1"),
+            F.min("band2").alias("band2"),
+            F.min("band3").alias("band3"),
+            F.min("nbits").alias("nbits"),
+            F.sum(F.col("c") - 1).cast("bigint").alias("n_band_collisions"),
+        )
+    )
+
+
+@register(
+    "mm_video_scene_cuts",
+    oracle=f"""
+    WITH assets AS ({assets_oracle_sql(with_hex=True)}),
+    vid AS (
+        SELECT asset_id, n_frames, nbytes, payload_hex
+        FROM assets WHERE modality = 'video'
+    ),
+    b AS (
+        SELECT asset_id, n_frames,
+               CAST(p AS BIGINT) AS pos,
+               {_byte_at("p")} AS v
+        FROM vid, UNNEST(range(0, nbytes)) AS t(p)
+    ),
+    d AS (
+        SELECT cur.asset_id,
+               CAST(cur.pos // {FRAME_BYTES} AS INT) AS frame_idx,
+               MIN(cur.n_frames) AS n_frames,
+               CAST(SUM(ABS(cur.v - prev.v)) AS BIGINT) AS diff
+        FROM b cur
+        JOIN b prev
+          ON cur.asset_id = prev.asset_id AND prev.pos = cur.pos - {FRAME_BYTES}
+        WHERE cur.pos >= {FRAME_BYTES}
+        GROUP BY cur.asset_id, frame_idx
+    ),
+    tot AS (
+        SELECT asset_id, frame_idx, n_frames, diff,
+               SUM(diff) OVER (PARTITION BY asset_id) AS total,
+               ROW_NUMBER() OVER (PARTITION BY asset_id
+                                  ORDER BY diff DESC, frame_idx ASC) AS rk
+        FROM d
+    )
+    SELECT asset_id,
+           CAST(MIN(n_frames) AS INT) AS n_frames,
+           CAST(SUM(CASE WHEN diff * (n_frames - 1) > total
+                         THEN 1 ELSE 0 END) AS INT) AS n_cuts,
+           CAST(MIN(total) AS BIGINT) AS total_diff,
+           CAST(MAX(CASE WHEN rk = 1 THEN diff END) AS BIGINT) AS max_diff,
+           CAST(MIN(CASE WHEN rk = 1 THEN frame_idx END) AS INT) AS max_diff_frame
+    FROM tot
+    GROUP BY asset_id
+    """,
+)
+def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Scene-cut detection over fake-codec videos: integer L1 frame diffs,
+    cuts where a diff strictly exceeds the per-video mean (compared as
+    d * n_pairs > total — no float), plus max-diff frame selection
+    (multimodal/ops.py::video_scene_cuts). The oracle rebuilds every frame
+    diff from payload hex via a pos-192 self-join. One Python stage, no
+    shuffle (per-video work is partition-local)."""
+    from chainhouse_spark.multimodal.ops import video_scene_cuts
+
+    return video_scene_cuts(_assets(spark, sf_dir))

@@ -907,25 +907,43 @@ def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("doc_id") % 2).cast("int").alias("snap"),
         F.least(F.col("n_chars") / F.lit(64), F.lit(9)).cast("int").alias("bin"),
     )
-    cnt = d.groupBy("source", "bin").agg(
-        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).cast("bigint").alias("c0"),
-        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+    # The 10 bins are FIXED, so the whole (source, snap, bin) cube pivots
+    # into 20 conditional sums of ONE aggregate — a single corpus scan and a
+    # single shuffle whose map-side partials are 20 longs per source. Zero
+    # bins fall out as zero sums (no spine join, which would branch the
+    # lineage and re-scan the corpus for the source list — observed as a
+    # second parquet scan in the spine-join formulation).
+    def _c(snap: int, b: int):
+        return (
+            F.sum(
+                F.when((F.col("snap") == snap) & (F.col("bin") == b), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"b{b}_{snap}")
+        )
+
+    agg = d.groupBy("source").agg(
+        *[_c(s, b) for s in (0, 1) for b in range(10)]
     )
-    spine = (
-        cnt.select("source")
-        .distinct()
-        .select("source", F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"))
-        .select("source", F.col("bin").cast("int").alias("bin"))
-    )
-    full_cnt = spine.join(cnt, ["source", "bin"], "left").select(
-        "source",
-        "bin",
-        F.coalesce("c0", F.lit(0)).alias("c0"),
-        F.coalesce("c1", F.lit(0)).alias("c1"),
-    )
-    w = Window.partitionBy("source")
-    tot = full_cnt.withColumn("n0", F.sum("c0").over(w)).withColumn(
-        "n1", F.sum("c1").over(w)
+    arr0 = F.array(*[F.col(f"b{b}_0") for b in range(10)])
+    arr1 = F.array(*[F.col(f"b{b}_1") for b in range(10)])
+    tot = (
+        agg.select(
+            "source",
+            sum([F.col(f"b{b}_0") for b in range(10)], F.lit(0).cast("bigint")).alias("n0"),
+            sum([F.col(f"b{b}_1") for b in range(10)], F.lit(0).cast("bigint")).alias("n1"),
+            arr0.alias("a0"),
+            arr1.alias("a1"),
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+        )
+        .select(
+            "source",
+            F.col("bin").cast("int").alias("bin"),
+            F.element_at("a0", F.col("bin") + 1).alias("c0"),
+            F.element_at("a1", F.col("bin") + 1).alias("c1"),
+            "n0",
+            "n1",
+        )
     )
     p0 = (F.col("c0") + 1).cast("double") / (F.col("n0") + 10)
     p1 = (F.col("c1") + 1).cast("double") / (F.col("n1") + 10)

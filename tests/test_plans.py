@@ -582,3 +582,36 @@ def test_image_ahash_single_python_stage(spark):
     f = plan_facts(q(spark, "mm_image_ahash_dedup"))
     assert f.python_evals == 1
     assert f.cartesian_products == 0
+
+
+def test_image_phash_single_python_stage(spark):
+    # DCT perceptual hash: same contract as aHash — exactly one Python
+    # (decode+DCT) stage, band collisions via JVM window, no cartesian.
+    f = plan_facts(q(spark, "mm_image_phash_dedup"))
+    assert f.python_evals == 1
+    assert f.cartesian_products == 0
+
+
+def test_video_scene_cuts_map_only(spark):
+    # Scene-cut detection is partition-local per video: one Python stage,
+    # no cartesian, and the only allowed exchange is spread()'s
+    # parallelism-widening repartition before the Python stage — the
+    # per-video reduction itself happens inside the op.
+    f = plan_facts(q(spark, "mm_video_scene_cuts"))
+    assert f.python_evals == 1
+    assert f.shuffle_exchanges <= 1
+    assert f.cartesian_products == 0
+
+
+def test_kappa_and_psi_single_scan(spark):
+    # Both derive everything from one corpus-collapsing aggregate: one
+    # parquet scan (no branch re-scans the corpus), no Python stages, and
+    # every post-cube exchange moves cube-sized data. PSI's fixed-bin
+    # pivot makes it one shuffle total; kappa's marginal-event explode
+    # adds two cube-sized exchanges after its cube.
+    for name, max_x in [("eval_cohens_kappa", 4), ("drift_psi_by_source", 2)]:
+        f = plan_facts(q(spark, name))
+        assert f.scans == 1, (name, f.scans)
+        assert f.python_evals == 0, name
+        assert f.cartesian_products == 0, name
+        assert f.shuffle_exchanges <= max_x, (name, f.shuffle_exchanges)

@@ -33,6 +33,8 @@ PYTHON_OK = {
     "mm_frame_sample", "mm_image_features", "mm_audio_features",
     "mm_image_resize",          # numpy batch decode (multimodal/ops.py)
     "mm_image_ahash_dedup",     # numpy batch decode -> integer aHash
+    "mm_image_phash_dedup",     # numpy batch decode -> fixed-point DCT hash
+    "mm_video_scene_cuts",      # numpy batch decode -> integer frame diffs
     "ann_bruteforce_gemm",      # BLAS matmul per Arrow batch
     "attribution_last_click",   # cogrouped applyInPandas merge_asof
     # Deliberately NOT whitelisted: the eth hex codec queries plan
