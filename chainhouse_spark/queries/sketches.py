@@ -486,3 +486,174 @@ def sketch_countmin_heavy(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.min("c") >= F.min("exact_n")).alias("never_undercounts"),
         )
     )
+
+
+# --- Register-level HyperLogLog (own implementation, EXACT oracle) ---
+# Unlike sketch_hll_merge (engine sketch, invariant-twin oracle), this
+# builds the 256-register HLL explicitly from md5 bits, so DuckDB replays
+# every register and the estimate itself bit-for-bit: bucket = first md5
+# byte, rho = leading-zero count of the next 64 bits + 1 (capped at 64 so
+# the harmonic term 2^(64-rho) stays integral), register = MAX(rho).
+# The harmonic sum is kept EXACT by scaling by 2^64: each term is a
+# power of two summed as DECIMAL(38,0) (the rho=1 term 2^63 exceeds signed
+# BIGINT and is special-cased as a DECIMAL literal — a bare shift would
+# overflow in DuckDB and silently wrap negative in Spark; (max 256*2^64 ~ 4.7e21 << 1e38),
+# empty registers contribute 2^64 each. The only float op is the final
+# single division C / S — C = alpha_256 * m^2 * 2^64 precomputed ONCE in
+# Python and embedded as the same literal in both engines.
+_HLL_M = 256
+_HLL_ALPHA = 0.7213 / (1 + 1.079 / _HLL_M)
+_HLL_C = repr(_HLL_ALPHA * _HLL_M * _HLL_M * float(2**64))
+_HLL_2_64 = str(2**64)
+
+# Portable SQL fragments (identical text runs in Spark SQL and DuckDB):
+# h = md5 hex of the key; bucket from the first 2 hex chars via explicit
+# char CASEs (no conv/strpos divergence), rho from chars 3..18.
+_HLL_NIB = (
+    "(CASE {c} WHEN '0' THEN 0 WHEN '1' THEN 1 WHEN '2' THEN 2 WHEN '3' THEN 3"
+    " WHEN '4' THEN 4 WHEN '5' THEN 5 WHEN '6' THEN 6 WHEN '7' THEN 7"
+    " WHEN '8' THEN 8 WHEN '9' THEN 9 WHEN 'a' THEN 10 WHEN 'b' THEN 11"
+    " WHEN 'c' THEN 12 WHEN 'd' THEN 13 WHEN 'e' THEN 14 ELSE 15 END)"
+)
+_HLL_BUCKET = (
+    f"({_HLL_NIB.format(c='substr(h, 1, 1)')} * 16"
+    f" + {_HLL_NIB.format(c='substr(h, 2, 2 - 1)')})"
+)
+# leading zero NIBBLES in the 16-hex-char (64-bit) slice, then the extra
+# zero BITS inside the first non-zero nibble.
+_HLL_RHO = """
+LEAST(64,
+  (16 - LENGTH(TRIM(LEADING '0' FROM substr(h, 3, 16)))) * 4
+  + (CASE substr(TRIM(LEADING '0' FROM substr(h, 3, 16)), 1, 1)
+       WHEN '1' THEN 3
+       WHEN '2' THEN 2 WHEN '3' THEN 2
+       WHEN '4' THEN 1 WHEN '5' THEN 1 WHEN '6' THEN 1 WHEN '7' THEN 1
+       ELSE 0 END)
+  + 1)
+"""
+
+
+@register(
+    "sketch_hll_registers",
+    oracle=f"""
+    WITH d AS (
+        SELECT DISTINCT event_type, md5(CAST(user_id AS VARCHAR)) AS h
+        FROM events
+    ),
+    reg AS (
+        SELECT event_type,
+               {_HLL_BUCKET} AS bucket,
+               MAX({_HLL_RHO}) AS rho,
+               CAST(COUNT(*) AS BIGINT) AS n_hashes
+        FROM d GROUP BY event_type, bucket
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(n_hashes) AS BIGINT) AS n_exact,
+               CAST({_HLL_M} - COUNT(*) AS INT) AS n_zero_registers,
+               CAST(SUM(CASE WHEN rho = 1 THEN CAST(9223372036854775808 AS DECIMAL(38,0))
+                             ELSE CAST((CAST(1 AS BIGINT) << (64 - rho)) AS DECIMAL(38,0)) END)
+                    + CAST({_HLL_M} - COUNT(*) AS DECIMAL(38,0)) * {_HLL_2_64}
+                    AS DECIMAL(38,0)) AS s_scaled
+        FROM reg GROUP BY event_type
+    )
+    SELECT event_type,
+           {_HLL_M} AS m,
+           n_exact,
+           n_zero_registers,
+           CAST(s_scaled AS VARCHAR) AS s_scaled,
+           {_HLL_C} / CAST(s_scaled AS DOUBLE) AS hll_estimate,
+           CASE WHEN n_zero_registers > 0
+                 AND {_HLL_C} / CAST(s_scaled AS DOUBLE) <= 2.5 * {_HLL_M}
+                THEN ROUND({_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE)
+                                         / n_zero_registers), 6)
+           END AS lc_estimate,
+           ABS(CASE WHEN n_zero_registers > 0
+                     AND {_HLL_C} / CAST(s_scaled AS DOUBLE) <= 2.5 * {_HLL_M}
+                THEN ROUND({_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE)
+                                         / n_zero_registers), 6)
+                ELSE {_HLL_C} / CAST(s_scaled AS DOUBLE) END - n_exact)
+               <= 0.2 * n_exact AS within_20pct
+    FROM agg
+    """,
+)
+def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Explicit-register HyperLogLog distinct-user estimate per event type
+    (Flajolet et al. 2007), built from md5 bits so the ENTIRE sketch —
+    registers, harmonic sum, and final estimate — replays exactly in the
+    oracle (the engine-sketch twin `sketch_hll_merge` can only assert an
+    error bound). The 100 TB shape is identical to production HLL: one
+    distinct pass, then register maxima partial-aggregate map-side to
+    <= |types| * 256 rows; sketches merge by re-MAX (register union), so
+    per-day/per-partition sketches re-aggregate without rescanning rows.
+    Exact distinct (from the same lineage's bucket counts) and the
+    linear-counting small-range branch ride along; the 20%-relative-error
+    flag judges the CORRECTED estimate (linear counting when the raw HLL is
+    in its known-biased n < 2.5m regime, raw otherwise — the published
+    algorithm's correction rule)."""
+    d = (
+        load_table(spark, sf_dir, "events")
+        .select("event_type", F.md5(F.col("user_id").cast("string")).alias("h"))
+        .distinct()
+    )
+    reg = d.selectExpr(
+        "event_type",
+        f"{_HLL_BUCKET} AS bucket",
+        f"{_HLL_RHO} AS rho",
+    ).groupBy("event_type", "bucket").agg(
+        F.max("rho").alias("rho"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hashes"),
+    )
+    agg = reg.groupBy("event_type").agg(
+        F.sum("n_hashes").cast("bigint").alias("n_exact"),
+        (F.lit(_HLL_M) - F.count(F.lit(1))).cast("int").alias("n_zero_registers"),
+        (
+            F.sum(
+                F.expr(
+                    "CASE WHEN rho = 1 THEN CAST(9223372036854775808 AS DECIMAL(38,0))"
+                    " ELSE CAST(shiftleft(CAST(1 AS BIGINT), 64 - rho)"
+                    " AS DECIMAL(38,0)) END"
+                )
+            )
+            + (F.lit(_HLL_M) - F.count(F.lit(1))).cast("decimal(38,0)")
+            * F.expr(f"CAST({_HLL_2_64} AS DECIMAL(38,0))")
+        )
+        .cast("decimal(38,0)")
+        .alias("s_scaled"),
+    )
+    est = F.expr(f"{_HLL_C}") / F.col("s_scaled").cast("double")
+    return agg.select(
+        "event_type",
+        F.lit(_HLL_M).alias("m"),
+        "n_exact",
+        "n_zero_registers",
+        F.col("s_scaled").cast("string").alias("s_scaled"),
+        est.alias("hll_estimate"),
+        F.when(
+            (F.col("n_zero_registers") > 0) & (est <= 2.5 * _HLL_M),
+            F.round(
+                _HLL_M
+                * F.log(F.lit(float(_HLL_M)) / F.col("n_zero_registers")),
+                6,
+            ),
+        ).alias("lc_estimate"),
+        (
+            F.abs(
+                F.coalesce(
+                    F.when(
+                        (F.col("n_zero_registers") > 0) & (est <= 2.5 * _HLL_M),
+                        F.round(
+                            _HLL_M
+                            * F.log(
+                                F.lit(float(_HLL_M)) / F.col("n_zero_registers")
+                            ),
+                            6,
+                        ),
+                    ),
+                    est,
+                )
+                - F.col("n_exact")
+            )
+            <= 0.2 * F.col("n_exact")
+        ).alias("within_20pct"),
+    )

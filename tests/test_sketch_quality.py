@@ -145,3 +145,32 @@ def test_ngram_shingle_hash_collision_free_on_corpus(spark):
     n_str = sh.count()
     n_hash = sh.select(F.xxhash64("s")).distinct().count()
     assert n_str == n_hash
+
+
+def test_hll_registers_accuracy_and_merge(spark):
+    # The explicit-register HLL: (1) the corrected estimate is within its
+    # flag bound on real data (the oracle replays the same boolean);
+    # (2) registers merge by re-MAX — building one sketch over A∪B equals
+    # merging the A and B sketches, the property that lets per-day sketches
+    # re-aggregate without rescanning rows.
+    from chainhouse_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    out = QUERIES["sketch_hll_registers"](spark, sf).collect()
+    assert out and all(r["within_20pct"] for r in out)
+
+    from chainhouse_spark.queries.sketches import _HLL_BUCKET, _HLL_RHO
+    from chainhouse_spark.tables import load_table
+
+    d = (
+        load_table(spark, sf, "events")
+        .select(F.md5(F.col("user_id").cast("string")).alias("h"),
+                (F.col("event_id") % 2).alias("half"))
+        .selectExpr("half", f"{_HLL_BUCKET} AS bucket", f"{_HLL_RHO} AS rho")
+    )
+    whole = d.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    halves = d.groupBy("half", "bucket").agg(F.max("rho").alias("rho"))
+    merged = halves.groupBy("bucket").agg(F.max("rho").alias("rho"))
+    assert sorted(map(tuple, whole.collect())) == sorted(
+        map(tuple, merged.collect())
+    )
