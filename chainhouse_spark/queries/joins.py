@@ -224,3 +224,72 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderpriority",
         F.col("l_extendedprice").cast("double").alias("price"),
     )
+
+
+@register(
+    "join_skew_preflight",
+    oracle="""
+    WITH cnt AS (
+        SELECT user_id,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'click') AS BIGINT) AS n_click,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT) AS n_purchase
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_click * n_purchase) AS BIGINT) AS total_join_rows,
+               CAST(COUNT(*) AS BIGINT) AS n_keys
+        FROM cnt
+    )
+    SELECT cnt.user_id, n_click, n_purchase,
+           CAST(n_click * n_purchase AS BIGINT) AS contrib,
+           tot.total_join_rows, tot.n_keys,
+           CAST(n_click * n_purchase AS DOUBLE) / tot.total_join_rows AS share
+    FROM cnt, tot
+    ORDER BY contrib DESC, cnt.user_id ASC
+    LIMIT 10
+    """,
+)
+def join_skew_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Join-size / skew PRE-FLIGHT: before running a fact-fact join
+    (clicks x purchases on user_id), compute each key's exact output
+    contribution c1(k)*c2(k), the total join cardinality, and the top-10
+    hottest keys with their output share — the diagnostic that decides
+    between a plain shuffle join, salting (join_salted_skew), and AQE skew
+    splitting. At 100 TB this costs ONE partial-agg shuffle of (key, two
+    counts) — vastly cheaper than discovering the skew by running the join.
+    Top-10 is TakeOrderedAndProject (never a global sort); the totals row
+    is a 1-row broadcast combine."""
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    cnt = ev.groupBy("user_id").agg(
+        F.sum(F.when(F.col("event_type") == "click", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_click"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_purchase"),
+    )
+    contrib = (F.col("n_click") * F.col("n_purchase")).cast("bigint")
+    tot = cnt.agg(
+        F.sum(F.col("n_click") * F.col("n_purchase"))
+        .cast("bigint")
+        .alias("total_join_rows"),
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+    )
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .select(
+            "user_id",
+            "n_click",
+            "n_purchase",
+            contrib.alias("contrib"),
+            "total_join_rows",
+            "n_keys",
+            (contrib.cast("double") / F.col("total_join_rows")).alias("share"),
+        )
+        .orderBy(F.desc("contrib"), F.asc("user_id"))
+        .limit(10)
+    )

@@ -615,3 +615,16 @@ def test_kappa_and_psi_single_scan(spark):
         assert f.python_evals == 0, name
         assert f.cartesian_products == 0, name
         assert f.shuffle_exchanges <= max_x, (name, f.shuffle_exchanges)
+
+
+def test_join_skew_preflight_reuses_exchange(spark):
+    # The pre-flight costs ONE key-count shuffle: the totals branch must
+    # read the reused exchange at runtime (AQE ReusedExchange), never
+    # re-scan the fact table, and the top-10 must be an ordered limit.
+    from chainhouse_spark.plans.audit import explain_formatted
+
+    df = q(spark, "join_skew_preflight")
+    assert "TakeOrderedAndProject" in explain_formatted(df)
+    df.collect()
+    executed = df._jdf.queryExecution().executedPlan().toString()
+    assert "ReusedExchange" in executed
