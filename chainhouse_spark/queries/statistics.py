@@ -978,3 +978,131 @@ def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("int")
         .alias("top_shift_bin"),
     )
+
+
+@register(
+    "stat_runs_test",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        FROM events
+        WHERE event_type IN ('click', 'purchase', 'error')
+    ),
+    ranked AS (
+        SELECT event_type, event_id, c,
+               COUNT(*) OVER (PARTITION BY event_type) AS n,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY c, event_id) AS rk
+        FROM base
+    ),
+    med AS (
+        SELECT event_type, event_id, c, n,
+               MAX(CASE WHEN rk = (n + 1) // 2 THEN c END)
+                   OVER (PARTITION BY event_type) AS med_c
+        FROM ranked
+    ),
+    signs AS (
+        SELECT event_type,
+               CASE WHEN c > med_c THEN 1 ELSE 0 END AS s,
+               LAG(CASE WHEN c > med_c THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY event_type ORDER BY event_id) AS prev_s
+        FROM med
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(s) AS BIGINT) AS n_above,
+               CAST(SUM(1 - s) AS BIGINT) AS n_below,
+               CAST(1 + SUM(CASE WHEN prev_s IS NOT NULL AND s <> prev_s
+                                 THEN 1 ELSE 0 END) AS BIGINT) AS n_runs
+        FROM signs GROUP BY event_type
+    )
+    SELECT event_type, n_above, n_below, n_runs,
+           CASE WHEN n_above = 0 OR n_below = 0 THEN NULL ELSE
+           (CAST(n_runs AS DOUBLE)
+            - (2.0 * n_above * n_below / (n_above + n_below) + 1.0))
+           / SQRT(2.0 * n_above * n_below
+                  * (2.0 * n_above * n_below - n_above - n_below)
+                  / ((CAST(n_above + n_below AS DOUBLE)
+                      * (n_above + n_below))
+                     * (n_above + n_below - 1.0))) END AS z_stat
+    FROM agg
+    """,
+)
+def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Wald-Wolfowitz runs test per event type: dichotomize each type's
+    value sequence (ordered by event_id) against its exact rank-based
+    median, count sign runs, and z-score against the null of a random
+    ordering — the nonparametric randomness check an ingest pipeline runs
+    to catch accidentally sorted/batched data (a sorted feed collapses to
+    ~2 runs and screams in z). Runs/medians/counts are all integers from
+    rank logic (ties dichotomize as <=, deterministically in both
+    engines); z is a fixed chain of correctly-rounded IEEE ops from exact
+    BIGINTs. One shuffle: every window and the final group share the
+    event_type partitioning."""
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase", "error"))
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+        )
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = base.withColumn("n", F.count(F.lit(1)).over(wp)).withColumn(
+        "rk",
+        F.row_number().over(wp.orderBy(F.asc("c"), F.asc("event_id"))),
+    )
+    med = ranked.withColumn(
+        "med_c",
+        F.max(
+            # integer floor-div: (n+1)/2 would be a fractional DOUBLE in
+            # Spark (never equal to rk for even n+1) while DuckDB's // is
+            # integral — `div` matches the oracle exactly
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("c")).otherwise(
+                F.lit(None)
+            )
+        ).over(wp),
+    )
+    s = F.when(F.col("c") > F.col("med_c"), 1).otherwise(0)
+    signs = med.select(
+        "event_type",
+        s.alias("s"),
+        F.lag(s).over(wp.orderBy("event_id")).alias("prev_s"),
+    )
+    agg = signs.groupBy("event_type").agg(
+        F.sum("s").cast("bigint").alias("n_above"),
+        F.sum(1 - F.col("s")).cast("bigint").alias("n_below"),
+        (
+            1
+            + F.sum(
+                F.when(
+                    F.col("prev_s").isNotNull() & (F.col("s") != F.col("prev_s")),
+                    1,
+                ).otherwise(0)
+            )
+        )
+        .cast("bigint")
+        .alias("n_runs"),
+    )
+    na, nb, r = (
+        F.col("n_above").cast("double"),
+        F.col("n_below").cast("double"),
+        F.col("n_runs").cast("double"),
+    )
+    mu = 2.0 * na * nb / (na + nb) + 1.0
+    var = (
+        2.0 * na * nb * (2.0 * na * nb - na - nb)
+        / (((na + nb) * (na + nb)) * (na + nb - 1.0))
+    )
+    return agg.select(
+        "event_type",
+        "n_above",
+        "n_below",
+        "n_runs",
+        # a degenerate dichotomy (all values on one side of the median)
+        # has zero variance — NULL z rather than ANSI divide-by-zero /
+        # DuckDB inf divergence
+        F.when(var > 0, (r - mu) / F.sqrt(var)).alias("z_stat"),
+    )

@@ -628,3 +628,12 @@ def test_join_skew_preflight_reuses_exchange(spark):
     df.collect()
     executed = df._jdf.queryExecution().executedPlan().toString()
     assert "ReusedExchange" in executed
+
+
+def test_runs_test_single_scan_bounded_shuffles(spark):
+    # All windows and the final group share the event_type partitioning:
+    # one corpus scan, bounded exchanges, no Python.
+    f = plan_facts(q(spark, "stat_runs_test"))
+    assert f.scans == 1
+    assert f.shuffle_exchanges <= 2
+    assert f.python_evals == 0
