@@ -363,3 +363,112 @@ def dsir_importance_select(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("importance"), F.asc("doc_id"))
         .limit(100)
     )
+
+
+from chainhouse_spark.queries.llm_text import _DUCK_HITS as _CARD_HITS
+
+
+@register(
+    "dataset_card_by_source",
+    oracle=f"""
+    WITH base AS (
+        SELECT source, lang, n_chars, doc_id,
+               md5(text) AS h,
+               len(string_split(text, ' ')) AS nt,
+               LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+                 + (CAST({_CARD_HITS['en']} AS DOUBLE)
+                        / len(string_split(text, ' '))) * 0.3
+                 + (1.0 - CAST(LENGTH(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g'))
+                               AS DOUBLE) / LENGTH(text)) * 0.2 AS score
+        FROM documents
+    ),
+    ranked AS (
+        SELECT *,
+               COUNT(*) OVER (PARTITION BY source) AS n,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rk
+        FROM base
+    ),
+    med AS (
+        SELECT *,
+               MAX(CASE WHEN rk = (n + 1) // 2 THEN n_chars END)
+                   OVER (PARTITION BY source) AS med_c
+        FROM ranked
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(COUNT(DISTINCT h) AS BIGINT) AS n_unique_texts,
+           CAST(COUNT(*) - COUNT(DISTINCT h) AS DOUBLE) / COUNT(*) AS dup_rate,
+           CAST(SUM(nt) AS BIGINT) AS total_ws_tokens,
+           CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
+           CAST(COUNT(*) FILTER (WHERE lang = 'en') AS DOUBLE)
+               / COUNT(*) AS en_share,
+           CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(20,6))) AS DOUBLE)
+               / COUNT(*) AS mean_quality,
+           CAST(MIN(med_c) AS BIGINT) AS median_chars
+    FROM med
+    GROUP BY source
+    """,
+)
+def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The per-source dataset card a corpus release publishes: volume,
+    exact-duplicate rate (1 - unique-texts/docs over md5(text)), whitespace
+    token total, language mix with English share, mean composite quality
+    (per-doc scores rounded-then-DECIMAL-summed — the cross-engine float
+    recipe), and the EXACT rank-based median length. One corpus scan; the
+    median windows share the source partitioning with the final group; the
+    two COUNT(DISTINCT)s plan as one expand + two-level agg (a 3x map-side
+    row expansion of a narrow projection — the standard multi-distinct
+    cost, still one shuffle family on source)."""
+    from pyspark.sql import Window
+
+    from chainhouse_spark.functions.text import (
+        LANG_STOPWORDS,
+        n_tokens,
+        punct_ratio,
+        stopword_ratio,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    nt = n_tokens("text")
+    score = (
+        F.least(F.lit(1.0), nt / 100.0) * 0.5
+        + stopword_ratio("text", LANG_STOPWORDS["en"]) * 0.3
+        + (F.lit(1.0) - punct_ratio("text")) * 0.2
+    )
+    base = d.select(
+        "source",
+        "lang",
+        "n_chars",
+        "doc_id",
+        F.md5("text").alias("h"),
+        nt.alias("nt"),
+        score.alias("score"),
+    )
+    wp = Window.partitionBy("source")
+    ranked = base.withColumn("n", F.count(F.lit(1)).over(wp)).withColumn(
+        "rk", F.row_number().over(wp.orderBy(F.asc("n_chars"), F.asc("doc_id")))
+    )
+    med = ranked.withColumn(
+        "med_c",
+        F.max(
+            F.when(F.col("rk") == F.expr("(n + 1) div 2"), F.col("n_chars"))
+        ).over(wp),
+    )
+    cnt = F.count(F.lit(1))
+    return med.groupBy("source").agg(
+        cnt.cast("bigint").alias("n_docs"),
+        F.countDistinct("h").cast("bigint").alias("n_unique_texts"),
+        ((cnt - F.countDistinct("h")).cast("double") / cnt).alias("dup_rate"),
+        F.sum("nt").cast("bigint").alias("total_ws_tokens"),
+        F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        (
+            F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
+            / cnt
+        ).alias("en_share"),
+        (
+            F.sum(F.round(F.col("score"), 6).cast("decimal(20,6)")).cast("double")
+            / cnt
+        ).alias("mean_quality"),
+        F.min("med_c").cast("bigint").alias("median_chars"),
+    )

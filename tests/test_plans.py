@@ -637,3 +637,14 @@ def test_runs_test_single_scan_bounded_shuffles(spark):
     assert f.scans == 1
     assert f.shuffle_exchanges <= 2
     assert f.python_evals == 0
+
+
+def test_dataset_card_single_scan(spark):
+    # The card derives everything — dup rate, quality mean, exact median —
+    # from ONE corpus scan; the multi-distinct expand and the median
+    # windows all share the source partitioning.
+    f = plan_facts(q(spark, "dataset_card_by_source"))
+    assert f.scans == 1
+    assert f.python_evals == 0
+    assert f.cartesian_products == 0
+    assert f.shuffle_exchanges <= 4
