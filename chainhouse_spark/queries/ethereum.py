@@ -702,3 +702,124 @@ def eth_log_payload_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_topics",
         )
     )
+
+
+@register(
+    "eth_nonce_gaps",
+    oracle=f"""
+    WITH txr AS (SELECT unnest(transactions) AS t FROM {_RAW}),
+    agg AS (
+        SELECT t."from" AS sender_hex,
+               CAST(COUNT(*) AS BIGINT) AS n_tx,
+               CAST(COUNT(DISTINCT CAST(t.nonce AS DECIMAL(38,0))) AS BIGINT)
+                   AS n_distinct_nonces,
+               CAST(MIN(CAST(t.nonce AS DECIMAL(38,0))) AS VARCHAR) AS min_nonce,
+               CAST(MAX(CAST(t.nonce AS DECIMAL(38,0))) AS VARCHAR) AS max_nonce,
+               CAST(CAST(MAX(CAST(t.nonce AS DECIMAL(38,0)))
+                         - MIN(CAST(t.nonce AS DECIMAL(38,0))) + 1 AS BIGINT)
+                    - COUNT(DISTINCT CAST(t.nonce AS DECIMAL(38,0)))
+                    AS BIGINT) AS n_gaps,
+               CAST(COUNT(*)
+                    - COUNT(DISTINCT CAST(t.nonce AS DECIMAL(38,0)))
+                    AS BIGINT) AS n_replacements
+        FROM txr GROUP BY 1
+    )
+    SELECT * FROM agg
+    """,
+)
+def eth_nonce_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-sender nonce accounting over the ingested range: missing nonces
+    (gaps = span - distinct, the dropped-transaction indicator a mempool /
+    indexer health check watches) and same-nonce replacements (count -
+    distinct, fee-bump/RBF events). One partial-agg shuffle on the sender
+    address; nonces stay exact DECIMAL(38,0) (u256 per SURVEY §1.2). The
+    oracle replays the flatten from the raw JSONL independently."""
+    from chainhouse_spark.functions.bytes import to_hex
+
+    tx = _tables(spark)["transactions"]
+    nonce = F.col("nonce").cast("decimal(38,0)")
+    return (
+        tx.groupBy(F.col("from").alias("sender"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tx"),
+            F.countDistinct(nonce).cast("bigint").alias("n_distinct_nonces"),
+            F.min(nonce).cast("string").alias("min_nonce"),
+            F.max(nonce).cast("string").alias("max_nonce"),
+            (
+                (F.max(nonce) - F.min(nonce) + 1).cast("bigint")
+                - F.countDistinct(nonce)
+            )
+            .cast("bigint")
+            .alias("n_gaps"),
+            (F.count(F.lit(1)) - F.countDistinct(nonce))
+            .cast("bigint")
+            .alias("n_replacements"),
+        )
+        .select(
+            to_hex("sender").alias("sender_hex"),
+            "n_tx",
+            "n_distinct_nonces",
+            "min_nonce",
+            "max_nonce",
+            "n_gaps",
+            "n_replacements",
+        )
+    )
+
+
+@register(
+    "eth_miner_tips",
+    oracle=f"""
+    WITH txr AS (SELECT number, unnest(transactions) AS t, unnest(receipts) AS r
+                 FROM {_RAW}),
+    hdr AS (SELECT hash, miner, baseFeePerGas FROM {_RAW_HEADERS}),
+    blk AS (SELECT number, hash FROM {_RAW}),
+    j AS (
+        SELECT hdr.miner AS miner_hex,
+               (CAST(r.effectiveGasPrice AS DECIMAL(38,0))
+                - CAST(hdr.baseFeePerGas AS DECIMAL(38,0)))
+               * CAST(r.gasUsed AS DECIMAL(38,0)) AS tip_wei
+        FROM txr
+        JOIN blk ON blk.number = txr.number
+        JOIN hdr ON hdr.hash = blk.hash
+        WHERE hdr.baseFeePerGas IS NOT NULL
+    )
+    SELECT miner_hex,
+           CAST(COUNT(*) AS BIGINT) AS n_tx,
+           CAST(SUM(tip_wei) AS VARCHAR) AS total_tip_wei
+    FROM j GROUP BY miner_hex
+    """,
+)
+def eth_miner_tips(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Post-1559 miner/proposer revenue: the priority tip per transaction is
+    (effectiveGasPrice - block baseFeePerGas) * gasUsed — the part of the
+    fee NOT burned (eth_fee_burn's complement). Transactions join their
+    block header on blockNumber/hash: a BROADCAST join (headers are tiny
+    next to transactions at any scale); pre-1559 blocks (NULL baseFee) are
+    excluded. Wei stays exact DECIMAL(38,0) end-to-end, rendered as digit
+    strings."""
+    from chainhouse_spark.functions.bytes import to_hex
+
+    t = _tables(spark)
+    tx = t["transactions"].select(
+        "blockHash",
+        F.col("effectiveGasPrice").cast("decimal(38,0)").alias("egp"),
+        F.col("gasUsed").cast("decimal(38,0)").alias("gu"),
+    )
+    blocks = t["blocks"].select(
+        F.col("hash").alias("blockHash"),
+        "miner",
+        F.col("baseFeePerGas").cast("decimal(38,0)").alias("base_fee"),
+    ).filter(F.col("baseFeePerGas").isNotNull())
+    j = tx.join(F.broadcast(blocks), "blockHash")
+    return (
+        j.groupBy("miner")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tx"),
+            F.sum((F.col("egp") - F.col("base_fee")) * F.col("gu"))
+            .cast("decimal(38,0)")
+            .cast("string")
+            .alias("total_tip_wei"),
+        )
+        .select(to_hex("miner").alias("miner_hex"), "n_tx", "total_tip_wei")
+    )
