@@ -128,3 +128,66 @@ def quantized_topk(
         .filter(F.col("rank") <= k)
         .select("query_id", "cand_id", "score", F.col("rank").cast("int").alias("rank"))
     )
+
+
+# 1-bit (sign) quantization: dim bits pack into ceil(dim/32) BIGINT halves
+# of 32 bits each. 32-bit halves — not a single 64-bit word — are the
+# overflow-safe choice: bit 63 of a full pack would need the sign bit of a
+# signed BIGINT (Spark has no unsigned), and the fold's running sum would
+# trip ANSI overflow; halves keep every intermediate <= 2^32.
+def _sign_half_sql(vec: str, lo: int) -> str:
+    """SQL: bits lo..lo+31 of the sign signature of `vec` as one BIGINT
+    (bit i set when vec[lo+i] > 0). Runs unchanged in Spark and DuckDB
+    except for the fold builtin, so Spark/DuckDB variants share the CASE."""
+    return (
+        f"aggregate(transform(sequence(1, 32), i -> "
+        f"CASE WHEN element_at({vec}, i + {lo}) > CAST(0.0 AS FLOAT) "
+        f"THEN shiftleft(CAST(1 AS BIGINT), i - 1) ELSE CAST(0 AS BIGINT) END), "
+        f"CAST(0 AS BIGINT), (acc, v) -> acc + v)"
+    )
+
+
+def binary_hamming_topk(
+    corpus: DataFrame,
+    queries: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    k: int = 10,
+) -> DataFrame:
+    """Top-k nearest neighbors by Hamming distance over 1-bit sign
+    signatures (binary quantization — the most aggressive ANN compression:
+    64-dim float32 vectors become 16 bytes, a 16x bandwidth cut, and the
+    scorer is two XOR+popcount ops inside whole-stage codegen, no float
+    math at all). Same broadcast-query/map-only-score/one-rank-shuffle
+    shape as quantized_topk; ties break on cand_id. Entirely integer —
+    exactly replayable by a SQL oracle."""
+    def sig(df: DataFrame, prefix: str) -> DataFrame:
+        return df.select(
+            F.col(id_col).alias(f"{prefix}_id"),
+            F.expr(_sign_half_sql(vec_col, 0)).alias(f"{prefix}_h1"),
+            F.expr(_sign_half_sql(vec_col, 32)).alias(f"{prefix}_h2"),
+        )
+
+    c = sig(spread(corpus, id_col), "cand")
+    q = sig(queries, "query")
+    scored = (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(
+                "bit_count(cand_h1 ^ query_h1) + bit_count(cand_h2 ^ query_h2)"
+            )
+            .cast("int")
+            .alias("hamming"),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.asc("hamming"), F.asc("cand_id"))
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+        .select(
+            "query_id", "cand_id", "hamming", F.col("rank").cast("int").alias("rank")
+        )
+    )

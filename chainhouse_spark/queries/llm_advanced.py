@@ -984,3 +984,50 @@ def decontaminate_neardup_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_test_matches"),
         F.max("est_jaccard").alias("max_est_jaccard"),
     )
+
+
+@register(
+    "ann_binary_hamming_topk",
+    oracle="""
+    WITH sig AS (
+        SELECT vec_id,
+               list_sum(list_transform(range(1, 33), i ->
+                   CASE WHEN embedding[i] > CAST(0.0 AS FLOAT)
+                        THEN (CAST(1 AS BIGINT) << (i - 1))
+                        ELSE CAST(0 AS BIGINT) END)) AS h1,
+               list_sum(list_transform(range(1, 33), i ->
+                   CASE WHEN embedding[i + 32] > CAST(0.0 AS FLOAT)
+                        THEN (CAST(1 AS BIGINT) << (i - 1))
+                        ELSE CAST(0 AS BIGINT) END)) AS h2
+        FROM embeddings
+    ),
+    scored AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               CAST(bit_count(CAST(xor(c.h1, q.h1) AS BIT))
+                    + bit_count(CAST(xor(c.h2, q.h2) AS BIT)) AS INT) AS hamming
+        FROM sig c, sig q
+        WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+    ),
+    ranked AS (
+        SELECT query_id, cand_id, hamming,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id ORDER BY hamming, cand_id
+               ) AS rank
+        FROM scored
+    )
+    SELECT query_id, cand_id, hamming, CAST(rank AS INT) AS rank
+    FROM ranked WHERE rank <= 10
+    """,
+)
+def ann_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Binary-quantized ANN: 1-bit sign signatures (64-dim float32 -> 16
+    bytes, a 16x bandwidth cut) ranked by Hamming distance — two
+    XOR+popcount ops per pair, zero float math, fully codegen
+    (operators/quantize.py::binary_hamming_topk). The cheapest member of
+    the quantization ladder (float < int8 < PQ < binary), standard as the
+    coarse first stage before int8/exact re-ranking. Entirely integer, so
+    the oracle replays signatures, distances, and ranks exactly."""
+    from chainhouse_spark.operators.quantize import binary_hamming_topk
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    return binary_hamming_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)

@@ -329,3 +329,21 @@ def test_containment_is_single_intersection_plan(spark):
         ._jdf.queryExecution().executedPlan().toString()
     )
     assert plan.count("xxhash64") >= 1
+
+
+def test_binary_hamming_is_coarse_but_useful(spark):
+    # 64-bit sign signatures are the coarsest quantizer in the ladder:
+    # recall@10 vs exact cosine must clear a floor that random ranking
+    # (10/499 ~ 2%) cannot, and the scorer must stay integer/codegen
+    # (no Python stage, no float math in the distance).
+    from chainhouse_spark.plans.audit import plan_facts
+    from chainhouse_spark.queries import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    bf = {(r.query_id, r.cand_id)
+          for r in QUERIES["ann_bruteforce_topk"](spark, sf).collect()}
+    df = QUERIES["ann_binary_hamming_topk"](spark, sf)
+    bh = {(r.query_id, r.cand_id) for r in df.collect()}
+    assert len(bf & bh) / len(bf) >= 0.15
+    f = plan_facts(df)
+    assert f.python_evals == 0 and f.cartesian_products == 0
