@@ -871,3 +871,109 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("v").cast("double")
         ).alias("wape"),
     )
+
+
+@register(
+    "ts_autocorrelation",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS x
+        FROM events
+        WHERE event_type IN ('click', 'purchase', 'view')
+    ),
+    lagged AS (
+        SELECT event_type, x,
+               LAG(x, 1) OVER w AS x1,
+               LAG(x, 2) OVER w AS x2,
+               LAG(x, 3) OVER w AS x3,
+               ROW_NUMBER() OVER w AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+        WINDOW w AS (PARTITION BY event_type ORDER BY event_id)
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(MIN(n) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(x * x) AS BIGINT) AS s2,
+               CAST(SUM(x * x1) AS BIGINT) AS sk1,
+               CAST(SUM(x * x2) AS BIGINT) AS sk2,
+               CAST(SUM(x * x3) AS BIGINT) AS sk3,
+               CAST(SUM(CASE WHEN rk <= n - 1 THEN x ELSE 0 END) AS BIGINT) AS h1,
+               CAST(SUM(CASE WHEN rk <= n - 2 THEN x ELSE 0 END) AS BIGINT) AS h2,
+               CAST(SUM(CASE WHEN rk <= n - 3 THEN x ELSE 0 END) AS BIGINT) AS h3,
+               CAST(SUM(CASE WHEN rk > 1 THEN x ELSE 0 END) AS BIGINT) AS t1,
+               CAST(SUM(CASE WHEN rk > 2 THEN x ELSE 0 END) AS BIGINT) AS t2,
+               CAST(SUM(CASE WHEN rk > 3 THEN x ELSE 0 END) AS BIGINT) AS t3
+        FROM lagged GROUP BY event_type
+    )
+    SELECT event_type, n,
+           (sk1 - (CAST(s1 AS DOUBLE) / n) * (h1 + t1)
+                + (n - 1) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS acf_1,
+           (sk2 - (CAST(s1 AS DOUBLE) / n) * (h2 + t2)
+                + (n - 2) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS acf_2,
+           (sk3 - (CAST(s1 AS DOUBLE) / n) * (h3 + t3)
+                + (n - 3) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS acf_3
+    FROM agg
+    """,
+)
+def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Autocorrelation function at lags 1-3 per event type (the
+    stationarity/seasonality diagnostic run before choosing a forecasting
+    or anomaly model). Every sum — including the lag cross-products and
+    the head/tail partial sums the mean-centering expansion needs — is an
+    exact integer from ONE lag-window pass; the only float math is the
+    shared expansion  (S_k - mu*(head+tail) + (n-k)*mu^2) / (S_2 - n*mu^2)
+    evaluated identically by both engines. One shuffle: the lag window and
+    the final group share the event_type partitioning."""
+    from pyspark.sql import Window
+
+    base = (
+        load_table(spark, sf_dir, "events")
+        .filter(F.col("event_type").isin("click", "purchase", "view"))
+        .select(
+            "event_type",
+            "event_id",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("event_id")
+    wp = Window.partitionBy("event_type")
+    lagged = base.select(
+        "event_type",
+        "x",
+        *[F.lag("x", k).over(w).alias(f"x{k}") for k in (1, 2, 3)],
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    aggs = [
+        F.min("n").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("s2"),
+    ]
+    for k in (1, 2, 3):
+        aggs += [
+            F.sum(F.col("x") * F.col(f"x{k}")).cast("bigint").alias(f"sk{k}"),
+            F.sum(F.when(F.col("rk") <= F.col("n") - k, F.col("x")).otherwise(0))
+            .cast("bigint")
+            .alias(f"h{k}"),
+            F.sum(F.when(F.col("rk") > k, F.col("x")).otherwise(0))
+            .cast("bigint")
+            .alias(f"t{k}"),
+        ]
+    agg = lagged.groupBy("event_type").agg(*aggs)
+    mu = F.col("s1").cast("double") / F.col("n")
+    den = F.col("s2") - F.col("n") * mu * mu
+    out = [F.col("event_type"), F.col("n")]
+    for k in (1, 2, 3):
+        num = (
+            F.col(f"sk{k}")
+            - mu * (F.col(f"h{k}") + F.col(f"t{k}"))
+            + (F.col("n") - k) * mu * mu
+        )
+        out.append((num / den).alias(f"acf_{k}"))
+    return agg.select(*out)
