@@ -231,3 +231,81 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("n_nodes"))
         .orderBy("hops")
     )
+
+
+@register(
+    "graph_link_prediction",
+    oracle=_EDGE_CTE
+    + """,
+    und AS (
+        SELECT src, dst FROM e UNION ALL SELECT dst AS src, src AS dst FROM e
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY src),
+    cand AS (
+        SELECT w1.src AS a, w2.dst AS b,
+               CAST(COUNT(DISTINCT w1.dst) AS BIGINT) AS common_neighbors
+        FROM und w1 JOIN und w2 ON w1.dst = w2.src
+        WHERE w1.src < w2.dst
+        GROUP BY w1.src, w2.dst
+    ),
+    nonedge AS (
+        SELECT cand.* FROM cand
+        ANTI JOIN e ON cand.a = e.src AND cand.b = e.dst
+    ),
+    scored AS (
+        SELECT a, b, common_neighbors,
+               CAST(common_neighbors AS DOUBLE)
+                   / (da.d + db.d - common_neighbors) AS jaccard
+        FROM nonedge
+        JOIN deg da ON da.node = a
+        JOIN deg db ON db.node = b
+    )
+    SELECT a, b, common_neighbors, jaccard
+    FROM scored
+    ORDER BY common_neighbors DESC, jaccard DESC, a, b
+    LIMIT 20
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction on the co-purchase graph: for node pairs at distance
+    2 that are NOT already edges, the common-neighbor count and the Jaccard
+    coefficient of their neighborhoods |N(a)∩N(b)| / |N(a)∪N(b)| — the
+    classic recommender primitives. Wedge endpoints enumerate the candidate
+    set (an equi-join on the shared middle, the triangle machinery reused),
+    existing edges drop via an ANTI join, degrees join back broadcast-sized.
+    Jaccard is a single division of exact integers. Top-20 is an ordered
+    limit, never a global sort."""
+    e = _edges(spark, sf_dir).cache()
+    und = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    deg = und.groupBy(F.col("src").alias("node")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("d")
+    )
+    w1, w2 = und.alias("w1"), und.alias("w2")
+    cand = (
+        w1.join(w2, F.col("w1.dst") == F.col("w2.src"))
+        .filter(F.col("w1.src") < F.col("w2.dst"))
+        .groupBy(F.col("w1.src").alias("a"), F.col("w2.dst").alias("b"))
+        .agg(F.countDistinct(F.col("w1.dst")).cast("bigint").alias("common_neighbors"))
+    )
+    nonedge = cand.join(
+        e,
+        (cand["a"] == e["src"]) & (cand["b"] == e["dst"]),
+        "left_anti",
+    )
+    da, db = deg.alias("da"), deg.alias("db")
+    scored = (
+        nonedge.join(F.broadcast(da), F.col("a") == F.col("da.node"))
+        .join(F.broadcast(db), F.col("b") == F.col("db.node"))
+        .select(
+            "a",
+            "b",
+            "common_neighbors",
+            (
+                F.col("common_neighbors").cast("double")
+                / (F.col("da.d") + F.col("db.d") - F.col("common_neighbors"))
+            ).alias("jaccard"),
+        )
+    )
+    return scored.orderBy(
+        F.desc("common_neighbors"), F.desc("jaccard"), F.asc("a"), F.asc("b")
+    ).limit(20)
