@@ -40,6 +40,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chainhouse_spark.queries.registry import register
+from chainhouse_spark.tables import load_table
 
 _sink_counter = itertools.count()
 
@@ -475,4 +476,100 @@ def stream_sessionize_custom_state(spark: SparkSession, sf_dir: str) -> DataFram
         F.col("session_start").cast("timestamp_ntz").alias("session_start"),
         F.col("session_end").cast("timestamp_ntz").alias("session_end"),
         "n_events",
+    )
+
+
+@register(
+    "stream_watermark_advisor",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, event_id, epoch_us(ts) AS t_us,
+               epoch_us(ts)
+                 + ((event_id * 2654435761) % 3600) * 1000000 AS arr_us
+        FROM events
+    ),
+    run AS (
+        SELECT event_type, event_id, t_us,
+               MAX(t_us) OVER (PARTITION BY event_type
+                               ORDER BY arr_us, event_id
+                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   - t_us AS late_us
+        FROM base
+    ),
+    ranked AS (
+        SELECT event_type, late_us,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY late_us, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM run
+    )
+    SELECT event_type,
+           CAST(MIN(n) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN late_us > 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_out_of_order,
+           CAST(MAX(late_us) // 1000000 AS BIGINT) AS max_late_s,
+           CAST(MAX(CASE WHEN rk = (n * 95 + 99) // 100 THEN late_us END)
+                // 1000000 AS BIGINT) AS p95_late_s,
+           CAST(MAX(CASE WHEN rk = (n * 99 + 99) // 100 THEN late_us END)
+                // 1000000 AS BIGINT) AS p99_late_s,
+           CAST((MAX(CASE WHEN rk = (n * 99 + 99) // 100 THEN late_us END)
+                 + 59999999) // 60000000 AS BIGINT) AS watermark_minutes
+    FROM ranked
+    GROUP BY event_type
+    """,
+)
+def stream_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Watermark-delay advisor: replay each event type in ARRIVAL order
+    and measure event-time lateness against the running
+    event-time maximum — exactly the disorder a Structured Streaming
+    watermark must absorb. Emits out-of-order counts, max / exact-rank
+    p95 / p99 lateness, and the p99 rounded UP to whole minutes as the
+    recommended `withWatermark` delay — the config every streaming
+    deployment otherwise guesses. Arrival order models bounded network jitter deterministically (each event delayed by a multiplicative-hash 0-119 s — the testdata's feed is otherwise perfectly ordered and the lateness path would be untested). All integer microseconds (ceil-rank
+    percentiles via (n*99+99)//100, no float); the running-max and rank
+    windows and the final group all share the event_type partitioning."""
+    from pyspark.sql import Window
+
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.unix_micros(F.col("ts").cast("timestamp")).alias("t_us"),
+    ).withColumn(
+        "arr_us",
+        F.col("t_us")
+        + (F.col("event_id") * F.lit(2654435761)) % 3600 * 1000000,
+    )
+    wp = Window.partitionBy("event_type")
+    run = base.withColumn(
+        "late_us",
+        F.max("t_us").over(
+            wp.orderBy(F.asc("arr_us"), F.asc("event_id")).rowsBetween(
+                Window.unboundedPreceding, 0
+            )
+        )
+        - F.col("t_us"),
+    )
+    ranked = run.select(
+        "event_type",
+        "late_us",
+        F.row_number()
+        .over(wp.orderBy(F.asc("late_us"), F.asc("event_id")))
+        .alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    )
+    def at_rank(pct: int):
+        k = F.expr(f"(n * {pct} + 99) div 100")
+        return F.max(F.when(F.col("rk") == k, F.col("late_us")))
+
+    return ranked.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("late_us") > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_out_of_order"),
+        F.expr("MAX(late_us) div 1000000").cast("bigint").alias("max_late_s"),
+        (at_rank(95) / 1000000).cast("bigint").alias("p95_late_s"),
+        (at_rank(99) / 1000000).cast("bigint").alias("p99_late_s"),
+        ((at_rank(99) + 59999999) / 60000000)
+        .cast("bigint")
+        .alias("watermark_minutes"),
     )
