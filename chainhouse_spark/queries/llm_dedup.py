@@ -529,3 +529,107 @@ def dedup_clusters_star(spark: SparkSession, sf_dir: str) -> DataFrame:
         load_table(spark, sf_dir, "documents"), shingle_words=3, threshold=0.8
     )
     return connected_components_star(pairs, src="doc_a", dst="doc_b")
+
+
+@register(
+    "dedup_threshold_sweep",
+    oracle="""
+    WITH
+    """ + _DUCK_SHINGLES + """,
+    """ + _DUCK_MINHASH + """,
+    sig AS (SELECT doc_id, ARRAY_AGG(h ORDER BY s) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.b AS band,
+               md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ',')) AS bh
+        FROM sig, (SELECT UNNEST(range(0, 4)) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    pairs AS (
+        SELECT c.doc_a, c.doc_b,
+               CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS INT) AS est16
+        FROM cand c
+        JOIN mh ma ON ma.doc_id = c.doc_a
+        JOIN mh mb ON mb.doc_id = c.doc_b AND mb.s = ma.s
+        GROUP BY c.doc_a, c.doc_b
+    ),
+    doc_max AS (
+        SELECT doc_id, MAX(est16) AS m FROM (
+            SELECT doc_a AS doc_id, est16 FROM pairs
+            UNION ALL SELECT doc_b AS doc_id, est16 FROM pairs
+        ) GROUP BY doc_id
+    ),
+    spine AS (SELECT CAST(t AS INT) AS t16 FROM UNNEST(range(8, 17)) u(t))
+    SELECT t16,
+           CAST(t16 AS DOUBLE) / 16 AS threshold,
+           CAST(COALESCE((SELECT COUNT(*) FROM pairs WHERE est16 >= t16), 0)
+                AS BIGINT) AS n_pairs_ge,
+           CAST(COALESCE((SELECT COUNT(*) FROM doc_max WHERE m >= t16), 0)
+                AS BIGINT) AS n_docs_in_pairs_ge
+    FROM spine
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The near-dup threshold tuning curve: for every MinHash(16) estimated-
+    Jaccard cutoff 8/16 .. 16/16, how many candidate pairs survive and how
+    many documents would be implicated — the sweep a pipeline owner reads
+    before fixing the dedup threshold (too low deletes real data, too high
+    keeps near-copies). est_jaccard = matches/16, so 16*est is an EXACT
+    integer bucket; the sweep is an inequality join of a 9-row spine
+    against the already-aggregated pair histogram — candidates are
+    enumerated ONCE via banded LSH (never all-pairs, never once per
+    threshold)."""
+    from chainhouse_spark.operators.dedup import (
+        lsh_candidate_pairs,
+        minhash_signatures,
+    )
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_words=3)
+    pairs = lsh_candidate_pairs(sigs, num_hashes=16, bands=4).select(
+        "doc_a",
+        "doc_b",
+        F.round(F.col("est_jaccard") * 16, 0).cast("int").alias("est16"),
+    )
+    doc_max = (
+        pairs.selectExpr("doc_a AS doc_id", "est16")
+        .unionAll(pairs.selectExpr("doc_b AS doc_id", "est16"))
+        .groupBy("doc_id")
+        .agg(F.max("est16").alias("m"))
+    )
+    # Collapse to <=17-row histograms BEFORE the inequality join: pairs can
+    # be arbitrarily many at scale, so the sweep must never broadcast or
+    # nested-loop over them — only over (est16, count) buckets.
+    p_hist = pairs.groupBy("est16").agg(F.count(F.lit(1)).alias("c"))
+    d_hist = doc_max.groupBy(F.col("m").alias("est16")).agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    spine = spark.range(8, 17).select(F.col("id").cast("int").alias("t16"))
+    p_ge = (
+        spine.alias("s")
+        .join(F.broadcast(p_hist.alias("p")), F.col("p.est16") >= F.col("s.t16"), "left")
+        .groupBy("t16")
+        .agg(F.coalesce(F.sum("p.c"), F.lit(0)).cast("bigint").alias("n_pairs_ge"))
+    )
+    d_ge = (
+        spine.alias("s")
+        .join(F.broadcast(d_hist.alias("d")), F.col("d.est16") >= F.col("s.t16"), "left")
+        .groupBy("t16")
+        .agg(
+            F.coalesce(F.sum("d.c"), F.lit(0))
+            .cast("bigint")
+            .alias("n_docs_in_pairs_ge")
+        )
+    )
+    return (
+        p_ge.join(d_ge, "t16")
+        .select(
+            "t16",
+            (F.col("t16").cast("double") / 16).alias("threshold"),
+            "n_pairs_ge",
+            "n_docs_in_pairs_ge",
+        )
+    )
