@@ -364,9 +364,7 @@ def lm_bigram_perplexity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "nb_classify_confusion",
-    oracle="""
+_NB_SCORE_CTE = """
     WITH tok AS (
         SELECT doc_id, lang, substr(md5(w), 1, 2) AS b
         FROM (SELECT doc_id, lang, unnest(list_filter(
@@ -403,40 +401,14 @@ def lm_bigram_perplexity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN wt ON doc_b.b = wt.b
         JOIN prior ON prior.lang = wt.lang
         GROUP BY doc_b.doc_id, doc_b.actual, wt.lang
-    ),
-    pred AS (
-        SELECT doc_id, actual, cand AS predicted
-        FROM (SELECT doc_id, actual, cand,
-                     ROW_NUMBER() OVER (PARTITION BY doc_id
-                                        ORDER BY s DESC, cand ASC) AS rn
-              FROM score)
-        WHERE rn = 1
     )
-    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
-    FROM pred GROUP BY actual, predicted
-    """,
-)
-def nb_classify_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Model-based corpus labeling at scale: a multinomial Naive Bayes
-    classifier over hashed-unigram features, trained on the corpus's own
-    lang labels and evaluated on it — the confusion matrix is the output
-    (the fastText-supervised quality-classifier shape with exact-arithmetic
-    training: NB's MLE is pure counting, so the whole train+predict
-    pipeline is closed-form and engine-reproducible — no SGD order
-    dependence).
+"""
 
-    Determinism: per-(bucket, class) log-likelihoods and log-priors are
-    rounded to 6 decimals as DECIMAL; per-doc per-class scores are exact
-    decimal dot products; argmax breaks ties by class name.
 
-    Scale: the model is CONSTANT-size (256 buckets x |classes| weights +
-    |classes| priors — broadcast both); scoring fans each doc-bucket row
-    out by |classes| through a broadcast join, aggregates on
-    (doc_id, class), then one row_number window per doc picks the argmax.
-    Shuffles: token histogram, score aggregate, argmax window (the last
-    two share the doc_id grouping). The confusion matrix is a |classes|^2
-    aggregate."""
-    d = load_table(spark, sf_dir, "documents")
+def _nb_scores(d: DataFrame) -> DataFrame:
+    """Shared NB train+score pipeline: (doc_id, actual, cand, s) with s an
+    exact DECIMAL dot product of rounded log-weights (see
+    nb_classify_confusion's determinism notes). Model tables broadcast."""
     ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     tok = d.select(
         "doc_id", "lang", F.explode(ws).alias("w")
@@ -483,6 +455,46 @@ def nb_classify_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id", "actual", F.col("lang").alias("cand"))
         .agg((F.sum(F.col("c") * F.col("w")) + F.min("p")).alias("s"))
     )
+    return score
+
+
+@register(
+    "nb_classify_confusion",
+    oracle=_NB_SCORE_CTE
+    + """,
+    pred AS (
+        SELECT doc_id, actual, cand AS predicted
+        FROM (SELECT doc_id, actual, cand,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, cand ASC) AS rn
+              FROM score)
+        WHERE rn = 1
+    )
+    SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM pred GROUP BY actual, predicted
+    """,
+)
+def nb_classify_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Model-based corpus labeling at scale: a multinomial Naive Bayes
+    classifier over hashed-unigram features, trained on the corpus's own
+    lang labels and evaluated on it — the confusion matrix is the output
+    (the fastText-supervised quality-classifier shape with exact-arithmetic
+    training: NB's MLE is pure counting, so the whole train+predict
+    pipeline is closed-form and engine-reproducible — no SGD order
+    dependence).
+
+    Determinism: per-(bucket, class) log-likelihoods and log-priors are
+    rounded to 6 decimals as DECIMAL; per-doc per-class scores are exact
+    decimal dot products; argmax breaks ties by class name.
+
+    Scale: the model is CONSTANT-size (256 buckets x |classes| weights +
+    |classes| priors — broadcast both); scoring fans each doc-bucket row
+    out by |classes| through a broadcast join, aggregates on
+    (doc_id, class), then one row_number window per doc picks the argmax.
+    Shuffles: token histogram, score aggregate, argmax window (the last
+    two share the doc_id grouping). The confusion matrix is a |classes|^2
+    aggregate."""
+    score = _nb_scores(load_table(spark, sf_dir, "documents"))
     from pyspark.sql import Window
 
     win = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("cand"))
@@ -630,4 +642,87 @@ def eval_cohens_kappa(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(n * n == sv, F.lit(None).cast("double"))
         .otherwise((n * agree - sv).cast("double") / (n * n - sv))
         .alias("kappa"),
+    )
+
+
+# Margin-bucket edges for the calibration surface, in log10-score units
+# (chosen to straddle the corpus's margin distribution: min ~0.02,
+# median ~0.67, max ~2.2). Compares are on EXACT decimals.
+_CAL_EDGES = ("0.25", "0.5", "1.0", "1.5")
+
+
+@register(
+    "nb_margin_calibration",
+    oracle=_NB_SCORE_CTE
+    + f""",
+    ranked AS (
+        SELECT doc_id, actual, cand, s,
+               ROW_NUMBER() OVER (PARTITION BY doc_id
+                                  ORDER BY s DESC, cand ASC) AS rn
+        FROM score
+    ),
+    per_doc AS (
+        SELECT doc_id,
+               MAX(CASE WHEN rn = 1 THEN s END)
+                   - MAX(CASE WHEN rn = 2 THEN s END) AS margin,
+               MAX(CASE WHEN rn = 1 THEN CAST(cand = actual AS INT) END)
+                   AS correct
+        FROM ranked GROUP BY doc_id
+    ),
+    bucketed AS (
+        SELECT CASE WHEN margin < {_CAL_EDGES[0]} THEN 0
+                    WHEN margin < {_CAL_EDGES[1]} THEN 1
+                    WHEN margin < {_CAL_EDGES[2]} THEN 2
+                    WHEN margin < {_CAL_EDGES[3]} THEN 3
+                    ELSE 4 END AS margin_bucket,
+               margin, correct
+        FROM per_doc
+    )
+    SELECT margin_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(correct) AS BIGINT) AS n_correct,
+           CAST(SUM(correct) AS DOUBLE) / COUNT(*) AS accuracy,
+           CAST(SUM(margin) AS DOUBLE) / COUNT(*) AS mean_margin
+    FROM bucketed
+    GROUP BY margin_bucket
+    """,
+)
+def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Calibration surface for the NB corpus classifier: bucket documents
+    by the EXACT decimal score margin (top score minus runner-up — the
+    confidence proxy that, unlike a softmax posterior, needs no
+    engine-divergent exp()) and report per-bucket accuracy. A
+    well-calibrated filter shows accuracy rising monotonically with
+    margin — this is the evidence for picking the margin cutoff when the
+    classifier gates training data (keep only confidently-labeled docs).
+    Same constant-size broadcast model as nb_classify_confusion; one extra
+    doc-grain aggregate and a |buckets|-row final."""
+    from pyspark.sql import Window
+
+    score = _nb_scores(load_table(spark, sf_dir, "documents"))
+    win = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("cand"))
+    ranked = score.withColumn("rn", F.row_number().over(win))
+    per_doc = ranked.groupBy("doc_id").agg(
+        (
+            F.max(F.when(F.col("rn") == 1, F.col("s")))
+            - F.max(F.when(F.col("rn") == 2, F.col("s")))
+        ).alias("margin"),
+        F.max(
+            F.when(F.col("rn") == 1, (F.col("cand") == F.col("actual")).cast("int"))
+        ).alias("correct"),
+    )
+    edges = [F.lit(e).cast("decimal(20,6)") for e in _CAL_EDGES]
+    bucket = (
+        F.when(F.col("margin") < edges[0], 0)
+        .when(F.col("margin") < edges[1], 1)
+        .when(F.col("margin") < edges[2], 2)
+        .when(F.col("margin") < edges[3], 3)
+        .otherwise(4)
+    )
+    cnt = F.count(F.lit(1))
+    return per_doc.groupBy(bucket.alias("margin_bucket")).agg(
+        cnt.cast("bigint").alias("n_docs"),
+        F.sum("correct").cast("bigint").alias("n_correct"),
+        (F.sum("correct").cast("double") / cnt).alias("accuracy"),
+        (F.sum("margin").cast("double") / cnt).alias("mean_margin"),
     )
