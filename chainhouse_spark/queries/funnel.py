@@ -337,3 +337,82 @@ def sequence_match_regex(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("matched")
         .agg(F.count(F.lit(1)).alias("n_users"))
     )
+
+
+@register(
+    "funnel_latency_percentiles",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'click' THEN epoch_us(ts) END) AS t_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS t_buy
+        FROM events
+        WHERE event_type IN ('click', 'purchase')
+        GROUP BY user_id
+    ),
+    conv AS (
+        SELECT user_id, (t_buy - t_click) AS lat_us
+        FROM firsts
+        WHERE t_click IS NOT NULL AND t_buy IS NOT NULL AND t_buy >= t_click
+    ),
+    ranked AS (
+        SELECT lat_us,
+               ROW_NUMBER() OVER (ORDER BY lat_us, user_id) AS rk,
+               COUNT(*) OVER () AS n
+        FROM conv
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_conversions,
+           CAST(MAX(CASE WHEN rk = (n * 50 + 99) // 100 THEN lat_us END)
+                // 1000000 AS BIGINT) AS p50_latency_s,
+           CAST(MAX(CASE WHEN rk = (n * 90 + 99) // 100 THEN lat_us END)
+                // 1000000 AS BIGINT) AS p90_latency_s,
+           CAST(MAX(CASE WHEN rk = (n * 99 + 99) // 100 THEN lat_us END)
+                // 1000000 AS BIGINT) AS p99_latency_s,
+           CAST(MAX(lat_us) // 1000000 AS BIGINT) AS max_latency_s
+    FROM ranked
+    """,
+)
+def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution for the click -> purchase edge: per user
+    the latency from FIRST click to FIRST subsequent purchase, then exact
+    ceil-rank p50/p90/p99 (integer microseconds, the stream_watermark_advisor
+    percentile recipe) — the product metric behind funnel SLAs. One
+    user-keyed aggregate collapses the corpus; the global rank runs over
+    |converting users| rows only (if that ever outgrows one task, pre-bucket
+    by latency the equi-depth-histogram way)."""
+    from pyspark.sql import Window
+
+    ev = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("click", "purchase")
+    )
+    t = F.unix_micros(F.col("ts").cast("timestamp"))
+    firsts = ev.groupBy("user_id").agg(
+        F.min(F.when(F.col("event_type") == "click", t)).alias("t_click"),
+        F.min(F.when(F.col("event_type") == "purchase", t)).alias("t_buy"),
+    )
+    conv = firsts.filter(
+        F.col("t_click").isNotNull()
+        & F.col("t_buy").isNotNull()
+        & (F.col("t_buy") >= F.col("t_click"))
+    ).select("user_id", (F.col("t_buy") - F.col("t_click")).alias("lat_us"))
+    w = Window.orderBy(F.asc("lat_us"), F.asc("user_id"))
+    ranked = conv.select(
+        "lat_us",
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+
+    def at_rank(pct: int):
+        return F.max(
+            F.when(F.col("rk") == F.expr(f"(n * {pct} + 99) div 100"), F.col("lat_us"))
+        )
+
+    return ranked.agg(
+        F.min("n").cast("bigint").alias("n_conversions"),
+        (at_rank(50) / 1000000).cast("bigint").alias("p50_latency_s"),
+        (at_rank(90) / 1000000).cast("bigint").alias("p90_latency_s"),
+        (at_rank(99) / 1000000).cast("bigint").alias("p99_latency_s"),
+        F.expr("MAX(lat_us) div 1000000").cast("bigint").alias("max_latency_s"),
+    )
