@@ -472,3 +472,39 @@ def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("mean_quality"),
         F.min("med_c").cast("bigint").alias("median_chars"),
     )
+
+
+@register(
+    "sample_exact_k_per_group",
+    oracle="""
+    WITH ranked AS (
+        SELECT doc_id, lang,
+               ROW_NUMBER() OVER (PARTITION BY lang
+                                  ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                   AS rk
+        FROM documents
+    )
+    SELECT lang, doc_id, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+)
+def sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exactly-k-per-stratum sampling (k=20 docs per language): rank by the
+    md5 of the key and keep the first k — the eval-set builder that needs
+    EXACT per-group counts, where the hash-rate gate
+    (sample_stratified_per_lang) only hits the rate in expectation.
+    Deterministic under re-runs and engine swaps (hash order, doc_id
+    tie-break); one rank shuffle on the stratum key, and the window is
+    rank-limited so at scale Spark's WindowGroupLimit pushes the k-cutoff
+    before the full sort materializes."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    w = Window.partitionBy("lang").orderBy(
+        F.md5(F.col("doc_id").cast("string")), F.asc("doc_id")
+    )
+    return (
+        d.select("lang", "doc_id", F.row_number().over(w).alias("rk"))
+        .filter(F.col("rk") <= 20)
+        .select("lang", "doc_id", F.col("rk").cast("int").alias("rk"))
+    )

@@ -1106,3 +1106,78 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         # DuckDB inf divergence
         F.when(var > 0, (r - mu) / F.sqrt(var)).alias("z_stat"),
     )
+
+
+@register(
+    "stat_trimmed_mean",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, event_id,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS c
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, c,
+               ROW_NUMBER() OVER (PARTITION BY event_type
+                                  ORDER BY c, event_id) AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM base
+    ),
+    marked AS (
+        SELECT event_type, c, rk, n, (n * 5) // 100 AS k
+        FROM ranked
+    )
+    SELECT event_type,
+           CAST(MIN(n) AS BIGINT) AS n,
+           CAST(SUM(c) AS DOUBLE) / MIN(n) / 100 AS mean,
+           CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN c ELSE 0 END) AS DOUBLE)
+               / (MIN(n) - 2 * MIN(k)) / 100 AS trimmed_mean_5pct,
+           CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN c ELSE 0 END)
+                + MIN(k) * MAX(CASE WHEN rk = k + 1 THEN c END)
+                + MIN(k) * MAX(CASE WHEN rk = n - k THEN c END) AS DOUBLE)
+               / MIN(n) / 100 AS winsorized_mean_5pct
+    FROM marked
+    GROUP BY event_type
+    """,
+)
+def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Robust means per event type: the 5%-trimmed mean (drop the exact-rank
+    top/bottom 5%) and the 5%-winsorized mean (clamp them to the boundary
+    order statistics) alongside the raw mean — the outlier-resistant
+    location estimates a metrics pipeline reports when heavy tails make
+    the plain mean lie. Values as integer cents; every sum and boundary
+    statistic is exact, finished by one division chain both engines
+    evaluate identically. One shuffle: rank window and final group share
+    the event_type partitioning."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+    )
+    wp = Window.partitionBy("event_type")
+    ranked = base.select(
+        "event_type",
+        "c",
+        F.row_number().over(wp.orderBy(F.asc("c"), F.asc("event_id"))).alias("rk"),
+        F.count(F.lit(1)).over(wp).alias("n"),
+    ).withColumn("k", F.expr("(n * 5) div 100"))
+    kept = F.when(
+        (F.col("rk") > F.col("k")) & (F.col("rk") <= F.col("n") - F.col("k")),
+        F.col("c"),
+    ).otherwise(F.lit(0))
+    lo = F.max(F.when(F.col("rk") == F.col("k") + 1, F.col("c")))
+    hi = F.max(F.when(F.col("rk") == F.col("n") - F.col("k"), F.col("c")))
+    return ranked.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n"),
+        (F.sum("c").cast("double") / F.min("n") / 100).alias("mean"),
+        (
+            F.sum(kept).cast("double")
+            / (F.min("n") - 2 * F.min("k"))
+            / 100
+        ).alias("trimmed_mean_5pct"),
+        (
+            (F.sum(kept) + F.min("k") * lo + F.min("k") * hi).cast("double")
+            / F.min("n")
+            / 100
+        ).alias("winsorized_mean_5pct"),
+    )
