@@ -1181,3 +1181,106 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 100
         ).alias("winsorized_mean_5pct"),
     )
+
+
+@register(
+    "stat_spearman_corr",
+    oracle="""
+    WITH base AS (
+        SELECT l_returnflag AS g,
+               CAST(ROUND(l_quantity, 0) AS BIGINT) AS x,
+               CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    rx AS (
+        SELECT g, x,
+               2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY x
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + c + 1 AS mr2
+        FROM (SELECT g, x, COUNT(*) AS c FROM base GROUP BY g, x)
+    ),
+    ry AS (
+        SELECT g, y,
+               2 * COALESCE(SUM(c) OVER (PARTITION BY g ORDER BY y
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+                 + c + 1 AS mr2
+        FROM (SELECT g, y, COUNT(*) AS c FROM base GROUP BY g, y)
+    ),
+    joined AS (
+        SELECT base.g, rx.mr2 AS a, ry.mr2 AS b
+        FROM base
+        JOIN rx ON rx.g = base.g AND rx.x = base.x
+        JOIN ry ON ry.g = base.g AND ry.y = base.y
+    ),
+    m AS (
+        SELECT g,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(CAST(SUM(a) AS DECIMAL(38,0)) AS DOUBLE) AS sa,
+               CAST(CAST(SUM(b) AS DECIMAL(38,0)) AS DOUBLE) AS sb,
+               CAST(CAST(SUM(a * a) AS DECIMAL(38,0)) AS DOUBLE) AS saa,
+               CAST(CAST(SUM(b * b) AS DECIMAL(38,0)) AS DOUBLE) AS sbb,
+               CAST(CAST(SUM(a * b) AS DECIMAL(38,0)) AS DOUBLE) AS sab
+        FROM joined GROUP BY g
+    )
+    SELECT g AS l_returnflag,
+           CAST(n AS BIGINT) AS n_rows,
+           (n * sab - sa * sb)
+             / (SQRT(n * saa - sa * sa) * SQRT(n * sbb - sb * sb))
+             AS spearman_rho
+    FROM m
+    """,
+)
+def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spearman rank correlation of quantity vs price per return flag — the
+    robust (monotone-not-linear) counterpart to stat_corr_regression's
+    Pearson. Tie-corrected midranks come from the Mann-Whitney recipe
+    (2*midrank = 2*count_below + ties + 1, an exact INTEGER per distinct
+    value, attached back to rows by an equi-join on the value); rho is
+    Pearson over the doubled midranks, whose power sums stay exact in
+    DECIMAL(38,0) and are cast to double ONCE before the shared formula.
+    The rank tables hold |distinct values| rows per group — tiny relative
+    to the fact table — so the two attach joins are broadcast-shaped at
+    any scale."""
+    base = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_returnflag").alias("g"),
+        F.round(F.col("l_quantity"), 0).cast("bigint").alias("x"),
+        F.round(F.col("l_extendedprice"), 0).cast("bigint").alias("y"),
+    )
+
+    def mr2(col: str) -> DataFrame:
+        cnt = base.groupBy("g", col).agg(F.count(F.lit(1)).alias("c"))
+        w = (
+            Window.partitionBy("g")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, -1)
+        )
+        return cnt.select(
+            "g",
+            col,
+            (
+                2 * F.coalesce(F.sum("c").over(w), F.lit(0)) + F.col("c") + 1
+            ).alias("mr2"),
+        )
+
+    rx = mr2("x").withColumnRenamed("mr2", "a")
+    ry = mr2("y").withColumnRenamed("mr2", "b")
+    joined = base.join(rx, ["g", "x"]).join(ry, ["g", "y"])
+    dec = lambda c: F.sum(c).cast("decimal(38,0)").cast("double")
+    m = joined.groupBy("g").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        dec(F.col("a")).alias("sa"),
+        dec(F.col("b")).alias("sb"),
+        dec(F.col("a") * F.col("a")).alias("saa"),
+        dec(F.col("b") * F.col("b")).alias("sbb"),
+        dec(F.col("a") * F.col("b")).alias("sab"),
+    )
+    n, sa, sb = F.col("n"), F.col("sa"), F.col("sb")
+    saa, sbb, sab = F.col("saa"), F.col("sbb"), F.col("sab")
+    return m.select(
+        F.col("g").alias("l_returnflag"),
+        n.cast("bigint").alias("n_rows"),
+        (
+            (n * sab - sa * sb)
+            / (F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb))
+        ).alias("spearman_rho"),
+    )
