@@ -487,3 +487,64 @@ def video_scene_cuts(assets: DataFrame) -> DataFrame:
             )
 
     return vid.mapInPandas(gen, schema=SCENE_CUTS_SCHEMA)
+
+
+AUDIO_QUALITY_SCHEMA = (
+    "asset_id long, n_samples int, n_clipped int, clipped_frac double, "
+    "n_silence_runs int, longest_silence_run int, silence_frac double"
+)
+
+# Integer thresholds shared with the oracle: a sample is CLIPPED at
+# |v| >= 30000 (near full-scale PCM16), SILENT at |v| < 8000; a silence
+# RUN is >= 3 consecutive silent samples.
+AUDIO_CLIP_T = 30000
+AUDIO_SILENCE_T = 8000
+AUDIO_RUN_LEN = 3
+
+
+def audio_quality(assets: DataFrame) -> DataFrame:
+    """Per-clip audio QA: clipping rate (samples at |v| >= 30000) and
+    silence-run structure (runs of >= 3 consecutive samples under |v| <
+    8000 — count, longest, total fraction). The gate an audio-corpus
+    pipeline applies before paying for transcription: clipped or
+    mostly-silent clips are dropped. All integer compares and run lengths
+    (gaps-and-islands over sample positions), so the oracle replays every
+    number from the PCM16 payload hex; the two fractions are single
+    divisions of exact ints."""
+    aud = spread(assets.filter("modality = 'audio'"), "asset_id").select(
+        "asset_id", "n_samples", "payload"
+    )
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            rows = []
+            for aid, payload in zip(pdf["asset_id"], pdf["payload"]):
+                s = np.frombuffer(bytes(payload), dtype="<i2").astype(np.int64)
+                n = s.size
+                clipped = int((np.abs(s) >= AUDIO_CLIP_T).sum())
+                silent = np.abs(s) < AUDIO_SILENCE_T
+                # run-length encode the silent mask
+                changes = np.flatnonzero(np.diff(silent.astype(np.int8)))
+                bounds = np.concatenate(([0], changes + 1, [n]))
+                lens = np.diff(bounds)
+                vals = silent[bounds[:-1]]
+                run_lens = lens[vals & (lens >= AUDIO_RUN_LEN)]
+                rows.append(
+                    (
+                        aid,
+                        n,
+                        clipped,
+                        clipped / n,
+                        int(run_lens.size),
+                        int(run_lens.max()) if run_lens.size else 0,
+                        int(run_lens.sum()) / n,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["asset_id", "n_samples", "n_clipped", "clipped_frac",
+                         "n_silence_runs", "longest_silence_run",
+                         "silence_frac"],
+            )
+
+    return aud.mapInPandas(gen, schema=AUDIO_QUALITY_SCHEMA)

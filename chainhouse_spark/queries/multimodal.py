@@ -547,3 +547,70 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chainhouse_spark.multimodal.ops import video_scene_cuts
 
     return video_scene_cuts(_assets(spark, sf_dir))
+
+
+@register(
+    "mm_audio_quality",
+    oracle=f"""
+    WITH assets AS ({assets_oracle_sql(with_hex=True)}),
+    aud AS (
+        SELECT asset_id, n_samples, payload_hex
+        FROM assets WHERE modality = 'audio'
+    ),
+    smp AS (
+        SELECT asset_id, n_samples, CAST(i AS BIGINT) AS i,
+               CASE WHEN ({_byte_at("i * 2")} + 256 * {_byte_at("i * 2 + 1")}) >= 32768
+                    THEN ({_byte_at("i * 2")} + 256 * {_byte_at("i * 2 + 1")}) - 65536
+                    ELSE ({_byte_at("i * 2")} + 256 * {_byte_at("i * 2 + 1")}) END AS v
+        FROM aud, UNNEST(range(0, n_samples)) AS t(i)
+    ),
+    flagged AS (
+        SELECT asset_id, n_samples, i,
+               CASE WHEN ABS(v) >= 30000 THEN 1 ELSE 0 END AS clip,
+               CASE WHEN ABS(v) < 8000 THEN 1 ELSE 0 END AS silent
+        FROM smp
+    ),
+    islands AS (
+        SELECT asset_id, n_samples, clip, silent,
+               i - ROW_NUMBER() OVER (PARTITION BY asset_id, silent
+                                      ORDER BY i) AS isl
+        FROM flagged
+    ),
+    runs AS (
+        SELECT asset_id, CAST(COUNT(*) AS BIGINT) AS run_len
+        FROM islands WHERE silent = 1
+        GROUP BY asset_id, isl
+    ),
+    run_agg AS (
+        SELECT asset_id,
+               CAST(COUNT(*) FILTER (WHERE run_len >= 3) AS INT) AS n_silence_runs,
+               CAST(COALESCE(MAX(run_len) FILTER (WHERE run_len >= 3), 0) AS INT)
+                   AS longest_silence_run,
+               CAST(COALESCE(SUM(run_len) FILTER (WHERE run_len >= 3), 0) AS BIGINT)
+                   AS silence_total
+        FROM runs GROUP BY asset_id
+    ),
+    base_agg AS (
+        SELECT asset_id, CAST(MIN(n_samples) AS INT) AS n_samples,
+               CAST(SUM(clip) AS INT) AS n_clipped
+        FROM flagged GROUP BY asset_id
+    )
+    SELECT b.asset_id, b.n_samples, b.n_clipped,
+           CAST(b.n_clipped AS DOUBLE) / b.n_samples AS clipped_frac,
+           COALESCE(r.n_silence_runs, 0) AS n_silence_runs,
+           COALESCE(r.longest_silence_run, 0) AS longest_silence_run,
+           CAST(COALESCE(r.silence_total, 0) AS DOUBLE) / b.n_samples
+               AS silence_frac
+    FROM base_agg b LEFT JOIN run_agg r ON b.asset_id = r.asset_id
+    """,
+)
+def mm_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio QA gate: per-clip clipping rate and silence-run structure
+    (multimodal/ops.py::audio_quality — integer thresholds, gaps-and-
+    islands run detection). The oracle re-decodes PCM16 little-endian
+    samples from payload hex byte pairs and replays every count; the two
+    fractions are single divisions of exact integers. One Python stage,
+    no shuffle."""
+    from chainhouse_spark.multimodal.ops import audio_quality
+
+    return audio_quality(_assets(spark, sf_dir))

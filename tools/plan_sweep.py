@@ -35,6 +35,7 @@ PYTHON_OK = {
     "mm_image_ahash_dedup",     # numpy batch decode -> integer aHash
     "mm_image_phash_dedup",     # numpy batch decode -> fixed-point DCT hash
     "mm_video_scene_cuts",      # numpy batch decode -> integer frame diffs
+    "mm_audio_quality",         # numpy batch decode -> clipping/silence runs
     "ann_bruteforce_gemm",      # BLAS matmul per Arrow batch
     "attribution_last_click",   # cogrouped applyInPandas merge_asof
     # Deliberately NOT whitelisted: the eth hex codec queries plan
