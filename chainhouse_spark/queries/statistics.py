@@ -1284,3 +1284,116 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb))
         ).alias("spearman_rho"),
     )
+
+
+@register(
+    "stat_mutual_information",
+    oracle="""
+    WITH cnt AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (
+        SELECT source, lang, c,
+               SUM(c) OVER (PARTITION BY source) AS cs,
+               SUM(c) OVER (PARTITION BY lang) AS cl,
+               SUM(c) OVER () AS n
+        FROM cnt
+    ),
+    terms AS (
+        SELECT c, cs, cl, n,
+               CAST(ROUND((CAST(c AS DOUBLE) / n)
+                    * LN((CAST(c AS DOUBLE) * n)
+                         / (CAST(cs AS DOUBLE) * cl)) / LN(2.0), 6)
+                    AS DECIMAL(20,6)) AS mi_term,
+               CAST(ROUND(-(CAST(c AS DOUBLE) / n)
+                    * LN(CAST(c AS DOUBLE) / n) / LN(2.0), 6)
+                    AS DECIMAL(20,6)) AS hxy_term,
+               (CAST(c AS DOUBLE) - CAST(cs AS DOUBLE) * cl / n)
+                 * (CAST(c AS DOUBLE) - CAST(cs AS DOUBLE) * cl / n)
+                 / (CAST(cs AS DOUBLE) * cl / n) AS chi_term
+        FROM tot
+    ),
+    dims AS (
+        SELECT COUNT(DISTINCT source) AS ns, COUNT(DISTINCT lang) AS nl,
+               CAST(SUM(c) AS DOUBLE) AS n
+        FROM cnt
+    )
+    SELECT CAST(dims.n AS BIGINT) AS n_docs,
+           CAST(dims.ns AS INT) AS n_sources,
+           CAST(dims.nl AS INT) AS n_langs,
+           CAST(SUM(mi_term) AS DOUBLE) AS mi_bits,
+           CAST(SUM(mi_term) AS DOUBLE)
+               / CAST(SUM(hxy_term) AS DOUBLE) AS nmi_joint,
+           SQRT(CAST(SUM(CAST(ROUND(chi_term, 6) AS DECIMAL(20,6))) AS DOUBLE)
+                / dims.n
+                / (CASE WHEN dims.ns < dims.nl THEN dims.ns ELSE dims.nl END - 1))
+               AS cramers_v
+    FROM terms, dims
+    GROUP BY dims.n, dims.ns, dims.nl
+    """,
+)
+def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Source-language dependence diagnostics over one contingency table:
+    mutual information in bits, normalized MI (MI / joint entropy), and
+    Cramér's V effect size — the corpus-balance checks that catch a
+    source collapsing onto one language before training skews. Counts and
+    marginals are exact integers from a single cube shuffle (marginals as
+    windows over the cube — never a rescan); each per-cell float term is
+    rounded-then-DECIMAL-summed (the stat_entropy recipe) so partition
+    order can't move any statistic."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    tot = cnt.select(
+        "source",
+        "lang",
+        "c",
+        F.sum("c").over(Window.partitionBy("source")).alias("cs"),
+        F.sum("c").over(Window.partitionBy("lang")).alias("cl"),
+        F.sum("c").over(
+            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+        ).alias("n"),
+    )
+    cd, csd, cld, nd = (
+        F.col("c").cast("double"),
+        F.col("cs").cast("double"),
+        F.col("cl").cast("double"),
+        F.col("n").cast("double"),
+    )
+    ln2 = F.log(F.lit(2.0))
+    mi_term = F.round(
+        (cd / nd) * F.log((cd * nd) / (csd * cld)) / ln2, 6
+    ).cast("decimal(20,6)")
+    hxy_term = F.round(-(cd / nd) * F.log(cd / nd) / ln2, 6).cast("decimal(20,6)")
+    e = csd * cld / nd
+    chi_term = F.round((cd - e) * (cd - e) / e, 6).cast("decimal(20,6)")
+    terms = tot.select(
+        mi_term.alias("mi_term"),
+        hxy_term.alias("hxy_term"),
+        chi_term.alias("chi_term"),
+        "c",
+        "source",
+        "lang",
+        "n",
+    )
+    agg = terms.agg(
+        F.min("n").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("int").alias("n_sources"),
+        F.countDistinct("lang").cast("int").alias("n_langs"),
+        F.sum("mi_term").cast("double").alias("mi_bits"),
+        (F.sum("mi_term").cast("double") / F.sum("hxy_term").cast("double")).alias(
+            "nmi_joint"
+        ),
+        F.sum("chi_term").cast("double").alias("chi2"),
+    )
+    k = F.when(F.col("n_sources") < F.col("n_langs"), F.col("n_sources")).otherwise(
+        F.col("n_langs")
+    )
+    return agg.select(
+        "n_docs",
+        "n_sources",
+        "n_langs",
+        "mi_bits",
+        "nmi_joint",
+        F.sqrt(F.col("chi2") / F.col("n_docs") / (k - 1)).alias("cramers_v"),
+    )
