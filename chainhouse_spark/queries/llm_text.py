@@ -484,3 +484,95 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), F.asc("w1"), F.asc("w2"))
         .limit(50)
     )
+
+
+@register(
+    "corpus_zipf_fit",
+    oracle="""
+    WITH tok AS (
+        SELECT unnest(list_filter(string_split(text, ' '), x -> x <> '')) AS w
+        FROM documents
+    ),
+    cnt AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM tok GROUP BY w),
+    top AS (
+        SELECT w, c FROM cnt ORDER BY c DESC, w ASC LIMIT 1000
+    ),
+    ranked AS (
+        SELECT w, c,
+               ROW_NUMBER() OVER (ORDER BY c DESC, w ASC) AS rk
+        FROM top
+    ),
+    pts AS (
+        SELECT CAST(ROUND(LN(CAST(rk AS DOUBLE)), 6) AS DECIMAL(12,6)) AS x,
+               CAST(ROUND(LN(CAST(c AS DOUBLE)), 6) AS DECIMAL(12,6)) AS y,
+               w, c, rk
+        FROM ranked
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy,
+               MAX(CASE WHEN rk = 1 THEN w END) AS top_token,
+               CAST(MAX(CASE WHEN rk = 1 THEN c END) AS BIGINT) AS top_count
+        FROM pts
+    )
+    SELECT CAST(n AS BIGINT) AS n_points,
+           top_token, top_count,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
+           ((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
+           * ((n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))) AS r2
+    FROM m
+    """,
+)
+def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Zipf's-law fit over the top-1000 token frequencies: OLS slope of
+    ln(freq) ~ ln(rank) with its r² — natural language sits near slope -1
+    with high r², so a corpus that drifts (template spam, truncated
+    vocabulary, synthetic filler) shows up as a slope/fit anomaly before
+    training does. One tokenize shuffle for counts; the top-1000 cut is
+    TakeOrderedAndProject (never a global sort of the vocabulary); each
+    ln is rounded-then-DECIMAL so the exact-decimal power sums feed both
+    engines identical doubles."""
+    from pyspark.sql import Window
+
+    d = load_table(spark, sf_dir, "documents")
+    ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
+    cnt = (
+        d.select(F.explode(ws).alias("w"))
+        .groupBy("w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    top = cnt.orderBy(F.desc("c"), F.asc("w")).limit(1000)
+    ranked = top.withColumn(
+        "rk", F.row_number().over(Window.orderBy(F.desc("c"), F.asc("w")))
+    )
+    x = F.round(F.log(F.col("rk").cast("double")), 6).cast("decimal(12,6)")
+    y = F.round(F.log(F.col("c").cast("double")), 6).cast("decimal(12,6)")
+    pts = ranked.select(x.alias("x"), y.alias("y"), "w", "c", "rk")
+    m = pts.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+        F.max(F.when(F.col("rk") == 1, F.col("w"))).alias("top_token"),
+        F.max(F.when(F.col("rk") == 1, F.col("c"))).cast("bigint").alias("top_count"),
+    )
+    n, sx, sy = F.col("n"), F.col("sx"), F.col("sy")
+    sxx, syy, sxy = F.col("sxx"), F.col("syy"), F.col("sxy")
+    corr = (n * sxy - sx * sy) / (
+        F.sqrt(n * sxx - sx * sx) * F.sqrt(n * syy - sy * sy)
+    )
+    return m.select(
+        n.cast("bigint").alias("n_points"),
+        "top_token",
+        "top_count",
+        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("zipf_slope"),
+        (corr * corr).alias("r2"),
+    )
