@@ -106,3 +106,84 @@ def decontaminate_against_testset(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("doc_id")
         .agg(F.count(F.lit(1)).alias("n_shared"))
     )
+
+
+@register(
+    "corpus_ngram_novelty",
+    oracle="""
+    WITH tok AS (SELECT doc_id, source, string_split(text, ' ') AS t
+                 FROM documents),
+    sh AS (
+        SELECT DISTINCT source, CAST(doc_id % 2 AS INT) AS snap,
+               md5(array_to_string(t[i:i+2], ' ')) AS h
+        FROM tok, LATERAL (SELECT UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS i) ii
+    ),
+    a AS (SELECT DISTINCT source, h FROM sh WHERE snap = 0),
+    b AS (SELECT DISTINCT source, h FROM sh WHERE snap = 1),
+    new AS (
+        SELECT b.source, CAST(COUNT(*) AS BIGINT) AS n_new
+        FROM b ANTI JOIN a ON a.source = b.source AND a.h = b.h
+        GROUP BY b.source
+    ),
+    tot AS (
+        SELECT source,
+               CAST(COUNT(*) FILTER (WHERE snap = 0) AS BIGINT)
+                   AS n_base_shingles,
+               CAST(COUNT(*) FILTER (WHERE snap = 1) AS BIGINT)
+                   AS n_cur_shingles
+        FROM (SELECT DISTINCT source, snap, h FROM sh)
+        GROUP BY source
+    )
+    SELECT tot.source, n_base_shingles, n_cur_shingles,
+           COALESCE(new.n_new, 0) AS n_new_shingles,
+           CASE WHEN n_cur_shingles > 0
+                THEN CAST(COALESCE(new.n_new, 0) AS DOUBLE) / n_cur_shingles
+           END AS novelty_rate
+    FROM tot LEFT JOIN new ON new.source = tot.source
+    """,
+)
+def corpus_ngram_novelty(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Snapshot-over-snapshot n-gram novelty per source: what fraction of
+    the new snapshot's distinct 3-word shingles was never seen in the
+    baseline (doc_id-parity split) — the freshness diagnostic that decides
+    whether re-crawling a source buys new training data or re-downloads
+    the same text. Shingles reduce to distinct (source, md5) 16-byte keys
+    before the anti-join (the decontamination shuffle discipline: keys
+    move, text never does); novelty is one division of exact counts."""
+    from chainhouse_spark.functions.text import word_shingles
+
+    d = load_table(spark, sf_dir, "documents")
+    sh = (
+        d.select(
+            "source",
+            (F.col("doc_id") % 2).cast("int").alias("snap"),
+            F.explode(word_shingles("text", 3)).alias("s"),
+        )
+        .select("source", "snap", F.md5("s").alias("h"))
+        .distinct()
+    )
+    a = sh.filter(F.col("snap") == 0).select("source", "h")
+    b = sh.filter(F.col("snap") == 1).select("source", "h")
+    new = (
+        b.join(a, ["source", "h"], "left_anti")
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_new"))
+    )
+    tot = sh.groupBy("source").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_base_shingles"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_cur_shingles"),
+    )
+    return tot.join(new, "source", "left").select(
+        "source",
+        "n_base_shingles",
+        "n_cur_shingles",
+        F.coalesce("n_new", F.lit(0)).alias("n_new_shingles"),
+        F.when(
+            F.col("n_cur_shingles") > 0,
+            F.coalesce("n_new", F.lit(0)).cast("double") / F.col("n_cur_shingles"),
+        ).alias("novelty_rate"),
+    )
