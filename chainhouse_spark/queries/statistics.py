@@ -1397,3 +1397,58 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         "nmi_joint",
         F.sqrt(F.col("chi2") / F.col("n_docs") / (k - 1)).alias("cramers_v"),
     )
+
+
+@register(
+    "stat_gini_concentration",
+    oracle="""
+    WITH ranked AS (
+        SELECT source, CAST(n_chars AS BIGINT) AS x,
+               ROW_NUMBER() OVER (PARTITION BY source
+                                  ORDER BY n_chars, doc_id) AS rk,
+               COUNT(*) OVER (PARTITION BY source) AS n
+        FROM documents
+    )
+    SELECT source,
+           CAST(MIN(n) AS BIGINT) AS n_docs,
+           CAST(SUM(x) AS BIGINT) AS total_chars,
+           CAST(2 * SUM(rk * x) - (MIN(n) + 1) * SUM(x) AS DOUBLE)
+               / (MIN(n) * SUM(x)) AS gini
+    FROM ranked
+    GROUP BY source
+    """,
+)
+def stat_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of document-length mass per source — the
+    concentration diagnostic behind shard balancing and packing decisions
+    (a source whose token mass sits in a few huge documents packs and
+    shards very differently from a uniform one; G=0 uniform, G->1 all
+    mass in one doc). The exact-rank formulation
+    (2*sum(rank*x) - (n+1)*sum(x)) / (n*sum(x)) is all integer until one
+    final division; ranks tie-break on doc_id so both engines rank
+    identically (any tie order yields the same G for equal x — the
+    tie-break just pins the plan). One shuffle: rank window and final
+    group share the source partitioning."""
+    ranked = (
+        load_table(spark, sf_dir, "documents")
+        .select("source", "doc_id", F.col("n_chars").cast("bigint").alias("x"))
+        .select(
+            "source",
+            "x",
+            F.row_number()
+            .over(
+                Window.partitionBy("source").orderBy(F.asc("x"), F.asc("doc_id"))
+            )
+            .alias("rk"),
+            F.count(F.lit(1)).over(Window.partitionBy("source")).alias("n"),
+        )
+    )
+    return ranked.groupBy("source").agg(
+        F.min("n").cast("bigint").alias("n_docs"),
+        F.sum("x").cast("bigint").alias("total_chars"),
+        (
+            (2 * F.sum(F.col("rk") * F.col("x")) - (F.min("n") + 1) * F.sum("x"))
+            .cast("double")
+            / (F.min("n") * F.sum("x"))
+        ).alias("gini"),
+    )
