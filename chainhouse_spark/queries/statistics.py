@@ -1452,3 +1452,66 @@ def stat_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
             / (F.min("n") * F.sum("x"))
         ).alias("gini"),
     )
+
+
+@register(
+    "stat_arrival_burstiness",
+    oracle="""
+    WITH base AS (
+        SELECT event_type, epoch_us(ts) // 60000000 AS minute
+        FROM events
+    ),
+    cnt AS (
+        SELECT event_type, minute, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY event_type, minute
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(SUM(c) AS BIGINT) AS n_events,
+               CAST(MAX(minute) - MIN(minute) + 1 AS BIGINT) AS n_minutes,
+               CAST(SUM(c * c) AS BIGINT) AS s2,
+               CAST(COUNT(*) AS BIGINT) AS n_active_minutes
+        FROM cnt GROUP BY event_type
+    )
+    SELECT event_type, n_events, n_minutes, n_active_minutes,
+           CAST(n_events AS DOUBLE) / n_minutes AS mean_per_minute,
+           (CAST(s2 AS DOUBLE) / n_minutes
+              - (CAST(n_events AS DOUBLE) / n_minutes)
+                * (CAST(n_events AS DOUBLE) / n_minutes))
+             / (CAST(n_events AS DOUBLE) / n_minutes) AS fano_factor
+    FROM agg
+    """,
+)
+def stat_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrival burstiness per event type: the Fano factor (variance/mean of
+    per-minute counts over the type's full minute span — empty minutes
+    contribute zero to both sums, so the spine never materializes) — the
+    dispersion diagnostic that separates Poisson-like traffic (F~1) from
+    bursty feeds (F>>1) and metronome-regular synthetic load (F<1) before
+    capacity planning or anomaly thresholds are set. Integer count sums
+    collapse the corpus map-side; the float finish is the shared
+    variance/mean chain over |types| rows. One shuffle."""
+    base = load_table(spark, sf_dir, "events").select(
+        "event_type",
+        F.expr("unix_micros(CAST(ts AS TIMESTAMP)) div 60000000").alias("minute"),
+    )
+    cnt = base.groupBy("event_type", "minute").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    agg = cnt.groupBy("event_type").agg(
+        F.sum("c").cast("bigint").alias("n_events"),
+        (F.max("minute") - F.min("minute") + 1).cast("bigint").alias("n_minutes"),
+        F.sum(F.col("c") * F.col("c")).cast("bigint").alias("s2"),
+        F.count(F.lit(1)).cast("bigint").alias("n_active_minutes"),
+    )
+    mean = F.col("n_events").cast("double") / F.col("n_minutes")
+    return agg.select(
+        "event_type",
+        "n_events",
+        "n_minutes",
+        "n_active_minutes",
+        mean.alias("mean_per_minute"),
+        (
+            (F.col("s2").cast("double") / F.col("n_minutes") - mean * mean) / mean
+        ).alias("fano_factor"),
+    )
