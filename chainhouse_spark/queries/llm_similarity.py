@@ -429,3 +429,66 @@ def ann_ivf_at_rest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
             sym_diff.agg((F.count(F.lit(1)) == 0).alias("matches_memory"))
         )
     )
+
+
+@register(
+    "embedding_class_separation",
+    oracle="""
+    WITH dims AS (
+        SELECT label, CAST(i AS INT) AS dim,
+               CAST(ROUND(embedding[CAST(i AS INT)], 6) AS DECIMAL(16,6)) AS v
+        FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, dim,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c
+        FROM dims GROUP BY label, dim
+    ),
+    pairs AS (
+        SELECT a.label AS label_a, b.label AS label_b,
+               CAST(ROUND((a.c - b.c) * (a.c - b.c), 9) AS DECIMAL(20,9)) AS t
+        FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
+    )
+    SELECT label_a, label_b,
+           SQRT(CAST(SUM(t) AS DOUBLE)) AS centroid_l2
+    FROM pairs
+    GROUP BY label_a, label_b
+    """,
+)
+def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Class-separation diagnostic in embedding space: the pairwise L2
+    distance between label centroids — collapsed classes (near-zero
+    separation) predict poor k-NN/classifier behavior before any model
+    runs. Per-dimension values round into DECIMAL(16,6) so centroid sums
+    are exact and order-free; each squared centroid diff rounds into
+    DECIMAL(20,9) before the cross-dimension sum (float adds are
+    order-dependent, decimal adds are not); sqrt is the single final
+    float op. Scale shape: one (label, dim) partial-agg shuffle collapses
+    any corpus to |labels|*64 cells; everything after runs on cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label", F.posexplode("embedding").alias("dim0", "v0")
+    ).select(
+        "label",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("v0"), 6).cast("decimal(16,6)").alias("v"),
+    )
+    cent = dims.groupBy("label", "dim").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("c")
+    )
+    a, b = cent.alias("a"), cent.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.dim") == F.col("b.dim")) & (F.col("a.label") < F.col("b.label")),
+    ).select(
+        F.col("a.label").alias("label_a"),
+        F.col("b.label").alias("label_b"),
+        F.round(
+            (F.col("a.c") - F.col("b.c")) * (F.col("a.c") - F.col("b.c")), 9
+        )
+        .cast("decimal(20,9)")
+        .alias("t"),
+    )
+    return pairs.groupBy("label_a", "label_b").agg(
+        F.sqrt(F.sum("t").cast("double")).alias("centroid_l2")
+    )
