@@ -416,3 +416,58 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         (at_rank(99) / 1000000).cast("bigint").alias("p99_latency_s"),
         F.expr("MAX(lat_us) div 1000000").cast("bigint").alias("max_latency_s"),
     )
+
+
+@register(
+    "sequence_transition_matrix",
+    oracle="""
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id
+                                     ORDER BY ts, event_id) AS prev_type
+        FROM events
+    ),
+    cnt AS (
+        SELECT prev_type, event_type AS next_type,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM seq WHERE prev_type IS NOT NULL
+        GROUP BY prev_type, next_type
+    )
+    SELECT prev_type, next_type, n,
+           CAST(n AS DOUBLE)
+               / SUM(n) OVER (PARTITION BY prev_type) AS p
+    FROM cnt
+    """,
+)
+def sequence_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """First-order Markov transition matrix over each user's event
+    sequence: counts and row-normalized probabilities of event_type ->
+    next event_type — the behavior model behind next-action prediction and
+    anomalous-session scoring (a session whose transitions are improbable
+    under this matrix is an outlier). One user-keyed shuffle for the lag,
+    then the matrix is a |types|^2 aggregate; probabilities are single
+    divisions of exact counts (the row-sum window runs over matrix cells,
+    not events)."""
+    from pyspark.sql import Window
+
+    seq = load_table(spark, sf_dir, "events").select(
+        "user_id",
+        "event_type",
+        F.lag("event_type")
+        .over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+        .alias("prev_type"),
+    )
+    cnt = (
+        seq.filter(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", F.col("event_type").alias("next_type"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    )
+    return cnt.select(
+        "prev_type",
+        "next_type",
+        "n",
+        (
+            F.col("n").cast("double")
+            / F.sum("n").over(Window.partitionBy("prev_type"))
+        ).alias("p"),
+    )
