@@ -167,3 +167,68 @@ def audience_overlap_hll(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.lit(0.2) * (F.col("n_both")) + F.lit(25.0)
         ).alias("approx_ok"),
     )
+
+
+@register(
+    "audience_rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               MAX(o_orderdate) AS last_order,
+               CAST(COUNT(*) AS BIGINT) AS frequency,
+               CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DECIMAL(18,2))
+                   AS monetary
+        FROM orders GROUP BY o_custkey
+    ),
+    scored AS (
+        SELECT o_custkey, frequency, monetary,
+               NTILE(5) OVER (ORDER BY last_order DESC, o_custkey) AS r,
+               NTILE(5) OVER (ORDER BY frequency DESC, o_custkey) AS f,
+               NTILE(5) OVER (ORDER BY monetary DESC, o_custkey) AS m
+        FROM per_cust
+    )
+    SELECT r, f, m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(frequency) AS BIGINT) AS total_orders,
+           CAST(SUM(monetary) AS DOUBLE) AS total_monetary
+    FROM scored
+    GROUP BY r, f, m
+    """,
+)
+def audience_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """RFM segmentation: customers quintiled on Recency (last order date),
+    Frequency (order count), and Monetary (exact-decimal spend), then the
+    125-cell segment grid with counts and totals — the standard customer-
+    value rollup. NTILE orders tie-break on custkey so quintile membership
+    is a total order in both engines; monetary stays DECIMAL until the
+    final per-segment sum. The per-customer aggregate collapses orders
+    first (one shuffle); the three NTILE windows run over customers, and
+    the grid aggregate over 125 cells."""
+    from pyspark.sql import Window
+
+    o = load_table(spark, sf_dir, "orders")
+    per_cust = o.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).cast("bigint").alias("frequency"),
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("decimal(18,2)")
+        .alias("monetary"),
+    )
+    scored = per_cust.select(
+        "frequency",
+        "monetary",
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
+        .alias("r"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
+        .alias("f"),
+        F.ntile(5)
+        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
+        .alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+        F.sum("frequency").cast("bigint").alias("total_orders"),
+        F.sum("monetary").cast("double").alias("total_monetary"),
+    )
