@@ -72,6 +72,21 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         # Rows-only check (driver's weaker gate for non-SQL-expressible ops).
         assert spdf is not None
         return
-    dpdf = duck.execute(ORACLES[name]).df()
+    from chainhouse_spark.queries.registry import FRUGAL_ORACLE
+
+    if ORACLES[name].startswith(FRUGAL_ORACLE):
+        # Frugal-pragma oracles re-SET temp_directory; on the SHARED
+        # connection that SET fails once any earlier query has spilled
+        # ("Cannot switch temporary directory after the current one has
+        # been used"). Run them on a fresh connection, where the pragma
+        # always precedes first use — matching how the driver and
+        # tools/parity_subset.py execute single queries.
+        con = _duck_con(sf_dir)
+        try:
+            dpdf = con.execute(ORACLES[name]).df()
+        finally:
+            con.close()
+    else:
+        dpdf = duck.execute(ORACLES[name]).df()
     issues = compare_frames(spdf, dpdf)
     assert not issues, f"{name}: " + " | ".join(issues)
