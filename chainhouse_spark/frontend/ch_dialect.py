@@ -312,6 +312,12 @@ _UNSUPPORTED = {
     "halfmd5": "different hash algorithm — use xxhash64()/md5() explicitly",
     "farmhash64": "different hash algorithm — use xxhash64()/md5() explicitly",
     "uniqcombined": "sketch-specific — use uniq() (approx_count_distinct)",
+    "uniqcombined64": "sketch-specific — use uniq() (approx_count_distinct)",
+    "uniqtheta": "sketch-specific — use uniq(), or the exactly-replayable "
+                 "register HLL / theta set-op queries (queries/sketches.py)",
+    "topkweighted": "approximate weighted heavy hitters — aggregate the "
+                    "weights exactly (SUM(w) GROUP BY key ORDER BY 1 DESC "
+                    "LIMIT k) or see topk_heavy_hitters (queries/sketches.py)",
     "arraycumsum": "running-sum type depends on the element type; state it "
                    "explicitly: TRANSFORM(a, (_x, _i) -> AGGREGATE("
                    "SLICE(a, 1, _i + 1), CAST(0 AS BIGINT), (s, v) -> s + v))",

@@ -693,3 +693,22 @@ def test_uniq_up_to_and_bitmap_translate_and_execute(spark):
         "FROM (SELECT explode(sequence(1, 9)) AS v)",
     ).collect()[0]
     assert (row.capped, row.exact_u, row.gb) == (4, 9, 9)
+
+
+def test_sketch_and_weighted_topk_fail_loudly():
+    # These would otherwise pass through untranslated and die later in
+    # Spark analysis with an unrelated-looking error.
+    import pytest
+
+    from chainhouse_spark.frontend.ch_dialect import (
+        CHTranslationError,
+        translate_ch_sql,
+    )
+
+    for q in (
+        "SELECT uniqCombined64(x) FROM t",
+        "SELECT uniqTheta(x) FROM t",
+        "SELECT topKWeighted(5)(x, w) FROM t",
+    ):
+        with pytest.raises(CHTranslationError):
+            translate_ch_sql(q)
