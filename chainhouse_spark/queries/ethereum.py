@@ -138,6 +138,15 @@ def eth_blocks_table(spark: SparkSession, sf_dir: str) -> DataFrame:
                     ",",
                 ).alias("uncles")
             )
+        elif f.name in {
+            "totalDifficulty", "difficulty", "baseFeePerGas",
+            "gasLimit", "gasUsed", "timestamp", "size",
+        }:
+            # STRING to match the oracle, which reads these straight from
+            # the raw JSONL as VARCHAR decimal digits (u256-capable fields):
+            # output dtype class must agree across engines
+            # (tests/test_oracle_parity.py dtype-parity rule).
+            cols.append(F.col(f.name).cast("string").alias(f.name))
         else:
             cols.append(F.col(f.name))
     return b.select(*cols)
@@ -161,7 +170,10 @@ def eth_gas_by_block(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         tx.groupBy("blockNumber")
         .agg(
-            F.sum("gasUsed").cast("decimal(38,0)").alias("total_gas"),
+            # STRING to match the oracle's VARCHAR (u256-safe sums degrade
+            # to float64 via pandas on the DuckDB side): the output dtype
+            # class must agree across engines (tests/test_oracle_parity.py).
+            F.sum("gasUsed").cast("decimal(38,0)").cast("string").alias("total_gas"),
             F.count(F.lit(1)).alias("n_tx"),
             F.sum(F.when(F.col("status") == 1, 1).otherwise(0)).alias("n_success"),
         )
@@ -220,7 +232,7 @@ def eth_withdrawal_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         w.groupBy("blockNumber")
         .agg(
-            F.sum("amount").cast("decimal(38,0)").alias("total_amount"),
+            F.sum("amount").cast("decimal(38,0)").cast("string").alias("total_amount"),
             F.count(F.lit(1)).alias("n_withdrawals"),
         )
         .orderBy("blockNumber")
@@ -275,6 +287,10 @@ def eth_top_senders(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("total_eth"), F.asc("sender_hex"))
         .limit(20)
+        # Stringify AFTER the ordered limit so the sort stays numeric;
+        # dtype-class parity with the oracle's VARCHAR output columns.
+        .withColumn("total_eth", F.col("total_eth").cast("string"))
+        .withColumn("total_gas", F.col("total_gas").cast("string"))
     )
 
 
@@ -303,7 +319,7 @@ def eth_contract_creations(spark: SparkSession, sf_dir: str) -> DataFrame:
             "blockNumber",
             to_hex("hash").alias("tx_hash"),
             to_hex("contractAddress").alias("contract_hex"),
-            F.col("gasUsed").cast("decimal(38,0)").alias("gas_used"),
+            F.col("gasUsed").cast("decimal(38,0)").cast("string").alias("gas_used"),
         )
         .orderBy("blockNumber", "tx_hash")
     )
@@ -333,9 +349,9 @@ def eth_type2_fee_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             F.count(F.lit(1)).alias("n_tx"),
             F.sum(t2).alias("n_type2"),
-            F.max(F.col("maxPriorityFeePerGas").cast("decimal(38,0)")).alias(
-                "max_priority_fee"
-            ),
+            F.max(F.col("maxPriorityFeePerGas").cast("decimal(38,0)"))
+            .cast("string")
+            .alias("max_priority_fee"),
         )
         .withColumn(
             "type2_share", F.col("n_type2").cast("double") / F.col("n_tx")
@@ -437,12 +453,18 @@ def eth_erc20_transfer_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         ev.filter(F.size("topics") == 3)
         .select(
-            F.col("logIndex"),
+            # STRING: the oracle reads logIndex from the raw fixture where it
+            # is VARCHAR (decimal digits) — same dtype-class-parity rule.
+            F.col("logIndex").cast("string"),
             to_hex("transactionHash").alias("transactionHash"),
             F.concat(F.lit("0x"), F.lower(F.hex(F.col("address")))).alias("token"),
             topic_address_hex(F.element_at("topics", 2)).alias("from_addr"),
             topic_address_hex(F.element_at("topics", 3)).alias("to_addr"),
-            F.expr(word_u120_sql("data", 0)).alias("amount_u120"),
+            # STRING on BOTH sides: the oracle emits VARCHAR (wide DuckDB
+            # decimals degrade to float64 via pandas), and a driver
+            # canonicalizer that treats numerics differently from strings
+            # would otherwise mismatch this one column (r04/r05 red row).
+            F.expr(word_u120_sql("data", 0)).cast("string").alias("amount_u120"),
         )
         .orderBy("transactionHash", "logIndex")
     )

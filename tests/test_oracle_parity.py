@@ -50,6 +50,32 @@ def duck():
     con.close()
 
 
+def _spark_type_class(dt) -> str:
+    """Map a Spark DataType to the DuckDB DBAPI type-code class so output
+    dtype classes can be compared across engines. Registry invariant added
+    after eth_erc20_transfer_decode (r04/r05): Spark DECIMAL(38,0) vs oracle
+    VARCHAR held identical values but deterministically hash-mismatched under
+    any driver canonicalization that treats numerics differently from
+    strings. Every query must emit the SAME type class on both sides.
+    """
+    from pyspark.sql import types as T
+
+    if isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType,
+                       T.FloatType, T.DoubleType, T.DecimalType)):
+        return "NUMBER"
+    if isinstance(dt, T.StringType):
+        return "STRING"
+    if isinstance(dt, T.BooleanType):
+        return "bool"
+    if isinstance(dt, T.DateType):
+        return "Date"
+    if isinstance(dt, (T.TimestampType, T.TimestampNTZType)):
+        return "DATETIME"
+    if isinstance(dt, T.BinaryType):
+        return "BINARY"
+    return type(dt).__name__
+
+
 @pytest.mark.parametrize("name", sorted(QUERIES))
 def test_query_matches_oracle(name, spark, sf_dir, duck):
     from pyspark.sql.types import ArrayType, MapType
@@ -83,10 +109,29 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         # tools/parity_subset.py execute single queries.
         con = _duck_con(sf_dir)
         try:
-            dpdf = con.execute(ORACLES[name]).df()
+            cur = con.execute(ORACLES[name])
+            duck_desc = list(cur.description)
+            dpdf = cur.df()
         finally:
             con.close()
     else:
-        dpdf = duck.execute(ORACLES[name]).df()
+        cur = duck.execute(ORACLES[name])
+        duck_desc = list(cur.description)
+        dpdf = cur.df()
+    # Engine-level dtype-class parity (see _spark_type_class docstring):
+    # identical VALUES with asymmetric types (DECIMAL vs VARCHAR) still fail
+    # the driver gate, so catch the asymmetry here, per column, by name.
+    spark_classes = {f.name: _spark_type_class(f.dataType) for f in sdf.schema.fields}
+    duck_classes = {c[0]: c[1] for c in duck_desc}
+    mismatched = {
+        col: (spark_classes[col], duck_classes[col])
+        for col in spark_classes
+        if col in duck_classes and spark_classes[col] != duck_classes[col]
+    }
+    assert not mismatched, (
+        f"{name}: output dtype class differs between Spark and the DuckDB "
+        f"oracle for {mismatched} (col: (spark, duckdb)) — cast BOTH sides "
+        "to the same class or the driver canonicalizer may hash-mismatch"
+    )
     issues = compare_frames(spdf, dpdf)
     assert not issues, f"{name}: " + " | ".join(issues)
