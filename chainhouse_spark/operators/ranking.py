@@ -1,0 +1,145 @@
+"""Exact global row_number without a single-task window.
+
+`Window.orderBy(...)` with no `partitionBy` gives exact global ranks but
+serializes the ENTIRE input onto one executor — correct at sf0.1, a
+scale-killer at 100 TB (the round-5 audit found six such windows). This
+operator computes the same exact rank distributed:
+
+1. `repartitionByRange(order)` — the range partitioner puts partition i's
+   rows strictly before partition i+1's rows under the sort order, so the
+   global rank of a row = (rows in earlier partitions) + (local rank).
+2. A tiny per-partition count aggregate (≤ num_partitions rows) yields the
+   cumulative offsets; the running sum over it is a single-task window over
+   ≤ a few thousand rows — constant-size at any data scale.
+3. Local ranks come from a window PARTITIONED by the range-partition id, so
+   every window task holds one partition's rows, never the whole input.
+
+Exactness requires a TOTAL order (include a tie-break column): with ties,
+equal keys may straddle a range boundary and their relative order would be
+partitioner-dependent. Every caller in this repo orders by
+(score, unique_id).
+
+CONSISTENCY: the offsets subtree and the main subtree both consume the
+range-partitioned rows, and both re-derive the partition id. Catalyst's
+ReusedExchange is NOT guaranteed to unify the two reads (column pruning
+can specialize one branch's exchange, and AQE may coalesce the two reads
+differently) — and RangePartitioner samples its boundaries with an
+RDD-id-dependent seed, so two independent executions of the "same"
+repartitionByRange can place a row in DIFFERENT partitions. That skew
+between branches silently corrupts every rank (observed: ~5.8k of 6.6k
+ranks off under local[8]). The fix is structural: `localCheckpoint`
+(lazy) materializes the partitioned, pid-tagged rows ONCE, and both
+subtrees read the same physical blocks — pid consistency by construction,
+not by optimizer goodwill.
+
+Cost: one range shuffle + one disk/memory-backed materialization of the
+input (comparable to one extra shuffle write at 100 TB — executor-local
+blocks, spillable) + one hash shuffle for the local windows + a broadcast
+of the offsets. Trade-off: localCheckpoint truncates lineage, so an
+executor loss means rerunning the whole stage rather than recomputing a
+partition — acceptable for batch analytics, and the alternative (literal
+range boundaries collected at the driver) costs an extra eager scan per
+call and restricts keys to numeric types.
+
+Reference capability: the reference delegates ranking to ClickHouse
+(`/root/reference/src/main.rs:57-161`), which executes ORDER BY + row
+numbering distributed; this is the Spark-native equivalent.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_PID = "__gr_pid"
+_OFF = "__gr_off"
+
+
+def _ranged_with_pid(
+    df: DataFrame, order_by: list[Column], num_partitions: int | None
+) -> DataFrame:
+    """Range-partition on the order and tag each row with its partition id,
+    materialized ONCE (lazy localCheckpoint) so every downstream subtree
+    sees the identical pid assignment — see the module docstring for why
+    re-deriving the pid per branch is unsound."""
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    return (
+        df.repartitionByRange(num_partitions, *order_by)
+        .withColumn(_PID, F.spark_partition_id())
+        .localCheckpoint(eager=False)
+    )
+
+
+def global_row_number(
+    df: DataFrame,
+    order_by: list[Column],
+    out_col: str = "rank",
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add `out_col` = exact 1-based global row number under `order_by`.
+
+    `order_by` must be a TOTAL order (tie-break on a unique column) or
+    ranks of tied rows are partitioner-dependent.
+    """
+    ranged = _ranged_with_pid(df, order_by, num_partitions)
+    counts = ranged.groupBy(_PID).agg(F.count(F.lit(1)).alias("__n"))
+    # Running sum over ≤ num_partitions rows: the one intentionally tiny
+    # global window (constant-size regardless of input scale).
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = counts.select(
+        _PID, F.coalesce(F.sum("__n").over(w_off), F.lit(0)).alias(_OFF)
+    )
+    local = Window.partitionBy(_PID).orderBy(*order_by)
+    return (
+        ranged.join(F.broadcast(offsets), _PID)
+        .withColumn(out_col, (F.row_number().over(local) + F.col(_OFF)))
+        .drop(_PID, _OFF)
+    )
+
+
+def global_running_sums(
+    df: DataFrame,
+    order_by: list[Column],
+    sum_cols: dict[str, str],
+    num_partitions: int | None = None,
+) -> DataFrame:
+    """Add exact inclusive running sums under a global order, distributed.
+
+    `sum_cols` maps input column -> output column; each output is
+    SUM(input) over rows ordered at-or-before the current row (inclusive
+    prefix sum). Same two-phase shape as `global_row_number`: range
+    partition on the order, tiny per-partition totals -> cumulative
+    offsets (constant-size window), local running sum per partition.
+    `order_by` must be a total order for ties to be well-defined; callers
+    that later collapse ties per key (e.g. ECDF steps taking the last
+    running count per value) may order by the key alone IF every summed
+    column is tie-invariant under that collapse.
+    """
+    ranged = _ranged_with_pid(df, order_by, num_partitions)
+    totals = ranged.groupBy(_PID).agg(
+        *[F.sum(src).alias(f"__t_{src}") for src in sum_cols]
+    )
+    w_off = Window.orderBy(_PID).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _PID,
+        *[
+            F.coalesce(F.sum(f"__t_{src}").over(w_off), F.lit(0)).alias(
+                f"__o_{src}"
+            )
+            for src in sum_cols
+        ],
+    )
+    local = (
+        Window.partitionBy(_PID)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = ranged.join(F.broadcast(offsets), _PID)
+    for src, dst in sum_cols.items():
+        out = out.withColumn(
+            dst, F.sum(src).over(local) + F.col(f"__o_{src}")
+        )
+    return out.drop(_PID, *[f"__o_{src}" for src in sum_cols])

@@ -46,7 +46,81 @@ class PlanFacts:
     partition_filters: list[str] = field(default_factory=list)
     read_schemas: list[str] = field(default_factory=list)
     python_evals: int = 0  # mapInPandas / Python UDF nodes
+    # Exchange SinglePartition nodes: every row routed to ONE task. The
+    # signature of an unpartitioned window or global aggregate-by-sort;
+    # legitimate only over provably tiny inputs (constant-size offset
+    # tables, ordered-limit-k results, 1-row scalar aggregates).
+    single_partition_exchanges: int = 0
+    # The subset that is NOT provably tiny from the plan tree itself —
+    # see _single_partition_suspects for the benign classification. Each
+    # entry is the parent node name ("Sort", "Window", ...); an empty list
+    # means every single-partition exchange is a bounded gather.
+    single_partition_suspects: list[str] = field(default_factory=list)
     aqe: bool = False
+
+
+# Node-tree classification of Exchange SinglePartition: benign iff the
+# plan itself proves the input bounded at ANY data scale. Everything else
+# is a scale suspect — the round-5 audit's "correct today, single-task at
+# 100x" class (six unpartitioned windows shipped before this rule existed).
+_TREE_NODE = re.compile(r"^([:\s+\-*]*)([A-Za-z][\w.]*(?: [\w.]+)*?)\s*\((\d+)\)\s*$")
+_BOUNDED_DESCENDANTS = {"TakeOrderedAndProject", "CollectLimit", "GlobalLimit"}
+
+
+def _single_partition_suspects(text: str) -> list[str]:
+    """Parent node names of SinglePartition exchanges the plan cannot prove
+    bounded. Benign (excluded) cases:
+
+    - parent is an Aggregate: the standard final gather of partial
+      aggregates — input is one row per upstream partition, constant-size.
+    - the exchange Input carries ``__gr_pid``: operators/ranking.py's
+      cumulative-offset window over <= shuffle-partitions rows.
+    - a descendant is a limit node (TakeOrderedAndProject / *Limit): the
+      exchanged input is <= k rows by construction.
+    """
+    # Tree parse: id -> (depth, name, position); parent = nearest earlier
+    # node with smaller depth. Subquery sections restart their own trees,
+    # but ids stay globally unique in formatted mode.
+    order: list[tuple[int, int, str]] = []  # (pos, depth, name) in tree order
+    by_id: dict[int, int] = {}  # node id -> index into `order`
+    for line in text.splitlines():
+        m = _TREE_NODE.match(line)
+        if not m:
+            continue
+        depth = len(m.group(1))
+        by_id[int(m.group(3))] = len(order)
+        order.append((len(order), depth, m.group(2)))
+
+    # Detail blocks: "(id) Exchange" ... "Arguments: SinglePartition".
+    suspects: list[str] = []
+    for m in re.finditer(
+        r"^\((\d+)\) Exchange\n((?:.+\n)+?)(?=\n|\Z)", text, re.M
+    ):
+        block = m.group(2)
+        if "Arguments: SinglePartition" not in block:
+            continue
+        input_m = re.search(r"^Input \[\d+\]: \[(.*)\]$", block, re.M)
+        if input_m and "__gr_pid" in input_m.group(1):
+            continue
+        idx = by_id.get(int(m.group(1)))
+        if idx is None:
+            continue
+        pos, depth, _name = order[idx]
+        parent = next(
+            (n for p, d, n in reversed(order[:pos]) if d < depth), ""
+        )
+        if parent.endswith("Aggregate"):
+            continue
+        bounded = False
+        for p, d, n in order[pos + 1:]:
+            if d <= depth:
+                break
+            if n in _BOUNDED_DESCENDANTS:
+                bounded = True
+                break
+        if not bounded:
+            suspects.append(parent or "?")
+    return suspects
 
 
 def plan_facts(df: DataFrame) -> PlanFacts:
@@ -82,6 +156,10 @@ def plan_facts(df: DataFrame) -> PlanFacts:
                   "FlatMapGroupsInPandas", "FlatMapCoGroupsInPandas",
                   "TransformWithStateInPandas", "AggregateInPandas")
     )
+    f.single_partition_exchanges = len(
+        re.findall(r"^\s*Arguments: SinglePartition", text, re.M)
+    )
+    f.single_partition_suspects = _single_partition_suspects(text)
     f.aqe = "AdaptiveSparkPlan" in text
     return f
 

@@ -202,10 +202,11 @@ def audience_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     value rollup. NTILE orders tie-break on custkey so quintile membership
     is a total order in both engines; monetary stays DECIMAL until the
     final per-segment sum. The per-customer aggregate collapses orders
-    first (one shuffle); the three NTILE windows run over customers, and
-    the grid aggregate over 125 cells."""
-    from pyspark.sql import Window
-
+    first (one shuffle); each quintile is then computed CLOSED-FORM from
+    the distributed exact rank (operators/ranking.py) plus a broadcast
+    total — NTILE(k) of the row ranked rk among n is determined by
+    (rk, n, k) alone — so no unpartitioned window survives (round-5 scale
+    audit replaced the three single-task NTILE windows)."""
     o = load_table(spark, sf_dir, "orders")
     per_cust = o.groupBy("o_custkey").agg(
         F.max("o_orderdate").alias("last_order"),
@@ -214,18 +215,40 @@ def audience_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("decimal(18,2)")
         .alias("monetary"),
     )
-    scored = per_cust.select(
+    from chainhouse_spark.operators.ranking import global_row_number
+
+    ranked = global_row_number(
+        per_cust, [F.desc("last_order"), F.asc("o_custkey")], "__rk_r"
+    )
+    ranked = global_row_number(
+        ranked, [F.desc("frequency"), F.asc("o_custkey")], "__rk_f"
+    )
+    ranked = global_row_number(
+        ranked, [F.desc("monetary"), F.asc("o_custkey")], "__rk_m"
+    )
+    n_df = per_cust.agg(F.count(F.lit(1)).alias("__n"))
+
+    def ntile5(rk: str):
+        # SQL NTILE(5): the first (n % 5) tiles hold ceil(n/5) rows, the
+        # rest floor(n/5). greatest(q,1) guards the (never-taken at n>=5)
+        # small-n branch under ANSI division.
+        q = F.floor(F.col("__n") / 5)
+        r = F.col("__n") % 5
+        big = r * (q + 1)
+        return (
+            F.when(F.col(rk) <= big, F.floor((F.col(rk) - 1) / (q + 1)) + 1)
+            .otherwise(
+                r + F.floor((F.col(rk) - big - 1) / F.greatest(q, F.lit(1))) + 1
+            )
+            .cast("int")
+        )
+
+    scored = ranked.crossJoin(F.broadcast(n_df)).select(
         "frequency",
         "monetary",
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("last_order"), F.asc("o_custkey")))
-        .alias("r"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("frequency"), F.asc("o_custkey")))
-        .alias("f"),
-        F.ntile(5)
-        .over(Window.orderBy(F.desc("monetary"), F.asc("o_custkey")))
-        .alias("m"),
+        ntile5("__rk_r").alias("r"),
+        ntile5("__rk_f").alias("f"),
+        ntile5("__rk_m").alias("m"),
     )
     return scored.groupBy("r", "f", "m").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_customers"),

@@ -377,10 +377,11 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     the latency from FIRST click to FIRST subsequent purchase, then exact
     ceil-rank p50/p90/p99 (integer microseconds, the stream_watermark_advisor
     percentile recipe) — the product metric behind funnel SLAs. One
-    user-keyed aggregate collapses the corpus; the global rank runs over
-    |converting users| rows only (if that ever outgrows one task, pre-bucket
-    by latency the equi-depth-histogram way)."""
-    from pyspark.sql import Window
+    user-keyed aggregate collapses the corpus; the rank over converting
+    users is the DISTRIBUTED exact rank (operators/ranking.py) and the
+    total count a broadcast scalar — no single-task window even if every
+    user converts (round-5 scale audit)."""
+    from chainhouse_spark.operators.ranking import global_row_number
 
     ev = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
@@ -395,13 +396,11 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         & F.col("t_buy").isNotNull()
         & (F.col("t_buy") >= F.col("t_click"))
     ).select("user_id", (F.col("t_buy") - F.col("t_click")).alias("lat_us"))
-    w = Window.orderBy(F.asc("lat_us"), F.asc("user_id"))
-    ranked = conv.select(
-        "lat_us",
-        F.row_number().over(w).alias("rk"),
-        F.count(F.lit(1)).over(
-            Window.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
-        ).alias("n"),
+    n_df = conv.agg(F.count(F.lit(1)).alias("n"))
+    ranked = (
+        global_row_number(conv, [F.asc("lat_us"), F.asc("user_id")], "rk")
+        .crossJoin(F.broadcast(n_df))
+        .select("lat_us", "rk", "n")
     )
 
     def at_rank(pct: int):

@@ -761,12 +761,17 @@ def tokenize_with_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("doc_freq"))
     )
+    # Top-1000 via ordered limit (TakeOrderedAndProject — distributed
+    # partial top-k per partition, merged at the driver), THEN the rank
+    # window over only the 1000 surviving rows. The previous global
+    # row_number ran over ALL distinct tokens — single-task at 100×
+    # (round-5 scale audit). Same result: rows with row_number <= 1000
+    # under a total order are exactly the ordered-limit-1000 set.
+    top = df_counts.orderBy(F.desc("doc_freq"), F.asc("token")).limit(1000)
     w = Window.orderBy(F.desc("doc_freq"), F.asc("token"))
-    vocab = (
-        df_counts.withColumn("token_id", (F.row_number().over(w) - 1).cast("int"))
-        .filter(F.col("token_id") < 1000)
-        .select("token", "token_id")
-    )
+    vocab = top.withColumn(
+        "token_id", (F.row_number().over(w) - 1).cast("int")
+    ).select("token", "token_id")
     return (
         tok.join(F.broadcast(vocab), "token", "left")
         .groupBy("doc_id")

@@ -321,9 +321,10 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frequency-ranked vocabulary construction (tokenizer prep): document
     frequency per token, ids assigned by (df DESC, token ASC) — a total
     order, so ids are reproducible. The distinct and the count share one
-    token-hash partitioning; the final rank of |vocab| rows is a single
-    ordered window (at 100 TB: cap the vocab before ranking, exactly as
-    here, so the single-partition window sees only the head)."""
+    token-hash partitioning; the vocab is capped FIRST via ordered limit
+    (TakeOrderedAndProject — distributed per-partition top-k), so the
+    id-assignment window sees only the 1000-row head, never all distinct
+    tokens (the round-5 scale audit's unpartitioned-window class)."""
     d = load_table(spark, sf_dir, "documents")
     tok = (
         d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
@@ -333,16 +334,15 @@ def vocab_build(spark: SparkSession, sf_dir: str) -> DataFrame:
     df_counts = tok.groupBy("token").agg(F.count(F.lit(1)).alias("doc_freq"))
     from pyspark.sql import Window
 
+    # Rows with row_number <= 1000 under a total order ARE the ordered-
+    # limit-1000 set, so ranking after the cap is value-identical.
+    top = df_counts.orderBy(F.desc("doc_freq"), F.asc("token")).limit(1000)
     w = Window.orderBy(F.desc("doc_freq"), F.asc("token"))
-    return (
-        df_counts.select(
-            (F.row_number().over(w) - 1).cast("int").alias("token_id"),
-            "token",
-            "doc_freq",
-        )
-        .orderBy("token_id")
-        .limit(1000)
-    )
+    return top.select(
+        (F.row_number().over(w) - 1).cast("int").alias("token_id"),
+        "token",
+        "doc_freq",
+    ).orderBy("token_id")
 
 
 _FH_BUCKETS = 64

@@ -237,9 +237,12 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Ranks are exact integers (total order with doc_id tie-break), so the
     fusion sum is two fixed-order float terms — engine-exact.  Scale: both
-    rankers are map-only scoring passes + one rank window each; the fuse is
-    an equi-join on doc_id of two |corpus|-row rank tables."""
-    from pyspark.sql import Window
+    rankers are map-only scoring passes + one DISTRIBUTED exact rank each
+    (operators/ranking.py: range-partition + per-partition offsets — the
+    round-5 audit flagged the previous unpartitioned rank windows as
+    single-task at 100×); the fuse is an equi-join on doc_id of two
+    |corpus|-row rank tables."""
+    from chainhouse_spark.operators.ranking import global_row_number
 
     d = load_table(spark, sf_dir, "documents")
     emb = load_table(spark, sf_dir, "embeddings")
@@ -260,28 +263,22 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _QUERY_TERMS
         ],
     )
-    lex = (
-        stats.crossJoin(F.broadcast(g))
-        .select("doc_id", F.expr(_bm25_score_sql()).alias("score"))
-        .select(
-            "doc_id",
-            F.row_number()
-            .over(Window.orderBy(F.desc("score"), F.asc("doc_id")))
-            .alias("lex_rank"),
-        )
-    )
+    lex = global_row_number(
+        stats.crossJoin(F.broadcast(g)).select(
+            "doc_id", F.expr(_bm25_score_sql()).alias("score")
+        ),
+        [F.desc("score"), F.asc("doc_id")],
+        "lex_rank",
+    ).select("doc_id", "lex_rank")
     q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
     sims = (
         emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_vec"))
         .crossJoin(F.broadcast(q))
         .select("doc_id", F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"))
     )
-    vec = sims.select(
-        "doc_id",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cos_sim"), F.asc("doc_id")))
-        .alias("vec_rank"),
-    )
+    vec = global_row_number(
+        sims, [F.desc("cos_sim"), F.asc("doc_id")], "vec_rank"
+    ).select("doc_id", "vec_rank")
     rrf = 1.0 / (F.lit(_RRF_K) + F.col("lex_rank")) + 1.0 / (
         F.lit(_RRF_K) + F.col("vec_rank")
     )

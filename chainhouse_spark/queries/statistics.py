@@ -618,33 +618,32 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     (running counts at each distinct pooled value) with ONE final float
     division — no per-row float comparisons for the oracle to disagree on.
 
-    Scale: the pooled global sort is the honest cost of an exact ECDF
-    statistic (same contract as the equi-depth histogram); distributions
-    that fit a grid can use the binned approximation instead. One window
-    over (value, id), one small aggregate.
+    Scale: collapse to per-distinct-value counts FIRST (one shuffle), then
+    the running counts come from the DISTRIBUTED exact prefix sum
+    (operators/ranking.py::global_running_sums — range partition +
+    per-partition offsets), so nothing ever runs single-task even when
+    values are near-unique (round-5 scale audit replaced the previous
+    unpartitioned window over raw pooled rows).
     """
-    from pyspark.sql import Window
-
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("click", "purchase")
     )
     pooled = e.select(
         "value",
-        "event_id",
         F.when(F.col("event_type") == "click", 1).otherwise(0).alias("is_a"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("is_b"),
     )
-    w = Window.orderBy("value", "event_id").rowsBetween(
-        Window.unboundedPreceding, Window.currentRow
+    per_value = pooled.groupBy("value").agg(
+        F.sum("is_a").alias("a_cnt"), F.sum("is_b").alias("b_cnt")
     )
-    run = pooled.select(
-        "value",
-        F.sum("is_a").over(w).alias("c_a"),
-        F.sum("is_b").over(w).alias("c_b"),
-    )
-    steps = run.groupBy("value").agg(
-        F.max("c_a").alias("c_a"), F.max("c_b").alias("c_b")
-    )
+    from chainhouse_spark.operators.ranking import global_running_sums
+
+    # ECDF step heights: the inclusive prefix sum over DISTINCT values
+    # (values are unique after the groupBy, so ordering by value alone is
+    # total) equals the oracle's last-running-count-per-value collapse.
+    steps = global_running_sums(
+        per_value, [F.asc("value")], {"a_cnt": "c_a", "b_cnt": "c_b"}
+    ).select("value", "c_a", "c_b")
     n = pooled.agg(
         F.sum("is_a").alias("n_a"), F.sum("is_b").alias("n_b")
     )
@@ -794,8 +793,9 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     term integral — no .5 floats in the aggregation), the tie-corrected
     normal approximation uses the exact Σ(t³ − t), and the only float ops
     are the final U/2 and z formulas on one aggregate row. The ordered
-    cumulative window runs over DISTINCT values (bounded cardinality —
-    the same shape as the KS/equi-depth queries), never raw rows."""
+    cumulative counts run over DISTINCT values via the DISTRIBUTED exact
+    prefix sum (operators/ranking.py::global_running_sums) — never raw
+    rows, and never a single task even when values are near-unique."""
     e = load_table(spark, sf_dir, "events").filter(
         F.col("event_type").isin("purchase", "error")
     )
@@ -811,8 +811,13 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn("t", F.col("na") + F.col("nb"))
     )
-    w = Window.orderBy("c").rowsBetween(Window.unboundedPreceding, -1)
-    r = v.withColumn("c_lt", F.coalesce(F.sum("t").over(w), F.lit(0)))
+    from chainhouse_spark.operators.ranking import global_running_sums
+
+    # Exclusive prefix (ranks strictly below) = inclusive running sum - t.
+    # `c` is unique after the groupBy, so ordering by it alone is total.
+    r = global_running_sums(v, [F.asc("c")], {"t": "c_le"}).withColumn(
+        "c_lt", F.col("c_le") - F.col("t")
+    )
     agg = r.agg(
         F.sum("na").cast("double").alias("n1"),
         F.sum("nb").cast("double").alias("n2"),

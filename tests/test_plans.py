@@ -648,3 +648,104 @@ def test_dataset_card_single_scan(spark):
     assert f.python_evals == 0
     assert f.cartesian_products == 0
     assert f.shuffle_exchanges <= 4
+
+
+def test_single_partition_classifier_on_synthetic_plans(spark):
+    # The audit must tell bounded gathers apart from true one-task funnels.
+    from pyspark.sql import Window
+
+    from chainhouse_spark.operators.ranking import (
+        global_row_number,
+        global_running_sums,
+    )
+
+    base = spark.range(0, 1000).select(
+        F.col("id"), (F.col("id") % 7).alias("k"), F.rand(42).alias("v")
+    )
+    # 1-row scalar aggregate: SinglePartition gather of partials — benign.
+    f = plan_facts(base.agg(F.sum("v").alias("s")))
+    assert f.single_partition_exchanges >= 1
+    assert f.single_partition_suspects == []
+    # Unpartitioned window over unbounded input — the round-5 bug class.
+    w = Window.orderBy("v", "id")
+    f = plan_facts(base.select("id", F.row_number().over(w).alias("rk")))
+    assert f.single_partition_suspects, "global window must be a suspect"
+    # Window AFTER an ordered limit-k: <= k rows — benign.
+    top = base.orderBy(F.desc("v"), "id").limit(10)
+    f = plan_facts(top.select("id", F.row_number().over(w).alias("rk")))
+    assert f.single_partition_suspects == []
+    # The distributed replacements themselves must audit clean: their only
+    # SinglePartition exchange is the __gr_pid offsets window.
+    f = plan_facts(global_row_number(base, [F.asc("v"), F.asc("id")], "rk"))
+    assert f.single_partition_suspects == []
+    f = plan_facts(global_running_sums(base, [F.asc("id")], {"v": "run_v"}))
+    assert f.single_partition_suspects == []
+
+
+def test_deglobalized_windows_have_no_suspects(spark):
+    # The six round-5 scale-audit findings plus the two the new classifier
+    # caught (vocab_build, stat_mann_whitney_u): all rank/prefix-sum logic
+    # now runs distributed (operators/ranking.py) or after a bounded cap.
+    for name in (
+        "search_hybrid_rrf", "mine_hard_negatives", "stat_ks_two_sample",
+        "audience_rfm_segments", "funnel_latency_percentiles",
+        "tokenize_with_vocab", "vocab_build", "stat_mann_whitney_u",
+    ):
+        f = plan_facts(q(spark, name))
+        assert f.single_partition_suspects == [], (
+            f"{name} funnels unbounded rows into one task: "
+            f"{f.single_partition_suspects}"
+        )
+        assert f.cartesian_products == 0
+
+
+def test_global_row_number_values_are_exact(spark):
+    # Rank parity with the single-task window it replaces, on a value
+    # column with heavy ties (k) broken by unique id — exactness needs the
+    # total order, and the range partitioner must not perturb it.
+    from pyspark.sql import Window
+
+    from chainhouse_spark.operators.ranking import (
+        global_row_number,
+        global_running_sums,
+    )
+
+    base = spark.range(0, 5000).select(
+        F.col("id"), (F.col("id") % 7).alias("k")
+    )
+    got = {
+        r["id"]: r["rk"]
+        for r in global_row_number(
+            base, [F.asc("k"), F.desc("id")], "rk", num_partitions=8
+        ).collect()
+    }
+    want = {
+        r["id"]: r["rk"]
+        for r in base.select(
+            "id",
+            F.row_number()
+            .over(Window.orderBy(F.asc("k"), F.desc("id")))
+            .alias("rk"),
+        ).collect()
+    }
+    assert got == want
+    run = {
+        r["id"]: r["rs"]
+        for r in global_running_sums(
+            base, [F.asc("k"), F.desc("id")], {"k": "rs"}, num_partitions=8
+        ).collect()
+    }
+    want_run = {
+        r["id"]: r["rs"]
+        for r in base.select(
+            "id",
+            F.sum("k")
+            .over(
+                Window.orderBy(F.asc("k"), F.desc("id")).rowsBetween(
+                    Window.unboundedPreceding, Window.currentRow
+                )
+            )
+            .alias("rs"),
+        ).collect()
+    }
+    assert run == want_run

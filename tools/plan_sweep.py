@@ -26,6 +26,34 @@ CARTESIAN_OK = {
     "join_cross",               # the CROSS JOIN parity query
 }
 
+# Exchange SinglePartition nodes route EVERY row of their input to one
+# task — the plan signature of an unpartitioned window or sort-based global
+# aggregate, the round-5 scale audit's finding class. plans/audit.py
+# classifies the provably-bounded ones (final aggregate gathers, ranking.py
+# __gr_pid offset windows, post-limit-k sorts) as benign from the plan tree
+# itself; everything left is a SUSPECT and must be whitelisted here with
+# the reason, or fixed. The map value is the max allowed suspect count.
+SINGLE_PARTITION_OK: dict[str, int] = {
+    # Documented exact-global sort: equi-depth bucket boundaries are a
+    # whole-distribution property; the approximate 100 TB path is pinned
+    # in the docstring (approx_percentile) and the exact variant is the
+    # oracle-parity contract. queries/statistics.py::stat_equidepth_histogram.
+    "stat_equidepth_histogram": 1,
+    # Domain-bounded window inputs — constant cell counts at ANY data
+    # scale, invisible to the plan-tree classifier:
+    "stat_chi_square": 1,         # |event_types| x 24 contingency cells
+    "stat_benford_audit": 1,      # 9 first-digit rows
+    "stat_mutual_information": 1,  # |sources| x |langs| cells
+    "ts_interpolate_linear": 1,   # 24-row constant hourly spine
+    "window_ignore_nulls": 1,     # o_orderkey < 500: <=499 unique keys ever
+    "window_cumulative_distinct_users": 1,  # |weeks| rows (time-range-bounded)
+}
+
+
+def _single_partition_budget(name: str) -> int:
+    return SINGLE_PARTITION_OK.get(name, 0)
+
+
 # Python stages that are intentional: Arrow-batched mapInPandas /
 # applyInPandas where JVM expressions cannot express the op (numpy decode,
 # BLAS GEMM, per-user merge_asof). Everything else must be JVM-only.
@@ -76,6 +104,14 @@ def main() -> int:
             else:
                 print(f"PYTHON {name}: {f.python_evals} stage(s)")
                 bad += 1
+        if len(f.single_partition_suspects) > _single_partition_budget(name):
+            print(
+                f"ONETASK {name}: {len(f.single_partition_suspects)} "
+                f"suspect single-partition exchange(s) feeding "
+                f"{f.single_partition_suspects}, budget "
+                f"{_single_partition_budget(name)}"
+            )
+            bad += 1
     print(
         f"swept {len(QUERIES)} queries: {bad} violations, "
         f"{n_cart_ok} whitelisted cartesians, {n_py_ok} whitelisted python"
