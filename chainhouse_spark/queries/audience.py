@@ -255,3 +255,96 @@ def audience_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("frequency").cast("bigint").alias("total_orders"),
         F.sum("monetary").cast("double").alias("total_monetary"),
     )
+
+
+@register(
+    "audience_ltv_cohort",
+    oracle="""
+    WITH buys AS (
+        SELECT user_id, CAST(ts AS DATE) AS d,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS cents
+        FROM events WHERE event_type = 'purchase'
+    ),
+    first_buy AS (
+        SELECT user_id, MIN(d) AS d0 FROM buys GROUP BY user_id
+    ),
+    cohort_size AS (
+        SELECT CAST(date_trunc('week', d0) AS TIMESTAMP) AS cohort_week,
+               CAST(COUNT(*) AS BIGINT) AS cohort_users
+        FROM first_buy GROUP BY 1
+    ),
+    cell AS (
+        SELECT CAST(date_trunc('week', f.d0) AS TIMESTAMP) AS cohort_week,
+               CAST(FLOOR(date_diff('day', f.d0, b.d) / 7) AS BIGINT)
+                 AS age_weeks,
+               CAST(SUM(b.cents) AS BIGINT) AS revenue_cents
+        FROM buys b JOIN first_buy f ON b.user_id = f.user_id
+        GROUP BY 1, 2
+    ),
+    cum AS (
+        SELECT cohort_week, age_weeks, revenue_cents,
+               CAST(SUM(revenue_cents) OVER (
+                   PARTITION BY cohort_week ORDER BY age_weeks
+                   ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum_revenue_cents
+        FROM cell
+    )
+    SELECT c.cohort_week, c.age_weeks, s.cohort_users, c.revenue_cents,
+           c.cum_revenue_cents,
+           CAST(c.cum_revenue_cents AS DOUBLE) / s.cohort_users
+             AS ltv_cents_per_user
+    FROM cum c JOIN cohort_size s ON c.cohort_week = s.cohort_week
+    """,
+)
+def audience_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort lifetime-value matrix: users grouped by first-purchase week,
+    revenue summed per (cohort, weeks-since-first-purchase) cell, then the
+    running cumulative per cohort — LTV-per-user is the number growth teams
+    read off the diagonal. Money stays exact integer cents until the one
+    final per-row division; day arithmetic runs on DATE (timezone-free,
+    the retention_weekly recipe). Scale: one user-keyed aggregate, one
+    (cohort, age) aggregate over |users| rows, and the cumulative window
+    is PARTITIONED by cohort (|ages| rows per task, never the corpus)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    buys = e.select(
+        "user_id",
+        F.col("ts").cast("date").alias("d"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("cents"),
+    )
+    first_buy = buys.groupBy("user_id").agg(F.min("d").alias("d0"))
+    cohort_size = first_buy.groupBy(
+        F.date_trunc("week", F.col("d0")).cast("timestamp_ntz").alias("cohort_week")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("cohort_users"))
+    cell = (
+        buys.join(first_buy, "user_id")
+        .select(
+            F.date_trunc("week", F.col("d0"))
+            .cast("timestamp_ntz")
+            .alias("cohort_week"),
+            F.floor(F.datediff(F.col("d"), F.col("d0")) / 7).alias("age_weeks"),
+            "cents",
+        )
+        .groupBy("cohort_week", "age_weeks")
+        .agg(F.sum("cents").cast("bigint").alias("revenue_cents"))
+    )
+    w = (
+        Window.partitionBy("cohort_week")
+        .orderBy("age_weeks")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    cum = cell.withColumn(
+        "cum_revenue_cents", F.sum("revenue_cents").over(w).cast("bigint")
+    )
+    return cum.join(F.broadcast(cohort_size), "cohort_week").select(
+        "cohort_week",
+        "age_weeks",
+        "cohort_users",
+        "revenue_cents",
+        "cum_revenue_cents",
+        F.expr("CAST(cum_revenue_cents AS DOUBLE) / cohort_users").alias(
+            "ltv_cents_per_user"
+        ),
+    )

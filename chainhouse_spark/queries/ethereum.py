@@ -845,3 +845,91 @@ def eth_miner_tips(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(to_hex("miner").alias("miner_hex"), "n_tx", "total_tip_wei")
     )
+
+
+@register(
+    "eth_base_fee_projection",
+    oracle=f"""
+    WITH hdr AS (
+        SELECT number,
+               CAST(baseFeePerGas AS BIGINT) AS base,
+               CAST(gasUsed AS BIGINT) AS used,
+               CAST(gasLimit AS BIGINT) AS lim
+        FROM {_RAW_HEADERS}
+        WHERE baseFeePerGas IS NOT NULL
+    ),
+    proj AS (
+        SELECT number, base, used, lim // 2 AS tgt,
+               CASE
+                 WHEN used = lim // 2 THEN base
+                 WHEN used > lim // 2 THEN base + GREATEST(
+                     1, (base * (used - lim // 2)) // ((lim // 2) * 8))
+                 ELSE base - (base * (lim // 2 - used)) // ((lim // 2) * 8)
+               END AS projected_next
+        FROM hdr
+    )
+    SELECT p.number AS blockNumber,
+           CAST(p.base AS VARCHAR) AS base_fee,
+           CAST(p.used AS VARCHAR) AS gas_used,
+           CAST(p.projected_next AS VARCHAR) AS projected_next_base_fee,
+           CAST(n.base AS VARCHAR) AS actual_next_base_fee,
+           CAST(n.base - p.projected_next AS BIGINT) AS deviation_wei
+    FROM proj p JOIN hdr n ON n.number = p.number + 1
+    """,
+)
+def eth_base_fee_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIP-1559 base-fee recursion, spec-exact: next_base_fee from
+    (base, gasUsed, gasLimit) with elasticity 2 and denominator 8 —
+    target = gasLimit/2; over-target blocks raise the fee by
+    max(1, base*(used-target) // (target*8)), under-target blocks lower it
+    by the mirror term (all floor divisions on non-negative integers, so
+    Spark's DIV and DuckDB's // agree). Projection is compared against the
+    chain's actual next-block base fee via an equi-join on number+1 —
+    never a global lag window, so the block table can be any size. The
+    deterministic fixtures draw base fees randomly, so deviation_wei is
+    the interesting column (on real mainnet headers it is 0 by consensus).
+    Wei fields compare as digit strings (u256 oracle idiom); fixture
+    magnitudes (base ~2e9, gas 3e7) keep every product far inside BIGINT.
+
+    Reference capability: the reference ships raw headers to ClickHouse
+    and delegates exactly this kind of fee analytics to SQL
+    (/root/reference/src/main.rs:57-161)."""
+    b = _tables(spark)["blocks"].filter(F.col("baseFeePerGas").isNotNull())
+    hdr = b.select(
+        "number",
+        F.col("baseFeePerGas").cast("bigint").alias("base"),
+        F.col("gasUsed").cast("bigint").alias("used"),
+        F.col("gasLimit").cast("bigint").alias("lim"),
+    )
+    proj = hdr.select(
+        "number",
+        "base",
+        "used",
+        F.expr(
+            """CASE
+                 WHEN used = lim DIV 2 THEN base
+                 WHEN used > lim DIV 2 THEN base + GREATEST(
+                     1L, (base * (used - lim DIV 2)) DIV ((lim DIV 2) * 8))
+                 ELSE base - (base * (lim DIV 2 - used)) DIV ((lim DIV 2) * 8)
+               END"""
+        ).alias("projected_next"),
+    )
+    nxt = hdr.select(
+        (F.col("number") - 1).alias("number"), F.col("base").alias("next_base")
+    )
+    return (
+        proj.join(nxt, "number")
+        .select(
+            F.col("number").alias("blockNumber"),
+            F.col("base").cast("string").alias("base_fee"),
+            F.col("used").cast("string").alias("gas_used"),
+            F.col("projected_next").cast("string").alias(
+                "projected_next_base_fee"
+            ),
+            F.col("next_base").cast("string").alias("actual_next_base_fee"),
+            (F.col("next_base") - F.col("projected_next"))
+            .cast("bigint")
+            .alias("deviation_wei"),
+        )
+        .orderBy("blockNumber")
+    )

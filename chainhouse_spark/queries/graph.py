@@ -309,3 +309,109 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.orderBy(
         F.desc("common_neighbors"), F.desc("jaccard"), F.asc("a"), F.asc("b")
     ).limit(20)
+
+
+_LP_ROUND_SQL = """
+    r{k} AS (
+        SELECT n.node,
+               CASE WHEN n.seed_lbl IS NOT NULL THEN n.seed_lbl
+                    ELSE m.new_lbl END AS lbl,
+               n.seed_lbl
+        FROM nodes n
+        LEFT JOIN (
+            SELECT node, lbl AS new_lbl FROM (
+                SELECT d.node, p.lbl,
+                       ROW_NUMBER() OVER (
+                           PARTITION BY d.node
+                           ORDER BY COUNT(*) DESC, p.lbl ASC
+                       ) AS rk
+                FROM bi d JOIN r{km1} p ON d.nbr = p.node
+                WHERE p.lbl IS NOT NULL
+                GROUP BY d.node, p.lbl
+            ) WHERE rk = 1
+        ) m ON m.node = n.node
+    )"""
+
+
+@register(
+    "graph_label_propagation",
+    oracle=_EDGE_CTE
+    + """,
+    bi AS (
+        SELECT src AS node, dst AS nbr FROM e
+        UNION ALL SELECT dst AS node, src AS nbr FROM e
+    ),
+    nodes AS (
+        SELECT DISTINCT node,
+               CASE WHEN node % 10 < 3 THEN CAST((node // 10) % 5 AS INT) END
+                 AS seed_lbl
+        FROM bi
+    ),
+    r0 AS (SELECT node, seed_lbl AS lbl, seed_lbl FROM nodes),"""
+    + _LP_ROUND_SQL.format(k=1, km1=0)
+    + ","
+    + _LP_ROUND_SQL.format(k=2, km1=1)
+    + ","
+    + _LP_ROUND_SQL.format(k=3, km1=2)
+    + """
+    SELECT lbl AS label,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(COUNT(*) FILTER (WHERE seed_lbl IS NOT NULL) AS BIGINT)
+             AS n_seeded
+    FROM r3 GROUP BY lbl
+    """,
+)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semi-supervised label propagation (Zhu & Ghahramani 2002 /
+    Raghavan et al. 2007 LPA) over the co-purchase graph: 30% of nodes
+    carry a seed label ((node DIV 10) % 5 — deterministic, 5 classes), three synchronous
+    rounds spread labels to the rest; unlabeled nodes adopt the MODAL
+    label of their labeled neighbors, ties broken by smallest label so
+    every round is engine-reproducible (classic LPA tie-breaks randomly).
+    Seeds are immutable. The weakly-supervised corpus-labeling pattern:
+    a few labeled domains propagate topic labels through the link graph.
+
+    Scale: each round is one neighbor equi-join + one (node, label) count
+    aggregate + a window PARTITIONED by node — no global state, rounds =
+    label radius (3 here), exactly the iterated-join shape PageRank uses.
+    Output is the label histogram after round 3."""
+    edges = _edges(spark, sf_dir)
+    bi = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).unionAll(edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
+    nodes = bi.select("node").distinct().select(
+        "node",
+        F.when(
+            F.col("node") % 10 < 3, F.expr("CAST((node DIV 10) % 5 AS INT)")
+        ).alias("seed_lbl"),
+    )
+    from pyspark.sql import Window
+
+    lbl = nodes.select("node", F.col("seed_lbl").alias("lbl"), "seed_lbl")
+    for _ in range(3):
+        votes = (
+            bi.join(
+                lbl.select(F.col("node").alias("nbr"), F.col("lbl").alias("p_lbl")),
+                "nbr",
+            )
+            .filter(F.col("p_lbl").isNotNull())
+            .groupBy("node", "p_lbl")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        w = Window.partitionBy("node").orderBy(F.desc("cnt"), F.asc("p_lbl"))
+        modal = (
+            votes.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("p_lbl").alias("new_lbl"))
+        )
+        lbl = nodes.join(modal, "node", "left").select(
+            "node",
+            F.coalesce(F.col("seed_lbl"), F.col("new_lbl")).alias("lbl"),
+            "seed_lbl",
+        )
+    return lbl.groupBy(F.col("lbl").alias("label")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.when(F.col("seed_lbl").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_seeded"),
+    )

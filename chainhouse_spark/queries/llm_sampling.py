@@ -508,3 +508,74 @@ def sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("rk") <= 20)
         .select("lang", "doc_id", F.col("rk").cast("int").alias("rk"))
     )
+
+
+@register(
+    "sample_temperature_mixing",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH per_src AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS src_tok
+        FROM documents GROUP BY source
+    ),
+    tot AS (SELECT CAST(SUM(src_tok) AS BIGINT) AS total_tok FROM per_src),
+    w AS (
+        SELECT p.source, p.n_docs, p.src_tok,
+               CAST(p.src_tok AS DOUBLE) / t.total_tok AS q_share,
+               CAST(ROUND(sqrt(CAST(p.src_tok AS DOUBLE) / t.total_tok), 12)
+                    AS DECIMAL(20,12)) AS w_dec,
+               t.total_tok
+        FROM per_src p, tot t
+    ),
+    z AS (SELECT CAST(SUM(w_dec) AS DECIMAL(24,12)) AS z_dec FROM w)
+    SELECT w.source, w.n_docs, w.src_tok, w.q_share,
+           CAST(w.w_dec AS DOUBLE) / CAST(z.z_dec AS DOUBLE) AS p_temp,
+           CAST(FLOOR((CAST(w.total_tok AS DOUBLE) / 2.0)
+                      * (CAST(w.w_dec AS DOUBLE) / CAST(z.z_dec AS DOUBLE)))
+                AS BIGINT) AS planned_tok,
+           (CAST(w.w_dec AS DOUBLE) / CAST(z.z_dec AS DOUBLE)) / w.q_share
+             AS oversample_factor
+    FROM w, z
+    """,
+)
+def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-scaled source mixing (the multilingual-training standard,
+    Conneau & Lample 2019 / mT5: sample source i with p_i ∝ q_i^α,
+    α=0.5 here) — flattens the head so low-resource sources are seen more
+    than their natural share, unlike `mixture_token_budget_plan`'s equal
+    split. α=0.5 makes q^α = sqrt(q): sqrt is IEEE-correctly-rounded in
+    both engines (pow is not), and each weight is rounded to 12 decimals
+    then DECIMAL-summed so the normalizer Z is order-independent. Scale:
+    two tiny aggregates (per-source token sums, the 1-row total and Z) and
+    a broadcast combine — nothing beyond |sources| rows ever moves."""
+    docs = load_table(spark, sf_dir, "documents")
+    per_src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum(F.size(F.split("text", " "))).cast("bigint").alias("src_tok"),
+    )
+    tot = per_src.agg(F.sum("src_tok").cast("bigint").alias("total_tok"))
+    w = per_src.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n_docs",
+        "src_tok",
+        F.expr("CAST(src_tok AS DOUBLE) / total_tok").alias("q_share"),
+        F.expr(
+            "CAST(ROUND(sqrt(CAST(src_tok AS DOUBLE) / total_tok), 12)"
+            " AS DECIMAL(20,12))"
+        ).alias("w_dec"),
+        "total_tok",
+    )
+    z = w.agg(F.expr("CAST(SUM(w_dec) AS DECIMAL(24,12))").alias("z_dec"))
+    p = "CAST(w_dec AS DOUBLE) / CAST(z_dec AS DOUBLE)"
+    return w.crossJoin(F.broadcast(z)).select(
+        "source",
+        "n_docs",
+        "src_tok",
+        "q_share",
+        F.expr(p).alias("p_temp"),
+        F.expr(
+            f"CAST(FLOOR((CAST(total_tok AS DOUBLE) / 2.0) * ({p})) AS BIGINT)"
+        ).alias("planned_tok"),
+        F.expr(f"({p}) / q_share").alias("oversample_factor"),
+    )

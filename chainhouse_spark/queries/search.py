@@ -497,3 +497,152 @@ def _hard_negatives_oracle() -> str:
 from chainhouse_spark.queries.registry import ORACLES as _SEARCH_ORACLES  # noqa: E402
 
 _SEARCH_ORACLES["mine_hard_negatives"] = _hard_negatives_oracle()
+
+
+_NDCG_TERM = "CAST(ROUND(1.0 / log2({r} + 1.0), 9) AS DECIMAL(12,9))"
+
+
+@register(
+    "eval_retrieval_ndcg",
+    oracle=f"""
+    WITH dots AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id AS cand_id, c.label AS c_label,
+               SUM(CAST(q.embedding[i.i] AS DOUBLE)
+                   * CAST(c.embedding[i.i] AS DOUBLE) ORDER BY i.i) AS dot,
+               SUM(CAST(q.embedding[i.i] AS DOUBLE)
+                   * CAST(q.embedding[i.i] AS DOUBLE) ORDER BY i.i) AS qq,
+               SUM(CAST(c.embedding[i.i] AS DOUBLE)
+                   * CAST(c.embedding[i.i] AS DOUBLE) ORDER BY i.i) AS cc
+        FROM embeddings q, embeddings c,
+             (SELECT UNNEST(range(1, 65)) AS i) i
+        WHERE q.vec_id < 8 AND c.vec_id >= 8
+        GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+        SELECT query_id, q_label, cand_id,
+               CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, cand_id
+               ) AS rank
+        FROM dots
+    ),
+    n_rel AS (
+        SELECT q.vec_id AS query_id,
+               CAST(COUNT(*) FILTER (WHERE c.label = q.label) AS BIGINT)
+                 AS n_rel_corpus
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 8 AND c.vec_id >= 8
+        GROUP BY 1
+    ),
+    top AS (
+        SELECT query_id,
+               CAST(SUM(rel) AS BIGINT) AS hits_at_10,
+               CAST(SUM(rel) AS DOUBLE) / 10.0 AS precision_at_10,
+               COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rank END), 0.0)
+                 AS mrr_at_10,
+               CAST(COALESCE(SUM(CASE WHEN rel = 1
+                   THEN {_NDCG_TERM.format(r='rank')} END), 0) AS DECIMAL(20,9))
+                 AS dcg
+        FROM ranked WHERE rank <= 10 GROUP BY query_id
+    ),
+    ideal AS (
+        SELECT n.query_id, n.n_rel_corpus,
+               CAST(COALESCE((
+                   SELECT SUM({_NDCG_TERM.format(r='t.i')})
+                   FROM UNNEST(range(1, CAST(LEAST(10, n.n_rel_corpus) AS BIGINT) + 1)) t(i)
+               ), 0) AS DECIMAL(20,9)) AS idcg
+        FROM n_rel n
+    )
+    SELECT t.query_id, i.n_rel_corpus, t.hits_at_10, t.precision_at_10,
+           t.mrr_at_10,
+           CASE WHEN i.idcg > 0
+                THEN CAST(t.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE)
+                ELSE 0.0 END AS ndcg_at_10
+    FROM top t JOIN ideal i ON t.query_id = i.query_id
+    """,
+)
+def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Retrieval-quality evaluation of the exact cosine ranker: Precision@10,
+    MRR@10, and nDCG@10 per query (8 held-out query vectors vs the rest of
+    the corpus; relevance = label match — the standard eval harness any
+    retrieval stack needs next to its rankers). Each DCG/IDCG term
+    1/log2(rank+1) is rounded to 9 decimals then DECIMAL-summed so
+    cross-engine float summation order can't move the metric; the only
+    remaining float ops are fixed single divisions. Ranks use the ordered
+    cosine fold (bit-identical across engines). Scale: scoring is the same
+    broadcast map-only pass as `ann_bruteforce_topk`; everything after the
+    per-query top-10 window (partitioned by query) touches <= 10 rows per
+    query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    from chainhouse_spark.operators.similarity import brute_force_topk
+
+    top10 = brute_force_topk(corpus, queries, k=10)
+    labels_q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    labels_c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("c_label")
+    )
+    ranked = (
+        top10.join(F.broadcast(labels_q), "query_id")
+        .join(labels_c, "cand_id")
+        .select(
+            "query_id",
+            (F.col("c_label") == F.col("q_label")).cast("int").alias("rel"),
+            "rank",
+        )
+    )
+    n_rel = (
+        corpus.select(F.col("label").alias("c_label"))
+        .crossJoin(F.broadcast(labels_q))
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("c_label") == F.col("q_label")).cast("int"))
+            .cast("bigint")
+            .alias("n_rel_corpus")
+        )
+    )
+    dcg_term = _NDCG_TERM.format(r="rank")
+    top = ranked.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("hits_at_10"),
+        F.expr("CAST(SUM(rel) AS DOUBLE) / 10.0").alias("precision_at_10"),
+        F.expr(
+            # CAST to DOUBLE: Spark parses the bare 1.0 literal as DECIMAL
+            # and would emit a DECIMAL ratio where the oracle emits DOUBLE.
+            "COALESCE(CAST(1.0 AS DOUBLE) / MIN(CASE WHEN rel = 1 THEN rank END),"
+            " CAST(0.0 AS DOUBLE))"
+        ).alias("mrr_at_10"),
+        F.expr(
+            f"CAST(COALESCE(SUM(CASE WHEN rel = 1 THEN {dcg_term} END), 0)"
+            " AS DECIMAL(20,9))"
+        ).alias("dcg"),
+    )
+    ideal_term = _NDCG_TERM.format(r="t")
+    ideal = n_rel.select(
+        "query_id",
+        "n_rel_corpus",
+        F.expr(
+            # sequence(1, 0) would REVERSE into a descending array — guard
+            # the n_rel = 0 case explicitly.
+            "CAST(CASE WHEN n_rel_corpus = 0 THEN 0 ELSE"
+            " aggregate(sequence(1, CAST(LEAST(10, n_rel_corpus) AS INT)),"
+            f" CAST(0 AS DECIMAL(20,9)),"
+            f" (acc, t) -> CAST(acc + {ideal_term} AS DECIMAL(20,9)))"
+            " END AS DECIMAL(20,9))"
+        ).alias("idcg"),
+    )
+    return top.join(F.broadcast(ideal), "query_id").select(
+        "query_id",
+        "n_rel_corpus",
+        "hits_at_10",
+        "precision_at_10",
+        "mrr_at_10",
+        F.expr(
+            "CASE WHEN idcg > 0 THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)"
+            " ELSE 0.0 END"
+        ).alias("ndcg_at_10"),
+    )

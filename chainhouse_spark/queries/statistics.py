@@ -1520,3 +1520,201 @@ def stat_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("s2").cast("double") / F.col("n_minutes") - mean * mean) / mean
         ).alias("fano_factor"),
     )
+
+
+# ---- hash-deterministic multiplier bootstrap -------------------------------
+# B=16 replicates; replicate b weights each row by the popcount of a 16-bit
+# md5 slice keyed on (event_id, b) — Binomial(16, 1/2), mean 8, the
+# Rubin-style multiplier bootstrap with integer weights. Every replicate sum
+# is exact BIGINT arithmetic; the only float ops are 16 fixed divisions and
+# one EXPLICIT left-to-right chain (shared between engines as the same
+# generated expression text) for the mean/variance of the 16 replicate
+# means — identical IEEE evaluation order, so the SE replays bit-for-bit.
+_BOOT_B = 16
+
+
+def _boot_w_spark(b: int) -> str:
+    return (
+        f"bit_count(CAST(conv(substr(md5(CAST(event_id AS STRING) || ':{b}'),"
+        f" 1, 4), 16, 10) AS INT))"
+    )
+
+
+def _boot_w_duck(b: int) -> str:
+    h = f"md5(CAST(event_id AS VARCHAR) || ':{b}')"
+    val = " + ".join(
+        f"(instr('0123456789abcdef', substr({h}, {i + 1}, 1)) - 1)"
+        f" * {16 ** (3 - i)}"
+        for i in range(4)
+    )
+    return f"bit_count(CAST(({val}) AS INTEGER))"
+
+
+def _boot_mean_chain() -> str:
+    # ((m1 + m2) + m3) + ... — explicit association so both engines add in
+    # the same order (SQL + is left-associative, but parenthesize anyway).
+    expr = "m1"
+    for b in range(2, _BOOT_B + 1):
+        expr = f"({expr} + m{b})"
+    return f"({expr}) / {float(_BOOT_B)}"
+
+
+def _boot_var_chain() -> str:
+    expr = "(m1 - mbar) * (m1 - mbar)"
+    for b in range(2, _BOOT_B + 1):
+        expr = f"({expr} + (m{b} - mbar) * (m{b} - mbar))"
+    return f"({expr}) / {float(_BOOT_B - 1)}"
+
+
+def _boot_oracle() -> str:
+    sums = ",\n               ".join(
+        f"CAST(SUM(({_boot_w_duck(b)}) * x) AS BIGINT) AS sw{b},"
+        f" CAST(SUM({_boot_w_duck(b)}) AS BIGINT) AS nw{b}"
+        for b in range(1, _BOOT_B + 1)
+    )
+    means = ",\n               ".join(
+        f"CAST(sw{b} AS DOUBLE) / CAST(nw{b} AS DOUBLE) AS m{b}"
+        for b in range(1, _BOOT_B + 1)
+    )
+    return f"""
+    WITH x AS (
+        SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               {sums}
+        FROM x
+    ),
+    m AS (
+        SELECT n_rows, CAST(sx AS DOUBLE) / n_rows AS mean_cents,
+               {means}
+        FROM s
+    ),
+    v AS (
+        SELECT n_rows, mean_cents, {_boot_mean_chain()} AS mbar FROM m
+    ),
+    f AS (
+        SELECT v.n_rows, v.mean_cents, v.mbar,
+               sqrt({_boot_var_chain()}) AS boot_se_cents
+        FROM v JOIN m ON 1 = 1
+    )
+    SELECT n_rows, mean_cents, mbar AS boot_mean_cents,
+           boot_se_cents
+    FROM f
+    """
+
+
+@register("stat_bootstrap_se", oracle=_boot_oracle())
+def stat_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Standard error of the mean purchase value by a hash-deterministic
+    multiplier bootstrap (Rubin 1981 Bayesian-bootstrap family; Owen &
+    Eckles 2012 for the pipeline setting): B=16 replicates, replicate b
+    reweighting each row by popcount of a 16-bit md5 slice keyed on
+    (event_id, b) — Binomial(16, 1/2) weights, so E[w]=8 cancels in the
+    ratio and replicate means are unbiased. Random resampling is not
+    reproducible across engines; hash weights are, and at 100 TB the whole
+    thing is ONE aggregate pass (32 conditional integer sums — no explode,
+    no second scan, no per-replicate shuffle). The replicate-mean variance
+    chain is an explicit left-to-right float expression shared with the
+    oracle so both engines evaluate in the same IEEE order."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    x = e.select(
+        "event_id", F.round(F.col("value") * 100, 0).cast("bigint").alias("x")
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("x").cast("bigint").alias("sx"),
+    ]
+    for b in range(1, _BOOT_B + 1):
+        w = _boot_w_spark(b)
+        aggs.append(F.expr(f"CAST(SUM(({w}) * x) AS BIGINT)").alias(f"sw{b}"))
+        aggs.append(F.expr(f"CAST(SUM({w}) AS BIGINT)").alias(f"nw{b}"))
+    s = x.agg(*aggs)
+    m = s.select(
+        "n_rows",
+        F.expr("CAST(sx AS DOUBLE) / n_rows").alias("mean_cents"),
+        *[
+            F.expr(f"CAST(sw{b} AS DOUBLE) / CAST(nw{b} AS DOUBLE)").alias(f"m{b}")
+            for b in range(1, _BOOT_B + 1)
+        ],
+    )
+    v = m.select("*", F.expr(_boot_mean_chain()).alias("mbar"))
+    return v.select(
+        "n_rows",
+        "mean_cents",
+        F.col("mbar").alias("boot_mean_cents"),
+        F.expr(f"sqrt({_boot_var_chain()})").alias("boot_se_cents"),
+    )
+
+
+@register(
+    "stat_ab_power_mde",
+    oracle="""
+    WITH m AS (
+        SELECT event_type,
+               CAST(COUNT(*) FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS n1,
+               CAST(COUNT(*) FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS n2,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                    FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS s1,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                    FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS s2,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                        * CAST(ROUND(value * 100, 0) AS BIGINT))
+                    FILTER (WHERE user_id % 2 = 0) AS DOUBLE) AS q1,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)
+                        * CAST(ROUND(value * 100, 0) AS BIGINT))
+                    FILTER (WHERE user_id % 2 = 1) AS DOUBLE) AS q2
+        FROM events GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
+           (s1 / n1) / 100.0 AS mean_a,
+           (2.7963852180769197
+            * SQRT((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
+                   + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2)) / 100.0
+             AS mde_abs,
+           (2.7963852180769197
+            * SQRT((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
+                   + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2)) / (s1 / n1)
+             AS mde_rel
+    FROM m
+    """,
+)
+def stat_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Minimum detectable effect per segment for a 50/50 A/B split
+    (user_id parity as the assignment hash): MDE = (z_{1-α/2} + z_{power})
+    * SE(mean_a - mean_b) with α=0.05 two-sided and 80% power —
+    1.959963984540054 + 0.8416212335729143 = 2.7963852180769197, baked in
+    as a literal so no engine evaluates a normal quantile. The experiment-
+    design readout pipelines need BEFORE launching a test: which segments
+    are big enough to measure. Same one-scan exact-power-sums shape as
+    `stat_welch_ttest` (the variance inputs are integer-cent sums; the MDE
+    formula is one shared float expression on the aggregate row)."""
+    e = load_table(spark, sf_dir, "events")
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    in_a = F.col("user_id") % 2 == 0
+    in_b = F.col("user_id") % 2 == 1
+    m = e.groupBy("event_type").agg(
+        F.count(F.when(in_a, 1)).cast("double").alias("n1"),
+        F.count(F.when(in_b, 1)).cast("double").alias("n2"),
+        F.sum(F.when(in_a, cents)).cast("double").alias("s1"),
+        F.sum(F.when(in_b, cents)).cast("double").alias("s2"),
+        F.sum(F.when(in_a, cents * cents)).cast("double").alias("q1"),
+        F.sum(F.when(in_b, cents * cents)).cast("double").alias("q2"),
+    )
+    se = (
+        "SQRT((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1"
+        " + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2)"
+    )
+    return m.selectExpr(
+        "event_type",
+        "CAST(n1 AS BIGINT) AS n_a",
+        "CAST(n2 AS BIGINT) AS n_b",
+        "(s1 / n1) / 100.0 AS mean_a",
+        f"(2.7963852180769197 * {se}) / 100.0 AS mde_abs",
+        f"(2.7963852180769197 * {se}) / (s1 / n1) AS mde_rel",
+    )

@@ -573,3 +573,34 @@ def stream_watermark_advisor(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("watermark_minutes"),
     )
+
+
+@register(
+    "stream_hourly_distinct_users",
+    oracle="""
+    SELECT date_trunc('hour', ts) AS window_start,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events
+    GROUP BY 1
+    """,
+)
+def stream_hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hourly DISTINCT-user counts from a STREAMING QUERY. Streaming
+    forbids exact COUNT(DISTINCT) (only approx_count_distinct), so the
+    stream keeps the standard exact rewrite's state instead: complete-mode
+    counts per (hour-window, user) — the expensive distinct set itself,
+    one state row per active (window, user) key. The distinct count is
+    then a pure function of the FINAL state (one batch rollup of the sink
+    table), so the batch SQL oracle hash-checks the streaming engine's
+    state, not a lossy sketch. At 100 TB you'd bound the state with a
+    watermark (evict closed windows) or accept approx_count_distinct."""
+    stream = _stream_source(spark, sf_dir, "events")
+    per_user = stream.groupBy(
+        F.window("ts", "1 hour").alias("w"), F.col("user_id")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    state = _run_to_table(per_user, "complete")
+    return state.groupBy(F.col("w.start").alias("window_start")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum("n").cast("bigint").alias("n_events"),
+    )

@@ -977,3 +977,142 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         out.append((num / den).alias(f"acf_{k}"))
     return agg.select(*out)
+
+
+@register(
+    "ts_seasonality_strength",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    trend AS (
+        SELECT event_type, h, c,
+               CAST(SUM(c) OVER w AS BIGINT) AS s25,
+               CAST(COUNT(*) OVER w AS BIGINT) AS n25
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 12 PRECEDING AND 12 FOLLOWING)
+    ),
+    det AS (
+        SELECT event_type, h, h % 24 AS hod,
+               CAST(ROUND(c - CAST(s25 AS DOUBLE) / 25.0, 6)
+                    AS DECIMAL(18,6)) AS d
+        FROM trend WHERE n25 = 25
+    ),
+    seas AS (
+        SELECT event_type, hod,
+               CAST(SUM(d) AS DECIMAL(28,6)) AS sd,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM det GROUP BY 1, 2
+    ),
+    rem_hod AS (
+        -- Sum of squared remainders per hod, EXACT: r = d - sd/n, so
+        -- sum(r^2) = sum((n*d - sd)^2) / n^2 — the numerator is pure
+        -- DECIMAL; one float division per (type, hod) group, rounded then
+        -- DECIMAL-summed across the 24 groups.
+        SELECT d.event_type, d.hod, s.n,
+               CAST(ROUND(CAST(SUM((CAST(s.n AS DECIMAL(10,0)) * d.d - s.sd)
+                                   * (CAST(s.n AS DECIMAL(10,0)) * d.d - s.sd))
+                               AS DOUBLE) / (s.n * s.n), 9)
+                    AS DECIMAL(28,9)) AS ssr
+        FROM det d JOIN seas s
+          ON d.event_type = s.event_type AND d.hod = s.hod
+        GROUP BY d.event_type, d.hod, s.n
+    ),
+    var_d AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
+               CAST(SUM(CAST(d AS DECIMAL(28,6)) * d) AS DOUBLE) / COUNT(*)
+                 AS var_detrended
+        FROM det GROUP BY event_type
+    ),
+    var_r AS (
+        SELECT event_type,
+               CAST(SUM(ssr) AS DECIMAL(38,9)) AS ssr_total
+        FROM rem_hod GROUP BY event_type
+    )
+    SELECT v.event_type, v.n_hours, v.var_detrended,
+           CAST(r.ssr_total AS DOUBLE) / v.n_hours AS var_remainder,
+           GREATEST(0.0, 1.0
+               - (CAST(r.ssr_total AS DOUBLE) / v.n_hours) / v.var_detrended)
+             AS seasonality_strength
+    FROM var_d v JOIN var_r r ON v.event_type = r.event_type
+    """,
+)
+def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """STL-lite seasonality diagnostic (Hyndman's strength-of-seasonality,
+    F_s = max(0, 1 - Var(remainder)/Var(detrended))) on hourly event counts
+    per type: trend = centered 25-hour moving average over observed hours
+    (full frames only, so edges can't diverge), seasonal = hour-of-day mean
+    of the detrended series, remainder = what's left. Every mean feeding a
+    variance is rounded to 6 decimals then DECIMAL-summed (the statistics-
+    module idiom) so float summation order can't move the strength. Scale:
+    one hourly aggregate, one 25-row frame window and one final group — all
+    PARTITIONED by event_type; nothing global."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 3600)
+        .cast("bigint")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-12, 12)
+    )
+    trend = hourly.select(
+        "event_type",
+        "h",
+        "c",
+        F.sum("c").over(w).cast("bigint").alias("s25"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("n25"),
+    )
+    det = trend.filter(F.col("n25") == 25).select(
+        "event_type",
+        (F.col("h") % 24).alias("hod"),
+        F.expr(
+            "CAST(ROUND(c - CAST(s25 AS DOUBLE) / 25.0, 6) AS DECIMAL(18,6))"
+        ).alias("d"),
+    )
+    seas = det.groupBy("event_type", "hod").agg(
+        F.expr("CAST(SUM(d) AS DECIMAL(28,6))").alias("sd"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    # Exact per-hod squared-remainder sums: r = d - sd/n, so sum(r^2) =
+    # sum((n*d - sd)^2) / n^2 with a pure-DECIMAL numerator — one float
+    # division per (type, hod), rounded then DECIMAL-summed across groups.
+    rem_hod = (
+        det.join(seas, ["event_type", "hod"])
+        .groupBy("event_type", "hod", "n")
+        .agg(
+            F.expr(
+                "CAST(ROUND(CAST(SUM((CAST(n AS DECIMAL(10,0)) * d - sd)"
+                " * (CAST(n AS DECIMAL(10,0)) * d - sd)) AS DOUBLE)"
+                " / (n * n), 9) AS DECIMAL(28,9))"
+            ).alias("ssr")
+        )
+    )
+    var_d = det.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.expr(
+            "CAST(SUM(CAST(d AS DECIMAL(28,6)) * d) AS DOUBLE) / COUNT(*)"
+        ).alias("var_detrended"),
+    )
+    var_r = rem_hod.groupBy("event_type").agg(
+        F.expr("CAST(SUM(ssr) AS DECIMAL(38,9))").alias("ssr_total")
+    )
+    return var_d.join(var_r, "event_type").select(
+        "event_type",
+        "n_hours",
+        "var_detrended",
+        F.expr("CAST(ssr_total AS DOUBLE) / n_hours").alias("var_remainder"),
+        F.expr(
+            "GREATEST(0.0, 1.0"
+            " - (CAST(ssr_total AS DOUBLE) / n_hours) / var_detrended)"
+        ).alias("seasonality_strength"),
+    )
