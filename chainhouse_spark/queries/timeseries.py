@@ -1003,42 +1003,43 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM trend WHERE n25 = 25
     ),
     seas AS (
-        SELECT event_type, hod,
-               CAST(SUM(d) AS DECIMAL(28,6)) AS sd,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM det GROUP BY 1, 2
+        -- Seasonal mean inputs as a WINDOW over det (same lineage — no
+        -- forked re-scan of the corpus): sd/n are constant per (type, hod).
+        SELECT event_type, hod, d,
+               CAST(SUM(d) OVER (PARTITION BY event_type, hod)
+                    AS DECIMAL(28,6)) AS sd,
+               CAST(COUNT(*) OVER (PARTITION BY event_type, hod)
+                    AS BIGINT) AS n
+        FROM det
     ),
     rem_hod AS (
         -- Sum of squared remainders per hod, EXACT: r = d - sd/n, so
         -- sum(r^2) = sum((n*d - sd)^2) / n^2 — the numerator is pure
         -- DECIMAL; one float division per (type, hod) group, rounded then
-        -- DECIMAL-summed across the 24 groups.
-        SELECT d.event_type, d.hod, s.n,
-               CAST(ROUND(CAST(SUM((CAST(s.n AS DECIMAL(10,0)) * d.d - s.sd)
-                                   * (CAST(s.n AS DECIMAL(10,0)) * d.d - s.sd))
-                               AS DOUBLE) / (s.n * s.n), 9)
-                    AS DECIMAL(28,9)) AS ssr
-        FROM det d JOIN seas s
-          ON d.event_type = s.event_type AND d.hod = s.hod
-        GROUP BY d.event_type, d.hod, s.n
-    ),
-    var_d AS (
-        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_hours,
-               CAST(SUM(CAST(d AS DECIMAL(28,6)) * d) AS DOUBLE) / COUNT(*)
-                 AS var_detrended
-        FROM det GROUP BY event_type
-    ),
-    var_r AS (
-        SELECT event_type,
-               CAST(SUM(ssr) AS DECIMAL(38,9)) AS ssr_total
-        FROM rem_hod GROUP BY event_type
+        -- DECIMAL-summed across the 24 groups. Var(detrended) inputs ride
+        -- the same aggregate.
+        SELECT event_type, hod, n,
+               CAST(ROUND(CAST(SUM((CAST(n AS DECIMAL(10,0)) * d - sd)
+                                   * (CAST(n AS DECIMAL(10,0)) * d - sd))
+                               AS DOUBLE) / (n * n), 9)
+                    AS DECIMAL(28,9)) AS ssr,
+               CAST(SUM(CAST(d AS DECIMAL(28,6)) * d) AS DECIMAL(38,12))
+                 AS sdd,
+               CAST(COUNT(*) AS BIGINT) AS n_rows
+        FROM seas
+        GROUP BY event_type, hod, n
     )
-    SELECT v.event_type, v.n_hours, v.var_detrended,
-           CAST(r.ssr_total AS DOUBLE) / v.n_hours AS var_remainder,
+    SELECT event_type,
+           CAST(SUM(n_rows) AS BIGINT) AS n_hours,
+           CAST(CAST(SUM(sdd) AS DECIMAL(38,12)) AS DOUBLE) / SUM(n_rows)
+             AS var_detrended,
+           CAST(CAST(SUM(ssr) AS DECIMAL(38,9)) AS DOUBLE) / SUM(n_rows)
+             AS var_remainder,
            GREATEST(0.0, 1.0
-               - (CAST(r.ssr_total AS DOUBLE) / v.n_hours) / v.var_detrended)
+               - (CAST(CAST(SUM(ssr) AS DECIMAL(38,9)) AS DOUBLE) / SUM(n_rows))
+               / (CAST(CAST(SUM(sdd) AS DECIMAL(38,12)) AS DOUBLE) / SUM(n_rows)))
              AS seasonality_strength
-    FROM var_d v JOIN var_r r ON v.event_type = r.event_type
+    FROM rem_hod GROUP BY event_type
     """,
 )
 def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1079,40 +1080,39 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(ROUND(c - CAST(s25 AS DOUBLE) / 25.0, 6) AS DECIMAL(18,6))"
         ).alias("d"),
     )
-    seas = det.groupBy("event_type", "hod").agg(
-        F.expr("CAST(SUM(d) AS DECIMAL(28,6))").alias("sd"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
+    # Seasonal mean inputs as a WINDOW over det — same lineage, so the
+    # corpus is scanned exactly once (a forked seas aggregate + join-back
+    # would re-derive det per branch: 3 scans).
+    whod = Window.partitionBy("event_type", "hod")
+    seas = det.select(
+        "event_type",
+        "hod",
+        "d",
+        F.sum("d").over(whod).cast("decimal(28,6)").alias("sd"),
+        F.count(F.lit(1)).over(whod).cast("bigint").alias("n"),
     )
     # Exact per-hod squared-remainder sums: r = d - sd/n, so sum(r^2) =
     # sum((n*d - sd)^2) / n^2 with a pure-DECIMAL numerator — one float
     # division per (type, hod), rounded then DECIMAL-summed across groups.
-    rem_hod = (
-        det.join(seas, ["event_type", "hod"])
-        .groupBy("event_type", "hod", "n")
-        .agg(
-            F.expr(
-                "CAST(ROUND(CAST(SUM((CAST(n AS DECIMAL(10,0)) * d - sd)"
-                " * (CAST(n AS DECIMAL(10,0)) * d - sd)) AS DOUBLE)"
-                " / (n * n), 9) AS DECIMAL(28,9))"
-            ).alias("ssr")
-        )
-    )
-    var_d = det.groupBy("event_type").agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+    # Var(detrended) inputs ride the same aggregate.
+    rem_hod = seas.groupBy("event_type", "hod", "n").agg(
         F.expr(
-            "CAST(SUM(CAST(d AS DECIMAL(28,6)) * d) AS DOUBLE) / COUNT(*)"
-        ).alias("var_detrended"),
-    )
-    var_r = rem_hod.groupBy("event_type").agg(
-        F.expr("CAST(SUM(ssr) AS DECIMAL(38,9))").alias("ssr_total")
-    )
-    return var_d.join(var_r, "event_type").select(
-        "event_type",
-        "n_hours",
-        "var_detrended",
-        F.expr("CAST(ssr_total AS DOUBLE) / n_hours").alias("var_remainder"),
+            "CAST(ROUND(CAST(SUM((CAST(n AS DECIMAL(10,0)) * d - sd)"
+            " * (CAST(n AS DECIMAL(10,0)) * d - sd)) AS DOUBLE)"
+            " / (n * n), 9) AS DECIMAL(28,9))"
+        ).alias("ssr"),
         F.expr(
-            "GREATEST(0.0, 1.0"
-            " - (CAST(ssr_total AS DOUBLE) / n_hours) / var_detrended)"
+            "CAST(SUM(CAST(d AS DECIMAL(28,6)) * d) AS DECIMAL(38,12))"
+        ).alias("sdd"),
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+    )
+    var_d = "CAST(CAST(SUM(sdd) AS DECIMAL(38,12)) AS DOUBLE) / SUM(n_rows)"
+    var_r = "CAST(CAST(SUM(ssr) AS DECIMAL(38,9)) AS DOUBLE) / SUM(n_rows)"
+    return rem_hod.groupBy("event_type").agg(
+        F.sum("n_rows").cast("bigint").alias("n_hours"),
+        F.expr(var_d).alias("var_detrended"),
+        F.expr(var_r).alias("var_remainder"),
+        F.expr(
+            f"GREATEST(0.0, 1.0 - ({var_r}) / ({var_d}))"
         ).alias("seasonality_strength"),
     )

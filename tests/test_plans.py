@@ -749,3 +749,32 @@ def test_global_row_number_values_are_exact(spark):
         ).collect()
     }
     assert run == want_run
+
+
+def test_round6_additions_plan_shapes(spark):
+    # One-scan scalar aggregates: bootstrap SE and MDE ship only exact
+    # integer power sums through a single partial->final merge.
+    for name in ("stat_bootstrap_se", "stat_ab_power_mde"):
+        f = plan_facts(q(spark, name))
+        assert f.scans == 1, name
+        assert f.shuffle_exchanges <= 1, name
+        assert f.python_evals == 0 and f.cartesian_products == 0, name
+        assert f.single_partition_suspects == [], name
+    # Seasonality: hourly aggregate + type-partitioned windows, one scan.
+    f = plan_facts(q(spark, "ts_seasonality_strength"))
+    assert f.scans == 1
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.single_partition_suspects == []
+    # Cohort LTV: cohort-partitioned cumulative window, broadcast sizes.
+    f = plan_facts(q(spark, "audience_ltv_cohort"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.single_partition_suspects == []
+    # Iterated-join queries and the eval harness: no cartesians, no Python,
+    # nothing funnels into one task.
+    for name in (
+        "graph_label_propagation", "eval_retrieval_ndcg",
+        "eth_base_fee_projection", "sample_temperature_mixing",
+    ):
+        f = plan_facts(q(spark, name))
+        assert f.python_evals == 0 and f.cartesian_products == 0, name
+        assert f.single_partition_suspects == [], name
