@@ -470,3 +470,60 @@ def sequence_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.sum("n").over(Window.partitionBy("prev_type"))
         ).alias("p"),
     )
+
+
+@register(
+    "funnel_retention_conditions",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               MAX(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-06'
+                        THEN 1 ELSE 0 END) AS c1,
+               MAX(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-07'
+                        THEN 1 ELSE 0 END) AS c2,
+               MAX(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-09'
+                        THEN 1 ELSE 0 END) AS c3,
+               MAX(CASE WHEN CAST(ts AS DATE) = DATE '2024-01-13'
+                        THEN 1 ELSE 0 END) AS c4
+        FROM events GROUP BY user_id
+    )
+    SELECT CAST(SUM(c1) AS BIGINT) AS r1,
+           CAST(SUM(c1 * c2) AS BIGINT) AS r2,
+           CAST(SUM(c1 * c3) AS BIGINT) AS r3,
+           CAST(SUM(c1 * c4) AS BIGINT) AS r4,
+           CAST(SUM(c1 * c2) AS DOUBLE) / SUM(c1) AS day1_retention,
+           CAST(SUM(c1 * c3) AS DOUBLE) / SUM(c1) AS day3_retention,
+           CAST(SUM(c1 * c4) AS DOUBLE) / SUM(c1) AS day7_retention
+    FROM per_user
+    """,
+)
+def funnel_retention_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ClickHouse retention(cond1..condN) aggregate, exact semantics:
+    per user, r[1] = cond1 ever true, r[i>1] = cond1 AND cond_i — here
+    'active on day 0 / +1 / +3 / +7' (the day-N retention readout, unlike
+    `retention_weekly`'s cohort matrix). One user-keyed aggregate of four
+    condition bits, then a 1-row global sum — exact integers to the three
+    final ratio divisions. At 100 TB: one shuffle of (user, 4 bits)."""
+    e = load_table(spark, sf_dir, "events")
+    d = F.col("ts").cast("date")
+
+    def cond(day: str):
+        return F.max(
+            F.when(d == F.lit(day).cast("date"), 1).otherwise(0)
+        )
+
+    per_user = e.groupBy("user_id").agg(
+        cond("2024-01-06").alias("c1"),
+        cond("2024-01-07").alias("c2"),
+        cond("2024-01-09").alias("c3"),
+        cond("2024-01-13").alias("c4"),
+    )
+    return per_user.agg(
+        F.sum("c1").cast("bigint").alias("r1"),
+        F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("r2"),
+        F.sum(F.col("c1") * F.col("c3")).cast("bigint").alias("r3"),
+        F.sum(F.col("c1") * F.col("c4")).cast("bigint").alias("r4"),
+        F.expr("CAST(SUM(c1 * c2) AS DOUBLE) / SUM(c1)").alias("day1_retention"),
+        F.expr("CAST(SUM(c1 * c3) AS DOUBLE) / SUM(c1)").alias("day3_retention"),
+        F.expr("CAST(SUM(c1 * c4) AS DOUBLE) / SUM(c1)").alias("day7_retention"),
+    )

@@ -415,3 +415,96 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_seeded"),
     )
+
+
+_KCORE_ROUND_SQL = """
+    keep{k} AS MATERIALIZED (
+        SELECT node FROM (
+            SELECT node, COUNT(*) AS deg
+            FROM bi
+            WHERE node IN (SELECT node FROM keep{km1})
+              AND nbr IN (SELECT node FROM keep{km1})
+            GROUP BY node
+        ) WHERE deg >= 3
+    )"""
+
+
+@register(
+    "graph_kcore_peel",
+    oracle=_EDGE_CTE
+    + """,
+    bi AS MATERIALIZED (
+        SELECT src AS node, dst AS nbr FROM e
+        UNION ALL SELECT dst AS node, src AS nbr FROM e
+    ),
+    keep0 AS MATERIALIZED (SELECT DISTINCT node FROM bi),"""
+    + _KCORE_ROUND_SQL.format(k=1, km1=0)
+    + ","
+    + _KCORE_ROUND_SQL.format(k=2, km1=1)
+    + ","
+    + _KCORE_ROUND_SQL.format(k=3, km1=2)
+    + """
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM keep0) AS n_nodes_start,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM keep3) AS n_nodes_kept,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM e
+         WHERE src IN (SELECT node FROM keep3)
+           AND dst IN (SELECT node FROM keep3)) AS n_edges_kept,
+        (SELECT CAST(COALESCE(MIN(deg), 0) AS BIGINT) FROM (
+            SELECT COUNT(*) AS deg FROM bi
+            WHERE node IN (SELECT node FROM keep3)
+              AND nbr IN (SELECT node FROM keep3)
+            GROUP BY node)) AS min_degree_kept
+    """,
+)
+def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """3-core peeling (Seidman 1983; Batagelj-Zaversnik is the sequential
+    exact algorithm — distributed systems run exactly this synchronous
+    peel): three rounds of 'drop every node whose degree within the
+    surviving subgraph is < 3'. Three rounds bound the work (a fixpoint
+    loop converges in O(peel depth) rounds on real graphs); the summary
+    reports survivors, surviving edges, and the min degree among them —
+    min_degree_kept >= 3 iff the peel already converged. The community-
+    density prefilter dedup pipelines use before expensive pairwise
+    stages.
+
+    Scale: each round is one degree aggregate + two semi-joins on the
+    surviving node set — all equi-joins on node ids, no global state."""
+    edges = _edges(spark, sf_dir)
+    bi = edges.select(
+        F.col("src").alias("node"), F.col("dst").alias("nbr")
+    ).unionAll(edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr")))
+    keep = bi.select("node").distinct()
+    n_start = keep.count()
+    for _ in range(3):
+        surv = (
+            bi.join(keep, "node", "left_semi")
+            .join(keep.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+        )
+        keep = (
+            surv.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .select("node")
+        )
+    kept_edges = edges.join(keep.select(F.col("node").alias("src")), "src", "left_semi").join(
+        keep.select(F.col("node").alias("dst")), "dst", "left_semi"
+    )
+    kept_bi = (
+        bi.join(keep, "node", "left_semi")
+        .join(keep.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+    )
+    min_deg = kept_bi.groupBy("node").agg(F.count(F.lit(1)).alias("deg")).agg(
+        F.coalesce(F.min("deg"), F.lit(0)).cast("bigint").alias("min_degree_kept")
+    )
+    return (
+        keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes_kept"))
+        .crossJoin(kept_edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges_kept")))
+        .crossJoin(min_deg)
+        .select(
+            F.lit(n_start).cast("bigint").alias("n_nodes_start"),
+            "n_nodes_kept",
+            "n_edges_kept",
+            "min_degree_kept",
+        )
+    )

@@ -492,3 +492,83 @@ def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pairs.groupBy("label_a", "label_b").agg(
         F.sqrt(F.sum("t").cast("double")).alias("centroid_l2")
     )
+
+
+@register(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH dims AS (
+        SELECT label, CAST(vec_id % 2 AS INT) AS snap, CAST(i AS INT) AS dim,
+               CAST(ROUND(embedding[CAST(i AS INT)], 6) AS DECIMAL(16,6)) AS v
+        FROM embeddings, UNNEST(range(1, 65)) AS t(i)
+    ),
+    cent AS (
+        SELECT label, snap, dim,
+               CAST(SUM(v) AS DOUBLE) / COUNT(*) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM dims GROUP BY label, snap, dim
+    ),
+    paired AS (
+        SELECT a.label, a.dim, a.c AS ca, b.c AS cb, a.n AS n_a, b.n AS n_b
+        FROM cent a JOIN cent b
+          ON a.label = b.label AND a.dim = b.dim
+         AND a.snap = 0 AND b.snap = 1
+    )
+    SELECT label,
+           MIN(n_a) AS n_a, MIN(n_b) AS n_b,
+           CAST(SUM(CAST(ROUND(ca * cb, 9) AS DECIMAL(20,9))) AS DOUBLE)
+             / (SQRT(CAST(SUM(CAST(ROUND(ca * ca, 9) AS DECIMAL(20,9))) AS DOUBLE))
+                * SQRT(CAST(SUM(CAST(ROUND(cb * cb, 9) AS DECIMAL(20,9))) AS DOUBLE)))
+             AS centroid_cosine,
+           SQRT(CAST(SUM(CAST(ROUND((ca - cb) * (ca - cb), 9)
+                              AS DECIMAL(20,9))) AS DOUBLE)) AS centroid_l2_drift
+    FROM paired
+    GROUP BY label
+    """,
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-label centroid drift between two embedding snapshots (vec_id
+    parity as the snapshot split): cosine and L2 between each label's
+    snapshot centroids — the re-embedding regression check (a model or
+    preprocessing change that rotates/collapses a class shows up here
+    before any downstream eval). Same exactness recipe as
+    `embedding_class_separation`: per-dim values round into DECIMAL(16,6)
+    so centroid sums are exact; every cross-dimension product term rounds
+    into DECIMAL(20,9) before summing; sqrt/divisions are the only float
+    ops. Scale: one (label, snap, dim) partial-agg shuffle collapses any
+    corpus to |labels|*2*64 cells."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    dims = emb.select(
+        "label",
+        (F.col("vec_id") % 2).cast("int").alias("snap"),
+        F.posexplode("embedding").alias("dim0", "v0"),
+    ).select(
+        "label",
+        "snap",
+        (F.col("dim0") + 1).cast("int").alias("dim"),
+        F.round(F.col("v0"), 6).cast("decimal(16,6)").alias("v"),
+    )
+    cent = dims.groupBy("label", "snap", "dim").agg(
+        (F.sum("v").cast("double") / F.count(F.lit(1))).alias("c"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    a = cent.filter(F.col("snap") == 0).select(
+        "label", "dim", F.col("c").alias("ca"), F.col("n").alias("n_a")
+    )
+    b = cent.filter(F.col("snap") == 1).select(
+        "label", "dim", F.col("c").alias("cb"), F.col("n").alias("n_b")
+    )
+    paired = a.join(b, ["label", "dim"])
+    dec = "CAST(ROUND({x}, 9) AS DECIMAL(20,9))"
+    return paired.groupBy("label").agg(
+        F.min("n_a").alias("n_a"),
+        F.min("n_b").alias("n_b"),
+        F.expr(
+            f"CAST(SUM({dec.format(x='ca * cb')}) AS DOUBLE)"
+            f" / (SQRT(CAST(SUM({dec.format(x='ca * ca')}) AS DOUBLE))"
+            f" * SQRT(CAST(SUM({dec.format(x='cb * cb')}) AS DOUBLE)))"
+        ).alias("centroid_cosine"),
+        F.expr(
+            f"SQRT(CAST(SUM({dec.format(x='(ca - cb) * (ca - cb)')}) AS DOUBLE))"
+        ).alias("centroid_l2_drift"),
+    )
