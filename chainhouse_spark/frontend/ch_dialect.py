@@ -339,8 +339,10 @@ _UNSUPPORTED = {
                      "funnel.py::sequence_match_regex, oracled)",
     "sequencecount": "use the ordered A-then-B pair counter (queries/"
                      "funnel.py::sequence_pairs_click_purchase, oracled)",
-    "retention": "use the weekly cohort retention matrix (queries/"
-                 "funnel.py::retention_weekly, oracled)",
+    "retention": "use the exact retention(cond1..condN) analogue "
+                 "(queries/funnel.py::funnel_retention_conditions — "
+                 "r[i] = cond1 AND cond_i per user, oracled) or the weekly "
+                 "cohort matrix (retention_weekly)",
     "grouparraymovingavg": "use a window frame: AVG(x) OVER (ORDER BY ts "
                            "ROWS BETWEEN n PRECEDING AND CURRENT ROW)",
     "summap": "key-wise map merging is the explode/sum/rebuild shape — see "

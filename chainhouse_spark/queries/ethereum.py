@@ -933,3 +933,50 @@ def eth_base_fee_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("blockNumber")
     )
+
+
+# Minimal raw view for tx calldata: _RAW's struct spec omits `input`
+# (the other tx oracles never read it); read_json ignores unlisted fields,
+# so this spec parses just what the selector histogram needs.
+_RAW_TX_INPUT = f"""
+    read_json('{_JSONL_PATH}', format='newline_delimited', columns={{
+      'transactions': 'STRUCT("hash" VARCHAR, "input" VARCHAR)[]'
+    }})
+"""
+
+
+@register(
+    "eth_selector_histogram",
+    oracle=f"""
+    WITH tx AS (SELECT unnest(transactions) AS t FROM {_RAW_TX_INPUT})
+    SELECT lower(substr(t.input, 3, 8)) AS selector,
+           CAST(COUNT(*) AS BIGINT) AS n_calls
+    FROM tx
+    WHERE length(t.input) >= 10
+    GROUP BY 1
+    ORDER BY n_calls DESC, selector ASC
+    LIMIT 20
+    """,
+)
+def eth_selector_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Function-selector histogram over tx calldata: the first 4 bytes of
+    `input` are the ABI method id (keccak prefix of the signature) — the
+    standard 'what are people calling' contract-usage readout. Selector
+    extraction is a map-side substring of the BINARY column; one count
+    shuffle of (4-byte key); top-20 via ordered limit. The fixtures'
+    random calldata gives a flat histogram — the shape check is the
+    contract, the skew shows on real chains (where AQE skew handling and
+    the salted-agg recipe apply).
+
+    Reference capability: calldata lands in ClickHouse as the `input`
+    String column (/root/reference/src/main.rs:105, src/schema.rs:37);
+    selector rollups are exactly the delegated-SQL surface."""
+    tx = _tables(spark)["transactions"]
+    return (
+        tx.filter(F.length("input") >= 4)
+        .select(F.lower(F.hex(F.expr("substring(input, 1, 4)"))).alias("selector"))
+        .groupBy("selector")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_calls"))
+        .orderBy(F.desc("n_calls"), F.asc("selector"))
+        .limit(20)
+    )

@@ -778,3 +778,31 @@ def test_round6_additions_plan_shapes(spark):
         f = plan_facts(q(spark, name))
         assert f.python_evals == 0 and f.cartesian_products == 0, name
         assert f.single_partition_suspects == [], name
+
+
+def test_global_row_number_is_deterministic_across_runs(spark):
+    # Regression: re-deriving spark_partition_id in the offsets branch and
+    # the main branch gave partitioner-dependent (FLAKY) ranks whenever
+    # Catalyst didn't reuse the range exchange — localCheckpoint pins one
+    # materialization. Three fresh builds must agree exactly.
+    from pyspark.sql import functions as F2
+
+    from chainhouse_spark.operators.ranking import global_row_number
+
+    def build():
+        base = (
+            spark.range(0, 20000)
+            .select(F2.col("id"), (F2.col("id") % 13).alias("k"))
+            .groupBy("k", (F2.col("id") % 997).alias("g"))
+            .agg(F2.count(F2.lit(1)).alias("t"))
+        )
+        return sorted(
+            (r["k"], r["g"], r["rk"])
+            for r in global_row_number(
+                base, [F2.asc("t"), F2.asc("k"), F2.asc("g")], "rk"
+            ).collect()
+        )
+
+    first = build()
+    for _ in range(2):
+        assert build() == first
