@@ -980,3 +980,41 @@ def eth_selector_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_calls"), F.asc("selector"))
         .limit(20)
     )
+
+
+@register(
+    "eth_uncle_rate",
+    oracle=f"""
+    WITH hdr AS (
+        SELECT number, len(uncles) AS n_uncles
+        FROM read_json('{_JSONL_PATH}', format='newline_delimited',
+                       columns={{'number': 'BIGINT', 'uncles': 'VARCHAR[]'}})
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_blocks,
+           CAST(SUM(n_uncles) AS BIGINT) AS n_uncles,
+           CAST(SUM(CASE WHEN n_uncles > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_blocks_with_uncles,
+           CAST(SUM(n_uncles) AS DOUBLE) / COUNT(*) AS uncles_per_block,
+           CAST(MAX(n_uncles) AS BIGINT) AS max_uncles
+    FROM hdr
+    """,
+)
+def eth_uncle_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Uncle (ommer) rate over the chain: blocks carrying uncles, uncles
+    per block, max per block — the pre-merge network-latency health
+    metric (and a parity checkpoint for the blocks table's ARRAY column,
+    P5's array-of-hash projection applied to headers). Map-side
+    array-length projection, one scalar gather."""
+    b = _tables(spark)["blocks"]
+    n_unc = F.size(F.col("uncles"))
+    return b.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_blocks"),
+        F.sum(n_unc).cast("bigint").alias("n_uncles"),
+        F.sum(F.when(n_unc > 0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_blocks_with_uncles"),
+        (F.sum(n_unc).cast("double") / F.count(F.lit(1))).alias(
+            "uncles_per_block"
+        ),
+        F.max(n_unc).cast("bigint").alias("max_uncles"),
+    )

@@ -579,3 +579,63 @@ def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("planned_tok"),
         F.expr(f"({p}) / q_share").alias("oversample_factor"),
     )
+
+
+@register(
+    "sample_downweight_duplicates",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH sized AS (
+        SELECT doc_id, source, md5(text) AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    clusters AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies FROM sized GROUP BY h
+    )
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(s.n_tok) AS BIGINT) AS raw_tok,
+           CAST(SUM(CAST(ROUND(CAST(s.n_tok AS DOUBLE) / c.n_copies, 6)
+                         AS DECIMAL(20,6))) AS DOUBLE) AS effective_tok,
+           CAST(SUM(CASE WHEN c.n_copies > 1 THEN s.n_tok ELSE 0 END)
+                AS BIGINT) AS duplicated_tok
+    FROM sized s JOIN clusters c ON s.h = c.h
+    GROUP BY s.source
+    """,
+)
+def sample_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Soft dedup by downweighting instead of dropping: every copy of an
+    exact-duplicate cluster keeps weight 1/n_copies, so the cluster
+    contributes ONE document's worth of training mass regardless of how
+    many sources carry it (the modern alternative to hard dedup — keeps
+    cross-source coverage while killing memorization pressure). Reports
+    raw vs effective token mass per source; the gap is each source's
+    duplication tax. Per-token weights round into DECIMAL(20,6) before
+    summing (float add order is engine-dependent). Scale: one 16-byte-key
+    count shuffle (never document bodies) + a hash equi-join back — the
+    dedup_exact shape with a weight instead of a row_number filter."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id",
+        "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    clusters = sized.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies")
+    )
+    return (
+        sized.join(clusters, "h")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_tok").cast("bigint").alias("raw_tok"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(CAST(n_tok AS DOUBLE) / n_copies, 6)"
+                " AS DECIMAL(20,6))) AS DOUBLE)"
+            ).alias("effective_tok"),
+            F.sum(F.when(F.col("n_copies") > 1, F.col("n_tok")).otherwise(0))
+            .cast("bigint")
+            .alias("duplicated_tok"),
+        )
+    )

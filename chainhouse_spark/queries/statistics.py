@@ -1718,3 +1718,81 @@ def stat_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"(2.7963852180769197 * {se}) / 100.0 AS mde_abs",
         f"(2.7963852180769197 * {se}) / (s1 / n1) AS mde_rel",
     )
+
+
+@register(
+    "stat_cuped_variance_reduction",
+    oracle="""
+    WITH per_user AS (
+        SELECT user_id,
+               CAST(SUM(CASE WHEN ts <  TIMESTAMP '2024-01-16'
+                             THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS pre,
+               CAST(SUM(CASE WHEN ts >= TIMESTAMP '2024-01-16'
+                             THEN CAST(ROUND(value * 100, 0) AS BIGINT)
+                             ELSE 0 END) AS BIGINT) AS post
+        FROM events WHERE event_type = 'purchase'
+        GROUP BY user_id
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(pre) AS DOUBLE) AS sx,
+               CAST(SUM(post) AS DOUBLE) AS sy,
+               CAST(SUM(pre * pre) AS DOUBLE) AS sxx,
+               CAST(SUM(post * post) AS DOUBLE) AS syy,
+               CAST(SUM(pre * post) AS DOUBLE) AS sxy
+        FROM per_user
+    )
+    SELECT CAST(n AS BIGINT) AS n_users,
+           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+           (syy - sy * sy / n) / (n - 1.0) AS var_post,
+           ((syy - sy * sy / n)
+            - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+              * (sxy - sx * sy / n)) / (n - 1.0) AS var_cuped,
+           1.0 - (((syy - sy * sy / n)
+                   - (n * sxy - sx * sy) / (n * sxx - sx * sx)
+                     * (sxy - sx * sy / n)) / (n - 1.0))
+                 / ((syy - sy * sy / n) / (n - 1.0)) AS variance_reduction
+    FROM m
+    """,
+)
+def stat_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """CUPED variance reduction (Deng et al. 2013, 'Improving the
+    sensitivity of online controlled experiments'): per-user pre-period
+    purchase value as the covariate, post-period as the metric;
+    theta = cov(pre, post)/var(pre), adjusted metric Y - theta*X, reported
+    as the achieved variance reduction 1 - Var(Y_cuped)/Var(Y) — the
+    number that says how much smaller an experiment can be. Identity used:
+    Var(Y - tX) = Var(Y) - t*Cov(X,Y) at t = Cov/Var(X). One user-keyed
+    aggregate then exact integer power sums (the moments recipe); every
+    output is one shared float formula on a 6-number row. 100 TB shape:
+    one shuffle of (user, 2 BIGINTs), one scalar gather."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cents = F.round(F.col("value") * 100, 0).cast("bigint")
+    split = F.col("ts") < F.expr("TIMESTAMP_NTZ '2024-01-16 00:00:00'")
+    per_user = e.groupBy("user_id").agg(
+        F.sum(F.when(split, cents).otherwise(0)).cast("bigint").alias("pre"),
+        F.sum(F.when(~split, cents).otherwise(0)).cast("bigint").alias("post"),
+    )
+    m = per_user.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("pre").cast("double").alias("sx"),
+        F.sum("post").cast("double").alias("sy"),
+        F.sum(F.col("pre") * F.col("pre")).cast("double").alias("sxx"),
+        F.sum(F.col("post") * F.col("post")).cast("double").alias("syy"),
+        F.sum(F.col("pre") * F.col("post")).cast("double").alias("sxy"),
+    )
+    theta = "(n * sxy - sx * sy) / (n * sxx - sx * sx)"
+    var_post = "(syy - sy * sy / n) / (n - 1.0)"
+    var_cuped = (
+        f"((syy - sy * sy / n) - {theta} * (sxy - sx * sy / n)) / (n - 1.0)"
+    )
+    return m.selectExpr(
+        "CAST(n AS BIGINT) AS n_users",
+        f"{theta} AS theta",
+        f"{var_post} AS var_post",
+        f"{var_cuped} AS var_cuped",
+        f"1.0 - ({var_cuped}) / ({var_post}) AS variance_reduction",
+    )

@@ -1116,3 +1116,56 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"GREATEST(0.0, 1.0 - ({var_r}) / ({var_d}))"
         ).alias("seasonality_strength"),
     )
+
+
+@register(
+    "ts_m4_downsample",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) AS bucket,
+               CAST(FLOOR(epoch(ts)) AS BIGINT) AS t,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS v,
+               event_id
+        FROM events
+    )
+    SELECT event_type, bucket,
+           CAST(MIN(v) AS BIGINT) AS v_min,
+           CAST(MAX(v) AS BIGINT) AS v_max,
+           CAST(arg_min(v, t * 4294967296 + event_id) AS BIGINT) AS v_first,
+           CAST(arg_max(v, t * 4294967296 + event_id) AS BIGINT) AS v_last,
+           CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM pts GROUP BY 1, 2
+    """,
+)
+def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4 downsampling (Jugel et al. 2014, VLDB — 'M4: a visualization-
+    oriented time series data aggregation'): per pixel bucket keep min,
+    max, first, and last — the four points that make a line chart
+    pixel-perfect at any zoom, the other standard reducer next to LTTB.
+    6-hour buckets here. Values are exact integer cents; first/last take
+    the argmin/argmax of the packed key t*2^32 + event_id (one BIGINT —
+    neither engine's arg_min accepts composite keys; t < 2^31 so the pack
+    can't overflow) so duplicate timestamps can't flip the answer. One aggregate, partitioned by (series,
+    bucket) — the embarrassingly-parallel shape; no windows at all."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 21600)
+        .cast("bigint")
+        .alias("bucket"),
+        F.unix_seconds(F.col("ts").cast("timestamp")).cast("bigint").alias("t"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("v"),
+        "event_id",
+    )
+    return pts.groupBy("event_type", "bucket").agg(
+        F.min("v").cast("bigint").alias("v_min"),
+        F.max("v").cast("bigint").alias("v_max"),
+        F.expr("min_by(v, t * 4294967296 + event_id)")
+        .cast("bigint")
+        .alias("v_first"),
+        F.expr("max_by(v, t * 4294967296 + event_id)")
+        .cast("bigint")
+        .alias("v_last"),
+        F.count(F.lit(1)).cast("bigint").alias("n_points"),
+    )
