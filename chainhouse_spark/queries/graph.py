@@ -508,3 +508,75 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             "min_degree_kept",
         )
     )
+
+
+@register(
+    "graph_assortativity",
+    oracle=_EDGE_CTE
+    + """,
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+        ) GROUP BY node
+    ),
+    pairs AS (
+        -- each undirected edge contributes both orientations, the standard
+        -- symmetrization for the Newman assortativity formula
+        SELECT da.d AS x, db.d AS y
+        FROM e JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node
+        UNION ALL
+        SELECT db.d AS x, da.d AS y
+        FROM e JOIN deg da ON e.src = da.node JOIN deg db ON e.dst = db.node
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS sx,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(x * x) AS DOUBLE) AS sxx,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(SUM(x * y) AS DOUBLE) AS sxy
+        FROM pairs
+    )
+    SELECT CAST(n / 2 AS BIGINT) AS n_edges,
+           (n * sxy - sx * sy)
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
+             AS degree_assortativity
+    FROM m
+    """,
+)
+def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity (Newman 2002): the Pearson correlation of
+    endpoint degrees over all edges — positive means hubs link to hubs
+    (social-graph shape), negative means hub-and-spoke (web/biology
+    shape); the one-number structural fingerprint next to the degree
+    histogram. Exact integer power sums over both edge orientations (the
+    standard symmetrization), one shared float formula on the 6-number
+    row. Scale: two degree equi-joins onto the edge list + a scalar
+    gather — no windows, no iteration."""
+    e = _edges(spark, sf_dir)
+    nodes = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = nodes.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    ed = (
+        e.join(deg.select(F.col("node").alias("src"), F.col("d").alias("dx")), "src")
+        .join(deg.select(F.col("node").alias("dst"), F.col("d").alias("dy")), "dst")
+        .select("dx", "dy")
+    )
+    pairs = ed.select(F.col("dx").alias("x"), F.col("dy").alias("y")).unionAll(
+        ed.select(F.col("dy").alias("x"), F.col("dx").alias("y"))
+    )
+    m = pairs.agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("sx"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("double").alias("sxy"),
+    )
+    return m.selectExpr(
+        "CAST(n / 2 AS BIGINT) AS n_edges",
+        "(n * sxy - sx * sy)"
+        " / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))"
+        " AS degree_assortativity",
+    )

@@ -726,3 +726,81 @@ def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.sum("correct").cast("double") / cnt).alias("accuracy"),
         (F.sum("margin").cast("double") / cnt).alias("mean_margin"),
     )
+
+
+@register(
+    "nb_classwise_f1",
+    oracle=_NB_SCORE_CTE
+    + """,
+    pred AS (
+        SELECT doc_id, actual, cand AS predicted
+        FROM (SELECT doc_id, actual, cand,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, cand ASC) AS rn
+              FROM score)
+        WHERE rn = 1
+    ),
+    per_class AS (
+        SELECT actual AS lang,
+               CAST(COUNT(*) AS BIGINT) AS n_actual,
+               CAST(SUM(CASE WHEN predicted = actual THEN 1 ELSE 0 END)
+                    AS BIGINT) AS tp
+        FROM pred GROUP BY actual
+    ),
+    pred_tot AS (
+        SELECT predicted AS lang, CAST(COUNT(*) AS BIGINT) AS n_predicted
+        FROM pred GROUP BY predicted
+    )
+    SELECT c.lang, c.n_actual,
+           COALESCE(p.n_predicted, 0) AS n_predicted, c.tp,
+           CAST(c.tp AS DOUBLE) / NULLIF(p.n_predicted, 0) AS precision_c,
+           CAST(c.tp AS DOUBLE) / c.n_actual AS recall_c,
+           2.0 * (CAST(c.tp AS DOUBLE) / NULLIF(p.n_predicted, 0))
+               * (CAST(c.tp AS DOUBLE) / c.n_actual)
+             / NULLIF((CAST(c.tp AS DOUBLE) / NULLIF(p.n_predicted, 0))
+                      + (CAST(c.tp AS DOUBLE) / c.n_actual), 0.0) AS f1
+    FROM per_class c LEFT JOIN pred_tot p ON c.lang = p.lang
+    """,
+)
+def nb_classwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-class precision/recall/F1 of the NB corpus classifier — the
+    eval surface a confusion matrix feeds (which classes a model-based
+    quality/language gate silently under-recalls before it filters real
+    data). All counts exact integers from `nb_classify_confusion`'s
+    prediction pipeline; precision/recall are single divisions, F1 the
+    fixed 2pr/(p+r) on those two doubles; zero-denominator classes yield
+    NULL in both engines."""
+    score = _nb_scores(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("cand"))
+    pred = (
+        score.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", "actual", F.col("cand").alias("predicted"))
+    )
+    per_class = pred.groupBy(F.col("actual").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_actual"),
+        F.sum(F.when(F.col("predicted") == F.col("actual"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+    )
+    pred_tot = pred.groupBy(F.col("predicted").alias("lang")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_predicted")
+    )
+    prec = "CAST(tp AS DOUBLE) / NULLIF(n_predicted, 0)"
+    rec = "CAST(tp AS DOUBLE) / n_actual"
+    return (
+        per_class.join(pred_tot, "lang", "left")
+        .select(
+            "lang",
+            "n_actual",
+            F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
+            "tp",
+            F.expr(prec).alias("precision_c"),
+            F.expr(rec).alias("recall_c"),
+            F.expr(
+                f"2.0 * ({prec}) * ({rec}) / NULLIF(({prec}) + ({rec}), 0.0)"
+            ).alias("f1"),
+        )
+    )

@@ -576,3 +576,51 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("zipf_slope"),
         (corr * corr).alias("r2"),
     )
+
+
+@register(
+    "text_hapax_ratio",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH tok AS (
+        SELECT source, unnest(string_split(text, ' ')) AS w
+        FROM documents
+    ),
+    tf AS (
+        SELECT source, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE w <> '' GROUP BY source, w
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS vocab_size,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
+           CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_dis_legomena,
+           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             AS hapax_ratio
+    FROM tf GROUP BY source
+    """,
+)
+def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hapax legomena profile per source: the fraction of vocabulary seen
+    exactly once (and twice — dis legomena). Natural text runs ~40-60%
+    hapax (Zipf's tail); template/generated text collapses far below, and
+    OCR noise inflates it — the corpus-naturalness diagnostic that pairs
+    with `corpus_zipf_fit` (slope) by reading the tail instead of the
+    head. One tokenize pass, one (source, word) count shuffle, then a
+    |vocab|-row rollup — exact integers to the single final division."""
+    d = load_table(spark, sf_dir, "documents")
+    tok = d.select(
+        "source", F.explode(F.split(F.col("text"), " ")).alias("w")
+    ).filter(F.col("w") != "")
+    tf = tok.groupBy("source", "w").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    return tf.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("vocab_size"),
+        F.sum(F.when(F.col("c") == 1, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_hapax"),
+        F.sum(F.when(F.col("c") == 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dis_legomena"),
+        F.expr(
+            "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)"
+        ).alias("hapax_ratio"),
+    )

@@ -1796,3 +1796,59 @@ def stat_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
         f"{var_cuped} AS var_cuped",
         f"1.0 - ({var_cuped}) / ({var_post}) AS variance_reduction",
     )
+
+
+@register(
+    "stat_srm_check",
+    oracle="""
+    WITH arms AS (
+        SELECT CAST(user_id % 2 AS INT) AS arm,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events GROUP BY 1
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n_users END) AS n0,
+               MAX(CASE WHEN arm = 1 THEN n_users END) AS n1
+        FROM arms
+    )
+    SELECT n0 AS n_arm_a, n1 AS n_arm_b,
+           (CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)
+            * CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)) / ((n0 + n1) / 2.0)
+           + (CAST(n1 - (n0 + n1) / 2.0 AS DOUBLE)
+              * CAST(n1 - (n0 + n1) / 2.0 AS DOUBLE)) / ((n0 + n1) / 2.0)
+             AS chi2,
+           ((CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)
+             * CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)) / ((n0 + n1) / 2.0)
+            + (CAST(n1 - (n0 + n1) / 2.0 AS DOUBLE)
+               * CAST(n1 - (n0 + n1) / 2.0 AS DOUBLE)) / ((n0 + n1) / 2.0))
+             > 3.841458820694124 AS srm_detected
+    FROM w
+    """,
+)
+def stat_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sample-ratio mismatch check (Fabijan et al. 2019 — the #1 A/B-test
+    health gate): chi-square of observed arm sizes against the intended
+    50/50 split, flagged against the df=1 α=0.05 critical value
+    3.841458820694124 (a literal, so no engine evaluates an inverse-chi2).
+    A detected SRM means assignment or logging is broken and every other
+    readout is void — which is why platforms run this before any metric.
+    One distinct-user aggregate, a 2-row pivot, fixed float formula."""
+    e = load_table(spark, sf_dir, "events")
+    arms = e.groupBy((F.col("user_id") % 2).cast("int").alias("arm")).agg(
+        F.countDistinct("user_id").cast("bigint").alias("n_users")
+    )
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n_users"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n_users"))).alias("n1"),
+    )
+    term = (
+        "(CAST(n{i} - (n0 + n1) / 2.0 AS DOUBLE)"
+        " * CAST(n{i} - (n0 + n1) / 2.0 AS DOUBLE)) / ((n0 + n1) / 2.0)"
+    )
+    chi2 = term.format(i=0) + " + " + term.format(i=1)
+    return w.selectExpr(
+        "n0 AS n_arm_a",
+        "n1 AS n_arm_b",
+        f"{chi2} AS chi2",
+        f"({chi2}) > 3.841458820694124 AS srm_detected",
+    )

@@ -40,15 +40,22 @@ def main() -> int:
     from tests.compare import compare_frames
 
     spark = build_spark()
-    con = duckdb.connect()
-    con.execute(f"SET memory_limit='{args.mem}'")
-    con.execute(
-        f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_sub_')}'"
-    )
-    for t in TABLES:
-        con.execute(
-            f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+
+    def fresh_con() -> duckdb.DuckDBPyConnection:
+        # One connection PER QUERY: frugal-pragma oracles carry their own
+        # SET statements, and DuckDB refuses to switch temp_directory on a
+        # connection that already spilled (the test_oracle_parity.py fix).
+        c = duckdb.connect()
+        c.execute(f"SET memory_limit='{args.mem}'")
+        c.execute(
+            f"SET temp_directory='{tempfile.mkdtemp(prefix='duck_sub_')}'"
         )
+        for t in TABLES:
+            c.execute(
+                f"CREATE VIEW {t} AS SELECT * FROM '{args.sf}/{t}.parquet'"
+            )
+        return c
+
     failed = 0
     for name in args.names:
         if name not in QUERIES:
@@ -60,7 +67,11 @@ def main() -> int:
             if name not in ORACLES:
                 print(f"{name}: rows-only OK ({len(spdf)} rows)")
                 continue
-            dpdf = con.execute(ORACLES[name]).df()
+            con = fresh_con()
+            try:
+                dpdf = con.execute(ORACLES[name]).df()
+            finally:
+                con.close()
             issues = compare_frames(spdf, dpdf)
             status = "OK" if not issues else "FAIL " + " | ".join(issues)
             if issues:
