@@ -1852,3 +1852,104 @@ def stat_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{chi2} AS chi2",
         f"({chi2}) > 3.841458820694124 AS srm_detected",
     )
+
+
+@register(
+    "stat_diff_in_diff",
+    oracle="""
+    WITH cells AS (
+        SELECT CAST(user_id % 2 AS INT) AS treated,
+               CASE WHEN ts >= TIMESTAMP '2024-01-16' THEN 1 ELSE 0 END
+                 AS post,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS x
+        FROM events WHERE event_type = 'purchase'
+    ),
+    m AS (
+        SELECT treated, post,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(x) AS DOUBLE) AS s,
+               CAST(SUM(x * x) AS DOUBLE) AS q
+        FROM cells GROUP BY treated, post
+    ),
+    w AS (
+        SELECT
+          MAX(CASE WHEN treated = 1 AND post = 1 THEN s / n END) AS m11,
+          MAX(CASE WHEN treated = 1 AND post = 0 THEN s / n END) AS m10,
+          MAX(CASE WHEN treated = 0 AND post = 1 THEN s / n END) AS m01,
+          MAX(CASE WHEN treated = 0 AND post = 0 THEN s / n END) AS m00,
+          MAX(CASE WHEN treated = 1 AND post = 1
+                   THEN (q - s * s / n) / (n - 1.0) / n END) AS v11,
+          MAX(CASE WHEN treated = 1 AND post = 0
+                   THEN (q - s * s / n) / (n - 1.0) / n END) AS v10,
+          MAX(CASE WHEN treated = 0 AND post = 1
+                   THEN (q - s * s / n) / (n - 1.0) / n END) AS v01,
+          MAX(CASE WHEN treated = 0 AND post = 0
+                   THEN (q - s * s / n) / (n - 1.0) / n END) AS v00,
+          CAST(SUM(n) AS BIGINT) AS n_rows
+        FROM m
+    )
+    SELECT n_rows,
+           (m11 - m10) / 100.0 AS treated_delta,
+           (m01 - m00) / 100.0 AS control_delta,
+           ((m11 - m10) - (m01 - m00)) / 100.0 AS did_estimate,
+           SQRT(v11 + v10 + v01 + v00) / 100.0 AS did_se
+    FROM w
+    """,
+)
+def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Difference-in-differences: (treated post - treated pre) - (control
+    post - control pre) with its standard error from the four cell
+    variances — the quasi-experimental estimator for launches that can't
+    be randomized (user_id parity as the 'treated' group, the period
+    midpoint as the policy date). One grouped aggregate of exact integer
+    power sums over 4 cells; every output is one shared float formula on
+    the 12-number pivot row. 100 TB: one shuffle of (2-bit key, 3 sums)."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type") == "purchase"
+    )
+    cells = e.select(
+        (F.col("user_id") % 2).cast("int").alias("treated"),
+        F.when(
+            F.col("ts") >= F.expr("TIMESTAMP_NTZ '2024-01-16 00:00:00'"), 1
+        )
+        .otherwise(0)
+        .alias("post"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+    )
+    m = cells.groupBy("treated", "post").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("x").cast("double").alias("s"),
+        F.sum(F.col("x") * F.col("x")).cast("double").alias("q"),
+    )
+    mean = "s / n"
+    var = "(q - s * s / n) / (n - 1.0) / n"
+    w = m.agg(
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p),
+                    F.expr(mean),
+                )
+            ).alias(f"m{t}{p}")
+            for t in (1, 0)
+            for p in (1, 0)
+        ],
+        *[
+            F.max(
+                F.when(
+                    (F.col("treated") == t) & (F.col("post") == p),
+                    F.expr(var),
+                )
+            ).alias(f"v{t}{p}")
+            for t in (1, 0)
+            for p in (1, 0)
+        ],
+        F.sum("n").cast("bigint").alias("n_rows"),
+    )
+    return w.selectExpr(
+        "n_rows",
+        "(m11 - m10) / 100.0 AS treated_delta",
+        "(m01 - m00) / 100.0 AS control_delta",
+        "((m11 - m10) - (m01 - m00)) / 100.0 AS did_estimate",
+        "SQRT(v11 + v10 + v01 + v00) / 100.0 AS did_se",
+    )

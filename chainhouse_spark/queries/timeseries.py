@@ -1169,3 +1169,75 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("v_last"),
         F.count(F.lit(1)).cast("bigint").alias("n_points"),
     )
+
+
+@register(
+    "ts_trend_slope_by_type",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS y
+        FROM events
+    ),
+    norm AS (
+        SELECT event_type, h - MIN(h) OVER () AS t, y FROM pts
+    ),
+    m AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(t) AS DOUBLE) AS st,
+               CAST(SUM(y) AS DOUBLE) AS sy,
+               CAST(SUM(t * t) AS DOUBLE) AS stt,
+               CAST(SUM(y * y) AS DOUBLE) AS syy,
+               CAST(SUM(t * y) AS DOUBLE) AS sty
+        FROM norm GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n AS BIGINT) AS n_events,
+           ((n * sty - st * sy) / (n * stt - st * st)) / 100.0
+             AS slope_cents_per_hour,
+           ((sy - st * (n * sty - st * sy) / (n * stt - st * st)) / n) / 100.0
+             AS intercept,
+           (n * sty - st * sy) * (n * sty - st * sy)
+             / ((n * stt - st * st) * (n * syy - sy * sy)) AS r2
+    FROM m
+    """,
+)
+def ts_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-series OLS trend: slope/intercept/r² of value-vs-hour for every
+    event type in ONE grouped aggregate — the 'is this metric drifting'
+    detector, the grouped sibling of the global `stat_corr_regression`.
+    Hours are re-based to the corpus minimum (a broadcast scalar window
+    over a constant) so t*t sums stay small-integer-exact; all power sums
+    are exact integers, the OLS formulas one shared float expression per
+    group. 100 TB: one shuffle of (type, 5 sums) — nothing else moves."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 3600)
+        .cast("bigint")
+        .alias("h"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("y"),
+    )
+    h0 = pts.agg(F.min("h").alias("h0"))
+    norm = pts.crossJoin(F.broadcast(h0)).select(
+        "event_type", (F.col("h") - F.col("h0")).alias("t"), "y"
+    )
+    m = norm.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("t").cast("double").alias("st"),
+        F.sum("y").cast("double").alias("sy"),
+        F.sum(F.col("t") * F.col("t")).cast("double").alias("stt"),
+        F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
+        F.sum(F.col("t") * F.col("y")).cast("double").alias("sty"),
+    )
+    slope = "(n * sty - st * sy) / (n * stt - st * st)"
+    return m.selectExpr(
+        "event_type",
+        "CAST(n AS BIGINT) AS n_events",
+        f"({slope}) / 100.0 AS slope_cents_per_hour",
+        f"((sy - st * ({slope})) / n) / 100.0 AS intercept",
+        "(n * sty - st * sy) * (n * sty - st * sy)"
+        " / ((n * stt - st * st) * (n * syy - sy * sy)) AS r2",
+    )
