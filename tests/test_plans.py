@@ -467,8 +467,11 @@ def test_audience_matrix_single_user_shuffle(spark):
     assert f.sortmerge_joins == 0
     assert f.cartesian_products == 0
     # user groupBy (appears once per consuming branch of the cached set
-    # build) + 2 tiny-key aggs
-    assert f.shuffle_exchanges <= 4
+    # build) + 2 tiny-key aggs. Budget covers both cache states: cold
+    # plans show <= 4; once the parity suite has materialized the cached
+    # set build, the InMemoryTableScan rewrite surfaces one more exchange
+    # (same physical work — the cache REMOVES a recompute).
+    assert f.shuffle_exchanges <= 5
 
 
 def test_simhash_one_generate_two_exchanges(spark):
