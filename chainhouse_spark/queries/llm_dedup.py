@@ -633,3 +633,60 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs_in_pairs_ge",
         )
     )
+
+
+@register(
+    "dedup_cluster_size_histogram",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH sized AS (
+        SELECT md5(text) AS h,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_tok
+        FROM documents
+    ),
+    clusters AS (
+        SELECT h, CAST(COUNT(*) AS BIGINT) AS n_copies,
+               CAST(SUM(n_tok) AS BIGINT) AS tok
+        FROM sized GROUP BY h
+    )
+    SELECT CASE WHEN n_copies = 1 THEN '1'
+                WHEN n_copies = 2 THEN '2'
+                WHEN n_copies <= 5 THEN '3-5'
+                ELSE '6+' END AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(n_copies) AS BIGINT) AS n_docs,
+           CAST(SUM(tok) AS BIGINT) AS n_tokens,
+           CAST(SUM(tok) - SUM(tok // n_copies) AS BIGINT) AS excess_tokens
+    FROM clusters GROUP BY 1
+    """,
+)
+def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact-duplicate cluster-size histogram weighted by documents AND
+    tokens — the 'how bad is duplication' readout that sizes a dedup run
+    before paying for it (clusters of 2 vs a few hot 6+ clusters need
+    different strategies: hash dedup vs investigating a crawler loop).
+    excess_tokens = tokens beyond one kept copy per cluster (integer floor
+    share) — the mass hard dedup would remove. One 16-byte-key shuffle,
+    then a 4-bucket rollup."""
+    docs = load_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    clusters = sized.groupBy("h").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_copies"),
+        F.sum("n_tok").cast("bigint").alias("tok"),
+    )
+    bucket = (
+        F.when(F.col("n_copies") == 1, "1")
+        .when(F.col("n_copies") == 2, "2")
+        .when(F.col("n_copies") <= 5, "3-5")
+        .otherwise("6+")
+    )
+    return clusters.groupBy(bucket.alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_clusters"),
+        F.sum("n_copies").cast("bigint").alias("n_docs"),
+        F.sum("tok").cast("bigint").alias("n_tokens"),
+        (F.sum("tok") - F.sum(F.expr("tok DIV n_copies")))
+        .cast("bigint")
+        .alias("excess_tokens"),
+    )

@@ -358,3 +358,102 @@ def interval_overlap_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overlap_min"),
     ).orderBy("a_id", "b_id")
+
+
+@register(
+    "asof_tolerance_join",
+    oracle="""
+    WITH p AS (
+        SELECT event_id AS purchase_id, user_id, ts AS purchase_ts
+        FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, event_id AS click_id, ts AS click_ts
+        FROM events WHERE event_type = 'click'
+    ),
+    matched AS (
+        SELECT p.purchase_id, p.user_id, p.purchase_ts,
+               c.click_id, c.click_ts
+        FROM p ASOF LEFT JOIN c
+          ON p.user_id = c.user_id AND p.purchase_ts >= c.click_ts
+    ),
+    tol AS (
+        SELECT purchase_id, user_id, purchase_ts,
+               CASE WHEN click_ts IS NOT NULL
+                     AND purchase_ts - click_ts <= INTERVAL 30 MINUTE
+                    THEN click_id END AS click_id,
+               CASE WHEN click_ts IS NOT NULL
+                     AND purchase_ts - click_ts <= INTERVAL 30 MINUTE
+                    THEN click_ts END AS click_ts
+        FROM matched
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           CAST(COUNT(click_id) AS BIGINT) AS n_matched,
+           CAST(COUNT(click_id) AS DOUBLE) / COUNT(*) AS match_rate,
+           CAST(SUM(CASE WHEN click_id IS NOT NULL
+                         THEN CAST(FLOOR(epoch(purchase_ts)) AS BIGINT)
+                              - CAST(FLOOR(epoch(click_ts)) AS BIGINT)
+                         ELSE 0 END) AS BIGINT) AS total_lag_seconds
+    FROM tol
+    """,
+)
+def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join with a TOLERANCE (pandas merge_asof's `tolerance=` —
+    matches staler than 30 minutes are nulled, the point-in-time
+    feature-join hygiene rule: a 'most recent click' from last week is
+    not a signal). Tolerance applies AFTER the as-of match, matching
+    pandas semantics exactly: a too-old nearest match nulls out rather
+    than falling back to nothing-nearer. Same single-shuffle union-carry
+    as the base as-of operator; the summary (match rate, total lag) is
+    one scalar gather. Oracled against DuckDB's native ASOF LEFT JOIN
+    with the identical post-filter."""
+    e = load_table(spark, sf_dir, "events")
+    purchases = e.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+    )
+    clicks = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        F.col("ts").alias("ts"),
+        F.col("event_id").alias("click_id"),
+        F.col("ts").alias("click_ts"),
+    )
+    from chainhouse_spark.operators.asof import asof_join
+
+    matched = asof_join(
+        purchases.withColumnRenamed("purchase_ts", "ts"),
+        clicks,
+        by="user_id",
+        ts="ts",
+        right_payload=["click_id", "click_ts"],
+    )
+    # Tolerance compares raw timestamps (microsecond-exact interval
+    # arithmetic, matching the oracle's INTERVAL comparison); the lag SUM
+    # floors to whole seconds per side (unix_seconds semantics — the
+    # oracle FLOORs epoch() to match). TIMESTAMP_NTZ has no direct long
+    # cast; unix_seconds via TIMESTAMP is lossless under the UTC session.
+    secs = lambda c: F.unix_seconds(F.col(c).cast("timestamp"))  # noqa: E731
+    in_tol = F.col("click_ts").isNotNull() & (
+        F.col("ts") <= F.col("click_ts") + F.expr("INTERVAL 30 MINUTES")
+    )
+    tol = matched.select(
+        "ts",
+        F.when(in_tol, F.col("click_id")).alias("click_id"),
+        F.when(in_tol, F.col("click_ts")).alias("click_ts"),
+    )
+    return tol.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
+        F.count("click_id").cast("bigint").alias("n_matched"),
+        (F.count("click_id").cast("double") / F.count(F.lit(1))).alias(
+            "match_rate"
+        ),
+        F.sum(
+            F.when(
+                F.col("click_id").isNotNull(),
+                secs("ts") - secs("click_ts"),
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("total_lag_seconds"),
+    )
