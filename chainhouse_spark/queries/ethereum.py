@@ -1018,3 +1018,52 @@ def eth_uncle_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max(n_unc).cast("bigint").alias("max_uncles"),
     )
+
+
+@register(
+    "eth_access_list_stats",
+    oracle=f"""
+    WITH tx AS (SELECT unnest(transactions) AS t FROM {_RAW}),
+    parsed AS (
+        SELECT json_transform(t.accessList,
+                 '[{{"address":"VARCHAR","storageKeys":["VARCHAR"]}}]') AS al
+        FROM tx WHERE t.accessList IS NOT NULL
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_txs_with_list,
+           CAST(SUM(len(al)) AS BIGINT) AS total_entries,
+           CAST(SUM(list_sum(list_transform(al, e -> len(e.storageKeys))))
+                AS BIGINT) AS total_storage_keys,
+           CAST(COUNT(DISTINCT al[1].address) AS BIGINT)
+             AS n_distinct_first_addresses
+    FROM parsed
+    """,
+)
+def eth_access_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIP-2930 access-list analytics: entry and storage-key counts plus
+    distinct warmed addresses — the gas-optimization readout (access lists
+    pre-warm state; how much do senders actually use them). The pipeline
+    stores accessList as a JSON string (P6, reference
+    /root/reference/src/main.rs:238-241 serializes it the same way), so
+    this is the oracle-checked proof of that column's round-trip: Spark
+    re-parses with from_json into a typed array-of-structs, DuckDB with
+    json_transform — both then count structurally. Map-side parse, one
+    scalar gather."""
+    tx = _tables(spark)["transactions"]
+    al_type = "array<struct<address:string,storageKeys:array<string>>>"
+    parsed = tx.filter(F.col("accessList").isNotNull()).select(
+        F.from_json(F.col("accessList"), al_type).alias("al")
+    )
+    return parsed.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_txs_with_list"),
+        F.sum(F.size("al")).cast("bigint").alias("total_entries"),
+        F.sum(
+            F.expr(
+                "aggregate(al, 0, (acc, e) -> acc + size(e.storageKeys))"
+            )
+        )
+        .cast("bigint")
+        .alias("total_storage_keys"),
+        F.countDistinct(F.expr("al[0].address"))
+        .cast("bigint")
+        .alias("n_distinct_first_addresses"),
+    )

@@ -572,3 +572,49 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"SQRT(CAST(SUM({dec.format(x='(ca - cb) * (ca - cb)')}) AS DOUBLE))"
         ).alias("centroid_l2_drift"),
     )
+
+
+@register(
+    "ann_range_search",
+    oracle=f"""
+    WITH dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_DOT} AS dot, {_QQ} AS qq, {_CC} AS cc
+        FROM embeddings q, embeddings c, {_IDX}
+        WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+        GROUP BY q.vec_id, c.vec_id
+    )
+    SELECT query_id, cand_id, dot / (sqrt(qq) * sqrt(cc)) AS cos_sim
+    FROM dots
+    WHERE dot / (sqrt(qq) * sqrt(cc)) >= 0.3
+    """,
+)
+def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range (radius) similarity search: ALL neighbors with cosine >= 0.3
+    per query — the other retrieval API next to top-k (dedup and
+    contamination sweeps want 'everything this similar', not 'the 10
+    nearest'). Same ordered-fold cosine as `ann_bruteforce_topk` (exact
+    across engines), same broadcast-queries map-only scan; the threshold
+    makes the operator OUTPUT-bounded by data similarity rather than k —
+    at 100 TB the scan cost is identical to brute-force top-k and the
+    emitted pairs are the true result size (LSH/IVF prefilters compose in
+    front exactly as in the top-k variants)."""
+    from chainhouse_spark.functions.vector import cosine_sql
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5).select(
+        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+    )
+    c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_vec")
+    )
+    return (
+        c.crossJoin(F.broadcast(q))
+        .filter(F.col("cand_id") != F.col("query_id"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= 0.3)
+    )
