@@ -123,3 +123,34 @@ def sort_limit_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
         .limit(25)
     )
+
+
+@register(
+    "setop_intersect_all",
+    oracle="""
+    SELECT custkey, COUNT(*) AS n FROM (
+        SELECT o_custkey AS custkey FROM orders
+        INTERSECT ALL
+        SELECT l_suppkey AS custkey FROM lineitem
+    )
+    GROUP BY custkey
+    """,
+)
+def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bag intersection (INTERSECT ALL — each key survives min(count_left,
+    count_right) times), completing the multiset trio next to EXCEPT ALL
+    and UNION ALL. Spark's intersectAll plans the same partial-count
+    aggregate + join shape any engine uses; keys here overlap the
+    custkey/suppkey id ranges so the multiset min is exercised on real
+    multiplicities."""
+    o = load_table(spark, sf_dir, "orders").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    li = load_table(spark, sf_dir, "lineitem").select(
+        F.col("l_suppkey").alias("custkey")
+    )
+    return (
+        o.intersectAll(li)
+        .groupBy("custkey")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
