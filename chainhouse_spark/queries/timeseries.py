@@ -1241,3 +1241,81 @@ def ts_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(n * sty - st * sy) * (n * sty - st * sy)"
         " / ((n * stt - st * st) * (n * syy - sy * sy)) AS r2",
     )
+
+
+@register(
+    "ts_anomaly_seasonal_zscore",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS h,
+               CAST(COUNT(*) AS BIGINT) AS c
+        FROM events GROUP BY 1, 2
+    ),
+    prof AS (
+        SELECT event_type, h % 24 AS hod,
+               CAST(COUNT(*) AS DOUBLE) AS n,
+               CAST(SUM(c) AS DOUBLE) AS s,
+               CAST(SUM(c * c) AS DOUBLE) AS q
+        FROM hourly GROUP BY 1, 2
+    ),
+    z AS (
+        SELECT h.event_type, h.h, h.c,
+               (h.c - p.s / p.n)
+                 / SQRT((p.q - p.s * p.s / p.n) / (p.n - 1.0)) AS z
+        FROM hourly h JOIN prof p
+          ON h.event_type = p.event_type AND h.h % 24 = p.hod
+        WHERE p.n > 1 AND p.q * p.n > p.s * p.s
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_hours,
+           CAST(SUM(CASE WHEN ABS(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_anomalous,
+           MAX(ABS(z)) AS max_abs_z
+    FROM z GROUP BY event_type
+    """,
+)
+def ts_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Seasonal-profile anomaly detection: each hour's event count scored
+    against ITS OWN hour-of-day profile (mean/σ per (series, hod) from
+    exact integer power sums) — the ops-alerting shape that doesn't page
+    at 3am just because 3am is always quiet (a global z-score does; the
+    rolling-MAD flags local spikes, this flags schedule violations).
+    Degenerate profiles (one observation or zero variance) are excluded
+    identically in both engines via exact integer predicates. One hourly
+    aggregate, a 24-cell profile joined back (broadcast at any scale),
+    fixed float formula per row."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 3600)
+        .cast("bigint")
+        .alias("h"),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    prof = hourly.groupBy(
+        "event_type", (F.col("h") % 24).alias("hod")
+    ).agg(
+        F.count(F.lit(1)).cast("double").alias("n"),
+        F.sum("c").cast("double").alias("s"),
+        F.sum(F.col("c") * F.col("c")).cast("double").alias("q"),
+    )
+    z = (
+        hourly.withColumn("hod", F.col("h") % 24)
+        .join(F.broadcast(prof), ["event_type", "hod"])
+        .filter(
+            (F.col("n") > 1) & (F.col("q") * F.col("n") > F.col("s") * F.col("s"))
+        )
+        .select(
+            "event_type",
+            F.expr(
+                "(c - s / n) / SQRT((q - s * s / n) / (n - 1.0))"
+            ).alias("z"),
+        )
+    )
+    return z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_hours"),
+        F.sum(F.when(F.abs(F.col("z")) > 3.0, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_anomalous"),
+        F.max(F.abs(F.col("z"))).alias("max_abs_z"),
+    )
