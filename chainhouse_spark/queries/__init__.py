@@ -65,40 +65,48 @@ from chainhouse_spark.queries import llm_training  # noqa: E402,F401
 # Round-5 additions — mid bucket, round-6 window.
 from chainhouse_spark.queries import bpe_queries  # noqa: E402,F401
 
-# Round-6 rotation. 236/286 queries hold a cumulative green driver verdict
-# (CORRECTNESS_r01..r05); those rotate to the back. Front = exactly one
-# 50-row window: the single non-green row (eth_erc20_transfer_decode, red in
-# r04+r05 — root cause was the Spark DECIMAL vs oracle VARCHAR dtype
-# asymmetry, fixed this round by casting the Spark side to STRING; see
-# queries/ethereum.py) followed by all 49 never-driver-checked queries in
-# registration order (round-5 additions: training export, BPE, statistics,
-# pipeline diagnostics, pHash/audio/video multimodal, ch_dialect_qualify,
-# eth nonce/tips, streaming advisor). After this window every registered
-# query holds a driver verdict.
-_ROUND6_FRONT = [
-    "eth_erc20_transfer_decode", "text_encoding_quality",
-    "pipeline_training_ready", "mine_hard_negatives", "asof_nearest_click",
-    "interval_overlap_join_binned", "stat_mann_whitney_u",
-    "bpe_train_merges", "bpe_encode_compression", "corpus_shuffle_shards",
-    "sample_weighted_reservoir", "batch_by_length_buckets",
-    "export_training_shards", "dedup_clusters_star", "dedup_threshold_sweep",
-    "embedding_class_separation", "text_collocations_pmi", "corpus_zipf_fit",
-    "dsir_importance_select", "dataset_card_by_source",
-    "sample_exact_k_per_group", "corpus_ngram_novelty",
-    "lm_bigram_perplexity_rank", "nb_classify_confusion",
-    "eval_cohens_kappa", "nb_margin_calibration",
-    "funnel_latency_percentiles", "sequence_transition_matrix",
-    "audience_rfm_segments", "mm_image_ahash_dedup", "mm_image_phash_dedup",
-    "mm_video_scene_cuts", "mm_audio_quality", "drift_psi_by_source",
-    "stat_runs_test", "stat_trimmed_mean", "stat_spearman_corr",
-    "stat_mutual_information", "stat_gini_concentration",
-    "stat_arrival_burstiness", "ts_autocorrelation", "sketch_countmin_heavy",
-    "sketch_hll_registers", "graph_link_prediction", "eth_nonce_gaps",
-    "eth_miner_tips", "join_skew_preflight", "ann_binary_hamming_topk",
-    "ch_dialect_qualify", "stream_watermark_advisor",
+# Round-7 rotation (tools/build_rotation.py, regenerated at round start).
+# 286/315 registered queries hold a cumulative green driver verdict
+# (CORRECTNESS_r01..r06, zero red rows outstanding); those rotate to the
+# back. Front = the 29 round-6 additions that have never been driver-checked
+# (experimentation stats, time-series, graph, eth, ANN range search, as-of
+# tolerance, INTERSECT ALL, streaming hourly-distinct), in registration
+# order. Round-7 additions land in the mid bucket directly behind them, so
+# the same ~50-row window adjudicates both. After this window every query
+# registered before round 7 holds a driver verdict.
+_ROUND7_FRONT = [
+    "dedup_cluster_size_histogram",
+    "embedding_centroid_drift",
+    "ann_range_search",
+    "text_hapax_ratio",
+    "sample_temperature_mixing",
+    "sample_downweight_duplicates",
+    "nb_classwise_f1",
+    "eval_retrieval_ndcg",
+    "asof_tolerance_join",
+    "funnel_retention_conditions",
+    "audience_ltv_cohort",
+    "stat_bootstrap_se",
+    "stat_ab_power_mde",
+    "stat_cuped_variance_reduction",
+    "stat_srm_check",
+    "stat_diff_in_diff",
+    "ts_seasonality_strength",
+    "ts_m4_downsample",
+    "ts_trend_slope_by_type",
+    "ts_anomaly_seasonal_zscore",
+    "graph_label_propagation",
+    "graph_kcore_peel",
+    "graph_assortativity",
+    "setop_intersect_all",
+    "eth_base_fee_projection",
+    "eth_selector_histogram",
+    "eth_uncle_rate",
+    "eth_access_list_stats",
+    "stream_hourly_distinct_users",
 ]
 
-# Union of green rows across CORRECTNESS_r01..r05 (236 names, regenerated by
+# Union of green rows across CORRECTNESS_r01..r06 (286 names, regenerated by
 # tools/build_rotation.py — tools/correctness_coverage.py verifies).
 _DRIVER_GREEN = {
     "agg_approx_distinct", "agg_conditional_bool", "agg_cube",
@@ -106,49 +114,62 @@ _DRIVER_GREEN = {
     "agg_mode_deterministic", "agg_percentiles", "agg_pivot", "agg_rollup",
     "agg_rollup_reagg", "agg_salted_two_phase", "agg_string_collect",
     "agg_sum_map_merge", "agg_uniq_up_to", "agg_unpivot",
-    "ann_bruteforce_gemm", "ann_bruteforce_topk", "ann_ivf_at_rest_topk",
-    "ann_ivf_topk", "ann_ivfpq_topk", "ann_knn_classify",
-    "ann_lsh_multiprobe_topk", "ann_lsh_topk", "ann_pq_topk",
-    "ann_projected_lsh_topk", "ann_quantized_topk", "ann_two_stage_rerank",
-    "array_set_algebra", "array_zip_positional", "asof_next_error",
-    "asof_purchase_click", "attribution_last_click", "audience_overlap_hll",
-    "audience_overlap_matrix", "bpe_pair_stats", "cdc_snapshot_diff",
-    "ch_dialect_frontend", "ch_dialect_ip_rollup", "ch_dialect_json_buckets",
-    "ch_dialect_url_funcs", "cluster_kmeans_summary",
-    "corpus_overlap_minhash", "dataset_profile",
+    "ann_binary_hamming_topk", "ann_bruteforce_gemm", "ann_bruteforce_topk",
+    "ann_ivf_at_rest_topk", "ann_ivf_topk", "ann_ivfpq_topk",
+    "ann_knn_classify", "ann_lsh_multiprobe_topk", "ann_lsh_topk",
+    "ann_pq_topk", "ann_projected_lsh_topk", "ann_quantized_topk",
+    "ann_two_stage_rerank", "array_set_algebra", "array_zip_positional",
+    "asof_nearest_click", "asof_next_error", "asof_purchase_click",
+    "attribution_last_click", "audience_overlap_hll",
+    "audience_overlap_matrix", "audience_rfm_segments",
+    "batch_by_length_buckets", "bpe_encode_compression", "bpe_pair_stats",
+    "bpe_train_merges", "cdc_snapshot_diff", "ch_dialect_frontend",
+    "ch_dialect_ip_rollup", "ch_dialect_json_buckets", "ch_dialect_qualify",
+    "ch_dialect_url_funcs", "cluster_kmeans_summary", "corpus_ngram_novelty",
+    "corpus_overlap_minhash", "corpus_shuffle_shards", "corpus_zipf_fit",
+    "dataset_card_by_source", "dataset_profile",
     "decontaminate_against_testset", "decontaminate_bloom",
-    "decontaminate_neardup_lsh", "dedup_containment",
+    "decontaminate_neardup_lsh", "dedup_clusters_star", "dedup_containment",
     "dedup_duplicate_clusters", "dedup_edit_distance_pairs", "dedup_exact",
     "dedup_exact_normalized", "dedup_minhash_incremental",
     "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ppjoin_exact",
     "dedup_simhash", "dedup_simhash_pairs", "dedup_substring_spans",
-    "embedding_near_pairs", "embedding_norms", "embedding_quantize_int8",
-    "embedding_random_projection", "eth_address_net_flow",
-    "eth_block_fullness", "eth_blocks_table", "eth_contract_creations",
-    "eth_effective_gas_price_stats", "eth_event_topics", "eth_fee_burn",
+    "dedup_threshold_sweep", "drift_psi_by_source", "dsir_importance_select",
+    "embedding_class_separation", "embedding_near_pairs", "embedding_norms",
+    "embedding_quantize_int8", "embedding_random_projection",
+    "eth_address_net_flow", "eth_block_fullness", "eth_blocks_table",
+    "eth_contract_creations", "eth_effective_gas_price_stats",
+    "eth_erc20_transfer_decode", "eth_event_topics", "eth_fee_burn",
     "eth_gas_by_block", "eth_log_address_activity", "eth_log_payload_stats",
-    "eth_reorg_canonical", "eth_top_senders", "eth_type2_fee_stats",
-    "eth_withdrawal_totals", "feature_hashing_vectorize",
-    "filter_quality_gate_by_source", "funnel_depth_histogram",
-    "funnel_steps", "geo_grid_near_pairs", "graph_bfs_hops",
-    "graph_degree_distribution", "graph_pagerank", "graph_triangle_count",
+    "eth_miner_tips", "eth_nonce_gaps", "eth_reorg_canonical",
+    "eth_top_senders", "eth_type2_fee_stats", "eth_withdrawal_totals",
+    "eval_cohens_kappa", "export_training_shards",
+    "feature_hashing_vectorize", "filter_quality_gate_by_source",
+    "funnel_depth_histogram", "funnel_latency_percentiles", "funnel_steps",
+    "geo_grid_near_pairs", "graph_bfs_hops", "graph_degree_distribution",
+    "graph_link_prediction", "graph_pagerank", "graph_triangle_count",
     "incremental_agg_merge", "interleave_weighted_sources",
-    "interval_join_binned", "join_anti", "join_cross", "join_fact_fact",
-    "join_full_outer", "join_inner_broadcast", "join_left_outer",
-    "join_salted_skew", "join_self", "join_semi",
-    "lateral_topk_per_customer", "mixture_token_budget_plan",
-    "mm_audio_features", "mm_frame_sample", "mm_image_features",
-    "mm_image_resize", "mm_metadata_stats", "pack_documents_greedy",
-    "pipeline_clean_corpus", "q10_returned_items", "q11_important_parts",
-    "q12_lateness_priority", "q13_customer_distribution",
-    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
-    "q17_small_quantity_revenue", "q18_large_orders",
+    "interval_join_binned", "interval_overlap_join_binned", "join_anti",
+    "join_cross", "join_fact_fact", "join_full_outer",
+    "join_inner_broadcast", "join_left_outer", "join_salted_skew",
+    "join_self", "join_semi", "join_skew_preflight",
+    "lateral_topk_per_customer", "lm_bigram_perplexity_rank",
+    "mine_hard_negatives", "mixture_token_budget_plan", "mm_audio_features",
+    "mm_audio_quality", "mm_frame_sample", "mm_image_ahash_dedup",
+    "mm_image_features", "mm_image_phash_dedup", "mm_image_resize",
+    "mm_metadata_stats", "mm_video_scene_cuts", "nb_classify_confusion",
+    "nb_margin_calibration", "pack_documents_greedy",
+    "pipeline_clean_corpus", "pipeline_training_ready", "q10_returned_items",
+    "q11_important_parts", "q12_lateness_priority",
+    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
+    "q16_supplier_count", "q17_small_quantity_revenue", "q18_large_orders",
     "q19_disjunctive_revenue", "q1_pricing_summary", "q20_excess_suppliers",
     "q21_waiting_supplier", "q22_idle_customers", "q2_min_cost_supplier",
     "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "range_join_sessions", "retention_weekly",
-    "sample_stratified_per_lang", "scalar_array_funcs", "scalar_bitwise",
+    "sample_exact_k_per_group", "sample_stratified_per_lang",
+    "sample_weighted_reservoir", "scalar_array_funcs", "scalar_bitwise",
     "scalar_conditional", "scalar_date_funcs", "scalar_higher_order",
     "scalar_ip_funcs", "scalar_json", "scalar_map_funcs",
     "scalar_math_funcs", "scalar_null_semantics", "scalar_regex",
@@ -156,41 +177,47 @@ _DRIVER_GREEN = {
     "scalar_variant_json", "scd2_customer_merge", "search_bm25_topk",
     "search_hybrid_rrf", "search_inverted_index", "search_phrase_match",
     "semantic_dedup_kept", "sequence_match_regex",
-    "sequence_pairs_click_purchase", "sessionize_batch", "setop_except",
-    "setop_except_all", "setop_intersect", "setop_union_all",
-    "setop_union_distinct", "sketch_approx_percentile", "sketch_freq_items",
-    "sketch_hll_merge", "sketch_theta_set_ops", "sort_limit_topk",
-    "split_train_test_hash", "sql_frontend_passthrough", "sql_group_by_all",
-    "sql_recursive_cte_spine", "stat_benford_audit", "stat_chi_square",
-    "stat_corr_regression", "stat_entropy", "stat_equidepth_histogram",
-    "stat_histogram_fixed_bins", "stat_ks_two_sample", "stat_median_iqr",
-    "stat_moments", "stat_time_weighted_avg", "stat_weighted_median",
-    "stat_welch_ttest", "stat_zscore_outliers", "stream_click_purchase_join",
+    "sequence_pairs_click_purchase", "sequence_transition_matrix",
+    "sessionize_batch", "setop_except", "setop_except_all",
+    "setop_intersect", "setop_union_all", "setop_union_distinct",
+    "sketch_approx_percentile", "sketch_countmin_heavy", "sketch_freq_items",
+    "sketch_hll_merge", "sketch_hll_registers", "sketch_theta_set_ops",
+    "sort_limit_topk", "split_train_test_hash", "sql_frontend_passthrough",
+    "sql_group_by_all", "sql_recursive_cte_spine", "stat_arrival_burstiness",
+    "stat_benford_audit", "stat_chi_square", "stat_corr_regression",
+    "stat_entropy", "stat_equidepth_histogram", "stat_gini_concentration",
+    "stat_histogram_fixed_bins", "stat_ks_two_sample", "stat_mann_whitney_u",
+    "stat_median_iqr", "stat_moments", "stat_mutual_information",
+    "stat_runs_test", "stat_spearman_corr", "stat_time_weighted_avg",
+    "stat_trimmed_mean", "stat_weighted_median", "stat_welch_ttest",
+    "stat_zscore_outliers", "stream_click_purchase_join",
     "stream_dedup_keys", "stream_incremental_lsh_pairs",
     "stream_session_window", "stream_sessionize_custom_state",
     "stream_static_enrichment", "stream_tumbling_counts",
-    "stream_user_value_state", "subquery_correlated_scalar",
-    "subquery_exists_correlated", "subquery_in", "subquery_not_in",
-    "subquery_scalar", "text_chunk_chars", "text_chunk_words",
+    "stream_user_value_state", "stream_watermark_advisor",
+    "subquery_correlated_scalar", "subquery_exists_correlated",
+    "subquery_in", "subquery_not_in", "subquery_scalar", "text_chunk_chars",
+    "text_chunk_words", "text_collocations_pmi", "text_encoding_quality",
     "text_fingerprint", "text_langid", "text_pii_redaction",
     "text_quality_scores", "text_rarity_score", "text_repetition_metrics",
     "text_token_stats", "tfidf_top_terms", "tokenize_with_vocab",
-    "topk_heavy_hitters", "ts_cusum_changepoint", "ts_ema_trailing",
-    "ts_hopping_window", "ts_interpolate_linear", "ts_lttb_downsample",
-    "ts_minute_spine_gapfill", "ts_ohlc_bars", "ts_rolling_mad_anomaly",
-    "ts_rollup_hour_from_minute", "ts_rollup_minute",
-    "ts_seasonal_naive_error", "ts_session_window_builtin",
-    "ts_tumbling_window", "udaf_gmean_by_type", "udtf_token_counts",
-    "vocab_build", "window_cumulative_distinct_users", "window_first_last",
-    "window_ignore_nulls", "window_lag_lead", "window_moving_median",
-    "window_range_interval_frame", "window_rank_dense_ntile",
-    "window_rank_fractions", "window_rolling_corr", "window_running_sum",
-    "window_sliding_frame", "window_topn_per_group",
+    "topk_heavy_hitters", "ts_autocorrelation", "ts_cusum_changepoint",
+    "ts_ema_trailing", "ts_hopping_window", "ts_interpolate_linear",
+    "ts_lttb_downsample", "ts_minute_spine_gapfill", "ts_ohlc_bars",
+    "ts_rolling_mad_anomaly", "ts_rollup_hour_from_minute",
+    "ts_rollup_minute", "ts_seasonal_naive_error",
+    "ts_session_window_builtin", "ts_tumbling_window", "udaf_gmean_by_type",
+    "udtf_token_counts", "vocab_build", "window_cumulative_distinct_users",
+    "window_first_last", "window_ignore_nulls", "window_lag_lead",
+    "window_moving_median", "window_range_interval_frame",
+    "window_rank_dense_ntile", "window_rank_fractions",
+    "window_rolling_corr", "window_running_sum", "window_sliding_frame",
+    "window_topn_per_group",
 }
 
 
 def _rotate() -> None:
-    front = [n for n in _ROUND6_FRONT if n in QUERIES]
+    front = [n for n in _ROUND7_FRONT if n in QUERIES]
     in_front = set(front)
     assert len(in_front) == len(front), "duplicate name in rotation lists"
     # New queries (registered but in neither explicit list nor the green

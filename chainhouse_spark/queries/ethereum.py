@@ -1063,7 +1063,10 @@ def eth_access_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("total_storage_keys"),
-        F.countDistinct(F.expr("al[0].address"))
+        # try_element_at: NULL out of bounds even under Spark 4's default
+        # ANSI mode (a bare al[0] would throw INVALID_ARRAY_INDEX on an
+        # empty accessList '[]'), matching DuckDB's al[1] NULL semantics.
+        F.countDistinct(F.try_element_at("al", F.lit(1)).getField("address"))
         .cast("bigint")
         .alias("n_distinct_first_addresses"),
     )

@@ -297,3 +297,32 @@ def test_asof_nearest_edges(spark):
     assert got[(2, 5)] == (333, "b")   # exact ts tie counts as backward
     assert got[(3, 50)] == (444, "b")  # equidistant -> backward wins
     assert got[(4, 7)] == (None, None)
+
+
+def test_access_list_stats_empty_list_is_ansi_safe(spark):
+    """An empty accessList '[]' (common on real chains, never emitted by the
+    fixtures) must count as a tx-with-list and contribute NULL — not throw
+    INVALID_ARRAY_INDEX under Spark 4's default ANSI mode (ADVICE r06:
+    a bare al[0] would). Mirrors DuckDB's 1-based al[1] -> NULL."""
+    from chainhouse_spark.queries.ethereum import eth_access_list_stats
+
+    tx = spark.createDataFrame(
+        [
+            ('[]',),
+            ('[{"address":"0xaa","storageKeys":["0x01","0x02"]}]',),
+            (None,),
+        ],
+        "accessList string",
+    )
+    import chainhouse_spark.queries.ethereum as eth
+
+    orig = eth._tables
+    eth._tables = lambda s: {"transactions": tx}
+    try:
+        row = eth_access_list_stats(spark, "unused").collect()[0]
+    finally:
+        eth._tables = orig
+    assert row.n_txs_with_list == 2
+    assert row.total_entries == 1
+    assert row.total_storage_keys == 2
+    assert row.n_distinct_first_addresses == 1
