@@ -71,9 +71,13 @@ def _single_partition_suspects(text: str) -> list[str]:
     """Parent node names of SinglePartition exchanges the plan cannot prove
     bounded. Benign (excluded) cases:
 
-    - parent is an Aggregate: the standard final gather of partial
-      aggregates — input is one row per upstream partition, constant-size.
-    - the exchange Input carries ``__gr_pid``: operators/ranking.py's
+    - parent is a final Aggregate AND the exchange's child is a partial
+      Aggregate (its Functions carry ``partial_``): the standard two-phase
+      gather — input is one row per upstream partition, constant-size. A
+      global SortAggregate fed unbounded raw rows does NOT qualify
+      (tightened per ADVICE r06).
+    - the exchange Input carries ``__gr_pid#N`` as a standalone attribute
+      (exact match, not substring): operators/ranking.py's
       cumulative-offset window over <= shuffle-partitions rows.
     - a descendant is a limit node (TakeOrderedAndProject / *Limit): the
       exchanged input is <= k rows by construction.
@@ -91,7 +95,14 @@ def _single_partition_suspects(text: str) -> list[str]:
         by_id[int(m.group(3))] = len(order)
         order.append((len(order), depth, m.group(2)))
 
-    # Detail blocks: "(id) Exchange" ... "Arguments: SinglePartition".
+    # Detail blocks for every node: "(id) Name" ... until blank line.
+    blocks: dict[int, str] = {
+        int(m.group(1)): m.group(2)
+        for m in re.finditer(
+            r"^\((\d+)\) [A-Za-z][\w. ]*\n((?:.+\n)+?)(?=\n|\Z)", text, re.M
+        )
+    }
+
     suspects: list[str] = []
     for m in re.finditer(
         r"^\((\d+)\) Exchange\n((?:.+\n)+?)(?=\n|\Z)", text, re.M
@@ -100,7 +111,10 @@ def _single_partition_suspects(text: str) -> list[str]:
         if "Arguments: SinglePartition" not in block:
             continue
         input_m = re.search(r"^Input \[\d+\]: \[(.*)\]$", block, re.M)
-        if input_m and "__gr_pid" in input_m.group(1):
+        if input_m and any(
+            re.fullmatch(r"__gr_pid#\d+L?", col.strip())
+            for col in input_m.group(1).split(",")
+        ):
             continue
         idx = by_id.get(int(m.group(1)))
         if idx is None:
@@ -110,7 +124,26 @@ def _single_partition_suspects(text: str) -> list[str]:
             (n for p, d, n in reversed(order[:pos]) if d < depth), ""
         )
         if parent.endswith("Aggregate"):
-            continue
+            # Only the partial->final two-phase gather is bounded: the
+            # exchange's immediate child (next node in tree order, iff
+            # strictly deeper) must itself be an Aggregate whose Functions
+            # are partial_* (or empty — a distinct-style agg). A global
+            # Aggregate fed unbounded raw rows falls through as a suspect.
+            child_ok = False
+            if pos + 1 < len(order) and order[pos + 1][1] > depth:
+                cname = order[pos + 1][2]
+                cid = next(
+                    (nid for nid, oi in by_id.items() if oi == pos + 1),
+                    None,
+                )
+                cblock = blocks.get(cid, "") if cid is not None else ""
+                child_ok = cname.endswith("Aggregate") and (
+                    "partial_" in cblock
+                    or re.search(r"^Functions \[0\]", cblock, re.M)
+                    is not None
+                )
+            if child_ok:
+                continue
         bounded = False
         for p, d, n in order[pos + 1:]:
             if d <= depth:

@@ -1132,8 +1132,10 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT event_type, bucket,
            CAST(MIN(v) AS BIGINT) AS v_min,
            CAST(MAX(v) AS BIGINT) AS v_max,
-           CAST(arg_min(v, t * 4294967296 + event_id) AS BIGINT) AS v_first,
-           CAST(arg_max(v, t * 4294967296 + event_id) AS BIGINT) AS v_last,
+           CAST((MIN({'t': t, 'id': event_id, 'v': v})).v AS BIGINT)
+             AS v_first,
+           CAST((MAX({'t': t, 'id': event_id, 'v': v})).v AS BIGINT)
+             AS v_last,
            CAST(COUNT(*) AS BIGINT) AS n_points
     FROM pts GROUP BY 1, 2
     """,
@@ -1144,10 +1146,13 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     max, first, and last — the four points that make a line chart
     pixel-perfect at any zoom, the other standard reducer next to LTTB.
     6-hour buckets here. Values are exact integer cents; first/last take
-    the argmin/argmax of the packed key t*2^32 + event_id (one BIGINT —
-    neither engine's arg_min accepts composite keys; t < 2^31 so the pack
-    can't overflow) so duplicate timestamps can't flip the answer. One aggregate, partitioned by (series,
-    bucket) — the embarrassingly-parallel shape; no windows at all."""
+    the min/max of the composite struct key (t, event_id, v) — struct
+    ordering is lexicographic by field position in both engines, so
+    duplicate timestamps can't flip the answer and there is no packed-
+    arithmetic overflow hazard at any event_id magnitude (ADVICE r06:
+    the previous t*2^32+event_id pack silently bled into the next
+    second's keyspace for ids >= 2^32). One aggregate, partitioned by
+    (series, bucket) — the embarrassingly-parallel shape; no windows."""
     e = load_table(spark, sf_dir, "events")
     pts = e.select(
         "event_type",
@@ -1161,10 +1166,10 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     return pts.groupBy("event_type", "bucket").agg(
         F.min("v").cast("bigint").alias("v_min"),
         F.max("v").cast("bigint").alias("v_max"),
-        F.expr("min_by(v, t * 4294967296 + event_id)")
+        F.expr("min(struct(t, event_id, v)).v")
         .cast("bigint")
         .alias("v_first"),
-        F.expr("max_by(v, t * 4294967296 + event_id)")
+        F.expr("max(struct(t, event_id, v)).v")
         .cast("bigint")
         .alias("v_last"),
         F.count(F.lit(1)).cast("bigint").alias("n_points"),

@@ -809,3 +809,50 @@ def test_global_row_number_is_deterministic_across_runs(spark):
     first = build()
     for _ in range(2):
         assert build() == first
+
+
+def test_single_partition_exemptions_are_exact():
+    """ADVICE r06: the benign exemptions must not fire on lookalikes — a
+    column merely CONTAINING '__gr_pid' in its name, or a global Aggregate
+    whose exchange child is NOT a partial aggregate (unbounded raw rows
+    funneled into one task). Handcrafted formatted-plan text drives the
+    classifier directly."""
+    from chainhouse_spark.plans.audit import _single_partition_suspects
+
+    def plan(child_name, child_block, input_cols):
+        return (
+            "== Physical Plan ==\n"
+            "SortAggregate (3)\n"
+            "+- Exchange (2)\n"
+            f"   +- {child_name} (1)\n"
+            "\n\n"
+            f"(1) {child_name}\n"
+            f"{child_block}"
+            "\n"
+            "(2) Exchange\n"
+            f"Input [1]: [{input_cols}]\n"
+            "Arguments: SinglePartition, ENSURE_REQUIREMENTS, [plan_id=9]\n"
+            "\n"
+            "(3) SortAggregate\n"
+            "Input [1]: [buf#7]\n"
+            "Functions [1]: [collect_list(x#1, 0, 0)]\n"
+        )
+
+    # True two-phase gather: child is a partial aggregate -> benign.
+    benign = plan(
+        "SortAggregate",
+        "Input [1]: [x#1]\nFunctions [1]: [partial_collect_list(x#1, 0, 0)]\n",
+        "buf#7",
+    )
+    assert _single_partition_suspects(benign) == []
+    # Global agg fed raw rows through a Sort child -> suspect.
+    funnel = plan("Sort", "Input [1]: [x#1]\nArguments: [x#1 ASC]\n", "x#1")
+    assert _single_partition_suspects(funnel) == ["SortAggregate"]
+    # Exact __gr_pid attribute exempts ...
+    pid = plan("Sort", "Input [1]: [x#1]\nArguments: [x#1 ASC]\n",
+               "x#1, __gr_pid#12L")
+    assert _single_partition_suspects(pid) == []
+    # ... but a column whose name merely contains the substring does not.
+    lookalike = plan("Sort", "Input [1]: [x#1]\nArguments: [x#1 ASC]\n",
+                     "x#1, my__gr_pid_copy#12L")
+    assert _single_partition_suspects(lookalike) == ["SortAggregate"]
