@@ -68,6 +68,15 @@ BENCH_QUERIES = [
     "stat_corr_regression",
     "ts_ohlc_bars",
     "text_chunk_words",
+    # Round-7 additions (VERDICT r06 task 4): one heavy per round-6 family
+    # so statistics/graph/timeseries/experimentation regressions show up in
+    # BENCH_r*.json. audience_rfm_segments and search_hybrid_rrf exercise
+    # operators/ranking.py (distributed exact rank) under timing.
+    "stat_bootstrap_se",
+    "graph_kcore_peel",
+    "ts_m4_downsample",
+    "audience_rfm_segments",
+    "search_hybrid_rrf",
 ]
 
 RUNS_PER_QUERY = 6

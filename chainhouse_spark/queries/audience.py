@@ -348,3 +348,80 @@ def audience_ltv_cohort(spark: SparkSession, sf_dir: str) -> DataFrame:
             "ltv_cents_per_user"
         ),
     )
+
+
+@register(
+    "audience_engagement_decay",
+    oracle="""
+    WITH w AS (
+        SELECT user_id, event_type,
+               CAST(ROUND(
+                 POWER(2.0, -((epoch_us(TIMESTAMP '2024-01-31 00:00:00')
+                               - epoch_us(ts)) / 86400000000.0) / 7.0),
+                 9) AS DECIMAL(18,9)) AS wt
+        FROM events
+    ),
+    per_user AS (
+        SELECT user_id,
+               CAST(SUM(wt) AS DECIMAL(28,9)) AS score,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN wt
+                             ELSE CAST(0 AS DECIMAL(18,9)) END)
+                    AS DECIMAL(28,9)) AS purchase_score,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM w GROUP BY user_id
+    )
+    SELECT user_id,
+        CAST(score AS DOUBLE) AS score,
+        CAST(purchase_score AS DOUBLE) AS purchase_score,
+        n_events,
+        CASE WHEN score >= 40 THEN 'hot' WHEN score >= 20 THEN 'warm'
+             ELSE 'cool' END AS tier
+    FROM per_user
+    """,
+)
+def audience_engagement_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially time-decayed engagement score (half-life 7 days,
+    anchored at the corpus end 2024-01-31): each event contributes
+    2^(-age_days/7), so recent activity dominates — the standard recency
+    weighting behind churn/win-back audiences. Cross-engine exactness:
+    the per-event weight is computed INDEPENDENTLY per row and rounded to
+    DECIMAL(18,9) BEFORE the sum, so the aggregate is an order-independent
+    decimal sum (float += in partition order would diverge between
+    engines). One user-keyed shuffle; the tier CASE is free."""
+    e = load_table(spark, sf_dir, "events")
+    age_days = (
+        F.lit(1706659200000000)  # epoch_us('2024-01-31 00:00:00Z')
+        - F.unix_micros(F.col("ts").cast("timestamp"))
+    ) / F.lit(86400000000.0)
+    wt = F.round(F.pow(F.lit(2.0), -age_days / F.lit(7.0)), 9).cast(
+        "decimal(18,9)"
+    )
+    per_user = (
+        e.select(
+            "user_id",
+            "event_type",
+            wt.alias("wt"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.sum("wt").cast("decimal(28,9)").alias("score"),
+            F.sum(
+                F.when(F.col("event_type") == "purchase", F.col("wt")).otherwise(
+                    F.lit(0).cast("decimal(18,9)")
+                )
+            )
+            .cast("decimal(28,9)")
+            .alias("purchase_score"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    return per_user.select(
+        "user_id",
+        F.col("score").cast("double").alias("score"),
+        F.col("purchase_score").cast("double").alias("purchase_score"),
+        "n_events",
+        F.when(F.col("score") >= 40, "hot")
+        .when(F.col("score") >= 20, "warm")
+        .otherwise("cool")
+        .alias("tier"),
+    )

@@ -527,3 +527,179 @@ def funnel_retention_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("CAST(SUM(c1 * c3) AS DOUBLE) / SUM(c1)").alias("day3_retention"),
         F.expr("CAST(SUM(c1 * c4) AS DOUBLE) / SUM(c1)").alias("day7_retention"),
     )
+
+
+@register(
+    "attribution_position_based",
+    oracle="""
+    WITH u AS (
+        SELECT user_id, ts, event_type, event_id FROM events
+        WHERE event_type IN ('click', 'purchase')
+    ),
+    scan AS (
+        SELECT user_id, ts, event_type,
+               COUNT(CASE WHEN event_type = 'click' THEN 1 END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS n_clicks,
+               MIN(CASE WHEN event_type = 'click' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS first_click_ts,
+               MAX(CASE WHEN event_type = 'click' THEN ts END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING)
+                 AS last_click_ts
+        FROM u
+    )
+    SELECT user_id, ts AS purchase_ts,
+           CAST(n_clicks AS BIGINT) AS n_prior_clicks,
+           first_click_ts, last_click_ts,
+           CASE WHEN n_clicks = 0 THEN NULL
+                WHEN n_clicks = 1 THEN 1.0
+                ELSE 0.4 END AS first_credit,
+           CASE WHEN n_clicks = 0 THEN NULL
+                WHEN n_clicks = 1 THEN 1.0
+                WHEN n_clicks = 2 THEN 0.6
+                ELSE 0.4 END AS last_credit,
+           CASE WHEN n_clicks <= 2 THEN NULL
+                ELSE ROUND(0.2 / (n_clicks - 2), 9) END AS middle_credit_each
+    FROM scan WHERE event_type = 'purchase'
+    """,
+)
+def attribution_position_based(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Position-based (U-shaped, 40/20/40) attribution: for each purchase,
+    the user's strictly-earlier clicks share credit — 40% to the first
+    click, 40% to the most recent, the remaining 20% split evenly across
+    the middle. One click takes 100%; two split 40/60 (first keeps its 40,
+    the last absorbs the middle's share). Expressed as three running
+    window aggregates (count / min-ts / max-ts of prior clicks) over the
+    user's (ts, event_id)-ordered stream — one shuffle on user_id, no
+    purchase-x-click pair join, so the pair space never materializes (at
+    100 TB a user's history streams through one window pass; credits per
+    middle click are closed-form, not per-row).  Credits are exact
+    decimals via ROUND(.., 9)."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    u = e.filter(F.col("event_type").isin("click", "purchase")).select(
+        "user_id", "ts", "event_type", "event_id"
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    click_ts = F.when(F.col("event_type") == "click", F.col("ts"))
+    scan = u.select(
+        "user_id",
+        "ts",
+        "event_type",
+        F.count(F.when(F.col("event_type") == "click", 1)).over(w).alias("n_clicks"),
+        F.min(click_ts).over(w).alias("first_click_ts"),
+        F.max(click_ts).over(w).alias("last_click_ts"),
+    )
+    n = F.col("n_clicks")
+    return scan.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        F.col("ts").alias("purchase_ts"),
+        n.cast("bigint").alias("n_prior_clicks"),
+        "first_click_ts",
+        "last_click_ts",
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n == 1, F.lit(1.0))
+        .otherwise(F.lit(0.4))
+        .alias("first_credit"),
+        F.when(n == 0, F.lit(None).cast("double"))
+        .when(n == 1, F.lit(1.0))
+        .when(n == 2, F.lit(0.6))
+        .otherwise(F.lit(0.4))
+        .alias("last_credit"),
+        F.when(n <= 2, F.lit(None).cast("double"))
+        .otherwise(F.round(F.lit(0.2) / (n - 2), 9))
+        .alias("middle_credit_each"),
+    )
+
+
+@register(
+    "funnel_time_to_convert",
+    oracle="""
+    WITH firsts AS (
+        SELECT user_id,
+               MIN(CASE WHEN event_type = 'signup' THEN ts END) AS signup_ts
+        FROM events GROUP BY user_id
+    ),
+    conv AS (
+        SELECT f.user_id, f.signup_ts,
+               MIN(e.ts) AS purchase_ts
+        FROM firsts f
+        JOIN events e ON e.user_id = f.user_id
+         AND e.event_type = 'purchase' AND e.ts > f.signup_ts
+        WHERE f.signup_ts IS NOT NULL
+        GROUP BY f.user_id, f.signup_ts
+    ),
+    lat AS (
+        SELECT (epoch_us(purchase_ts) - epoch_us(signup_ts)) / 3600000000.0
+                 AS hours
+        FROM conv
+    )
+    SELECT
+        CASE WHEN hours < 1 THEN '0-1h' WHEN hours < 6 THEN '1-6h'
+             WHEN hours < 24 THEN '6-24h' WHEN hours < 168 THEN '1-7d'
+             ELSE '7d+' END AS bucket,
+        CAST(COUNT(*) AS BIGINT) AS n_users,
+        ROUND(MIN(hours), 6) AS min_hours,
+        ROUND(MAX(hours), 6) AS max_hours
+    FROM lat GROUP BY 1
+    """,
+)
+def funnel_time_to_convert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Time-to-convert distribution: latency from a user's FIRST signup to
+    their first subsequent purchase, bucketed into product-friendly bands.
+    Two user-keyed aggregates sharing one shuffle layout (first-signup,
+    then min-purchase-after) — the conditional-min formulation avoids any
+    window; the final histogram is a tiny groupBy. Latency arithmetic is
+    integer microseconds divided once at the end (exact in both
+    engines)."""
+    e = load_table(spark, sf_dir, "events")
+    firsts = (
+        e.groupBy("user_id")
+        .agg(
+            F.min(
+                F.when(F.col("event_type") == "signup", F.col("ts"))
+            ).alias("signup_ts")
+        )
+        .filter(F.col("signup_ts").isNotNull())
+    )
+    conv = (
+        e.filter(F.col("event_type") == "purchase")
+        .join(firsts, "user_id")
+        .filter(F.col("ts") > F.col("signup_ts"))
+        .groupBy("user_id", "signup_ts")
+        .agg(F.min("ts").alias("purchase_ts"))
+    )
+    hours = (
+        (
+            F.unix_micros(F.col("purchase_ts").cast("timestamp"))
+            - F.unix_micros(F.col("signup_ts").cast("timestamp"))
+        )
+        / F.lit(3600000000.0)
+    ).alias("hours")
+    lat = conv.select(hours)
+    return (
+        lat.select(
+            F.when(F.col("hours") < 1, "0-1h")
+            .when(F.col("hours") < 6, "1-6h")
+            .when(F.col("hours") < 24, "6-24h")
+            .when(F.col("hours") < 168, "1-7d")
+            .otherwise("7d+")
+            .alias("bucket"),
+            "hours",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.round(F.min("hours"), 6).alias("min_hours"),
+            F.round(F.max("hours"), 6).alias("max_hours"),
+        )
+    )

@@ -624,3 +624,54 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)"
         ).alias("hapax_ratio"),
     )
+
+
+@register(
+    "tokenizer_fertility_by_lang",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words,
+               CAST(list_sum(list_transform(
+                   string_split(text, ' '),
+                   w -> (length(w) + 3) // 4)) AS BIGINT) AS n_subwords
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words,
+           CAST(SUM(n_subwords) AS BIGINT) AS total_subwords,
+           ROUND(CAST(SUM(n_subwords) AS DOUBLE) / SUM(n_words), 9)
+             AS fertility
+    FROM per_doc GROUP BY lang
+    """,
+)
+def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Tokenizer fertility (subword tokens emitted per whitespace word) per
+    language — the standard multilingual-tokenizer health metric: high
+    fertility means a language is being shredded into tiny pieces and
+    will under-train at a fixed token budget. The subword count is the
+    deterministic fixed-fanout proxy ceil(len/4) per word (a trained BPE
+    emits ~1 token per ~4 chars of a well-covered language), integer
+    arithmetic end-to-end so both engines agree exactly; the real
+    BPE-merge encoder lives in bpe_encode_compression. Map-side fold per
+    document, one lang-keyed aggregate — no shuffle wider than |langs|."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ")).cast("bigint").alias("n_words"),
+        F.expr(
+            "aggregate(transform(split(text, ' '), "
+            "w -> (length(w) + 3) div 4), 0L, (acc, x) -> acc + x)"
+        )
+        .cast("bigint")
+        .alias("n_subwords"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_words").cast("bigint").alias("total_words"),
+        F.sum("n_subwords").cast("bigint").alias("total_subwords"),
+        F.round(
+            F.sum("n_subwords").cast("double") / F.sum("n_words"), 9
+        ).alias("fertility"),
+    )

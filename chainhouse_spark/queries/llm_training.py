@@ -304,3 +304,77 @@ def export_training_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "curriculum_difficulty_order",
+    oracle="""
+    WITH scored AS (
+        SELECT doc_id, lang,
+               ROUND(CAST(n_chars AS DOUBLE)
+                     / len(string_split(text, ' ')), 9) AS difficulty
+        FROM documents
+    ),
+    breaks AS (
+        SELECT QUANTILE_CONT(difficulty, 0.25) AS b1,
+               QUANTILE_CONT(difficulty, 0.50) AS b2,
+               QUANTILE_CONT(difficulty, 0.75) AS b3
+        FROM scored
+    )
+    SELECT
+        CASE WHEN difficulty <= b1 THEN 'phase1_easy'
+             WHEN difficulty <= b2 THEN 'phase2'
+             WHEN difficulty <= b3 THEN 'phase3'
+             ELSE 'phase4_hard' END AS phase,
+        CAST(COUNT(*) AS BIGINT) AS n_docs,
+        ROUND(MIN(difficulty), 9) AS min_difficulty,
+        ROUND(MAX(difficulty), 9) AS max_difficulty,
+        CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs
+    FROM scored, breaks
+    GROUP BY 1
+    """,
+)
+def curriculum_difficulty_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curriculum-learning phase assignment: difficulty = mean word length
+    (chars per whitespace token — short words first, the classic
+    easy-to-hard text curriculum), documents bucketed into four phases at
+    the difficulty quartiles. The breakpoints are three broadcast scalars
+    (both engines interpolate QUANTILE_CONT/PERCENTILE identically), so
+    phase assignment is a map-side comparison — NO global sort or rank
+    shuffle of the corpus, which is what makes this shape survive 100 TB
+    (the alternative NTILE-over-everything is a single-task funnel).
+    Difficulty is one exact division rounded to 9 digits."""
+    d = load_table(spark, sf_dir, "documents")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        F.round(
+            F.col("n_chars").cast("double")
+            / F.size(F.split(F.col("text"), " ")),
+            9,
+        ).alias("difficulty"),
+    )
+    breaks = scored.agg(
+        F.expr("PERCENTILE(difficulty, 0.25)").alias("b1"),
+        F.expr("PERCENTILE(difficulty, 0.50)").alias("b2"),
+        F.expr("PERCENTILE(difficulty, 0.75)").alias("b3"),
+    )
+    return (
+        scored.crossJoin(F.broadcast(breaks))
+        .select(
+            F.when(F.col("difficulty") <= F.col("b1"), "phase1_easy")
+            .when(F.col("difficulty") <= F.col("b2"), "phase2")
+            .when(F.col("difficulty") <= F.col("b3"), "phase3")
+            .otherwise("phase4_hard")
+            .alias("phase"),
+            "difficulty",
+            "lang",
+        )
+        .groupBy("phase")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.round(F.min("difficulty"), 9).alias("min_difficulty"),
+            F.round(F.max("difficulty"), 9).alias("max_difficulty"),
+            F.countDistinct("lang").cast("bigint").alias("n_langs"),
+        )
+    )

@@ -154,3 +154,60 @@ def setop_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("custkey")
         .agg(F.count(F.lit(1)).alias("n"))
     )
+
+
+@register(
+    "setop_symmetric_difference",
+    oracle="""
+    WITH clickers AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'click'
+          AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+    ),
+    buyers AS (
+        SELECT DISTINCT user_id FROM events
+        WHERE event_type = 'purchase'
+          AND ts >= TIMESTAMP '2024-01-15' AND ts < TIMESTAMP '2024-01-16'
+    ),
+    sym AS (
+        SELECT user_id, 'click_only' AS side FROM (
+            SELECT user_id FROM clickers EXCEPT SELECT user_id FROM buyers
+        )
+        UNION ALL
+        SELECT user_id, 'purchase_only' AS side FROM (
+            SELECT user_id FROM buyers EXCEPT SELECT user_id FROM clickers
+        )
+    )
+    SELECT user_id, side FROM sym
+    """,
+)
+def setop_symmetric_difference(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetric difference with provenance: users who clicked but never
+    purchased, and users who purchased without a single click — the two
+    one-sided audiences a remarketing team actually targets. Completes
+    the set-operation family (union/intersect/except and their ALL
+    variants are registered above). Both EXCEPT branches reuse the same
+    two distinct-aggregated inputs; at scale this is two user-keyed
+    shuffles of already-deduplicated keys, and the union is free."""
+    e = load_table(spark, sf_dir, "events")
+    day = (F.col("ts") >= F.lit("2024-01-15").cast("timestamp_ntz")) & (
+        F.col("ts") < F.lit("2024-01-16").cast("timestamp_ntz")
+    )
+    clickers = (
+        e.filter((F.col("event_type") == "click") & day)
+        .select("user_id")
+        .distinct()
+    )
+    buyers = (
+        e.filter((F.col("event_type") == "purchase") & day)
+        .select("user_id")
+        .distinct()
+    )
+    return (
+        clickers.exceptAll(buyers).select("user_id", F.lit("click_only").alias("side"))
+        .unionByName(
+            buyers.exceptAll(clickers).select(
+                "user_id", F.lit("purchase_only").alias("side")
+            )
+        )
+    )

@@ -1953,3 +1953,191 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         "((m11 - m10) - (m01 - m00)) / 100.0 AS did_estimate",
         "SQRT(v11 + v10 + v01 + v00) / 100.0 AS did_se",
     )
+
+
+@register(
+    "stat_brown_forsythe",
+    oracle="""
+    WITH med AS (
+        SELECT event_type, MEDIAN(value) AS med
+        FROM events GROUP BY event_type
+    ),
+    z AS (
+        SELECT e.event_type, ABS(e.value - m.med) AS z
+        FROM events e JOIN med m USING (event_type)
+    ),
+    grp AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(z * 1000000, 0) AS BIGINT)) AS BIGINT)
+                 AS sz_micro,
+               CAST(SUM(CAST(ROUND(z * 1000000, 0) AS BIGINT)
+                        * CAST(ROUND(z * 1000000, 0) AS BIGINT))
+                    AS DECIMAL(38,0)) AS szz_micro2
+        FROM z GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(COUNT(*) AS BIGINT) AS k,
+               CAST(SUM(sz_micro) AS BIGINT) AS sz_tot
+        FROM grp
+    )
+    SELECT g.event_type, g.n,
+           ROUND(CAST(g.sz_micro AS DOUBLE) / g.n / 1000000.0, 9)
+             AS mean_absdev,
+           ROUND((CAST(g.sz_micro AS DOUBLE) / g.n
+                  - CAST(t.sz_tot AS DOUBLE) / t.n_tot) / 1000000.0, 9)
+             AS dev_from_grand,
+           ROUND((CAST(g.szz_micro2 AS DOUBLE)
+                  - CAST(g.sz_micro AS DOUBLE) * g.sz_micro / g.n)
+                 / 1e12 / (g.n - 1), 9) AS var_absdev
+    FROM grp g CROSS JOIN tot t
+    """,
+)
+def stat_brown_forsythe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Brown-Forsythe homogeneity-of-variance ingredients (Levene's test
+    with the median center — robust to non-normality): per group the mean
+    and variance of absolute deviations from the GROUP MEDIAN, plus each
+    group's deviation from the grand mean of deviations — the quantities
+    the F statistic is assembled from. Exactness: |v - median| is
+    quantized to integer micro-units BEFORE summation, so both engines
+    sum identical integers in any order (float partial sums would
+    diverge); medians interpolate identically (see stat_median_iqr). Two
+    group-keyed aggregates + one broadcast of a k-row total — the grand
+    total never funnels row-level data."""
+    e = load_table(spark, sf_dir, "events")
+    med = e.groupBy("event_type").agg(F.expr("MEDIAN(value)").alias("med"))
+    z = (
+        e.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type",
+            F.round(F.abs(F.col("value") - F.col("med")) * 1000000, 0)
+            .cast("bigint")
+            .alias("zm"),
+        )
+    )
+    grp = z.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("zm").cast("bigint").alias("sz_micro"),
+        F.sum(F.col("zm") * F.col("zm")).cast("decimal(38,0)").alias("szz_micro2"),
+    )
+    tot = grp.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("sz_micro").cast("bigint").alias("sz_tot"),
+    )
+    g, t = F.col, F.col
+    return grp.crossJoin(F.broadcast(tot)).select(
+        "event_type",
+        "n",
+        F.round(g("sz_micro").cast("double") / g("n") / 1000000.0, 9).alias(
+            "mean_absdev"
+        ),
+        F.round(
+            (
+                g("sz_micro").cast("double") / g("n")
+                - t("sz_tot").cast("double") / t("n_tot")
+            )
+            / 1000000.0,
+            9,
+        ).alias("dev_from_grand"),
+        F.round(
+            (
+                g("szz_micro2").cast("double")
+                - g("sz_micro").cast("double") * g("sz_micro") / g("n")
+            )
+            / 1e12
+            / (g("n") - 1),
+            9,
+        ).alias("var_absdev"),
+    )
+
+
+@register(
+    "stat_cohens_d_by_segment",
+    oracle="""
+    WITH v AS (
+        SELECT c.c_mktsegment AS segment, o.o_totalprice AS x,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 'high' ELSE 'low' END AS arm
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    m AS (
+        SELECT segment, arm,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(x * 100, 0) AS BIGINT)) AS BIGINT) AS sx,
+               CAST(SUM(CAST(ROUND(x * 100, 0) AS BIGINT)
+                        * CAST(ROUND(x * 100, 0) AS BIGINT))
+                    AS DECIMAL(38,0)) AS sxx
+        FROM v GROUP BY segment, arm
+    ),
+    wide AS (
+        SELECT segment,
+               MAX(CASE WHEN arm = 'high' THEN n END) AS n1,
+               MAX(CASE WHEN arm = 'high' THEN sx END) AS sx1,
+               MAX(CASE WHEN arm = 'high' THEN sxx END) AS sxx1,
+               MAX(CASE WHEN arm = 'low' THEN n END) AS n2,
+               MAX(CASE WHEN arm = 'low' THEN sx END) AS sx2,
+               MAX(CASE WHEN arm = 'low' THEN sxx END) AS sxx2
+        FROM m GROUP BY segment
+    )
+    SELECT segment, n1, n2,
+           ROUND((CAST(sx1 AS DOUBLE) / n1 - CAST(sx2 AS DOUBLE) / n2)
+                 / SQRT(((CAST(sxx1 AS DOUBLE) - CAST(sx1 AS DOUBLE) * sx1 / n1)
+                         + (CAST(sxx2 AS DOUBLE) - CAST(sx2 AS DOUBLE) * sx2 / n2))
+                        / (n1 + n2 - 2)),
+                 9) AS cohens_d
+    FROM wide
+    """,
+)
+def stat_cohens_d_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohen's d effect size per market segment: standardized mean
+    difference of order value between high-priority and low-priority
+    orders, pooled-variance denominator — the effect-size companion to
+    stat_welch_ttest (significance without magnitude is how dashboards
+    lie). Prices quantize to integer cents before summation (exact
+    cross-engine sums); the broadcast-joined dimension and the
+    two-arm pivot keep it at two shuffles of |segments x 2| rows."""
+    o = load_table(spark, sf_dir, "orders")
+    c = load_table(spark, sf_dir, "customer")
+    v = o.join(F.broadcast(c), o.o_custkey == c.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("bigint").alias("xc"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), "high"
+        )
+        .otherwise("low")
+        .alias("arm"),
+    )
+    m = v.groupBy("segment", "arm").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("xc").cast("bigint").alias("sx"),
+        F.sum(F.col("xc") * F.col("xc")).cast("decimal(38,0)").alias("sxx"),
+    )
+    wide = m.groupBy("segment").agg(
+        F.max(F.when(F.col("arm") == "high", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == "high", F.col("sx"))).alias("sx1"),
+        F.max(F.when(F.col("arm") == "high", F.col("sxx"))).alias("sxx1"),
+        F.max(F.when(F.col("arm") == "low", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("arm") == "low", F.col("sx"))).alias("sx2"),
+        F.max(F.when(F.col("arm") == "low", F.col("sxx"))).alias("sxx2"),
+    )
+    mean_diff = (
+        F.col("sx1").cast("double") / F.col("n1")
+        - F.col("sx2").cast("double") / F.col("n2")
+    )
+    pooled = (
+        (
+            F.col("sxx1").cast("double")
+            - F.col("sx1").cast("double") * F.col("sx1") / F.col("n1")
+        )
+        + (
+            F.col("sxx2").cast("double")
+            - F.col("sx2").cast("double") * F.col("sx2") / F.col("n2")
+        )
+    ) / (F.col("n1") + F.col("n2") - 2)
+    return wide.select(
+        "segment",
+        "n1",
+        "n2",
+        F.round(mean_diff / F.sqrt(pooled), 9).alias("cohens_d"),
+    )

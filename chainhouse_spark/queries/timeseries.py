@@ -1324,3 +1324,120 @@ def ts_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_anomalous"),
         F.max(F.abs(F.col("z"))).alias("max_abs_z"),
     )
+
+
+@register(
+    "ts_vwap_bars",
+    oracle="""
+    WITH pts AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 3600) AS BIGINT) AS hour_bucket,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS price_c,
+               CAST(json_extract(props, '$.k') AS BIGINT) AS vol
+        FROM events
+    )
+    SELECT event_type, hour_bucket,
+           CAST(SUM(vol) AS BIGINT) AS total_vol,
+           CASE WHEN SUM(vol) = 0 THEN NULL
+                ELSE ROUND(CAST(SUM(price_c * vol) AS DOUBLE)
+                           / SUM(vol) / 100.0, 9) END AS vwap,
+           CAST(COUNT(*) AS BIGINT) AS n_trades
+    FROM pts GROUP BY 1, 2
+    """,
+)
+def ts_vwap_bars(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Volume-weighted average price per hourly bar, treating value as the
+    price and the props JSON's k field as the trade size — the bar metric
+    every execution desk reads next to OHLC (ts_ohlc_bars above). JSON
+    extraction is a map-side codegen expression in both engines; the
+    weighted mean is integer cents x integer volume summed exactly, one
+    division at the end. Embarrassingly parallel on (series, hour)."""
+    e = load_table(spark, sf_dir, "events")
+    pts = e.select(
+        "event_type",
+        F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 3600)
+        .cast("bigint")
+        .alias("hour_bucket"),
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("price_c"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("vol"),
+    )
+    return pts.groupBy("event_type", "hour_bucket").agg(
+        F.sum("vol").cast("bigint").alias("total_vol"),
+        # try_divide-equivalent guard: a bucket whose trades all carry
+        # zero volume has no defined VWAP (NULL in both engines; a bare
+        # division throws under Spark 4 ANSI).
+        F.when(
+            F.sum("vol") > 0,
+            F.round(
+                F.sum(F.col("price_c") * F.col("vol")).cast("double")
+                / F.sum("vol")
+                / 100.0,
+                9,
+            ),
+        ).alias("vwap"),
+        F.count(F.lit(1)).cast("bigint").alias("n_trades"),
+    )
+
+
+@register(
+    "ts_paa_sax",
+    oracle="""
+    WITH paa AS (
+        SELECT event_type,
+               CAST(FLOOR(epoch(ts) / 21600) AS BIGINT) AS bucket,
+               ROUND(CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                          AS DOUBLE) / COUNT(*) / 100.0, 9) AS paa
+        FROM events GROUP BY 1, 2
+    ),
+    breaks AS (
+        SELECT QUANTILE_CONT(paa, 0.25) AS b1,
+               QUANTILE_CONT(paa, 0.50) AS b2,
+               QUANTILE_CONT(paa, 0.75) AS b3
+        FROM paa
+    )
+    SELECT event_type, bucket, paa,
+           CASE WHEN paa <= b1 THEN 'a' WHEN paa <= b2 THEN 'b'
+                WHEN paa <= b3 THEN 'c' ELSE 'd' END AS sax_symbol
+    FROM paa, breaks
+    """,
+)
+def ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Piecewise Aggregate Approximation + SAX symbolization (Lin et al.
+    2003): 6-hour segment means, then each segment mapped to a 4-letter
+    alphabet at the corpus quartiles — the discretization behind symbolic
+    motif/novelty mining on massive series. Segment means are exact
+    (integer cents summed, one division, round 9); the three breakpoints
+    broadcast, so symbolization is map-side — same no-global-sort shape
+    as curriculum_difficulty_order. The bucketed aggregate is the only
+    shuffle."""
+    e = load_table(spark, sf_dir, "events")
+    paa = (
+        e.select(
+            "event_type",
+            F.floor(F.unix_seconds(F.col("ts").cast("timestamp")) / 21600)
+            .cast("bigint")
+            .alias("bucket"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        )
+        .groupBy("event_type", "bucket")
+        .agg(
+            F.round(
+                F.sum("vc").cast("double") / F.count(F.lit(1)) / 100.0, 9
+            ).alias("paa")
+        )
+    )
+    breaks = paa.agg(
+        F.expr("PERCENTILE(paa, 0.25)").alias("b1"),
+        F.expr("PERCENTILE(paa, 0.50)").alias("b2"),
+        F.expr("PERCENTILE(paa, 0.75)").alias("b3"),
+    )
+    return paa.crossJoin(F.broadcast(breaks)).select(
+        "event_type",
+        "bucket",
+        "paa",
+        F.when(F.col("paa") <= F.col("b1"), "a")
+        .when(F.col("paa") <= F.col("b2"), "b")
+        .when(F.col("paa") <= F.col("b3"), "c")
+        .otherwise("d")
+        .alias("sax_symbol"),
+    )
