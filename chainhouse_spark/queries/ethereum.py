@@ -1070,3 +1070,176 @@ def eth_access_list_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_distinct_first_addresses"),
     )
+
+
+@register(
+    "eth_block_interval_stats",
+    oracle=f"""
+    WITH hdr AS (
+        SELECT number, CAST(timestamp AS DECIMAL(38,0)) AS ts
+        FROM {_RAW_HEADERS}
+    ),
+    gaps AS (
+        SELECT b.number,
+               CAST(b.ts - a.ts AS BIGINT) AS interval_sec
+        FROM hdr a JOIN hdr b ON b.number = a.number + 1
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(MIN(interval_sec) AS BIGINT) AS min_interval,
+           CAST(MAX(interval_sec) AS BIGINT) AS max_interval,
+           ROUND(CAST(SUM(interval_sec) AS DOUBLE) / COUNT(*), 9)
+             AS avg_interval,
+           CAST(COUNT(CASE WHEN interval_sec > 13 THEN 1 END) AS BIGINT)
+             AS n_slow
+    FROM gaps
+    """,
+)
+def eth_block_interval_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-block time distribution: consecutive-header self-join on
+    number+1 (equivalently parentHash = hash — the reference's chain walk
+    at /root/reference/src/main.rs:60-66 follows numbers the same way),
+    timestamp deltas as exact integers. The chain-liveness dashboard:
+    post-merge Ethereum slots are 12 s, so n_slow counts missed slots.
+    The self-join is number-keyed and the block-header table is tiny
+    relative to any body table — at 100 TB of chain data headers are
+    still ~1 row per 12 s, so this stays a broadcast join; the aggregate
+    is one scalar gather of partials."""
+    b = _tables(spark)["blocks"]
+    hdr = b.select(
+        "number", F.col("timestamp").cast("decimal(38,0)").alias("ts")
+    )
+    a = hdr.alias("a")
+    nxt = hdr.alias("b")
+    gaps = a.join(
+        F.broadcast(nxt), F.col("b.number") == F.col("a.number") + 1
+    ).select(
+        (F.col("b.ts") - F.col("a.ts")).cast("bigint").alias("interval_sec")
+    )
+    return gaps.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+        F.min("interval_sec").cast("bigint").alias("min_interval"),
+        F.max("interval_sec").cast("bigint").alias("max_interval"),
+        F.round(
+            F.sum("interval_sec").cast("double") / F.count(F.lit(1)), 9
+        ).alias("avg_interval"),
+        F.count(F.when(F.col("interval_sec") > 13, 1))
+        .cast("bigint")
+        .alias("n_slow"),
+    )
+
+
+@register(
+    "eth_value_gini",
+    oracle=f"""
+    WITH tx AS (SELECT unnest(transactions) AS t FROM {_RAW}),
+    v AS (
+        SELECT CAST(CAST(t.value AS DECIMAL(38,0)) // 1000000000 AS BIGINT)
+                 AS gwei,
+               t.hash AS h
+        FROM tx
+    ),
+    ranked AS (
+        SELECT gwei,
+               ROW_NUMBER() OVER (ORDER BY gwei, h) AS rk,
+               COUNT(*) OVER () AS n
+        FROM v
+    )
+    SELECT CAST(MIN(n) AS BIGINT) AS n_txs,
+           CAST(SUM(gwei) AS BIGINT) AS total_gwei,
+           ROUND(CAST(2 * SUM(rk * gwei) - (MIN(n) + 1) * SUM(gwei)
+                      AS DOUBLE) / (MIN(n) * SUM(gwei)), 9) AS gini
+    FROM ranked
+    """,
+)
+def eth_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gini coefficient of transferred value across transactions — the
+    whale-concentration readout (G->1: all value moves in a few txs).
+    Same exact-rank formulation as stat_gini_concentration; values
+    quantize to integer gwei (u256 wei div 1e9) so every product fits in
+    BIGINT and both engines sum identical integers. The global rank runs
+    through the distributed exact-rank operator (range partition +
+    per-partition offsets, operators/ranking.py) — never a single-task
+    window; tie-break on tx hash pins cross-engine order."""
+    from chainhouse_spark.operators.ranking import global_row_number
+
+    tx = _tables(spark)["transactions"]
+    v = tx.select(
+        (F.col("value").cast("decimal(38,0)") / F.lit(1000000000))
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("gwei_raw"),
+        F.col("hash").alias("h"),
+    ).select(F.col("gwei_raw").alias("gwei"), "h")
+    ranked = global_row_number(v, [F.asc("gwei"), F.asc("h")], "rk")
+    return ranked.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_txs"),
+        F.sum("gwei").cast("bigint").alias("total_gwei"),
+        F.round(
+            (
+                2 * F.sum(F.col("rk") * F.col("gwei"))
+                - (F.count(F.lit(1)) + 1) * F.sum("gwei")
+            ).cast("double")
+            / (F.count(F.lit(1)) * F.sum("gwei")),
+            9,
+        ).alias("gini"),
+    )
+
+
+@register(
+    "eth_topic0_entropy",
+    oracle=f"""
+    WITH lg AS (
+        SELECT unnest(r.logs) AS l
+        FROM (SELECT unnest(receipts) AS r FROM {_RAW})
+    ),
+    cnt AS (
+        SELECT l.topics[1] AS topic0, CAST(COUNT(*) AS BIGINT) AS c
+        FROM lg WHERE len(l.topics) > 0
+        GROUP BY l.topics[1]
+    ),
+    tot AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt)
+    SELECT
+        CAST((SELECT COUNT(*) FROM cnt) AS BIGINT) AS n_signatures,
+        CAST((SELECT n FROM tot) AS BIGINT) AS n_logs,
+        CAST(SUM(CAST(ROUND(
+            -(CAST(c AS DOUBLE) / (SELECT n FROM tot))
+              * LN(CAST(c AS DOUBLE) / (SELECT n FROM tot)) / LN(2.0), 6)
+          AS DECIMAL(20,6))) AS DOUBLE) AS entropy_bits,
+        ROUND(CAST(MAX(c) AS DOUBLE) / (SELECT n FROM tot), 9)
+          AS top_signature_share
+    FROM cnt
+    """,
+)
+def eth_topic0_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shannon entropy of the event-signature (topic0) distribution — how
+    diverse is on-chain activity (H -> 0 means one contract event, e.g. a
+    single token's Transfer, dominates the chain). Counts are exact; each
+    -p*log2(p) term rounds to 6 decimals BEFORE the decimal sum (the
+    stat_entropy recipe: absorbs libm-vs-JVM LN ulps and float order).
+    One signature-keyed aggregate, then math over |signatures| rows."""
+    logs = _tables(spark)["events"]
+    topic0 = F.concat(
+        F.lit("0x"), F.lower(F.hex(F.col("topics").getItem(0)))
+    )
+    cnt = (
+        logs.filter(F.size("topics") > 0)
+        .groupBy(topic0.alias("topic0"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    tot = cnt.agg(
+        F.sum("c").cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("bigint").alias("n_signatures"),
+    )
+    p = F.col("c").cast("double") / F.col("n")
+    term = F.round(-p * F.log(p) / F.log(F.lit(2.0)), 6).cast("decimal(20,6)")
+    return (
+        cnt.crossJoin(F.broadcast(tot))
+        .agg(
+            F.min("n_signatures").cast("bigint").alias("n_signatures"),
+            F.min("n").cast("bigint").alias("n_logs"),
+            F.sum(term).cast("double").alias("entropy_bits"),
+            F.round(F.max("c").cast("double") / F.min("n"), 9).alias(
+                "top_signature_share"
+            ),
+        )
+    )

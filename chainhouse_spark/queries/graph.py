@@ -606,3 +606,112 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
         " / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))"
         " AS degree_assortativity",
     )
+
+
+@register(
+    "graph_local_clustering",
+    oracle=_EDGE_CTE
+    + """,
+    tri AS (
+        SELECT e1.src AS a, e1.dst AS b, e2.dst AS c
+        FROM e e1
+        JOIN e e2 ON e1.dst = e2.src
+        JOIN e e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    tri_per_node AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS t FROM (
+            SELECT a AS node FROM tri
+            UNION ALL SELECT b AS node FROM tri
+            UNION ALL SELECT c AS node FROM tri
+        ) GROUP BY node
+    ),
+    deg AS (
+        SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM (
+            SELECT src AS node FROM e UNION ALL SELECT dst AS node FROM e
+        ) GROUP BY node
+    ),
+    coeff AS (
+        SELECT deg.node,
+               CASE WHEN deg.d < 2 THEN 0.0
+                    ELSE ROUND(2.0 * COALESCE(t, 0) / (deg.d * (deg.d - 1)), 9)
+               END AS cc
+        FROM deg LEFT JOIN tri_per_node ON deg.node = tri_per_node.node
+    )
+    SELECT
+        CASE WHEN cc = 0 THEN 'zero' WHEN cc < 0.25 THEN 'low'
+             WHEN cc < 0.5 THEN 'mid' WHEN cc < 1 THEN 'high'
+             ELSE 'clique' END AS cc_band,
+        CAST(COUNT(*) AS BIGINT) AS n_nodes,
+        ROUND(AVG(cc), 9) AS mean_cc
+    FROM coeff GROUP BY 1
+    """,
+)
+def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Local clustering coefficient distribution (Watts-Strogatz 1998):
+    per node, closed triangles / possible wedges 2T/(d(d-1)), banded into
+    a five-bucket histogram — the small-world diagnostic that separates
+    community-dense co-purchase neighborhoods from hub-and-spoke ones.
+    Triangles enumerate once via the id-ordered two-join (the
+    graph_triangle_count shape: each triangle exactly once), then explode
+    to their three corners — node-keyed aggregates after that. Every cc
+    is a ratio of exact integers rounded once; AVG over per-band
+    quantized values is the one double (identical operand multisets in
+    both engines, and bands are disjoint so the sums are small). The
+    triangle join is the scale cost: edges oriented low->high bound each
+    join key's fanout by the max out-degree."""
+    e = _edges(spark, sf_dir).cache()
+    e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src"))
+            & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .select(
+            F.col("e1.src").alias("a"),
+            F.col("e1.dst").alias("b"),
+            F.col("e2.dst").alias("c"),
+        )
+    )
+    tri_nodes = (
+        tri.select(F.col("a").alias("node"))
+        .unionAll(tri.select(F.col("b").alias("node")))
+        .unionAll(tri.select(F.col("c").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("t"))
+    )
+    deg = (
+        e.select(F.col("src").alias("node"))
+        .unionAll(e.select(F.col("dst").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    coeff = deg.join(tri_nodes, "node", "left").select(
+        F.when(F.col("d") < 2, F.lit(0.0))
+        .otherwise(
+            F.round(
+                2.0
+                * F.coalesce(F.col("t"), F.lit(0))
+                / (F.col("d") * (F.col("d") - 1)),
+                9,
+            )
+        )
+        .alias("cc")
+    )
+    return (
+        coeff.select(
+            F.when(F.col("cc") == 0, "zero")
+            .when(F.col("cc") < 0.25, "low")
+            .when(F.col("cc") < 0.5, "mid")
+            .when(F.col("cc") < 1, "high")
+            .otherwise("clique")
+            .alias("cc_band"),
+            "cc",
+        )
+        .groupBy("cc_band")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.round(F.avg("cc"), 9).alias("mean_cc"),
+        )
+    )

@@ -675,3 +675,49 @@ def tokenizer_fertility_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_subwords").cast("double") / F.sum("n_words"), 9
         ).alias("fertility"),
     )
+
+
+@register(
+    "text_sentence_stats",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(string_split(text, '. ')) AS BIGINT) AS n_sents,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS n_words
+        FROM documents
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_sents) AS BIGINT) AS total_sentences,
+           ROUND(CAST(SUM(n_sents) AS DOUBLE) / COUNT(*), 9)
+             AS sentences_per_doc,
+           ROUND(CAST(SUM(n_words) AS DOUBLE) / SUM(n_sents), 9)
+             AS words_per_sentence
+    FROM per_doc GROUP BY lang
+    """,
+)
+def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sentence-length profile per language: documents segmented at the
+    literal '. ' boundary (deliberately NOT a regex — Spark and DuckDB
+    regex dialects diverge on class escapes, and the literal split is
+    identical in both; the trade-off is abbreviations count as
+    boundaries, acceptable for a corpus-level profile). Long sentences
+    per doc + short words per sentence is the classic low-quality-text
+    signature (run-on machine text vs. chopped boilerplate). Map-side
+    splits, one lang-keyed aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), "\\. ", -1)).cast("bigint").alias("n_sents"),
+        F.size(F.split(F.col("text"), " ", -1)).cast("bigint").alias("n_words"),
+    )
+    return per_doc.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_sents").cast("bigint").alias("total_sentences"),
+        F.round(F.sum("n_sents").cast("double") / F.count(F.lit(1)), 9).alias(
+            "sentences_per_doc"
+        ),
+        F.round(F.sum("n_words").cast("double") / F.sum("n_sents"), 9).alias(
+            "words_per_sentence"
+        ),
+    )

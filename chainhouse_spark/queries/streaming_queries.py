@@ -604,3 +604,61 @@ def stream_hourly_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_users"),
         F.sum("n").cast("bigint").alias("n_events"),
     )
+
+
+@register(
+    "stream_sliding_topk",
+    oracle="""
+    WITH expanded AS (
+        SELECT event_type,
+               to_timestamp((epoch_us(ts) // 900000000 - j) * 900) AS window_start
+        FROM events
+        CROSS JOIN (SELECT unnest([0, 1, 2, 3]) AS j)
+    ),
+    counts AS (
+        SELECT window_start, event_type, CAST(COUNT(*) AS BIGINT) AS n
+        FROM expanded GROUP BY 1, 2
+    ),
+    ranked AS (
+        SELECT window_start, event_type, n,
+               ROW_NUMBER() OVER (PARTITION BY window_start
+                                  ORDER BY n DESC, event_type) AS rk
+        FROM counts
+    )
+    SELECT CAST(window_start AS TIMESTAMP) AS window_start,
+           event_type, n, CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 3
+    """,
+)
+def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-3 event types per SLIDING window (1 h wide, 15 min slide) from a
+    STREAMING QUERY: the stream maintains per-(window, type) counts —
+    Spark's window() duplicates each event into its 4 overlapping
+    windows, the standard sliding-state shape — and the top-k rank runs
+    as a BATCH pass over the final state (|windows| x |types| rows, so
+    the rank window is bounded and partitioned by window start). The
+    oracle replays the window assignment arithmetic: with slide 900 s the
+    4 starts are (floor(t/900) - j) * 900, j in 0..3 — exactly Spark's
+    assignment. At 100 TB the state stays bounded by a watermark evicting
+    closed windows; counts-only state is what makes sliding top-k cheap
+    (no per-event retention)."""
+    from pyspark.sql import Window
+
+    stream = _stream_source(spark, sf_dir, "events")
+    counts = stream.groupBy(
+        F.window("ts", "1 hour", "15 minutes").alias("w"), F.col("event_type")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    state = _run_to_table(counts, "complete")
+    ranked = state.select(
+        F.col("w.start").alias("window_start"), "event_type", "n"
+    ).withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("window_start").orderBy(
+                F.desc("n"), F.asc("event_type")
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") <= 3).select(
+        "window_start", "event_type", "n", F.col("rk").cast("int").alias("rk")
+    )

@@ -1441,3 +1441,62 @@ def ts_paa_sax(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("d")
         .alias("sax_symbol"),
     )
+
+
+@register(
+    "ts_gap_percentiles",
+    oracle="""
+    WITH ordered AS (
+        SELECT event_type, user_id,
+               epoch_us(ts) - lag(epoch_us(ts)) OVER (
+                   PARTITION BY event_type, user_id
+                   ORDER BY ts, event_id) AS gap_us
+        FROM events
+    ),
+    gaps AS (
+        SELECT event_type, CAST(gap_us AS BIGINT) AS gap_us
+        FROM ordered WHERE gap_us IS NOT NULL
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_gaps,
+           ROUND(QUANTILE_CONT(gap_us, 0.50) / 1000000.0, 9) AS p50_sec,
+           ROUND(QUANTILE_CONT(gap_us, 0.90) / 1000000.0, 9) AS p90_sec,
+           ROUND(QUANTILE_CONT(gap_us, 0.99) / 1000000.0, 9) AS p99_sec,
+           CAST(MAX(gap_us) AS BIGINT) AS max_gap_us
+    FROM gaps GROUP BY event_type
+    """,
+)
+def ts_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inter-arrival gap percentiles per event type, computed over each
+    USER's gap stream — the cadence profile behind session-timeout and
+    watermark tuning (p99 inter-arrival IS the empirically right
+    watermark delay; see stream_watermark_advisor for the streaming
+    twin). The lag window partitions on (event_type, user_id) — fine-
+    grained keys that scale, never a per-type global sort; gaps are exact
+    integer microseconds and both engines interpolate percentiles
+    identically. One window shuffle + one |types|-row aggregate."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    w = Window.partitionBy("event_type", "user_id").orderBy("ts", "event_id")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    gaps = (
+        e.select(
+            "event_type",
+            (us - F.lag(us).over(w)).cast("bigint").alias("gap_us"),
+        )
+        .filter(F.col("gap_us").isNotNull())
+    )
+    return gaps.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gaps"),
+        F.round(F.expr("PERCENTILE(gap_us, 0.50)") / 1000000.0, 9).alias(
+            "p50_sec"
+        ),
+        F.round(F.expr("PERCENTILE(gap_us, 0.90)") / 1000000.0, 9).alias(
+            "p90_sec"
+        ),
+        F.round(F.expr("PERCENTILE(gap_us, 0.99)") / 1000000.0, 9).alias(
+            "p99_sec"
+        ),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
