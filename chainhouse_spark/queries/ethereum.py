@@ -1243,3 +1243,80 @@ def eth_topic0_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+@register(
+    "eth_basefee_fullness_corr",
+    oracle=f"""
+    WITH pts AS (
+        SELECT CAST(CAST(baseFeePerGas AS DECIMAL(38,0)) // 1000000000
+                    AS BIGINT) AS fee_gwei,
+               CAST(ROUND(1000000.0 * CAST(gasUsed AS DECIMAL(38,0))
+                          / CAST(gasLimit AS DECIMAL(38,0)), 0) AS BIGINT)
+                 AS full_ppm
+        FROM {_RAW_HEADERS}
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(fee_gwei) AS BIGINT) AS sx,
+               CAST(SUM(full_ppm) AS BIGINT) AS sy,
+               CAST(SUM(fee_gwei * fee_gwei) AS DECIMAL(38,0)) AS sxx,
+               CAST(SUM(full_ppm * full_ppm) AS DECIMAL(38,0)) AS syy,
+               CAST(SUM(fee_gwei * full_ppm) AS DECIMAL(38,0)) AS sxy
+        FROM pts
+    )
+    SELECT n AS n_blocks,
+           ROUND((n * CAST(sxy AS DOUBLE) - CAST(sx AS DOUBLE) * sy)
+                 / (SQRT(n * CAST(sxx AS DOUBLE) - CAST(sx AS DOUBLE) * sx)
+                    * SQRT(n * CAST(syy AS DOUBLE) - CAST(sy AS DOUBLE) * sy)),
+                 9) AS fee_fullness_corr
+    FROM m
+    """,
+)
+def eth_basefee_fullness_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EIP-1559 fee-market elasticity check: correlation between a block's
+    base fee and its fullness. The protocol raises the base fee after
+    full blocks, so a healthy fee market shows positive correlation at
+    congestion — the monitoring readout behind gas-price UX. Fees
+    quantize to gwei and fullness to ppm (integer moments, exact sums in
+    any order); the Pearson expansion is the one shared float. Map-side
+    quantization + a single scalar aggregate."""
+    b = _tables(spark)["blocks"]
+    pts = b.select(
+        (F.col("baseFeePerGas").cast("decimal(38,0)") / F.lit(1000000000))
+        .cast("decimal(38,0)")
+        .cast("bigint")
+        .alias("fee_gwei"),
+        F.round(
+            F.lit(1000000.0)
+            * F.col("gasUsed").cast("decimal(38,0)").cast("double")
+            / F.col("gasLimit").cast("decimal(38,0)").cast("double"),
+            0,
+        )
+        .cast("bigint")
+        .alias("full_ppm"),
+    )
+    m = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("fee_gwei").cast("bigint").alias("sx"),
+        F.sum("full_ppm").cast("bigint").alias("sy"),
+        F.sum(F.col("fee_gwei") * F.col("fee_gwei"))
+        .cast("decimal(38,0)")
+        .alias("sxx"),
+        F.sum(F.col("full_ppm") * F.col("full_ppm"))
+        .cast("decimal(38,0)")
+        .alias("syy"),
+        F.sum(F.col("fee_gwei") * F.col("full_ppm"))
+        .cast("decimal(38,0)")
+        .alias("sxy"),
+    )
+    n = F.col("n")
+    corr = (
+        n * F.col("sxy").cast("double") - F.col("sx").cast("double") * F.col("sy")
+    ) / (
+        F.sqrt(n * F.col("sxx").cast("double") - F.col("sx").cast("double") * F.col("sx"))
+        * F.sqrt(n * F.col("syy").cast("double") - F.col("sy").cast("double") * F.col("sy"))
+    )
+    return m.select(
+        n.alias("n_blocks"), F.round(corr, 9).alias("fee_fullness_corr")
+    )

@@ -618,3 +618,70 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("cos_sim") >= 0.3)
     )
+
+
+@register(
+    "ann_lsh_recall_report",
+    oracle=f"""
+    WITH dots AS (
+        SELECT q.vec_id AS query_id, c.vec_id AS cand_id,
+               {_DOT} AS dot, {_QQ} AS qq, {_CC} AS cc,
+               ({_DUCK_BUCKET_Q}) = ({_DUCK_BUCKET_C}) AS same_bucket
+        FROM embeddings q, embeddings c, {_IDX}
+        WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
+        GROUP BY q.vec_id, c.vec_id,
+                 ({_DUCK_BUCKET_Q}) = ({_DUCK_BUCKET_C})
+    ),
+    brute AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, cand_id
+                   ) AS rank
+            FROM dots
+        ) WHERE rank <= 10
+    ),
+    approx AS (
+        SELECT query_id, cand_id FROM (
+            SELECT query_id, cand_id,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY query_id
+                       ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, cand_id
+                   ) AS rank
+            FROM dots WHERE same_bucket
+        ) WHERE rank <= 10
+    )
+    SELECT b.query_id,
+           CAST(COUNT(a.cand_id) AS BIGINT) AS n_hits,
+           ROUND(COUNT(a.cand_id) / 10.0, 2) AS recall_at_10
+    FROM brute b
+    LEFT JOIN approx a
+      ON a.query_id = b.query_id AND a.cand_id = b.cand_id
+    GROUP BY b.query_id
+    """,
+)
+def ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Recall@10 of the 8-bit sign-LSH index against the exact brute-force
+    baseline, per query — THE number an ANN deployment watches when
+    tuning nbits/nprobe (ann_lsh_topk trades recall for touching
+    ~corpus/256 of the vectors; this query says exactly what that trade
+    bought). Composes the two existing operators and joins their top-10
+    sets; both sides broadcast the 5-query side, so the added cost over
+    running them separately is one |queries|x10-row join. Recall is an
+    exact small-integer ratio."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < 5)
+    brute = brute_force_topk(emb, q, k=10).select("query_id", "cand_id")
+    approx = lsh_topk(emb, q, k=10, nbits=8).select(
+        F.col("query_id").alias("aq"), F.col("cand_id").alias("ac")
+    )
+    joined = brute.join(
+        approx,
+        (F.col("query_id") == F.col("aq")) & (F.col("cand_id") == F.col("ac")),
+        "left",
+    )
+    return joined.groupBy("query_id").agg(
+        F.count("ac").cast("bigint").alias("n_hits"),
+        F.round(F.count("ac") / 10.0, 2).alias("recall_at_10"),
+    )

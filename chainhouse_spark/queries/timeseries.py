@@ -1500,3 +1500,140 @@ def ts_gap_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.max("gap_us").cast("bigint").alias("max_gap_us"),
     )
+
+
+@register(
+    "ts_ljung_box",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    lagged AS (
+        SELECT event_type, x,
+               LAG(x, 1) OVER w AS x1,
+               LAG(x, 2) OVER w AS x2,
+               LAG(x, 3) OVER w AS x3,
+               ROW_NUMBER() OVER w AS rk,
+               COUNT(*) OVER (PARTITION BY event_type) AS n
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h)
+    ),
+    agg AS (
+        SELECT event_type,
+               CAST(MIN(n) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS s1,
+               CAST(SUM(x * x) AS DECIMAL(38,0)) AS s2,
+               CAST(SUM(x * x1) AS DECIMAL(38,0)) AS sk1,
+               CAST(SUM(x * x2) AS DECIMAL(38,0)) AS sk2,
+               CAST(SUM(x * x3) AS DECIMAL(38,0)) AS sk3,
+               CAST(SUM(CASE WHEN rk <= n - 1 THEN x ELSE 0 END) AS BIGINT) AS h1,
+               CAST(SUM(CASE WHEN rk <= n - 2 THEN x ELSE 0 END) AS BIGINT) AS h2,
+               CAST(SUM(CASE WHEN rk <= n - 3 THEN x ELSE 0 END) AS BIGINT) AS h3,
+               CAST(SUM(CASE WHEN rk > 1 THEN x ELSE 0 END) AS BIGINT) AS t1,
+               CAST(SUM(CASE WHEN rk > 2 THEN x ELSE 0 END) AS BIGINT) AS t2,
+               CAST(SUM(CASE WHEN rk > 3 THEN x ELSE 0 END) AS BIGINT) AS t3
+        FROM lagged GROUP BY event_type
+    ),
+    rho AS (
+        SELECT event_type, n,
+            (CAST(sk1 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * (h1 + t1)
+                 + (n - 1) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              / (CAST(s2 AS DOUBLE) - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS r1,
+            (CAST(sk2 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * (h2 + t2)
+                 + (n - 2) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              / (CAST(s2 AS DOUBLE) - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS r2,
+            (CAST(sk3 AS DOUBLE) - (CAST(s1 AS DOUBLE) / n) * (h3 + t3)
+                 + (n - 3) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
+              / (CAST(s2 AS DOUBLE) - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS r3
+        FROM agg
+    )
+    SELECT event_type, n AS n_hours,
+           ROUND(r1, 9) AS acf_1, ROUND(r2, 9) AS acf_2, ROUND(r3, 9) AS acf_3,
+           ROUND(n * (n + 2.0) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                                  + r3 * r3 / (n - 3)), 9) AS q_stat,
+           n * (n + 2.0) * (r1 * r1 / (n - 1) + r2 * r2 / (n - 2)
+                            + r3 * r3 / (n - 3)) > 11.345 AS white_noise_rejected
+    FROM rho
+    """,
+)
+def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ljung-Box portmanteau test (lags 1-3) on each type's hourly-total
+    series: Q = n(n+2) sum(rho_k^2/(n-k)), rejected at chi2(3, 0.99) =
+    11.345 — the is-there-anything-left-to-model gate run on forecast
+    residuals. Reuses ts_autocorrelation's exact-integer machinery (all
+    sums from ONE lag pass over the hourly aggregate; the only floats are
+    the shared mean-centering expansion, evaluated identically by both
+    engines, then Q as arithmetic over those identical doubles). Two
+    shuffles total: the hourly rollup, then the (type,)-keyed lag window
+    + final group sharing one partitioning."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000))
+            .cast("bigint")
+            .alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("vc").cast("bigint").alias("x"))
+    )
+    w = Window.partitionBy("event_type").orderBy("h")
+    wn = Window.partitionBy("event_type")
+    lagged = hourly.select(
+        "event_type",
+        "x",
+        F.lag("x", 1).over(w).alias("x1"),
+        F.lag("x", 2).over(w).alias("x2"),
+        F.lag("x", 3).over(w).alias("x3"),
+        F.row_number().over(w).alias("rk"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    def head(k):
+        return F.sum(
+            F.when(F.col("rk") <= F.col("n") - k, F.col("x")).otherwise(0)
+        ).cast("bigint")
+
+    def tail(k):
+        return F.sum(
+            F.when(F.col("rk") > k, F.col("x")).otherwise(0)
+        ).cast("bigint")
+
+    agg = lagged.groupBy("event_type").agg(
+        F.min("n").cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).cast("decimal(38,0)").alias("s2"),
+        F.sum(F.col("x") * F.col("x1")).cast("decimal(38,0)").alias("sk1"),
+        F.sum(F.col("x") * F.col("x2")).cast("decimal(38,0)").alias("sk2"),
+        F.sum(F.col("x") * F.col("x3")).cast("decimal(38,0)").alias("sk3"),
+        head(1).alias("h1"), head(2).alias("h2"), head(3).alias("h3"),
+        tail(1).alias("t1"), tail(2).alias("t2"), tail(3).alias("t3"),
+    )
+    n = F.col("n")
+    mu = F.col("s1").cast("double") / n
+    den = F.col("s2").cast("double") - n * mu * mu
+
+    def rho(k):
+        sk = F.col(f"sk{k}").cast("double")
+        hk = F.col(f"h{k}")
+        tk = F.col(f"t{k}")
+        return (sk - mu * (hk + tk) + (n - k) * mu * mu) / den
+
+    r1, r2, r3 = rho(1), rho(2), rho(3)
+    q = n * (n + F.lit(2.0)) * (
+        r1 * r1 / (n - 1) + r2 * r2 / (n - 2) + r3 * r3 / (n - 3)
+    )
+    return agg.select(
+        "event_type",
+        n.alias("n_hours"),
+        F.round(r1, 9).alias("acf_1"),
+        F.round(r2, 9).alias("acf_2"),
+        F.round(r3, 9).alias("acf_3"),
+        F.round(q, 9).alias("q_stat"),
+        (q > 11.345).alias("white_noise_rejected"),
+    )

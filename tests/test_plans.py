@@ -856,3 +856,46 @@ def test_single_partition_exemptions_are_exact():
     lookalike = plan("Sort", "Input [1]: [x#1]\nArguments: [x#1 ASC]\n",
                      "x#1, my__gr_pid_copy#12L")
     assert _single_partition_suspects(lookalike) == ["SortAggregate"]
+
+
+def test_round7_additions_plan_shapes(spark):
+    # Breakpoint-broadcast bucketing (no NTILE-over-everything): the only
+    # join is the broadcast of the 3-quantile scalar row; no single-task
+    # funnel survives.
+    for name in ("curriculum_difficulty_order", "ts_paa_sax"):
+        f = plan_facts(q(spark, name))
+        # the 1-row breakpoint combine is a broadcast nested-loop (keyless),
+        # never a cartesian product or a sort-merge join
+        assert f.nested_loop_joins == 1, name
+        assert f.cartesian_products == 0, name
+        assert f.sortmerge_joins == 0, name
+        assert f.single_partition_suspects == [], name
+    # Window-scan attribution: the purchase-x-click pair join must never
+    # appear — user-keyed window shuffles only, no join of any kind.
+    f = plan_facts(q(spark, "attribution_position_based"))
+    assert f.broadcast_joins + f.sortmerge_joins + f.nested_loop_joins == 0
+    assert f.single_partition_suspects == []
+    # Decimal-quantized decay: one user-keyed aggregate, map-side weights.
+    f = plan_facts(q(spark, "audience_engagement_decay"))
+    assert f.shuffle_exchanges <= 2
+    assert f.python_evals == 0
+    # Gini through the distributed exact rank: no unpartitioned window.
+    f = plan_facts(q(spark, "eth_value_gini"))
+    assert f.single_partition_suspects == []
+
+
+def test_kcore_is_checkpoint_bounded(spark):
+    # The peel's final plan must read from checkpointed RDD scans, not
+    # re-derive the order-part self-join per keep reference (the 79s-at-
+    # sf0.1 regression class). ExistingRDD scans appear for localCheckpoint
+    # children; the raw lineitem parquet scan must appear at most once
+    # (inside the checkpoint lineage it is not re-planned).
+    df = q(spark, "graph_kcore_peel")
+    text = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert text.count("Scan parquet") <= 1, (
+        "k-core final plan re-derives the edge self-join "
+        f"({text.count('Scan parquet')} parquet scans)"
+    )
+    assert "Scan ExistingRDD" in text

@@ -44,7 +44,11 @@ from pyspark.sql import DataFrame, SparkSession  # noqa: E402
 from pyspark.sql import functions as F  # noqa: E402
 
 SRC = "/root/testdata/sf0.1"
-DST = os.path.join(REPO, ".scale_smoke", "sf1")
+
+
+def _dst(copies: int) -> str:
+    # 10 copies of sf0.1 = sf1; 100 copies = sf10 (the 100x-of-bench point)
+    return os.path.join(REPO, ".scale_smoke", f"sf{copies // 10}")
 
 # Key columns to shift per copy, per table. Dims without cross-copy joins
 # at smoke-query granularity (region, nation) replicate un-shifted is NOT
@@ -110,6 +114,7 @@ def _one_copy(df: DataFrame, name: str, i: int, shifts: dict[str, int]) -> DataF
 
 
 def generate(spark: SparkSession, copies: int) -> None:
+    DST = _dst(copies)
     if os.path.exists(DST):
         shutil.rmtree(DST)
     os.makedirs(DST)
@@ -144,26 +149,29 @@ def generate(spark: SparkSession, copies: int) -> None:
 def run(spark: SparkSession, names: list[str], copies: int) -> dict:
     from chainhouse_spark.queries import QUERIES
 
+    DST = _dst(copies)
+
     results = {}
     for name in names:
         fn = QUERIES[name]
         walls = {}
-        for label, sf_dir in (("sf0.1", SRC), ("sf1", DST)):
+        for label, sf_dir in (("sf0.1", SRC), (f"sf{copies // 10}", DST)):
             best = float("inf")
             for _ in range(3):
                 t0 = time.perf_counter()
                 fn(spark, sf_dir).write.format("noop").mode("overwrite").save()
                 best = min(best, time.perf_counter() - t0)
             walls[label] = round(best, 3)
-        ratio = round(walls["sf1"] / walls["sf0.1"], 2)
+        big = f"sf{copies // 10}"
+        ratio = round(walls[big] / walls["sf0.1"], 2)
         results[name] = {
             "sf0.1_sec": walls["sf0.1"],
-            "sf1_sec": walls["sf1"],
+            f"{big}_sec": walls[big],
             "ratio": ratio,
             "ideal": float(copies),
         }
         print(f"[smoke] {name:28s} {walls['sf0.1']:7.3f}s -> "
-              f"{walls['sf1']:7.3f}s  ratio {ratio:5.2f}x "
+              f"{walls[big]:7.3f}s  ratio {ratio:5.2f}x "
               f"(linear ideal <= {copies}x)", file=sys.stderr)
     return results
 
