@@ -1637,3 +1637,65 @@ def ts_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(q, 9).alias("q_stat"),
         (q > 11.345).alias("white_noise_rejected"),
     )
+
+
+@register(
+    "ts_wow_growth",
+    oracle="""
+    WITH weekly AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 604800000000 AS BIGINT) AS week,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS total_c,
+               CAST(COUNT(*) AS BIGINT) AS n_events
+        FROM events GROUP BY 1, 2
+    )
+    SELECT event_type, week, total_c, n_events,
+           CASE WHEN LAG(total_c) OVER w IS NULL
+                     OR LAG(total_c) OVER w = 0 THEN NULL
+                ELSE ROUND(100.0 * (total_c - LAG(total_c) OVER w)
+                           / LAG(total_c) OVER w, 9) END AS growth_pct
+    FROM weekly
+    WINDOW w AS (PARTITION BY event_type ORDER BY week)
+    """,
+)
+def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Week-over-week growth per event type: weekly integer-cent totals,
+    then the lag-ratio as a percentage — the first chart on any growth
+    dashboard. Totals are exact integers; the growth division is the one
+    shared float, NULL-guarded for missing/zero baselines. The weekly
+    rollup shrinks the data to |types| x |weeks| rows BEFORE the lag
+    window, so the window input is tiny at any raw-data scale — the
+    aggregate-then-window order is the whole 100 TB design."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    weekly = (
+        e.select(
+            "event_type",
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(604800000000))
+            .cast("bigint")
+            .alias("week"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        )
+        .groupBy("event_type", "week")
+        .agg(
+            F.sum("vc").cast("bigint").alias("total_c"),
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        )
+    )
+    w = Window.partitionBy("event_type").orderBy("week")
+    prev = F.lag("total_c").over(w)
+    return weekly.select(
+        "event_type",
+        "week",
+        "total_c",
+        "n_events",
+        F.when(
+            prev.isNull() | (prev == 0), F.lit(None).cast("double")
+        )
+        .otherwise(
+            F.round(100.0 * (F.col("total_c") - prev) / prev, 9)
+        )
+        .alias("growth_pct"),
+    )
