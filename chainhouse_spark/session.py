@@ -44,6 +44,18 @@ def build_spark(
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        # Fan OUT first, let AQE coalesce DOWN: shuffle.partitions is the
+        # post-coalesce floor, but AQE can never split an exchange beyond
+        # the initial number — a fixed 32 becomes the memory bottleneck the
+        # moment data outgrows the test scale (the round-7 sf10 smoke
+        # OOMed the 8 GB heap at 32; at 256 the same query finishes on the
+        # same heap, 25% faster — SCALE.md "Scale smoke"). Small inputs
+        # coalesce back down before the reduce stage runs, so sf0.01/sf0.1
+        # plans and timings are unchanged.
+        .config(
+            "spark.sql.adaptive.coalescePartitions.initialPartitionNum",
+            str(max(256, shuffle_partitions * 2)),
+        )
         # Runtime bloom-filter join pruning: when a shuffle join's build side
         # carries a selective filter, Spark injects a bloom filter on the
         # probe-side scan. At 100 TB the default thresholds (build side
