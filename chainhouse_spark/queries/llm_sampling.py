@@ -639,3 +639,57 @@ def sample_downweight_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("duplicated_tok"),
         )
     )
+
+
+@register(
+    "sample_systematic_every_k",
+    oracle="""
+    WITH keyed AS (
+        SELECT doc_id, source, n_chars,
+               md5(CAST(doc_id AS VARCHAR) || ':sysk') AS hk
+        FROM documents
+    ),
+    ranked AS (
+        SELECT doc_id, source, n_chars,
+               ROW_NUMBER() OVER (ORDER BY hk, doc_id) AS rk
+        FROM keyed
+    ),
+    picked AS (
+        SELECT doc_id, source, n_chars FROM ranked WHERE rk % 20 = 7
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_sampled,
+           CAST(SUM(n_chars) AS BIGINT) AS sampled_chars,
+           CAST(MIN(doc_id) AS BIGINT) AS min_doc_id
+    FROM picked GROUP BY source
+    """,
+)
+def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Systematic every-k-th sampling over a hash-shuffled order: rank
+    documents by md5(doc_id) (a deterministic corpus shuffle — the same
+    keying as corpus_shuffle_shards) and keep every 20th with a fixed
+    phase. Versus the Bernoulli hash-gate (split_train_test_hash) this
+    gives an EXACTLY n/20 sample with even spacing in the shuffled order
+    — the shape auditors ask for. The global rank runs through the
+    distributed exact-rank operator (never a single-task window); at
+    100 TB the cheaper production variant drops the rank entirely and
+    gates on md5 mod 20 = 7 (Bernoulli, n/20 in expectation) — the rank
+    version is for when the count must be exact."""
+    from chainhouse_spark.operators.ranking import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        "source",
+        "n_chars",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":sysk"))).alias(
+            "hk"
+        ),
+    )
+    ranked = global_row_number(keyed, [F.asc("hk"), F.asc("doc_id")], "rk")
+    picked = ranked.filter(F.col("rk") % 20 == 7)
+    return picked.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sampled"),
+        F.sum("n_chars").cast("bigint").alias("sampled_chars"),
+        F.min("doc_id").cast("bigint").alias("min_doc_id"),
+    )

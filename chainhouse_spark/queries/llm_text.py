@@ -721,3 +721,71 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             "words_per_sentence"
         ),
     )
+
+
+@register(
+    "text_readability_fk",
+    oracle="""
+    WITH per_doc AS (
+        SELECT lang,
+               CAST(len(string_split(text, ' ')) AS BIGINT) AS w,
+               CAST(len(string_split(text, '. ')) AS BIGINT) AS s,
+               CAST(len(regexp_extract_all(lower(text), '[aeiouy]+'))
+                    AS BIGINT) AS syl
+        FROM documents
+    ),
+    scored AS (
+        SELECT lang,
+               CAST(ROUND(0.39 * (CAST(w AS DOUBLE) / s)
+                          + 11.8 * (CAST(syl AS DOUBLE) / w)
+                          - 15.59, 6) AS DECIMAL(18,6)) AS fk
+        FROM per_doc
+    )
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(CAST(SUM(fk) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*)
+             AS mean_fk_grade,
+           CAST(MIN(fk) AS DOUBLE) AS min_fk,
+           CAST(MAX(fk) AS DOUBLE) AS max_fk
+    FROM scored GROUP BY lang
+    """,
+)
+def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flesch-Kincaid grade-level profile per language: 0.39*(words/
+    sentence) + 11.8*(syllables/word) - 15.59, with syllables counted as
+    vowel groups ([aeiouy]+ — the standard cheap proxy; a character
+    class without escapes, so Spark and DuckDB regex dialects agree) and
+    sentences at the literal '. ' boundary (text_sentence_stats'
+    rationale). Per-document grades are ratios of exact integers rounded
+    to 6 decimals THEN decimal-summed, so the per-lang mean is order-
+    independent. The quality-filtering companion to text_quality_scores:
+    grade-level outliers in a web corpus are boilerplate or word salad.
+    Map-side regex + one lang-keyed aggregate."""
+    d = load_table(spark, sf_dir, "documents")
+    per_doc = d.select(
+        "lang",
+        F.size(F.split(F.col("text"), " ", -1)).cast("bigint").alias("w"),
+        F.size(F.split(F.col("text"), "\\. ", -1)).cast("bigint").alias("s"),
+        F.expr("regexp_count(lower(text), '[aeiouy]+')")
+        .cast("bigint")
+        .alias("syl"),
+    )
+    fk = F.round(
+        0.39 * (F.col("w").cast("double") / F.col("s"))
+        + 11.8 * (F.col("syl").cast("double") / F.col("w"))
+        - 15.59,
+        6,
+    ).cast("decimal(18,6)")
+    return (
+        per_doc.select("lang", fk.alias("fk"))
+        .groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            (
+                F.sum("fk").cast("decimal(28,6)").cast("double")
+                / F.count(F.lit(1))
+            ).alias("mean_fk_grade"),
+            F.min("fk").cast("double").alias("min_fk"),
+            F.max("fk").cast("double").alias("max_fk"),
+        )
+    )

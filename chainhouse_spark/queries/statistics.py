@@ -2141,3 +2141,92 @@ def stat_cohens_d_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n2",
         F.round(mean_diff / F.sqrt(pooled), 9).alias("cohens_d"),
     )
+
+
+@register(
+    "stat_anova_oneway",
+    oracle="""
+    WITH v AS (
+        SELECT event_type,
+               CAST(ROUND(value * 100, 0) AS BIGINT) AS xc
+        FROM events
+    ),
+    g AS (
+        SELECT event_type,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(xc) AS BIGINT) AS sx,
+               CAST(SUM(xc * xc) AS DECIMAL(38,0)) AS sxx
+        FROM v GROUP BY event_type
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+               CAST(SUM(sx) AS BIGINT) AS sx_tot,
+               CAST(SUM(sxx) AS DECIMAL(38,0)) AS sxx_tot,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    ),
+    ss AS (
+        SELECT k, n_tot,
+               (SELECT SUM(CAST(sx AS DOUBLE) * sx / n) FROM g)
+                 - CAST(sx_tot AS DOUBLE) * sx_tot / n_tot AS ss_between,
+               CAST(sxx_tot AS DOUBLE)
+                 - (SELECT SUM(CAST(sx AS DOUBLE) * sx / n) FROM g) AS ss_within
+        FROM tot
+    )
+    SELECT CAST(k AS BIGINT) AS n_groups,
+           CAST(n_tot AS BIGINT) AS n_obs,
+           ROUND(ss_between / 10000.0, 6) AS ss_between,
+           ROUND(ss_within / 10000.0, 6) AS ss_within,
+           ROUND((ss_between / (k - 1)) / (ss_within / (n_tot - k)), 9)
+             AS f_stat,
+           (ss_between / (k - 1)) / (ss_within / (n_tot - k)) > 3.32
+             AS means_differ_p01
+    FROM ss
+    """,
+)
+def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across event types: between/within sums of squares and
+    the F statistic from integer-cent moments — the do-the-group-means-
+    differ companion to stat_brown_forsythe (which asks whether the
+    VARIANCES do; run that first, ANOVA assumes it passes). All moments
+    are exact integer sums per group; the F expansion runs over |groups|
+    rows of a broadcast combine, and the threshold is F(4, inf) at p=.01.
+    One group-keyed aggregate + a k-row gather."""
+    e = load_table(spark, sf_dir, "events")
+    g = (
+        e.select(
+            "event_type",
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("xc"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("xc").cast("bigint").alias("sx"),
+            F.sum(F.col("xc") * F.col("xc")).cast("decimal(38,0)").alias("sxx"),
+        )
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_tot"),
+        F.sum("sx").cast("bigint").alias("sx_tot"),
+        F.sum(F.col("sxx")).cast("decimal(38,0)").alias("sxx_tot"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+        F.sum(F.col("sx").cast("double") * F.col("sx") / F.col("n")).alias(
+            "sum_groupmeans"
+        ),
+    )
+    ss_between = (
+        F.col("sum_groupmeans")
+        - F.col("sx_tot").cast("double") * F.col("sx_tot") / F.col("n_tot")
+    )
+    ss_within = F.col("sxx_tot").cast("double") - F.col("sum_groupmeans")
+    f_stat = (ss_between / (F.col("k") - 1)) / (
+        ss_within / (F.col("n_tot") - F.col("k"))
+    )
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        F.col("n_tot").alias("n_obs"),
+        F.round(ss_between / 10000.0, 6).alias("ss_between"),
+        F.round(ss_within / 10000.0, 6).alias("ss_within"),
+        F.round(f_stat, 9).alias("f_stat"),
+        (f_stat > 3.32).alias("means_differ_p01"),
+    )

@@ -1699,3 +1699,86 @@ def ts_wow_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .alias("growth_pct"),
     )
+
+
+@register(
+    "ts_bollinger_bands",
+    oracle="""
+    WITH hourly AS (
+        SELECT event_type,
+               CAST(epoch_us(ts) // 3600000000 AS BIGINT) AS h,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1, 2
+    ),
+    frames AS (
+        SELECT event_type, h, x,
+               CAST(SUM(x) OVER w AS BIGINT) AS fs,
+               CAST(SUM(x * x) OVER w AS DECIMAL(38,0)) AS fss,
+               CAST(COUNT(*) OVER w AS BIGINT) AS fn
+        FROM hourly
+        WINDOW w AS (PARTITION BY event_type ORDER BY h
+                     ROWS BETWEEN 23 PRECEDING AND CURRENT ROW)
+    )
+    SELECT event_type, h,
+           ROUND(CAST(fs AS DOUBLE) / fn / 100.0, 9) AS sma24,
+           ROUND((CAST(fs AS DOUBLE) / fn
+                  + 2 * SQRT((CAST(fss AS DOUBLE) - CAST(fs AS DOUBLE) * fs / fn)
+                             / fn)) / 100.0, 9) AS upper_band,
+           ROUND((CAST(fs AS DOUBLE) / fn
+                  - 2 * SQRT((CAST(fss AS DOUBLE) - CAST(fs AS DOUBLE) * fs / fn)
+                             / fn)) / 100.0, 9) AS lower_band,
+           x > CAST(fs AS DOUBLE) / fn
+                + 2 * SQRT((CAST(fss AS DOUBLE) - CAST(fs AS DOUBLE) * fs / fn)
+                           / fn) AS breakout_above
+    FROM frames WHERE fn = 24
+    """,
+)
+def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bollinger bands on the hourly-total series: 24-hour simple moving
+    average +/- 2 population standard deviations, plus the breakout flag —
+    the volatility envelope behind mean-reversion alerting. The rolling
+    frame carries exact integer sums (x and x^2); the band math is the
+    shared float expansion over those identical integers, so both engines
+    emit bit-identical doubles. Frames shorter than 24 are dropped (the
+    warm-up). One shuffle: hourly rollup, frame window, and filter all
+    share the (event_type,) hash layout after the tiny rollup."""
+    from pyspark.sql import Window
+
+    e = load_table(spark, sf_dir, "events")
+    hourly = (
+        e.select(
+            "event_type",
+            (F.unix_micros(F.col("ts").cast("timestamp")) / F.lit(3600000000))
+            .cast("bigint")
+            .alias("h"),
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("vc"),
+        )
+        .groupBy("event_type", "h")
+        .agg(F.sum("vc").cast("bigint").alias("x"))
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("h")
+        .rowsBetween(-23, Window.currentRow)
+    )
+    frames = hourly.select(
+        "event_type",
+        "h",
+        "x",
+        F.sum("x").over(w).cast("bigint").alias("fs"),
+        F.sum(F.col("x") * F.col("x")).over(w).cast("decimal(38,0)").alias("fss"),
+        F.count(F.lit(1)).over(w).cast("bigint").alias("fn"),
+    )
+    mean = F.col("fs").cast("double") / F.col("fn")
+    sd = F.sqrt(
+        (F.col("fss").cast("double") - F.col("fs").cast("double") * F.col("fs") / F.col("fn"))
+        / F.col("fn")
+    )
+    return frames.filter(F.col("fn") == 24).select(
+        "event_type",
+        "h",
+        F.round(mean / 100.0, 9).alias("sma24"),
+        F.round((mean + 2 * sd) / 100.0, 9).alias("upper_band"),
+        F.round((mean - 2 * sd) / 100.0, 9).alias("lower_band"),
+        (F.col("x") > mean + 2 * sd).alias("breakout_above"),
+    )
