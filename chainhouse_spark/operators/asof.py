@@ -188,3 +188,80 @@ def asof_join_nearest(
         .alias("__asof_dir")
     )
     return both.select(*sel)
+
+
+def asof_interpolate(
+    left: DataFrame,
+    right: DataFrame,
+    by: str,
+    ts: str,
+    value_col: str,
+    out_col: str = "interp_value",
+) -> DataFrame:
+    """Linearly interpolated as-of join: for each left row, the right
+    series' value at the left timestamp, interpolated between the
+    bracketing right rows (vb at tb <= t, vf at tf >= t):
+
+        v(t) = vb + (vf - vb) * (t - tb) / (tf - tb)
+
+    Flat extrapolation when only one side exists; NULL when the key has
+    no right rows; exact right-timestamp matches return that row's value
+    (tb == tf guard). The finance/sensor standard ("sample the curve at
+    trade time") that a nearest-neighbor as-of join approximates.
+
+    Same scale shape as _asof_union_carry: ONE key-hashed shuffle, two
+    window passes (ascending and descending share the partitioning; the
+    second pass adds a sort, not an exchange), never an inequality join.
+    """
+    l = left.select(
+        F.col(by).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(1).alias("__side"),
+        F.struct(*[F.col(c) for c in left.columns]).alias("__l"),
+        F.lit(None).cast("double").alias("__v"),
+    )
+    r = right.select(
+        F.col(by).alias("__k"),
+        F.col(ts).alias("__ts"),
+        F.lit(0).alias("__side"),
+        F.lit(None).cast(l.schema["__l"].dataType.simpleString()).alias("__l"),
+        F.col(value_col).cast("double").alias("__v"),
+    )
+    u = l.unionByName(r)
+    # right rows sort before left at equal ts in the ascending pass (exact
+    # matches carry backward), after left in the descending pass — so an
+    # exact match yields tb == tf == t and the guard returns vb.
+    wb = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").asc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("__k")
+        .orderBy(F.col("__ts").desc(), F.col("__side").asc())
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    rv = F.when(F.col("__side") == 0, F.col("__v"))
+    rt = F.when(F.col("__side") == 0, F.col("__ts"))
+    carried = (
+        u.withColumn("__vb", F.last(rv, ignorenulls=True).over(wb))
+        .withColumn("__tb", F.last(rt, ignorenulls=True).over(wb))
+        .withColumn("__vf", F.last(rv, ignorenulls=True).over(wf))
+        .withColumn("__tf", F.last(rt, ignorenulls=True).over(wf))
+    )
+    t = F.col("__ts").cast("double")
+    tb = F.col("__tb").cast("double")
+    tf = F.col("__tf").cast("double")
+    interp = (
+        F.when(F.col("__vb").isNull(), F.col("__vf"))
+        .when(F.col("__vf").isNull(), F.col("__vb"))
+        .when(tf == tb, F.col("__vb"))
+        .otherwise(
+            F.col("__vb")
+            + (F.col("__vf") - F.col("__vb")) * (t - tb) / (tf - tb)
+        )
+    )
+    return carried.filter(F.col("__side") == 1).select(
+        *[F.col(f"__l.{c}").alias(c) for c in left.columns],
+        interp.alias(out_col),
+    )

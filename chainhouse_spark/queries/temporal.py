@@ -457,3 +457,80 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("total_lag_seconds"),
     )
+
+
+@register(
+    "asof_interpolated_value",
+    oracle="""
+    WITH l AS (
+        SELECT user_id AS k, epoch_us(ts) AS t, event_id
+        FROM events WHERE event_type = 'purchase'
+    ),
+    r AS (
+        SELECT user_id AS k, epoch_us(ts) AS t,
+               CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS DOUBLE) AS v
+        FROM events WHERE event_type = 'click'
+    ),
+    u AS (
+        SELECT k, t, 1 AS side, event_id, NULL::DOUBLE AS v FROM l
+        UNION ALL
+        SELECT k, t, 0 AS side, NULL::BIGINT AS event_id, v FROM r
+    ),
+    carried AS (
+        SELECT k, t, side, event_id,
+            last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+              OVER wb AS vb,
+            last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+              OVER wb AS tb,
+            last_value(CASE WHEN side = 0 THEN v END IGNORE NULLS)
+              OVER wf AS vf,
+            last_value(CASE WHEN side = 0 THEN t END IGNORE NULLS)
+              OVER wf AS tf
+        FROM u
+        WINDOW
+          wb AS (PARTITION BY k ORDER BY t ASC, side ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+          wf AS (PARTITION BY k ORDER BY t DESC, side ASC
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    )
+    SELECT k AS user_id, CAST(t AS BIGINT) AS purchase_us, event_id,
+           ROUND(CASE
+               WHEN vb IS NULL THEN vf
+               WHEN vf IS NULL THEN vb
+               WHEN tf = tb THEN vb
+               ELSE vb + (vf - vb) * (CAST(t AS DOUBLE) - tb) / (tf - tb)
+           END / 100.0, 9) AS interp_click_value
+    FROM carried WHERE side = 1
+    """,
+)
+def asof_interpolated_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Linearly interpolated as-of join (operators/asof.py::
+    asof_interpolate): each purchase samples the user's click-value curve
+    AT purchase time, interpolating between the bracketing clicks — the
+    curve-sampling semantic (rates at trade time, sensor value at event
+    time) that nearest/backward as-of joins only approximate. Flat
+    extrapolation off the ends, exact-timestamp matches short-circuit.
+    Click values quantize to cents before the float interpolation ratio
+    (identical operands -> identical doubles). One user-keyed shuffle,
+    two window passes sharing it."""
+    from chainhouse_spark.operators.asof import asof_interpolate
+
+    e = load_table(spark, sf_dir, "events")
+    us = F.unix_micros(F.col("ts").cast("timestamp"))
+    left = e.filter(F.col("event_type") == "purchase").select(
+        "user_id", us.alias("t"), "event_id"
+    )
+    right = e.filter(F.col("event_type") == "click").select(
+        "user_id",
+        us.alias("t"),
+        F.round(F.col("value") * 100, 0).cast("bigint").cast("double").alias("v"),
+    )
+    out = asof_interpolate(
+        left, right, by="user_id", ts="t", value_col="v", out_col="__interp"
+    )
+    return out.select(
+        "user_id",
+        F.col("t").cast("bigint").alias("purchase_us"),
+        "event_id",
+        F.round(F.col("__interp") / 100.0, 9).alias("interp_click_value"),
+    )
