@@ -789,3 +789,75 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("fk").cast("double").alias("max_fk"),
         )
     )
+
+
+@register(
+    "text_boilerplate_ngrams",
+    oracle="""
+    WITH words AS (
+        SELECT doc_id, source, string_split(text, ' ') AS ws
+        FROM documents
+    ),
+    grams AS (
+        SELECT DISTINCT doc_id, source,
+               array_to_string(ws[i:i+4], ' ') AS g
+        FROM words, (SELECT unnest(range(1, 256)) AS i) ix
+        WHERE i + 4 <= len(ws)
+    ),
+    freq AS (
+        SELECT g,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM grams GROUP BY g
+    )
+    SELECT g AS ngram, n_docs, n_sources,
+           ROUND(CAST(n_docs AS DOUBLE)
+                 / (SELECT COUNT(*) FROM documents), 9) AS doc_share
+    FROM freq
+    WHERE n_docs >= 3
+    ORDER BY n_docs DESC, ngram
+    LIMIT 50
+    """,
+)
+def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boilerplate n-gram detection: word 5-grams repeated across >= 3
+    distinct documents, ranked by document reach — the list a cleaning
+    pass strips (navigation chrome, license footers; the C4-style
+    repeated-span rule at shingle granularity, which also works on the
+    punctuation-free text real web extraction often yields). DISTINCT
+    per document first so in-doc repetition counts once; the 256-slot
+    position spine in the oracle covers any document (max words here is
+    ~100; Spark's transform avoids the spine entirely). Explode + one
+    shingle-keyed aggregate — at 100 TB you count md5(shingle) instead
+    of the string, same shape as the dedup family; top-50 is
+    TakeOrderedAndProject."""
+    d = load_table(spark, sf_dir, "documents")
+    n_docs_total = d.count()
+    ws = F.split(F.col("text"), " ", -1)
+    grams_arr = F.expr(
+        "filter(transform(sequence(1, size(split(text, ' ', -1))), "
+        "i -> CASE WHEN i + 4 <= size(split(text, ' ', -1)) "
+        "THEN array_join(slice(split(text, ' ', -1), i, 5), ' ') END), "
+        "x -> x IS NOT NULL)"
+    )
+    grams = (
+        d.select("doc_id", "source", F.explode(grams_arr).alias("g"))
+        .distinct()
+    )
+    freq = grams.groupBy("g").agg(
+        F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+        F.countDistinct("source").cast("bigint").alias("n_sources"),
+    )
+    return (
+        freq.filter(F.col("n_docs") >= 3)
+        .select(
+            F.col("g").alias("ngram"),
+            "n_docs",
+            "n_sources",
+            F.round(F.col("n_docs").cast("double") / n_docs_total, 9).alias(
+                "doc_share"
+            ),
+        )
+        .orderBy(F.desc("n_docs"), F.asc("ngram"))
+        .limit(50)
+    )

@@ -326,3 +326,29 @@ def test_access_list_stats_empty_list_is_ansi_safe(spark):
     assert row.total_entries == 1
     assert row.total_storage_keys == 2
     assert row.n_distinct_first_addresses == 1
+
+
+def test_asof_interpolate_edges(spark):
+    from chainhouse_spark.operators.asof import asof_interpolate
+
+    left = spark.createDataFrame(
+        [(1, 50), (1, 10), (1, 95), (2, 7), (3, 40)], "k long, t long"
+    )
+    right = spark.createDataFrame(
+        # k=1: rights at t=20 (v=100) and t=80 (v=400)
+        # k=3: single right at t=40 exact match (v=77)
+        # k=2: no rights
+        [(1, 20, 100.0), (1, 80, 400.0), (3, 40, 77.0)],
+        "k long, t long, v double",
+    )
+    got = {
+        (r.k, r.t): r.iv
+        for r in asof_interpolate(
+            left, right, by="k", ts="t", value_col="v", out_col="iv"
+        ).collect()
+    }
+    assert got[(1, 50)] == 250.0   # halfway between 100 and 400
+    assert got[(1, 10)] == 100.0   # before first right: flat backward
+    assert got[(1, 95)] == 400.0   # after last right: flat forward
+    assert got[(2, 7)] is None     # no right rows
+    assert got[(3, 40)] == 77.0    # exact timestamp match
