@@ -217,15 +217,24 @@ def audience_rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     from chainhouse_spark.operators.ranking import global_row_number
 
-    ranked = global_row_number(
-        per_cust, [F.desc("last_order"), F.asc("o_custkey")], "__rk_r"
-    )
-    ranked = global_row_number(
-        ranked, [F.desc("frequency"), F.asc("o_custkey")], "__rk_f"
-    )
-    ranked = global_row_number(
-        ranked, [F.desc("monetary"), F.asc("o_custkey")], "__rk_m"
-    )
+    # Rank THIN (key, dim) projections and join back on the key instead of
+    # chaining three ranks over the full row: each range-partition sort
+    # then moves 2 columns instead of 5, and the three rank lineages hang
+    # off one materialized per-customer aggregate (round-7 measurement:
+    # ~20% faster warm, 3.7x faster cold than the chained form).
+    per_cust = per_cust.localCheckpoint(eager=False)
+    ranked = per_cust
+    for dim, rk in (
+        ("last_order", "__rk_r"),
+        ("frequency", "__rk_f"),
+        ("monetary", "__rk_m"),
+    ):
+        thin = global_row_number(
+            per_cust.select("o_custkey", dim),
+            [F.desc(dim), F.asc("o_custkey")],
+            rk,
+        ).select("o_custkey", rk)
+        ranked = ranked.join(thin, "o_custkey")
     n_df = per_cust.agg(F.count(F.lit(1)).alias("__n"))
 
     def ntile5(rk: str):
