@@ -66,14 +66,15 @@ from chainhouse_spark.queries import llm_training  # noqa: E402,F401
 from chainhouse_spark.queries import bpe_queries  # noqa: E402,F401
 
 # Round-7 rotation (tools/build_rotation.py, regenerated at round start).
-# 286/315 registered queries hold a cumulative green driver verdict
-# (CORRECTNESS_r01..r06, zero red rows outstanding); those rotate to the
-# back. Front = the 29 round-6 additions that have never been driver-checked
-# (experimentation stats, time-series, graph, eth, ANN range search, as-of
-# tolerance, INTERSECT ALL, streaming hourly-distinct), in registration
-# order. Round-7 additions land in the mid bucket directly behind them, so
-# the same ~50-row window adjudicates both. After this window every query
-# registered before round 7 holds a driver verdict.
+# 286 of the 315 queries registered before this round hold a cumulative
+# green driver verdict (CORRECTNESS_r01..r06, zero red rows outstanding);
+# those rotate to the back. Front = the 29 round-6 additions that have
+# never been driver-checked (experimentation stats, time-series, graph,
+# eth, ANN range search, as-of tolerance, INTERSECT ALL, streaming
+# hourly-distinct), in registration order. The 20+ round-7 additions land
+# in the mid bucket directly behind them (mid = registered but in neither
+# list below), so the ~50-row window covers the 29 plus the first ~21
+# round-7 queries; the remainder front the round-8 window.
 _ROUND7_FRONT = [
     "dedup_cluster_size_histogram",
     "embedding_centroid_drift",
