@@ -693,3 +693,64 @@ def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_chars").cast("bigint").alias("sampled_chars"),
         F.min("doc_id").cast("bigint").alias("min_doc_id"),
     )
+
+
+@register(
+    "mixture_upsample_plan",
+    oracle="""
+    WITH counts AS (
+        SELECT lang,
+               CAST(COUNT(*) AS BIGINT) AS n_docs,
+               CAST(SUM(n_chars) AS BIGINT) AS n_chars
+        FROM documents GROUP BY lang
+    ),
+    tot AS (SELECT CAST(SUM(n_chars) AS BIGINT) AS total FROM counts)
+    SELECT lang, n_docs, n_chars,
+           ROUND(CAST(n_chars AS DOUBLE) / total, 9) AS natural_share,
+           -- temperature tau = 0.7 rebalancing: share^tau renormalized
+           ROUND(POWER(CAST(n_chars AS DOUBLE) / total, 0.7)
+                 / (SELECT SUM(POWER(CAST(c2.n_chars AS DOUBLE) / t2.total, 0.7))
+                    FROM counts c2, tot t2), 9) AS target_share,
+           ROUND((POWER(CAST(n_chars AS DOUBLE) / total, 0.7)
+                  / (SELECT SUM(POWER(CAST(c2.n_chars AS DOUBLE) / t2.total, 0.7))
+                     FROM counts c2, tot t2))
+                 / (CAST(n_chars AS DOUBLE) / total), 9) AS upsample_factor
+    FROM counts, tot
+    """,
+)
+def mixture_upsample_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Temperature-rebalanced language mixture plan (tau = 0.7, the
+    mBERT/XLM-R exponent): natural char shares flattened as share^tau and
+    renormalized, with the per-language upsample factor = target/natural
+    — the sampling-weights table a multilingual training run consumes
+    (low-resource languages get factors > 1). Everything downstream of
+    one |langs|-row aggregate; the POWER terms are computed over
+    identical exact ratios in both engines and the renormalizing sum
+    spans ~5 ordered values, rounded at 9. Companion to
+    sample_temperature_mixing (which applies a plan like this one) and
+    mixture_token_budget_plan (budget-capped variant)."""
+    d = load_table(spark, sf_dir, "documents")
+    counts = d.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_chars").cast("bigint").alias("n_chars"),
+    )
+    tot = counts.agg(
+        F.sum("n_chars").cast("bigint").alias("total"),
+    )
+    base = counts.crossJoin(F.broadcast(tot)).select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        (F.col("n_chars").cast("double") / F.col("total")).alias("nat"),
+    )
+    z = base.agg(F.sum(F.pow(F.col("nat"), 0.7)).alias("z"))
+    return base.crossJoin(F.broadcast(z)).select(
+        "lang",
+        "n_docs",
+        "n_chars",
+        F.round(F.col("nat"), 9).alias("natural_share"),
+        F.round(F.pow(F.col("nat"), 0.7) / F.col("z"), 9).alias("target_share"),
+        F.round(
+            (F.pow(F.col("nat"), 0.7) / F.col("z")) / F.col("nat"), 9
+        ).alias("upsample_factor"),
+    )

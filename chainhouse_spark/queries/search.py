@@ -646,3 +646,124 @@ def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
             " ELSE 0.0 END"
         ).alias("ndcg_at_10"),
     )
+
+
+@register(
+    "eval_ranker_agreement",
+    oracle=f"""
+    WITH stats AS ({_bm25_stats_sql("string_split(text, ' ')")}),
+    g AS ({_BM25_GLOBALS}),
+    lex AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (
+                   ORDER BY {_bm25_score_sql()} DESC, doc_id
+               ) AS lex_rank
+        FROM stats, g
+    ),
+    q AS (SELECT embedding FROM embeddings WHERE vec_id = 0),
+    idx AS (SELECT UNNEST(range(1, 65)) AS i),
+    sims AS (
+        SELECT c.vec_id AS doc_id,
+               SUM(CAST(q.embedding[idx.i] AS DOUBLE)
+                   * CAST(c.embedding[idx.i] AS DOUBLE) ORDER BY idx.i)
+               / (sqrt(SUM(CAST(q.embedding[idx.i] AS DOUBLE)
+                           * CAST(q.embedding[idx.i] AS DOUBLE) ORDER BY idx.i))
+                  * sqrt(SUM(CAST(c.embedding[idx.i] AS DOUBLE)
+                             * CAST(c.embedding[idx.i] AS DOUBLE) ORDER BY idx.i)))
+                 AS cos_sim
+        FROM embeddings c, q, idx
+        GROUP BY c.vec_id
+    ),
+    vec AS (
+        SELECT doc_id,
+               ROW_NUMBER() OVER (ORDER BY cos_sim DESC, doc_id) AS vec_rank
+        FROM sims
+    ),
+    top AS (
+        SELECT lex.doc_id, lex_rank, vec_rank
+        FROM lex JOIN vec ON lex.doc_id = vec.doc_id
+        WHERE lex_rank <= 10
+    ),
+    pairs AS (
+        SELECT CASE WHEN (a.lex_rank - b.lex_rank)
+                         * (a.vec_rank - b.vec_rank) > 0
+                    THEN 1 ELSE 0 END AS conc
+        FROM top a JOIN top b ON a.doc_id < b.doc_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(conc) AS BIGINT) AS concordant,
+           CAST(COUNT(*) - SUM(conc) AS BIGINT) AS discordant,
+           ROUND((2.0 * SUM(conc) - COUNT(*)) / COUNT(*), 9) AS kendall_tau
+    FROM pairs
+    """,
+)
+def eval_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kendall tau between the lexical (BM25) and vector rankers over the
+    lexical top-10 — the ranker-agreement diagnostic behind hybrid-search
+    tuning (tau near 1: the dense ranker adds nothing; near -1: the two
+    disagree so fusion is load-bearing; search_hybrid_rrf is the consumer
+    of this diagnosis). Both global ranks run distributed
+    (operators/ranking.py); the pair enumeration is a self-join of a
+    10-row set (45 pairs — bounded by construction, never the corpus).
+    Ranks are exact integers, so concordance and tau are exact."""
+    from chainhouse_spark.functions.vector import cosine_sql
+    from chainhouse_spark.operators.ranking import global_row_number
+
+    d = load_table(spark, sf_dir, "documents")
+    emb = load_table(spark, sf_dir, "embeddings")
+    stats = d.selectExpr(
+        "doc_id",
+        "size(split(text, ' ')) AS dl",
+        *[
+            f"size(filter(split(text, ' '), x -> x = '{t}')) AS tf_{t}"
+            for t in _QUERY_TERMS
+        ],
+    )
+    g = stats.selectExpr(
+        "COUNT(*) AS n",
+        "CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl",
+        *[
+            f"SUM(CASE WHEN tf_{t} > 0 THEN 1 ELSE 0 END) AS df_{t}"
+            for t in _QUERY_TERMS
+        ],
+    )
+    lex = global_row_number(
+        stats.crossJoin(F.broadcast(g)).select(
+            "doc_id", F.expr(_bm25_score_sql()).alias("score")
+        ),
+        [F.desc("score"), F.asc("doc_id")],
+        "lex_rank",
+    ).select("doc_id", "lex_rank")
+    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    sims = (
+        emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_vec"))
+        .crossJoin(F.broadcast(q))
+        .select("doc_id", F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"))
+    )
+    vec = global_row_number(
+        sims, [F.desc("cos_sim"), F.asc("doc_id")], "vec_rank"
+    ).select("doc_id", "vec_rank")
+    top = (
+        lex.join(vec, "doc_id")
+        .filter(F.col("lex_rank") <= 10)
+        .localCheckpoint(eager=False)
+    )
+    a, b = top.alias("a"), top.alias("b")
+    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+        F.when(
+            (F.col("a.lex_rank") - F.col("b.lex_rank"))
+            * (F.col("a.vec_rank") - F.col("b.vec_rank"))
+            > 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("conc")
+    )
+    return pairs.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+        F.sum("conc").cast("bigint").alias("concordant"),
+        (F.count(F.lit(1)) - F.sum("conc")).cast("bigint").alias("discordant"),
+        F.round(
+            (2.0 * F.sum("conc") - F.count(F.lit(1))) / F.count(F.lit(1)), 9
+        ).alias("kendall_tau"),
+    )

@@ -2230,3 +2230,74 @@ def stat_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(f_stat, 9).alias("f_stat"),
         (f_stat > 3.32).alias("means_differ_p01"),
     )
+
+
+@register(
+    "stat_winsorized_mean",
+    oracle="""
+    WITH v AS (
+        SELECT l_returnflag AS flag,
+               CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS xc
+        FROM lineitem
+    ),
+    breaks AS (
+        SELECT flag,
+               QUANTILE_CONT(xc, 0.05) AS lo,
+               QUANTILE_CONT(xc, 0.95) AS hi
+        FROM v GROUP BY flag
+    ),
+    clamped AS (
+        SELECT v.flag, xc,
+               CAST(ROUND(GREATEST(LEAST(CAST(xc AS DOUBLE), hi), lo), 0)
+                    AS BIGINT) AS wc,
+               CASE WHEN CAST(xc AS DOUBLE) < lo
+                      OR CAST(xc AS DOUBLE) > hi THEN 1 ELSE 0 END AS clipped
+        FROM v JOIN breaks ON v.flag = breaks.flag
+    )
+    SELECT flag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(clipped) AS BIGINT) AS n_winsorized,
+           ROUND(CAST(SUM(wc) AS DOUBLE) / COUNT(*) / 100.0, 9)
+             AS winsorized_mean,
+           ROUND(CAST(SUM(xc) AS DOUBLE) / COUNT(*) / 100.0, 9) AS raw_mean
+    FROM clamped GROUP BY flag
+    """,
+)
+def stat_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winsorized mean (5%/95%) per return flag: clamp to the exact
+    percentile breakpoints instead of DROPPING the tails (the trimmed
+    mean next door, stat_trimmed_mean, discards them — winsorizing keeps
+    n constant, the robust-mean variant metric pipelines prefer when
+    denominators must not move). Breakpoints broadcast (|groups| rows);
+    clamped values re-quantized to integers before the exact sum. Two
+    group-keyed aggregates + a broadcast join."""
+    li = load_table(spark, sf_dir, "lineitem")
+    v = li.select(
+        F.col("l_returnflag").alias("flag"),
+        F.round(F.col("l_extendedprice") * 100, 0).cast("bigint").alias("xc"),
+    )
+    breaks = v.groupBy("flag").agg(
+        F.expr("PERCENTILE(xc, 0.05)").alias("lo"),
+        F.expr("PERCENTILE(xc, 0.95)").alias("hi"),
+    )
+    xd = F.col("xc").cast("double")
+    clamped = v.join(F.broadcast(breaks), "flag").select(
+        "flag",
+        "xc",
+        F.round(F.greatest(F.least(xd, F.col("hi")), F.col("lo")), 0)
+        .cast("bigint")
+        .alias("wc"),
+        F.when((xd < F.col("lo")) | (xd > F.col("hi")), 1)
+        .otherwise(0)
+        .alias("clipped"),
+    )
+    return clamped.groupBy("flag").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("clipped").cast("bigint").alias("n_winsorized"),
+        F.round(F.sum("wc").cast("double") / F.count(F.lit(1)) / 100.0, 9).alias(
+            "winsorized_mean"
+        ),
+        F.round(F.sum("xc").cast("double") / F.count(F.lit(1)) / 100.0, 9).alias(
+            "raw_mean"
+        ),
+    )
