@@ -715,3 +715,95 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.avg("cc"), 9).alias("mean_cc"),
         )
     )
+
+
+@register(
+    "basket_pair_lift",
+    oracle=_EDGE_CTE
+    + """,
+    pair_counts AS (
+        SELECT a.l_partkey AS pa, b.l_partkey AS pb,
+               CAST(COUNT(*) AS BIGINT) AS n_both
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+    ),
+    part_counts AS (
+        SELECT l_partkey, CAST(COUNT(*) AS BIGINT) AS n_part FROM op
+        GROUP BY l_partkey
+    ),
+    n_orders AS (
+        SELECT CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n FROM op
+    )
+    SELECT pa, pb, n_both,
+           ROUND(CAST(n_both AS DOUBLE) / n, 9) AS support,
+           ROUND(CAST(n_both AS DOUBLE) * n
+                 / (ca.n_part * CAST(cb.n_part AS DOUBLE)), 9) AS lift
+    FROM pair_counts
+    JOIN part_counts ca ON ca.l_partkey = pa
+    JOIN part_counts cb ON cb.l_partkey = pb
+    CROSS JOIN n_orders
+    WHERE n_both >= 2
+    ORDER BY CAST(n_both AS DOUBLE) * n
+             / (ca.n_part * CAST(cb.n_part AS DOUBLE)) DESC, pa, pb
+    LIMIT 20
+    """,
+)
+def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Market-basket association rules over co-purchased parts: support
+    and lift for part pairs seen in >= 2 orders, top-20 by lift — the
+    recommendation-seed query retail runs nightly (lift >> 1: the pair
+    co-occurs far above independence). Reuses the co-purchase join keyed
+    on l_orderkey (per-order pair fanout is bounded by order size); part
+    marginals broadcast back; every measure is a ratio of exact integers
+    rounded once. Top-20 via ordered limit, never a global sort."""
+    li = load_table(spark, sf_dir, "lineitem")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
+    )
+    part_counts = op.groupBy("l_partkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_part")
+    )
+    n_orders = op.agg(
+        F.countDistinct("l_orderkey").cast("bigint").alias("n")
+    )
+    ca = part_counts.select(
+        F.col("l_partkey").alias("pa"), F.col("n_part").alias("na")
+    )
+    cb = part_counts.select(
+        F.col("l_partkey").alias("pb"), F.col("n_part").alias("nb")
+    )
+    lift = (
+        F.col("n_both").cast("double")
+        * F.col("n")
+        / (F.col("na") * F.col("nb").cast("double"))
+    )
+    return (
+        pair_counts.filter(F.col("n_both") >= 2)
+        .join(F.broadcast(ca), "pa")
+        .join(F.broadcast(cb), "pb")
+        .crossJoin(F.broadcast(n_orders))
+        .select(
+            "pa",
+            "pb",
+            "n_both",
+            F.round(F.col("n_both").cast("double") / F.col("n"), 9).alias(
+                "support"
+            ),
+            F.round(lift, 9).alias("lift"),
+            lift.alias("__lift_raw"),
+        )
+        .orderBy(F.desc("__lift_raw"), F.asc("pa"), F.asc("pb"))
+        .limit(20)
+        .drop("__lift_raw")
+    )

@@ -690,3 +690,89 @@ def dedup_cluster_size_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("excess_tokens"),
     )
+
+
+@register(
+    "dedup_shard_consistency",
+    oracle="""
+    WITH norm AS (
+        SELECT doc_id, md5(lower(trim(text))) AS h,
+               CAST((instr('0123456789abcdef',
+                           substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1)
+                    % 8 AS BIGINT) AS shard
+        FROM documents
+    ),
+    global_d AS (SELECT CAST(COUNT(DISTINCT h) AS BIGINT) AS n FROM norm),
+    shard_d AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n FROM (
+            SELECT shard, COUNT(DISTINCT h) AS n FROM norm GROUP BY shard
+        )
+    ),
+    content_shard AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n FROM (
+            SELECT CAST((instr('0123456789abcdef', substr(h, 1, 1)) - 1)
+                        % 8 AS BIGINT) AS cshard,
+                   COUNT(DISTINCT h) AS n
+            FROM norm GROUP BY cshard
+        )
+    )
+    SELECT (SELECT n FROM global_d) AS n_distinct_global,
+           (SELECT n FROM shard_d) AS n_distinct_doc_sharded,
+           (SELECT n FROM content_shard) AS n_distinct_content_sharded,
+           (SELECT n FROM content_shard) = (SELECT n FROM global_d)
+             AS content_sharding_is_lossless,
+           (SELECT n FROM shard_d) >= (SELECT n FROM global_d)
+             AS doc_sharding_overcounts
+    FROM global_d LIMIT 1
+    """,
+)
+def dedup_shard_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The shardability proof behind distributed exact dedup, stated as a
+    query: deduping within CONTENT-hash shards (shard = hash of the
+    normalized text digest) yields exactly the global distinct count —
+    duplicates can never cross shards — while deduping within arbitrary
+    DOC-ID shards overcounts (the same content lands in many shards).
+    This is why the exact-dedup operator shuffles on the 16-byte content
+    key and nothing else, and why a 100 TB dedup can run as independent
+    per-shard jobs with no cross-shard reconciliation. NOTE the hash
+    used for SHARDING only needs engine-local consistency; here both
+    sides use their own hash() over the md5 digest string — the COUNTS
+    agree because the partition-invariance holds for any hash, which is
+    the point being proven."""
+    d = load_table(spark, sf_dir, "documents")
+    norm = d.select(
+        "doc_id",
+        F.md5(F.lower(F.trim(F.col("text")))).alias("h"),
+        (F.conv(F.substring(F.md5(F.col("doc_id").cast("string")), 1, 1), 16, 10)
+         .cast("bigint") % 8)
+        .alias("shard"),
+    )
+    g = norm.agg(F.countDistinct("h").cast("bigint").alias("n_g"))
+    s = (
+        norm.groupBy("shard")
+        .agg(F.countDistinct("h").alias("n"))
+        .agg(F.sum("n").cast("bigint").alias("n_s"))
+    )
+    c = (
+        norm.select(
+            (F.conv(F.substring(F.col("h"), 1, 1), 16, 10).cast("bigint") % 8)
+            .alias("cshard"),
+            "h",
+        )
+        .groupBy("cshard")
+        .agg(F.countDistinct("h").alias("n"))
+        .agg(F.sum("n").cast("bigint").alias("n_c"))
+    )
+    return (
+        g.crossJoin(s)
+        .crossJoin(c)
+        .select(
+            F.col("n_g").alias("n_distinct_global"),
+            F.col("n_s").alias("n_distinct_doc_sharded"),
+            F.col("n_c").alias("n_distinct_content_sharded"),
+            (F.col("n_c") == F.col("n_g")).alias(
+                "content_sharding_is_lossless"
+            ),
+            (F.col("n_s") >= F.col("n_g")).alias("doc_sharding_overcounts"),
+        )
+    )
