@@ -749,7 +749,9 @@ def eval_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint(eager=False)
     )
     a, b = top.alias("a"), top.alias("b")
-    pairs = a.join(b, F.col("a.doc_id") < F.col("b.doc_id")).select(
+    # broadcast the 10-row side: the inequality pair join compiles to a
+    # bounded BroadcastNestedLoopJoin instead of a CartesianProduct
+    pairs = a.join(F.broadcast(b), F.col("a.doc_id") < F.col("b.doc_id")).select(
         F.when(
             (F.col("a.lex_rank") - F.col("b.lex_rank"))
             * (F.col("a.vec_rank") - F.col("b.vec_rank"))
