@@ -65,50 +65,29 @@ from chainhouse_spark.queries import llm_training  # noqa: E402,F401
 # Round-5 additions — mid bucket, round-6 window.
 from chainhouse_spark.queries import bpe_queries  # noqa: E402,F401
 
-# Round-7 rotation (tools/build_rotation.py, regenerated at round start).
-# 286 of the 315 queries registered before this round hold a cumulative
-# green driver verdict (CORRECTNESS_r01..r06, zero red rows outstanding);
-# those rotate to the back. Front = the 29 round-6 additions that have
-# never been driver-checked (experimentation stats, time-series, graph,
-# eth, ANN range search, as-of tolerance, INTERSECT ALL, streaming
-# hourly-distinct), in registration order. The 20+ round-7 additions land
-# in the mid bucket directly behind them (mid = registered but in neither
-# list below), so the ~50-row window covers the 29 plus the first ~21
-# round-7 queries; the remainder front the round-8 window.
-_ROUND7_FRONT = [
-    "dedup_cluster_size_histogram",
-    "embedding_centroid_drift",
-    "ann_range_search",
-    "text_hapax_ratio",
-    "sample_temperature_mixing",
-    "sample_downweight_duplicates",
-    "nb_classwise_f1",
-    "eval_retrieval_ndcg",
-    "asof_tolerance_join",
-    "funnel_retention_conditions",
-    "audience_ltv_cohort",
-    "stat_bootstrap_se",
-    "stat_ab_power_mde",
-    "stat_cuped_variance_reduction",
-    "stat_srm_check",
-    "stat_diff_in_diff",
-    "ts_seasonality_strength",
-    "ts_m4_downsample",
-    "ts_trend_slope_by_type",
-    "ts_anomaly_seasonal_zscore",
-    "graph_label_propagation",
-    "graph_kcore_peel",
-    "graph_assortativity",
-    "setop_intersect_all",
-    "eth_base_fee_projection",
-    "eth_selector_histogram",
-    "eth_uncle_rate",
-    "eth_access_list_stats",
-    "stream_hourly_distinct_users",
+# Round-8 rotation (tools/build_rotation.py, regenerated at round start).
+# 336 of the 347 queries registered before this round hold a cumulative
+# green driver verdict (CORRECTNESS_r01..r07, zero red rows outstanding);
+# those rotate to the back. Front = the 11 round-7 additions the r07
+# window did not reach (all independently oracle-gated green by the
+# round-7 judge via tools/parity_subset.py). Round-8 additions land in
+# the mid bucket directly behind them, so the ~50-row window covers the
+# 11 plus the first ~39 round-8 queries.
+_ROUND8_FRONT = [
+    "ts_wow_growth",
+    "ts_bollinger_bands",
+    "graph_local_clustering",
+    "basket_pair_lift",
+    "setop_symmetric_difference",
+    "eth_block_interval_stats",
+    "eth_value_gini",
+    "eth_topic0_entropy",
+    "eth_basefee_fullness_corr",
+    "stream_sliding_topk",
+    "curriculum_difficulty_order",
 ]
 
-# Union of green rows across CORRECTNESS_r01..r06 (286 names, regenerated by
-# tools/build_rotation.py — tools/correctness_coverage.py verifies).
+# cumulative green union:
 _DRIVER_GREEN = {
     "agg_approx_distinct", "agg_conditional_bool", "agg_cube",
     "agg_distinct", "agg_grouping_sets", "agg_min_max_by",
@@ -117,97 +96,119 @@ _DRIVER_GREEN = {
     "agg_sum_map_merge", "agg_uniq_up_to", "agg_unpivot",
     "ann_binary_hamming_topk", "ann_bruteforce_gemm", "ann_bruteforce_topk",
     "ann_ivf_at_rest_topk", "ann_ivf_topk", "ann_ivfpq_topk",
-    "ann_knn_classify", "ann_lsh_multiprobe_topk", "ann_lsh_topk",
-    "ann_pq_topk", "ann_projected_lsh_topk", "ann_quantized_topk",
-    "ann_two_stage_rerank", "array_set_algebra", "array_zip_positional",
+    "ann_knn_classify", "ann_lsh_multiprobe_topk", "ann_lsh_recall_report",
+    "ann_lsh_topk", "ann_pq_topk", "ann_projected_lsh_topk",
+    "ann_quantized_topk", "ann_range_search", "ann_two_stage_rerank",
+    "array_set_algebra", "array_zip_positional", "asof_interpolated_value",
     "asof_nearest_click", "asof_next_error", "asof_purchase_click",
-    "attribution_last_click", "audience_overlap_hll",
-    "audience_overlap_matrix", "audience_rfm_segments",
-    "batch_by_length_buckets", "bpe_encode_compression", "bpe_pair_stats",
-    "bpe_train_merges", "cdc_snapshot_diff", "ch_dialect_frontend",
-    "ch_dialect_ip_rollup", "ch_dialect_json_buckets", "ch_dialect_qualify",
-    "ch_dialect_url_funcs", "cluster_kmeans_summary", "corpus_ngram_novelty",
+    "asof_tolerance_join", "attribution_last_click",
+    "attribution_position_based", "audience_engagement_decay",
+    "audience_ltv_cohort", "audience_overlap_hll", "audience_overlap_matrix",
+    "audience_rfm_segments", "batch_by_length_buckets",
+    "bpe_encode_compression", "bpe_pair_stats", "bpe_train_merges",
+    "cdc_snapshot_diff", "ch_dialect_frontend", "ch_dialect_ip_rollup",
+    "ch_dialect_json_buckets", "ch_dialect_qualify", "ch_dialect_url_funcs",
+    "cluster_kmeans_summary", "corpus_ngram_novelty",
     "corpus_overlap_minhash", "corpus_shuffle_shards", "corpus_zipf_fit",
     "dataset_card_by_source", "dataset_profile",
     "decontaminate_against_testset", "decontaminate_bloom",
-    "decontaminate_neardup_lsh", "dedup_clusters_star", "dedup_containment",
-    "dedup_duplicate_clusters", "dedup_edit_distance_pairs", "dedup_exact",
-    "dedup_exact_normalized", "dedup_minhash_incremental",
-    "dedup_minhash_lsh", "dedup_ngram_jaccard", "dedup_ppjoin_exact",
-    "dedup_simhash", "dedup_simhash_pairs", "dedup_substring_spans",
-    "dedup_threshold_sweep", "drift_psi_by_source", "dsir_importance_select",
-    "embedding_class_separation", "embedding_near_pairs", "embedding_norms",
-    "embedding_quantize_int8", "embedding_random_projection",
-    "eth_address_net_flow", "eth_block_fullness", "eth_blocks_table",
-    "eth_contract_creations", "eth_effective_gas_price_stats",
-    "eth_erc20_transfer_decode", "eth_event_topics", "eth_fee_burn",
-    "eth_gas_by_block", "eth_log_address_activity", "eth_log_payload_stats",
-    "eth_miner_tips", "eth_nonce_gaps", "eth_reorg_canonical",
-    "eth_top_senders", "eth_type2_fee_stats", "eth_withdrawal_totals",
-    "eval_cohens_kappa", "export_training_shards",
+    "decontaminate_neardup_lsh", "dedup_cluster_size_histogram",
+    "dedup_clusters_star", "dedup_containment", "dedup_duplicate_clusters",
+    "dedup_edit_distance_pairs", "dedup_exact", "dedup_exact_normalized",
+    "dedup_minhash_incremental", "dedup_minhash_lsh", "dedup_ngram_jaccard",
+    "dedup_ppjoin_exact", "dedup_shard_consistency", "dedup_simhash",
+    "dedup_simhash_pairs", "dedup_substring_spans", "dedup_threshold_sweep",
+    "drift_psi_by_source", "dsir_importance_select",
+    "embedding_centroid_drift", "embedding_class_separation",
+    "embedding_near_pairs", "embedding_norms", "embedding_quantize_int8",
+    "embedding_random_projection", "eth_access_list_stats",
+    "eth_address_net_flow", "eth_base_fee_projection", "eth_block_fullness",
+    "eth_blocks_table", "eth_contract_creations",
+    "eth_effective_gas_price_stats", "eth_erc20_transfer_decode",
+    "eth_event_topics", "eth_fee_burn", "eth_gas_by_block",
+    "eth_log_address_activity", "eth_log_payload_stats", "eth_miner_tips",
+    "eth_nonce_gaps", "eth_reorg_canonical", "eth_selector_histogram",
+    "eth_top_senders", "eth_type2_fee_stats", "eth_uncle_rate",
+    "eth_withdrawal_totals", "eval_cohens_kappa", "eval_ranker_agreement",
+    "eval_retrieval_ndcg", "export_training_shards",
     "feature_hashing_vectorize", "filter_quality_gate_by_source",
-    "funnel_depth_histogram", "funnel_latency_percentiles", "funnel_steps",
-    "geo_grid_near_pairs", "graph_bfs_hops", "graph_degree_distribution",
-    "graph_link_prediction", "graph_pagerank", "graph_triangle_count",
-    "incremental_agg_merge", "interleave_weighted_sources",
-    "interval_join_binned", "interval_overlap_join_binned", "join_anti",
-    "join_cross", "join_fact_fact", "join_full_outer",
-    "join_inner_broadcast", "join_left_outer", "join_salted_skew",
-    "join_self", "join_semi", "join_skew_preflight",
-    "lateral_topk_per_customer", "lm_bigram_perplexity_rank",
-    "mine_hard_negatives", "mixture_token_budget_plan", "mm_audio_features",
-    "mm_audio_quality", "mm_frame_sample", "mm_image_ahash_dedup",
-    "mm_image_features", "mm_image_phash_dedup", "mm_image_resize",
-    "mm_metadata_stats", "mm_video_scene_cuts", "nb_classify_confusion",
-    "nb_margin_calibration", "pack_documents_greedy",
-    "pipeline_clean_corpus", "pipeline_training_ready", "q10_returned_items",
-    "q11_important_parts", "q12_lateness_priority",
-    "q13_customer_distribution", "q14_promo_revenue", "q15_top_supplier",
-    "q16_supplier_count", "q17_small_quantity_revenue", "q18_large_orders",
+    "funnel_depth_histogram", "funnel_latency_percentiles",
+    "funnel_retention_conditions", "funnel_steps", "funnel_time_to_convert",
+    "geo_grid_near_pairs", "graph_assortativity", "graph_bfs_hops",
+    "graph_degree_distribution", "graph_kcore_peel",
+    "graph_label_propagation", "graph_link_prediction", "graph_pagerank",
+    "graph_triangle_count", "incremental_agg_merge",
+    "interleave_weighted_sources", "interval_join_binned",
+    "interval_overlap_join_binned", "join_anti", "join_cross",
+    "join_fact_fact", "join_full_outer", "join_inner_broadcast",
+    "join_left_outer", "join_salted_skew", "join_self", "join_semi",
+    "join_skew_preflight", "lateral_topk_per_customer",
+    "lm_bigram_perplexity_rank", "mine_hard_negatives",
+    "mixture_token_budget_plan", "mixture_upsample_plan",
+    "mm_audio_features", "mm_audio_quality", "mm_frame_sample",
+    "mm_image_ahash_dedup", "mm_image_features", "mm_image_phash_dedup",
+    "mm_image_resize", "mm_metadata_stats", "mm_video_scene_cuts",
+    "nb_classify_confusion", "nb_classwise_f1", "nb_margin_calibration",
+    "pack_documents_greedy", "pipeline_clean_corpus",
+    "pipeline_training_ready", "q10_returned_items", "q11_important_parts",
+    "q12_lateness_priority", "q13_customer_distribution",
+    "q14_promo_revenue", "q15_top_supplier", "q16_supplier_count",
+    "q17_small_quantity_revenue", "q18_large_orders",
     "q19_disjunctive_revenue", "q1_pricing_summary", "q20_excess_suppliers",
     "q21_waiting_supplier", "q22_idle_customers", "q2_min_cost_supplier",
     "q3_shipping_priority", "q4_order_priority", "q5_region_revenue",
     "q6_forecast_revenue", "q7_nation_volume", "q8_market_share",
     "q9_product_profit", "range_join_sessions", "retention_weekly",
-    "sample_exact_k_per_group", "sample_stratified_per_lang",
-    "sample_weighted_reservoir", "scalar_array_funcs", "scalar_bitwise",
-    "scalar_conditional", "scalar_date_funcs", "scalar_higher_order",
-    "scalar_ip_funcs", "scalar_json", "scalar_map_funcs",
-    "scalar_math_funcs", "scalar_null_semantics", "scalar_regex",
-    "scalar_string_funcs", "scalar_try_safety", "scalar_url_funcs",
-    "scalar_variant_json", "scd2_customer_merge", "search_bm25_topk",
-    "search_hybrid_rrf", "search_inverted_index", "search_phrase_match",
-    "semantic_dedup_kept", "sequence_match_regex",
-    "sequence_pairs_click_purchase", "sequence_transition_matrix",
-    "sessionize_batch", "setop_except", "setop_except_all",
-    "setop_intersect", "setop_union_all", "setop_union_distinct",
-    "sketch_approx_percentile", "sketch_countmin_heavy", "sketch_freq_items",
-    "sketch_hll_merge", "sketch_hll_registers", "sketch_theta_set_ops",
-    "sort_limit_topk", "split_train_test_hash", "sql_frontend_passthrough",
-    "sql_group_by_all", "sql_recursive_cte_spine", "stat_arrival_burstiness",
-    "stat_benford_audit", "stat_chi_square", "stat_corr_regression",
-    "stat_entropy", "stat_equidepth_histogram", "stat_gini_concentration",
-    "stat_histogram_fixed_bins", "stat_ks_two_sample", "stat_mann_whitney_u",
-    "stat_median_iqr", "stat_moments", "stat_mutual_information",
-    "stat_runs_test", "stat_spearman_corr", "stat_time_weighted_avg",
+    "sample_downweight_duplicates", "sample_exact_k_per_group",
+    "sample_stratified_per_lang", "sample_systematic_every_k",
+    "sample_temperature_mixing", "sample_weighted_reservoir",
+    "scalar_array_funcs", "scalar_bitwise", "scalar_conditional",
+    "scalar_date_funcs", "scalar_higher_order", "scalar_ip_funcs",
+    "scalar_json", "scalar_map_funcs", "scalar_math_funcs",
+    "scalar_null_semantics", "scalar_regex", "scalar_string_funcs",
+    "scalar_try_safety", "scalar_url_funcs", "scalar_variant_json",
+    "scd2_customer_merge", "search_bm25_topk", "search_hybrid_rrf",
+    "search_inverted_index", "search_phrase_match", "semantic_dedup_kept",
+    "sequence_match_regex", "sequence_pairs_click_purchase",
+    "sequence_transition_matrix", "sessionize_batch", "setop_except",
+    "setop_except_all", "setop_intersect", "setop_intersect_all",
+    "setop_union_all", "setop_union_distinct", "sketch_approx_percentile",
+    "sketch_countmin_heavy", "sketch_freq_items", "sketch_hll_merge",
+    "sketch_hll_registers", "sketch_theta_set_ops", "sort_limit_topk",
+    "split_train_test_hash", "sql_frontend_passthrough", "sql_group_by_all",
+    "sql_recursive_cte_spine", "stat_ab_power_mde", "stat_anova_oneway",
+    "stat_arrival_burstiness", "stat_benford_audit", "stat_bootstrap_se",
+    "stat_brown_forsythe", "stat_chi_square", "stat_cohens_d_by_segment",
+    "stat_corr_regression", "stat_cuped_variance_reduction",
+    "stat_diff_in_diff", "stat_entropy", "stat_equidepth_histogram",
+    "stat_gini_concentration", "stat_histogram_fixed_bins",
+    "stat_ks_two_sample", "stat_mann_whitney_u", "stat_median_iqr",
+    "stat_moments", "stat_mutual_information", "stat_runs_test",
+    "stat_spearman_corr", "stat_srm_check", "stat_time_weighted_avg",
     "stat_trimmed_mean", "stat_weighted_median", "stat_welch_ttest",
-    "stat_zscore_outliers", "stream_click_purchase_join",
-    "stream_dedup_keys", "stream_incremental_lsh_pairs",
+    "stat_winsorized_mean", "stat_zscore_outliers",
+    "stream_click_purchase_join", "stream_dedup_keys",
+    "stream_hourly_distinct_users", "stream_incremental_lsh_pairs",
     "stream_session_window", "stream_sessionize_custom_state",
     "stream_static_enrichment", "stream_tumbling_counts",
     "stream_user_value_state", "stream_watermark_advisor",
     "subquery_correlated_scalar", "subquery_exists_correlated",
-    "subquery_in", "subquery_not_in", "subquery_scalar", "text_chunk_chars",
-    "text_chunk_words", "text_collocations_pmi", "text_encoding_quality",
-    "text_fingerprint", "text_langid", "text_pii_redaction",
-    "text_quality_scores", "text_rarity_score", "text_repetition_metrics",
-    "text_token_stats", "tfidf_top_terms", "tokenize_with_vocab",
-    "topk_heavy_hitters", "ts_autocorrelation", "ts_cusum_changepoint",
-    "ts_ema_trailing", "ts_hopping_window", "ts_interpolate_linear",
-    "ts_lttb_downsample", "ts_minute_spine_gapfill", "ts_ohlc_bars",
-    "ts_rolling_mad_anomaly", "ts_rollup_hour_from_minute",
-    "ts_rollup_minute", "ts_seasonal_naive_error",
-    "ts_session_window_builtin", "ts_tumbling_window", "udaf_gmean_by_type",
+    "subquery_in", "subquery_not_in", "subquery_scalar",
+    "text_boilerplate_ngrams", "text_chunk_chars", "text_chunk_words",
+    "text_collocations_pmi", "text_encoding_quality", "text_fingerprint",
+    "text_hapax_ratio", "text_langid", "text_pii_redaction",
+    "text_quality_scores", "text_rarity_score", "text_readability_fk",
+    "text_repetition_metrics", "text_sentence_stats", "text_token_stats",
+    "tfidf_top_terms", "tokenize_with_vocab", "tokenizer_fertility_by_lang",
+    "topk_heavy_hitters", "ts_anomaly_seasonal_zscore", "ts_autocorrelation",
+    "ts_cusum_changepoint", "ts_ema_trailing", "ts_gap_percentiles",
+    "ts_hopping_window", "ts_interpolate_linear", "ts_ljung_box",
+    "ts_lttb_downsample", "ts_m4_downsample", "ts_minute_spine_gapfill",
+    "ts_ohlc_bars", "ts_paa_sax", "ts_rolling_mad_anomaly",
+    "ts_rollup_hour_from_minute", "ts_rollup_minute",
+    "ts_seasonal_naive_error", "ts_seasonality_strength",
+    "ts_session_window_builtin", "ts_trend_slope_by_type",
+    "ts_tumbling_window", "ts_vwap_bars", "udaf_gmean_by_type",
     "udtf_token_counts", "vocab_build", "window_cumulative_distinct_users",
     "window_first_last", "window_ignore_nulls", "window_lag_lead",
     "window_moving_median", "window_range_interval_frame",
@@ -218,7 +219,7 @@ _DRIVER_GREEN = {
 
 
 def _rotate() -> None:
-    front = [n for n in _ROUND7_FRONT if n in QUERIES]
+    front = [n for n in _ROUND8_FRONT if n in QUERIES]
     in_front = set(front)
     assert len(in_front) == len(front), "duplicate name in rotation lists"
     # New queries (registered but in neither explicit list nor the green
