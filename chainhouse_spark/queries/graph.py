@@ -292,10 +292,13 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         (cand["a"] == e["src"]) & (cand["b"] == e["dst"]),
         "left_anti",
     )
+    # Degree tables grow linearly with |nodes| — never force-broadcast them;
+    # the joins stay equi-joins and AQE picks broadcast vs shuffle from the
+    # measured size at runtime (SCALE.md "marginal-table joins").
     da, db = deg.alias("da"), deg.alias("db")
     scored = (
-        nonedge.join(F.broadcast(da), F.col("a") == F.col("da.node"))
-        .join(F.broadcast(db), F.col("b") == F.col("db.node"))
+        nonedge.join(da, F.col("a") == F.col("da.node"))
+        .join(db, F.col("b") == F.col("db.node"))
         .select(
             "a",
             "b",
@@ -788,10 +791,13 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         * F.col("n")
         / (F.col("na") * F.col("nb").cast("double"))
     )
+    # Per-part marginal tables grow linearly with |parts| — no forced
+    # broadcast; AQE decides from runtime size (SCALE.md "marginal-table
+    # joins"). The 1-row n_orders scalar stays an explicit broadcast.
     return (
         pair_counts.filter(F.col("n_both") >= 2)
-        .join(F.broadcast(ca), "pa")
-        .join(F.broadcast(cb), "pb")
+        .join(ca, "pa")
+        .join(cb, "pb")
         .crossJoin(F.broadcast(n_orders))
         .select(
             "pa",

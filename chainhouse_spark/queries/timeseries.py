@@ -1200,12 +1200,13 @@ def ts_m4_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(n AS BIGINT) AS n_events,
-           ((n * sty - st * sy) / (n * stt - st * st)) / 100.0
+           ROUND(((n * sty - st * sy) / (n * stt - st * st)) / 100.0, 9)
              AS slope_cents_per_hour,
-           ((sy - st * (n * sty - st * sy) / (n * stt - st * st)) / n) / 100.0
+           ROUND(((sy - st * ((n * sty - st * sy) / (n * stt - st * st))) / n)
+                 / 100.0, 9)
              AS intercept,
-           (n * sty - st * sy) * (n * sty - st * sy)
-             / ((n * stt - st * st) * (n * syy - sy * sy)) AS r2
+           ROUND((n * sty - st * sy) * (n * sty - st * sy)
+             / ((n * stt - st * st) * (n * syy - sy * sy)), 9) AS r2
     FROM m
     """,
 )
@@ -1237,14 +1238,19 @@ def ts_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("y") * F.col("y")).cast("double").alias("syy"),
         F.sum(F.col("t") * F.col("y")).cast("double").alias("sty"),
     )
-    slope = "(n * sty - st * sy) / (n * stt - st * st)"
+    # The slope subexpression is parenthesized IDENTICALLY here and in the
+    # oracle SQL above: both sides compute st * (A/B), never (st*A)/B.
+    # Float association is not associative — the two groupings differ in the
+    # last ulp on real data (caught by tests/test_oracle_parity.py, round 7).
+    # Outputs rounded at 9 digits per repo convention (see compare.py).
+    slope = "((n * sty - st * sy) / (n * stt - st * st))"
     return m.selectExpr(
         "event_type",
         "CAST(n AS BIGINT) AS n_events",
-        f"({slope}) / 100.0 AS slope_cents_per_hour",
-        f"((sy - st * ({slope})) / n) / 100.0 AS intercept",
-        "(n * sty - st * sy) * (n * sty - st * sy)"
-        " / ((n * stt - st * st) * (n * syy - sy * sy)) AS r2",
+        f"ROUND({slope} / 100.0, 9) AS slope_cents_per_hour",
+        f"ROUND(((sy - st * {slope}) / n) / 100.0, 9) AS intercept",
+        "ROUND((n * sty - st * sy) * (n * sty - st * sy)"
+        " / ((n * stt - st * st) * (n * syy - sy * sy)), 9) AS r2",
     )
 
 

@@ -1,5 +1,15 @@
 """Spark-vs-DuckDB result comparison mirroring the driver's correctness gate:
 row-count + column names + order-insensitive value comparison.
+
+AUTHORITATIVE comparator. This module canonicalizes floats via exact
+``repr`` (17-significant-digit round-trip), so it is strictly AT LEAST as
+strict as the external driver's value-hash — which was observed (round 7,
+``ts_trend_slope_by_type``) to tolerate a last-ulp divergence this module
+correctly rejects. Keep it that way: a green driver row does not imply the
+local parity suite passes, but a local pass has always implied a driver
+pass. Queries meet this bar via the round-at-9 convention — float outputs
+are rounded at 9 decimal digits by association-identical formulas on both
+the Spark and oracle sides (audited by ``tools/float_convention_sweep.py``).
 """
 
 from __future__ import annotations

@@ -899,3 +899,26 @@ def test_kcore_is_checkpoint_bounded(spark):
         f"({text.count('Scan parquet')} parquet scans)"
     )
     assert "Scan ExistingRDD" in text
+
+
+def test_marginal_joins_not_force_broadcast(spark):
+    # Degree tables (link prediction) and per-part marginals (basket lift)
+    # grow linearly with the data — a forced F.broadcast on them becomes a
+    # multi-GB broadcast abort at 100 TB. The analyzed plan must carry NO
+    # broadcast hint on those joins (AQE may still CHOOSE broadcast at this
+    # scale — either physical strategy is fine); the only allowed hint in
+    # basket_pair_lift is the 1-row n_orders scalar combine.
+    def n_hints(df):
+        return df._jdf.queryExecution().analyzed().toString().count(
+            "strategy=broadcast"
+        )
+
+    assert n_hints(q(spark, "graph_link_prediction")) == 0
+    assert n_hints(q(spark, "basket_pair_lift")) == 1
+    # and the joins themselves must still be equi (hash-joinable), never
+    # nested-loop, whatever strategy AQE picks.
+    for name in ("graph_link_prediction", "basket_pair_lift"):
+        f = plan_facts(q(spark, name))
+        assert f.cartesian_products == 0
+        # basket lift's scalar combine is the one permitted BNLJ
+        assert f.nested_loop_joins <= 1
