@@ -41,6 +41,37 @@ FRUGAL_ORACLE = (
 )
 
 
+# Round-at-9 convention (tests/compare.py, tools/float_convention_sweep.py):
+# every float column a query emits is rounded at 9 decimal digits by
+# association-identical formulas on BOTH the Spark and oracle sides, so a
+# future re-association of one side cannot silently re-arm a last-ulp
+# divergence (the round-7 ts_trend_slope_by_type class).
+#
+# CAVEAT — the convention is only cross-engine-safe for BOUNDED columns.
+# Spark's round(x, 9) rounds the shortest decimal repr via BigDecimal
+# HALF_UP (exact); DuckDB's ROUND(x, 9) multiplies by 1e9, rounds, divides.
+# Once |x|*1e9 approaches 2^53 (~9.0e15, i.e. |x| ≳ 9e6; measured
+# divergence from ~3e6 with adversarial 9th-digit ties), the multiply
+# itself misrounds and the two engines emit different doubles FROM THE
+# SAME INPUT — rounding such a column breaks parity instead of protecting
+# it. Columns here are therefore deliberately left unrounded; their
+# protection is the original rule (association-identical formulas on both
+# sides), stated per-column below. The sweep and the pytest gate
+# (tests/test_oracle_parity.py) treat these as documented exemptions.
+ROUND9_EXEMPT: dict[str, dict[str, str]] = {}
+
+
+def exempt_round9(name: str, cols: dict[str, str]) -> None:
+    """Declare emitted float columns exempt from the round-at-9 convention.
+
+    `cols` maps column name -> one-line reason (normally "magnitude can
+    exceed ~1e6 at scale; ROUND itself diverges cross-engine there —
+    kept association-identical instead"). Call next to the query's
+    @register so the exemption lives with the formula it documents.
+    """
+    ROUND9_EXEMPT.setdefault(name, {}).update(cols)
+
+
 def register(name: str, oracle: Optional[str] = None):
     """Decorator: register a query under `name` with an optional DuckDB oracle."""
 

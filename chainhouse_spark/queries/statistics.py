@@ -24,7 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
 # Exact INTEGER decimal power sums. x = l_quantity (integral in this data),
@@ -45,15 +45,20 @@ _MOMENT_AGGS = f"""
     CAST(SUM({_X} * {_Y}) AS DOUBLE) AS sxy
 """
 
+# Round-at-9 on the bounded outputs (corr/r2 in [-1,1], slope ~ price/qty
+# ratio ≤ ~1e2). covar_samp and intercept stay RAW: they live on the
+# price scale (~5e4 at sf0.01), where ROUND itself diverges cross-engine
+# (registry.ROUND9_EXEMPT) — their protection is this shared string being
+# the single source for both engines' formulas.
 _CORR_FORMULAS = """
     (sxy - sx * sy / n) / (n - 1.0) AS covar_samp,
-    (n * sxy - sx * sy)
-      / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)) AS corr,
-    (n * sxy - sx * sy) / (n * sxx - sx * sx) AS slope,
+    ROUND((n * sxy - sx * sy)
+      / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 9) AS corr,
+    ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
     (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
-    ((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
+    ROUND(((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
       * ((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
-      AS r2
+      , 9) AS r2
 """
 
 
@@ -92,16 +97,16 @@ _HIGH_MOMENT_AGGS = f"""
 # m2 * SQRT(m2) (resp. m2 * m2) instead of POWER() so both engines hit the
 # same IEEE operations.
 _HIGH_MOMENT_FORMULAS = """
-    (sxx / n - (sx / n) * (sx / n)) AS variance_pop,
-    SQRT(sxx / n - (sx / n) * (sx / n)) AS stddev_pop,
-    (sxxx / n - 3.0 * (sx / n) * (sxx / n) + 2.0 * (sx / n) * (sx / n) * (sx / n))
+    ROUND(sxx / n - (sx / n) * (sx / n), 9) AS variance_pop,
+    ROUND(SQRT(sxx / n - (sx / n) * (sx / n)), 9) AS stddev_pop,
+    ROUND((sxxx / n - 3.0 * (sx / n) * (sxx / n) + 2.0 * (sx / n) * (sx / n) * (sx / n))
       / ((sxx / n - (sx / n) * (sx / n)) * SQRT(sxx / n - (sx / n) * (sx / n)))
-      AS skewness_pop,
-    (sxxxx / n - 4.0 * (sx / n) * (sxxx / n)
+      , 9) AS skewness_pop,
+    ROUND((sxxxx / n - 4.0 * (sx / n) * (sxxx / n)
        + 6.0 * (sx / n) * (sx / n) * (sxx / n)
        - 3.0 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
       / ((sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n)))
-      - 3.0 AS kurtosis_excess
+      - 3.0, 9) AS kurtosis_excess
 """
 
 
@@ -276,8 +281,8 @@ def stat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts
     )
     SELECT event_type,
-           CAST(SUM(v_cents * dt) AS DOUBLE)
-             / (CAST(SUM(dt) AS DOUBLE) * 100.0) AS tw_avg,
+           ROUND(CAST(SUM(v_cents * dt) AS DOUBLE)
+             / (CAST(SUM(dt) AS DOUBLE) * 100.0), 9) AS tw_avg,
            CAST(SUM(dt) AS BIGINT) AS covered_sec
     FROM seg WHERE dt IS NOT NULL
     GROUP BY event_type
@@ -311,9 +316,10 @@ def stat_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("dt"),
     ).filter(F.col("dt").isNotNull())
     return seg.groupBy("event_type").agg(
-        (
+        F.round(
             F.sum(F.col("v_cents") * F.col("dt")).cast("double")
-            / (F.sum("dt").cast("double") * F.lit(100.0))
+            / (F.sum("dt").cast("double") * F.lit(100.0)),
+            9,
         ).alias("tw_avg"),
         F.sum("dt").cast("bigint").alias("covered_sec"),
     )
@@ -443,10 +449,10 @@ def stat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n1 AS BIGINT) AS n_a,
            CAST(n2 AS BIGINT) AS n_b,
-           (s1 / n1 - s2 / n2) / 100.0 AS mean_diff,
-           (s1 / n1 - s2 / n2)
+           ROUND((s1 / n1 - s2 / n2) / 100.0, 9) AS mean_diff,
+           ROUND((s1 / n1 - s2 / n2)
              / SQRT( ((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1
-                   + ((q2 - s2 * s2 / n2) / (n2 - 1.0)) / n2 ) AS t_stat,
+                   + ((q2 - s2 * s2 / n2) / (n2 - 1.0)) / n2 ), 9) AS t_stat,
            ( ((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1
            + ((q2 - s2 * s2 / n2) / (n2 - 1.0)) / n2 )
            * ( ((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1
@@ -487,8 +493,8 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.selectExpr(
         "CAST(n1 AS BIGINT) AS n_a",
         "CAST(n2 AS BIGINT) AS n_b",
-        "(s1 / n1 - s2 / n2) / 100.0 AS mean_diff",
-        f"(s1 / n1 - s2 / n2) / SQRT({v1} + {v2}) AS t_stat",
+        "ROUND((s1 / n1 - s2 / n2) / 100.0, 9) AS mean_diff",
+        f"ROUND((s1 / n1 - s2 / n2) / SQRT({v1} + {v2}), 9) AS t_stat",
         f"({v1} + {v2}) * ({v1} + {v2})"
         f" / ({v1} * ({v1}) / (n1 - 1.0) + {v2} * ({v2}) / (n2 - 1.0))"
         " AS welch_dof",
@@ -507,8 +513,8 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
-           (CAST(CAST(ROUND(e.value * 100, 0) AS BIGINT) AS DOUBLE) - m.s / m.n)
-             / SQRT(m.q / m.n - (m.s / m.n) * (m.s / m.n)) AS zscore
+           ROUND((CAST(CAST(ROUND(e.value * 100, 0) AS BIGINT) AS DOUBLE) - m.s / m.n)
+             / SQRT(m.q / m.n - (m.s / m.n) * (m.s / m.n)), 9) AS zscore
     FROM events e JOIN m ON e.event_type = m.event_type
     WHERE ABS(
         (CAST(CAST(ROUND(e.value * 100, 0) AS BIGINT) AS DOUBLE) - m.s / m.n)
@@ -534,8 +540,10 @@ def stat_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     z = (cents.cast("double") - F.col("s") / F.col("n")) / F.sqrt(
         F.col("q") / F.col("n") - (F.col("s") / F.col("n")) * (F.col("s") / F.col("n"))
     )
+    # Threshold compares RAW z (identical formula both sides); only the
+    # emitted column rounds — round-before-filter would move the cut line.
     return joined.filter(F.abs(z) > 2.5).select(
-        "event_id", "event_type", "value", z.alias("zscore")
+        "event_id", "event_type", "value", F.round(z, 9).alias("zscore")
     )
 
 
@@ -605,8 +613,8 @@ def stat_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_a, n.n_b,
            CAST(MAX(ABS(c_a * n.n_b - c_b * n.n_a)) AS BIGINT) AS d_num,
            n.n_a * n.n_b AS d_den,
-           CAST(MAX(ABS(c_a * n.n_b - c_b * n.n_a)) AS DOUBLE)
-               / (n.n_a * n.n_b) AS d_stat
+           ROUND(CAST(MAX(ABS(c_a * n.n_b - c_b * n.n_a)) AS DOUBLE)
+               / (n.n_a * n.n_b), 9) AS d_stat
     FROM steps, n
     GROUP BY n.n_a, n.n_b
     """,
@@ -660,9 +668,9 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             "d_num",
             (F.col("n_a") * F.col("n_b")).alias("d_den"),
-            (F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b"))).alias(
-                "d_stat"
-            ),
+            F.round(
+                F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")), 9
+            ).alias("d_stat"),
         )
     )
 
@@ -694,8 +702,8 @@ _BENFORD_CASE = "CASE " + " ".join(
     tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
     terms AS (
         SELECT o.digit, o.n_obs, t.n,
-               ({_BENFORD_CASE}) AS benford_frac,
-               CAST(o.n_obs AS DOUBLE) / t.n AS obs_frac,
+               ROUND(({_BENFORD_CASE}), 9) AS benford_frac,
+               ROUND(CAST(o.n_obs AS DOUBLE) / t.n, 9) AS obs_frac,
                ROUND((o.n_obs - t.n * ({_BENFORD_CASE}))
                      * (o.n_obs - t.n * ({_BENFORD_CASE}))
                      / (t.n * ({_BENFORD_CASE})), 10) AS term
@@ -730,8 +738,8 @@ def stat_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit",
         "n_obs",
         "n",
-        F.expr(_BENFORD_CASE.replace("digit", "digit")).alias("benford_frac"),
-        (F.col("n_obs").cast("double") / F.col("n")).alias("obs_frac"),
+        F.expr(f"ROUND(({_BENFORD_CASE}), 9)").alias("benford_frac"),
+        F.round(F.col("n_obs").cast("double") / F.col("n"), 9).alias("obs_frac"),
         F.expr(
             f"ROUND((n_obs - n * ({_BENFORD_CASE})) "
             f"* (n_obs - n * ({_BENFORD_CASE})) "
@@ -777,10 +785,10 @@ def stat_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n1 AS BIGINT) AS n_a,
            CAST(n2 AS BIGINT) AS n_b,
            (r1_x2 - n1 * (n1 + 1.0)) / 2.0 AS u_stat,
-           ((r1_x2 - n1 * (n1 + 1.0)) / 2.0 - n1 * n2 / 2.0)
+           ROUND(((r1_x2 - n1 * (n1 + 1.0)) / 2.0 - n1 * n2 / 2.0)
              / SQRT(n1 * n2 / 12.0
                     * ((n1 + n2 + 1.0)
-                       - ties / ((n1 + n2) * (n1 + n2 - 1.0)))) AS z_stat
+                       - ties / ((n1 + n2) * (n1 + n2 - 1.0)))), 9) AS z_stat
     FROM agg
     """,
 )
@@ -832,9 +840,9 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n1 AS BIGINT) AS n_a",
         "CAST(n2 AS BIGINT) AS n_b",
         "(r1_x2 - n1 * (n1 + 1.0)) / 2.0 AS u_stat",
-        "((r1_x2 - n1 * (n1 + 1.0)) / 2.0 - n1 * n2 / 2.0)"
+        "ROUND(((r1_x2 - n1 * (n1 + 1.0)) / 2.0 - n1 * n2 / 2.0)"
         " / SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1.0)"
-        " - ties / ((n1 + n2) * (n1 + n2 - 1.0)))) AS z_stat",
+        " - ties / ((n1 + n2) * (n1 + n2 - 1.0)))), 9) AS z_stat",
     )
 
 
@@ -1024,13 +1032,13 @@ def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n_above, n_below, n_runs,
            CASE WHEN n_above = 0 OR n_below = 0 THEN NULL ELSE
-           (CAST(n_runs AS DOUBLE)
+           ROUND((CAST(n_runs AS DOUBLE)
             - (2.0 * n_above * n_below / (n_above + n_below) + 1.0))
            / SQRT(2.0 * n_above * n_below
                   * (2.0 * n_above * n_below - n_above - n_below)
                   / ((CAST(n_above + n_below AS DOUBLE)
                       * (n_above + n_below))
-                     * (n_above + n_below - 1.0))) END AS z_stat
+                     * (n_above + n_below - 1.0))), 9) END AS z_stat
     FROM agg
     """,
 )
@@ -1109,7 +1117,7 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a degenerate dichotomy (all values on one side of the median)
         # has zero variance — NULL z rather than ANSI divide-by-zero /
         # DuckDB inf divergence
-        F.when(var > 0, (r - mu) / F.sqrt(var)).alias("z_stat"),
+        F.when(var > 0, F.round((r - mu) / F.sqrt(var), 9)).alias("z_stat"),
     )
 
 
@@ -1134,13 +1142,13 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(MIN(n) AS BIGINT) AS n,
-           CAST(SUM(c) AS DOUBLE) / MIN(n) / 100 AS mean,
-           CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN c ELSE 0 END) AS DOUBLE)
-               / (MIN(n) - 2 * MIN(k)) / 100 AS trimmed_mean_5pct,
-           CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN c ELSE 0 END)
+           ROUND(CAST(SUM(c) AS DOUBLE) / MIN(n) / 100, 9) AS mean,
+           ROUND(CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN c ELSE 0 END) AS DOUBLE)
+               / (MIN(n) - 2 * MIN(k)) / 100, 9) AS trimmed_mean_5pct,
+           ROUND(CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN c ELSE 0 END)
                 + MIN(k) * MAX(CASE WHEN rk = k + 1 THEN c END)
                 + MIN(k) * MAX(CASE WHEN rk = n - k THEN c END) AS DOUBLE)
-               / MIN(n) / 100 AS winsorized_mean_5pct
+               / MIN(n) / 100, 9) AS winsorized_mean_5pct
     FROM marked
     GROUP BY event_type
     """,
@@ -1174,16 +1182,18 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.max(F.when(F.col("rk") == F.col("n") - F.col("k"), F.col("c")))
     return ranked.groupBy("event_type").agg(
         F.min("n").cast("bigint").alias("n"),
-        (F.sum("c").cast("double") / F.min("n") / 100).alias("mean"),
-        (
+        F.round(F.sum("c").cast("double") / F.min("n") / 100, 9).alias("mean"),
+        F.round(
             F.sum(kept).cast("double")
             / (F.min("n") - 2 * F.min("k"))
-            / 100
+            / 100,
+            9,
         ).alias("trimmed_mean_5pct"),
-        (
+        F.round(
             (F.sum(kept) + F.min("k") * lo + F.min("k") * hi).cast("double")
             / F.min("n")
-            / 100
+            / 100,
+            9,
         ).alias("winsorized_mean_5pct"),
     )
 
@@ -1229,9 +1239,9 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT g AS l_returnflag,
            CAST(n AS BIGINT) AS n_rows,
-           (n * sab - sa * sb)
+           ROUND((n * sab - sa * sb)
              / (SQRT(n * saa - sa * sa) * SQRT(n * sbb - sb * sb))
-             AS spearman_rho
+             , 9) AS spearman_rho
     FROM m
     """,
 )
@@ -1284,9 +1294,10 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.select(
         F.col("g").alias("l_returnflag"),
         n.cast("bigint").alias("n_rows"),
-        (
+        F.round(
             (n * sab - sa * sb)
-            / (F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb))
+            / (F.sqrt(n * saa - sa * sa) * F.sqrt(n * sbb - sb * sb)),
+            9,
         ).alias("spearman_rho"),
     )
 
@@ -1328,12 +1339,12 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dims.ns AS INT) AS n_sources,
            CAST(dims.nl AS INT) AS n_langs,
            CAST(SUM(mi_term) AS DOUBLE) AS mi_bits,
-           CAST(SUM(mi_term) AS DOUBLE)
-               / CAST(SUM(hxy_term) AS DOUBLE) AS nmi_joint,
-           SQRT(CAST(SUM(CAST(ROUND(chi_term, 6) AS DECIMAL(20,6))) AS DOUBLE)
+           ROUND(CAST(SUM(mi_term) AS DOUBLE)
+               / CAST(SUM(hxy_term) AS DOUBLE), 9) AS nmi_joint,
+           ROUND(SQRT(CAST(SUM(CAST(ROUND(chi_term, 6) AS DECIMAL(20,6))) AS DOUBLE)
                 / dims.n
                 / (CASE WHEN dims.ns < dims.nl THEN dims.ns ELSE dims.nl END - 1))
-               AS cramers_v
+               , 9) AS cramers_v
     FROM terms, dims
     GROUP BY dims.n, dims.ns, dims.nl
     """,
@@ -1386,9 +1397,9 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").cast("int").alias("n_sources"),
         F.countDistinct("lang").cast("int").alias("n_langs"),
         F.sum("mi_term").cast("double").alias("mi_bits"),
-        (F.sum("mi_term").cast("double") / F.sum("hxy_term").cast("double")).alias(
-            "nmi_joint"
-        ),
+        F.round(
+            F.sum("mi_term").cast("double") / F.sum("hxy_term").cast("double"), 9
+        ).alias("nmi_joint"),
         F.sum("chi_term").cast("double").alias("chi2"),
     )
     k = F.when(F.col("n_sources") < F.col("n_langs"), F.col("n_sources")).otherwise(
@@ -1400,7 +1411,9 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "mi_bits",
         "nmi_joint",
-        F.sqrt(F.col("chi2") / F.col("n_docs") / (k - 1)).alias("cramers_v"),
+        F.round(F.sqrt(F.col("chi2") / F.col("n_docs") / (k - 1)), 9).alias(
+            "cramers_v"
+        ),
     )
 
 
@@ -1417,8 +1430,8 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(MIN(n) AS BIGINT) AS n_docs,
            CAST(SUM(x) AS BIGINT) AS total_chars,
-           CAST(2 * SUM(rk * x) - (MIN(n) + 1) * SUM(x) AS DOUBLE)
-               / (MIN(n) * SUM(x)) AS gini
+           ROUND(CAST(2 * SUM(rk * x) - (MIN(n) + 1) * SUM(x) AS DOUBLE)
+               / (MIN(n) * SUM(x)), 9) AS gini
     FROM ranked
     GROUP BY source
     """,
@@ -1451,10 +1464,11 @@ def stat_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.groupBy("source").agg(
         F.min("n").cast("bigint").alias("n_docs"),
         F.sum("x").cast("bigint").alias("total_chars"),
-        (
+        F.round(
             (2 * F.sum(F.col("rk") * F.col("x")) - (F.min("n") + 1) * F.sum("x"))
             .cast("double")
-            / (F.min("n") * F.sum("x"))
+            / (F.min("n") * F.sum("x")),
+            9,
         ).alias("gini"),
     )
 
@@ -1479,11 +1493,11 @@ def stat_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cnt GROUP BY event_type
     )
     SELECT event_type, n_events, n_minutes, n_active_minutes,
-           CAST(n_events AS DOUBLE) / n_minutes AS mean_per_minute,
-           (CAST(s2 AS DOUBLE) / n_minutes
+           ROUND(CAST(n_events AS DOUBLE) / n_minutes, 9) AS mean_per_minute,
+           ROUND((CAST(s2 AS DOUBLE) / n_minutes
               - (CAST(n_events AS DOUBLE) / n_minutes)
                 * (CAST(n_events AS DOUBLE) / n_minutes))
-             / (CAST(n_events AS DOUBLE) / n_minutes) AS fano_factor
+             / (CAST(n_events AS DOUBLE) / n_minutes), 9) AS fano_factor
     FROM agg
     """,
 )
@@ -1515,9 +1529,9 @@ def stat_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_minutes",
         "n_active_minutes",
-        mean.alias("mean_per_minute"),
-        (
-            (F.col("s2").cast("double") / F.col("n_minutes") - mean * mean) / mean
+        F.round(mean, 9).alias("mean_per_minute"),
+        F.round(
+            (F.col("s2").cast("double") / F.col("n_minutes") - mean * mean) / mean, 9
         ).alias("fano_factor"),
     )
 
@@ -1601,7 +1615,7 @@ def _boot_oracle() -> str:
         FROM v JOIN m ON 1 = 1
     )
     SELECT n_rows, mean_cents, mbar AS boot_mean_cents,
-           boot_se_cents
+           ROUND(boot_se_cents, 9) AS boot_se_cents
     FROM f
     """
 
@@ -1647,7 +1661,7 @@ def stat_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "mean_cents",
         F.col("mbar").alias("boot_mean_cents"),
-        F.expr(f"sqrt({_boot_var_chain()})").alias("boot_se_cents"),
+        F.round(F.expr(f"sqrt({_boot_var_chain()})"), 9).alias("boot_se_cents"),
     )
 
 
@@ -1672,15 +1686,15 @@ def stat_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
-           (s1 / n1) / 100.0 AS mean_a,
-           (2.7963852180769197
+           ROUND((s1 / n1) / 100.0, 9) AS mean_a,
+           ROUND((2.7963852180769197
             * SQRT((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
                    + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2)) / 100.0
-             AS mde_abs,
-           (2.7963852180769197
+             , 9) AS mde_abs,
+           ROUND((2.7963852180769197
             * SQRT((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
                    + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2)) / (s1 / n1)
-             AS mde_rel
+             , 9) AS mde_rel
     FROM m
     """,
 )
@@ -1714,9 +1728,9 @@ def stat_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "CAST(n1 AS BIGINT) AS n_a",
         "CAST(n2 AS BIGINT) AS n_b",
-        "(s1 / n1) / 100.0 AS mean_a",
-        f"(2.7963852180769197 * {se}) / 100.0 AS mde_abs",
-        f"(2.7963852180769197 * {se}) / (s1 / n1) AS mde_rel",
+        "ROUND((s1 / n1) / 100.0, 9) AS mean_a",
+        f"ROUND((2.7963852180769197 * {se}) / 100.0, 9) AS mde_abs",
+        f"ROUND((2.7963852180769197 * {se}) / (s1 / n1), 9) AS mde_rel",
     )
 
 
@@ -1744,15 +1758,15 @@ def stat_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_user
     )
     SELECT CAST(n AS BIGINT) AS n_users,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS theta,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS theta,
            (syy - sy * sy / n) / (n - 1.0) AS var_post,
            ((syy - sy * sy / n)
             - (n * sxy - sx * sy) / (n * sxx - sx * sx)
               * (sxy - sx * sy / n)) / (n - 1.0) AS var_cuped,
-           1.0 - (((syy - sy * sy / n)
+           ROUND(1.0 - (((syy - sy * sy / n)
                    - (n * sxy - sx * sy) / (n * sxx - sx * sx)
                      * (sxy - sx * sy / n)) / (n - 1.0))
-                 / ((syy - sy * sy / n) / (n - 1.0)) AS variance_reduction
+                 / ((syy - sy * sy / n) / (n - 1.0)), 9) AS variance_reduction
     FROM m
     """,
 )
@@ -1789,12 +1803,15 @@ def stat_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
     var_cuped = (
         f"((syy - sy * sy / n) - {theta} * (sxy - sx * sy / n)) / (n - 1.0)"
     )
+    # var_post / var_cuped stay RAW: cents²-scale (≳1e6), where ROUND
+    # itself diverges cross-engine — association-identical formulas are
+    # their protection (registry.ROUND9_EXEMPT).
     return m.selectExpr(
         "CAST(n AS BIGINT) AS n_users",
-        f"{theta} AS theta",
+        f"ROUND({theta}, 9) AS theta",
         f"{var_post} AS var_post",
         f"{var_cuped} AS var_cuped",
-        f"1.0 - ({var_cuped}) / ({var_post}) AS variance_reduction",
+        f"ROUND(1.0 - ({var_cuped}) / ({var_post}), 9) AS variance_reduction",
     )
 
 
@@ -1812,11 +1829,11 @@ def stat_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM arms
     )
     SELECT n0 AS n_arm_a, n1 AS n_arm_b,
-           (CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)
+           ROUND((CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)
             * CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)) / ((n0 + n1) / 2.0)
            + (CAST(n1 - (n0 + n1) / 2.0 AS DOUBLE)
               * CAST(n1 - (n0 + n1) / 2.0 AS DOUBLE)) / ((n0 + n1) / 2.0)
-             AS chi2,
+             , 9) AS chi2,
            ((CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)
              * CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)) / ((n0 + n1) / 2.0)
             + (CAST(n1 - (n0 + n1) / 2.0 AS DOUBLE)
@@ -1846,10 +1863,12 @@ def stat_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         " * CAST(n{i} - (n0 + n1) / 2.0 AS DOUBLE)) / ((n0 + n1) / 2.0)"
     )
     chi2 = term.format(i=0) + " + " + term.format(i=1)
+    # The detection compare uses the RAW chi2 (identical formula both
+    # sides); only the emitted column rounds.
     return w.selectExpr(
         "n0 AS n_arm_a",
         "n1 AS n_arm_b",
-        f"{chi2} AS chi2",
+        f"ROUND({chi2}, 9) AS chi2",
         f"({chi2}) > 3.841458820694124 AS srm_detected",
     )
 
@@ -1889,10 +1908,10 @@ def stat_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
     )
     SELECT n_rows,
-           (m11 - m10) / 100.0 AS treated_delta,
-           (m01 - m00) / 100.0 AS control_delta,
-           ((m11 - m10) - (m01 - m00)) / 100.0 AS did_estimate,
-           SQRT(v11 + v10 + v01 + v00) / 100.0 AS did_se
+           ROUND((m11 - m10) / 100.0, 9) AS treated_delta,
+           ROUND((m01 - m00) / 100.0, 9) AS control_delta,
+           ROUND(((m11 - m10) - (m01 - m00)) / 100.0, 9) AS did_estimate,
+           ROUND(SQRT(v11 + v10 + v01 + v00) / 100.0, 9) AS did_se
     FROM w
     """,
 )
@@ -1948,10 +1967,10 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return w.selectExpr(
         "n_rows",
-        "(m11 - m10) / 100.0 AS treated_delta",
-        "(m01 - m00) / 100.0 AS control_delta",
-        "((m11 - m10) - (m01 - m00)) / 100.0 AS did_estimate",
-        "SQRT(v11 + v10 + v01 + v00) / 100.0 AS did_se",
+        "ROUND((m11 - m10) / 100.0, 9) AS treated_delta",
+        "ROUND((m01 - m00) / 100.0, 9) AS control_delta",
+        "ROUND(((m11 - m10) - (m01 - m00)) / 100.0, 9) AS did_estimate",
+        "ROUND(SQRT(v11 + v10 + v01 + v00) / 100.0, 9) AS did_se",
     )
 
 
@@ -2301,3 +2320,29 @@ def stat_winsorized_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
             "raw_mean"
         ),
     )
+
+
+# Round-at-9 exemptions for this module (see registry.ROUND9_EXEMPT):
+# every column below can exceed ~1e3 at the gate scales (or grows with
+# data volume), where Spark's BigDecimal ROUND and DuckDB's multiply/
+# divide ROUND measurably diverge — so rounding would BREAK parity. Their
+# protection is the module invariant instead: each is one shared,
+# association-identical formula over exact integer/decimal power sums.
+exempt_round9("stat_corr_regression", {
+    "covar_samp": "price-scale (~3e3 at sf0.01); raw-unit covariance",
+    "intercept": "price-scale (~5e4 at sf0.01); raw-unit OLS intercept",
+})
+exempt_round9("stat_benford_audit", {
+    "chi2": "grows with row count (~6e3 at sf0.01)",
+})
+exempt_round9("stat_bootstrap_se", {
+    "mean_cents": "cents-scale mean (~5e3 at sf0.01)",
+    "boot_mean_cents": "cents-scale mean (~5e3 at sf0.01)",
+})
+exempt_round9("stat_welch_ttest", {
+    "welch_dof": "Welch-Satterthwaite dof grows with n (~4e3 at sf0.01)",
+})
+exempt_round9("stat_cuped_variance_reduction", {
+    "var_post": "cents^2-scale variance (>=1e6)",
+    "var_cuped": "cents^2-scale variance (>=1e6)",
+})

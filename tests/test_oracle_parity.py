@@ -6,8 +6,13 @@ regressions are caught locally before a round ends.
 
 from __future__ import annotations
 
+import sys
+from pathlib import Path
+
 import duckdb
 import pytest
+
+_REPO = Path(__file__).resolve().parent.parent
 
 from chainhouse_spark.queries import ORACLES, QUERIES
 from tests.compare import compare_frames
@@ -94,6 +99,22 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
         "canonicalizer — serialize them to strings or explode to rows"
     )
     spdf = sdf.toPandas()
+    # Round-at-9 convention gate (VERDICT r08 task 1): no non-exempt float
+    # column may emit raw unrounded doubles — the latent class that re-arms
+    # last-ulp divergences when one side's formula is later re-associated.
+    # Exemptions (magnitude-unbounded columns, where ROUND itself diverges
+    # cross-engine) are documented in registry.ROUND9_EXEMPT. The check
+    # runs here, on the already-materialized pandas frame, so the full-
+    # registry audit costs nothing beyond the parity run itself.
+    sys.path.insert(0, str(_REPO / "tools"))
+    from float_convention_sweep import flag_unrounded_cols
+
+    unrounded_cols = flag_unrounded_cols(name, spdf)
+    assert not unrounded_cols, (
+        f"{name}: float columns {unrounded_cols} emit raw unrounded doubles "
+        "— apply round-at-9 on BOTH the Spark and oracle sides, or document "
+        "a magnitude exemption in registry.ROUND9_EXEMPT"
+    )
     if name not in ORACLES:
         # Rows-only check (driver's weaker gate for non-SQL-expressible ops).
         assert spdf is not None

@@ -2,17 +2,32 @@
 """Sweep the full query registry for float outputs that violate the repo's
 round-at-9 convention.
 
-Convention (see tests/compare.py): every float column a query emits should be
-rounded at 9 decimal digits in BOTH the Spark expression and the oracle SQL,
-so that cross-engine last-ulp association differences can never flip the
-exact-repr comparison. This sweep runs each registered query at sf0.001 and
-flags any double column containing a value v where round(v, 9) != v — i.e. a
-raw unrounded double (rounding is idempotent in double space, so convention-
-compliant columns pass; integer-valued and dyadic-exact doubles also pass,
-which is fine — those cannot ulp-diverge from an identical oracle formula).
+Convention (see tests/compare.py): every float column a query emits should
+be rounded at 9 decimal digits in BOTH the Spark expression and the oracle
+SQL, so that a future re-association of one side's formula cannot silently
+re-arm a last-ulp divergence (the round-7 ``ts_trend_slope_by_type``
+class). Rounding REDUCES the divergence surface; it is not an absolute
+guarantee: Spark rounds via BigDecimal HALF_UP on the shortest decimal
+repr while DuckDB multiplies/divides by 1e9, so the two engines agree only
+while |value|*1e9 stays well inside 2^53 (safe ≲1e6; measured divergence
+from ~3e6 on adversarial 9th-digit ties). Columns whose magnitude can
+exceed that bound are DELIBERATELY unrounded and documented in
+``chainhouse_spark.queries.registry.ROUND9_EXEMPT`` — for them the
+protection is the original rule (association-identical formulas on both
+sides), and this sweep skips them.
+
+This sweep runs each registered query at sf0.001 and flags any
+non-exempt double column containing a value v where round(v, 9) != v —
+i.e. a raw unrounded double (rounding is idempotent in double space, so
+convention-compliant columns pass; integer-valued and dyadic-exact doubles
+also pass, which is fine — those cannot ulp-diverge from an identical
+oracle formula). The same per-frame check gates every query in
+tests/test_oracle_parity.py, where the Spark result is already in pandas;
+this standalone tool exists for ad-hoc full-registry audits.
 
 Usage: python tools/float_convention_sweep.py [sf_dir]
-Exit 0 and one JSON line per query; a final summary line lists offenders.
+One JSON line per query; a final summary line lists offenders.
+Exits 1 if any non-exempt offender is found.
 """
 
 from __future__ import annotations
@@ -25,6 +40,7 @@ sys.path.insert(0, ".")
 
 from chainhouse_spark.session import build_spark  # noqa: E402
 from chainhouse_spark.queries import QUERIES  # noqa: E402
+from chainhouse_spark.queries.registry import ROUND9_EXEMPT  # noqa: E402
 
 
 def unrounded(v) -> bool:
@@ -34,6 +50,29 @@ def unrounded(v) -> bool:
     if math.isnan(f) or math.isinf(f):
         return False
     return round(f, 9) != f
+
+
+def flag_unrounded_cols(name: str, pdf) -> list[str]:
+    """Names of non-exempt float columns in `pdf` holding unrounded values.
+
+    `pdf` is the query's pandas result (all columns); float columns are
+    detected by dtype so the caller needn't pre-project.
+    """
+    import numpy as np
+
+    exempt = ROUND9_EXEMPT.get(name, {})
+    bad = []
+    for c in pdf.columns:
+        if c in exempt:
+            continue
+        if pdf[c].dtype.kind != "f" and not (
+            pdf[c].dtype == object
+            and pdf[c].map(lambda v: isinstance(v, (float, np.floating))).any()
+        ):
+            continue
+        if pdf[c].map(unrounded).any():
+            bad.append(c)
+    return bad
 
 
 def main() -> int:
@@ -49,9 +88,10 @@ def main() -> int:
                 print(json.dumps({"q": name, "double_cols": 0, "flagged": []}))
                 continue
             pdf = df.select(*dbl_cols).toPandas()
-            bad = [c for c in dbl_cols if pdf[c].map(unrounded).any()]
+            bad = flag_unrounded_cols(name, pdf)
+            skipped = sorted(set(dbl_cols) & set(ROUND9_EXEMPT.get(name, {})))
             print(json.dumps({"q": name, "double_cols": len(dbl_cols),
-                              "flagged": bad}))
+                              "flagged": bad, "exempt": skipped}))
             if bad:
                 offenders[name] = bad
         except Exception as exc:  # noqa: BLE001
@@ -59,7 +99,7 @@ def main() -> int:
             offenders[name] = ["<error>"]
     print(json.dumps({"summary": True, "n_offenders": len(offenders),
                       "offenders": offenders}))
-    return 0
+    return 1 if offenders else 0
 
 
 if __name__ == "__main__":
