@@ -42,7 +42,7 @@ _IDX = f"(SELECT UNNEST(range(1, {DIMS + 1})) AS i) i"
     WITH sc AS (
         SELECT vec_id, embedding, {_DUCK_SCALE} AS scale FROM embeddings
     )
-    SELECT vec_id, scale,
+    SELECT vec_id, ROUND(scale, 9) AS scale,
            array_to_string(ARRAY_AGG({_DUCK_QELEM} ORDER BY i.i), ',') AS q
     FROM sc, {_IDX}
     GROUP BY vec_id, scale
@@ -54,7 +54,10 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     query surface serializes q with array_join (driver canonicalizer can't
     hash list cells); the operator keeps the real array column."""
     out = quantize_int8(load_table(spark, sf_dir, "embeddings"))
-    return out.select("vec_id", "scale", F.array_join("q", ",").alias("q"))
+    return out.select(
+        "vec_id", F.round("scale", 9).alias("scale"),
+        F.array_join("q", ",").alias("q"),
+    )
 
 
 @register(
@@ -86,7 +89,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sc qs ON qs.vec_id = query_id
         JOIN sc cs ON cs.vec_id = cand_id
     )
-    SELECT query_id, cand_id, score, CAST(rank AS INT) AS rank
+    SELECT query_id, cand_id, ROUND(score, 9) AS score, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 10
     """,
 )
@@ -95,7 +98,8 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     exact BIGINT dot products (no float fold) rescaled by the two scales —
     the 4×-less-bandwidth scoring path."""
     emb = load_table(spark, sf_dir, "embeddings")
-    return quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    res = quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
+    return res.withColumn("score", F.round("score", 9))
 
 
 # Bloom decontamination: same held-out split (doc_id % 97 = 0) as the exact
@@ -189,8 +193,8 @@ _DUCK_SRC_SH = """
         GROUP BY a.source, b.source
     )
     SELECT e.source_a, e.source_b, e.est_jaccard,
-           CAST(COALESCE(c.n_common, 0) AS DOUBLE)
-               / (sa.n_sh + sb.n_sh - COALESCE(c.n_common, 0)) AS exact_jaccard
+           ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - COALESCE(c.n_common, 0)), 9) AS exact_jaccard
     FROM est e
     LEFT JOIN common c ON c.source_a = e.source_a AND c.source_b = e.source_b
     JOIN sz sa ON sa.source = e.source_a
@@ -264,9 +268,10 @@ def corpus_overlap_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
             "source_a",
             "source_b",
             "est_jaccard",
-            (
+            F.round(
                 F.coalesce(F.col("n_common"), F.lit(0)).cast("double")
-                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0)))
+                / (F.col("n_a") + F.col("n_b") - F.coalesce(F.col("n_common"), F.lit(0))),
+                9,
             ).alias("exact_jaccard"),
         )
     )
@@ -346,7 +351,7 @@ def cluster_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE s.qrank <= 50
         GROUP BY s.query_id, s.cand_id
     )
-    SELECT query_id, cand_id, cos_sim, CAST(rank AS INT) AS rank
+    SELECT query_id, cand_id, ROUND(cos_sim, 9) AS cos_sim, CAST(rank AS INT) AS rank
     FROM (
         SELECT query_id, cand_id, cos_sim,
                ROW_NUMBER() OVER (
@@ -390,7 +395,12 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         withvecs.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
-        .select("query_id", "cand_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("cos_sim", 9).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 
@@ -406,7 +416,7 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           CAST(SUM(d.doc_freq) AS DOUBLE) / COUNT(*) AS mean_doc_freq,
+           ROUND(CAST(SUM(d.doc_freq) AS DOUBLE) / COUNT(*), 9) AS mean_doc_freq,
            CAST(SUM(CASE WHEN d.doc_freq <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
                / COUNT(*) AS rare_ratio
     FROM tf t JOIN df d USING (token)
@@ -434,8 +444,8 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            (
-                F.sum("doc_freq").cast("double") / F.count(F.lit(1))
+            F.round(
+                F.sum("doc_freq").cast("double") / F.count(F.lit(1)), 9
             ).alias("mean_doc_freq"),
             (
                 F.sum(F.when(F.col("doc_freq") <= 2, 1).otherwise(0)).cast("double")
@@ -509,7 +519,7 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e, s
         GROUP BY e.vec_id, s.j
     )
-    SELECT vec_id, CAST(j AS INT) AS j, p FROM proj
+    SELECT vec_id, CAST(j AS INT) AS j, ROUND(p, 9) AS p FROM proj
     """,
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -526,7 +536,9 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = project_signs(
         load_table(spark, sf_dir, "embeddings"), in_dims=DIMS, out_dims=16
     )
-    return out.select("vec_id", F.posexplode("proj").alias("j", "p"))
+    return out.select(
+        "vec_id", F.posexplode("proj").alias("j", "p")
+    ).withColumn("p", F.round("p", 9))
 
 
 # Projected-LSH: the composed scale path — JL-project 64 -> 16 dims
@@ -580,7 +592,7 @@ _DUCK_PROJ8 = f"""
         WHERE q.vec_id < 5
         GROUP BY q.vec_id, c.vec_id
     )
-    SELECT query_id, cand_id, cos_sim, CAST(rank AS INT) AS rank
+    SELECT query_id, cand_id, ROUND(cos_sim, 9) AS cos_sim, CAST(rank AS INT) AS rank
     FROM (
         SELECT query_id, cand_id,
                dot / (sqrt(qq) * sqrt(cc)) AS cos_sim,
@@ -647,7 +659,12 @@ def ann_projected_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w))
         .filter(F.col("rank") <= 10)
-        .select("query_id", "cand_id", "cos_sim", F.col("rank").cast("int").alias("rank"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.round("cos_sim", 9).alias("cos_sim"),
+            F.col("rank").cast("int").alias("rank"),
+        )
     )
 
 
@@ -813,7 +830,8 @@ def tokenize_with_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT hi, lo, CAST(n_common AS DOUBLE) / n_hi FROM sized
     )
-    SELECT doc_a, doc_b, containment FROM ori WHERE containment >= 0.6
+    SELECT doc_a, doc_b, ROUND(containment, 9) AS containment
+    FROM ori WHERE containment >= 0.6
     """,
 )
 def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -824,7 +842,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return containment_pairs(
         load_table(spark, sf_dir, "documents"), shingle_words=3, threshold=0.6
-    )
+    ).withColumn("containment", F.round("containment", 9))
 
 
 @register(

@@ -15,7 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
 _VAL = "CAST(value AS DECIMAL(18,6))"
@@ -333,7 +333,7 @@ _INTERP = """
               (ORDER BY idx ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_i
         FROM base
     )
-    SELECT hour, v AS observed, {_INTERP} AS filled FROM nb
+    SELECT hour, ROUND(v, 9) AS observed, ROUND({_INTERP}, 9) AS filled FROM nb
     """,
 )
 def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,7 +386,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (ORDER BY idx ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_i
             FROM _ts_interp_base
         )
-        SELECT hour, v AS observed, {_INTERP} AS filled FROM nb
+        SELECT hour, ROUND(v, 9) AS observed, ROUND({_INTERP}, 9) AS filled FROM nb
         """
     )
 
@@ -687,7 +687,7 @@ def _duck_arr_median(arr: str) -> str:
                {_duck_arr_median('list_transform(arr, x -> abs(x - med))')} AS mad
         FROM med
     )
-    SELECT event_id, event_type, value, med, mad,
+    SELECT event_id, event_type, value, med, ROUND(mad, 9) AS mad,
            ABS(value - med) > 3.0 * 1.4826 * mad AS is_anomaly
     FROM mad
     WHERE ABS(value - med) > 3.0 * 1.4826 * mad
@@ -727,7 +727,12 @@ def ts_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("value") - F.col("med")) > 3.0 * 1.4826 * F.col("mad"),
         )
         .filter("is_anomaly")
-        .select("event_id", "event_type", "value", "med", "mad", "is_anomaly")
+        # anomaly threshold compares RAW mad on both sides; only the
+        # emitted column rounds (even-frame medians average two floats)
+        .select(
+            "event_id", "event_type", "value", "med",
+            F.round("mad", 9).alias("mad"), "is_anomaly",
+        )
     )
 
 
@@ -837,8 +842,8 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_scored,
-           CAST(SUM(ABS(v - pred)) AS DOUBLE) / COUNT(*) AS mae,
-           CAST(SUM(ABS(v - pred)) AS DOUBLE) / CAST(SUM(v) AS DOUBLE) AS wape
+           ROUND(CAST(SUM(ABS(v - pred)) AS DOUBLE) / COUNT(*), 9) AS mae,
+           ROUND(CAST(SUM(ABS(v - pred)) AS DOUBLE) / CAST(SUM(v) AS DOUBLE), 9) AS wape
     FROM lagged WHERE pred IS NOT NULL
     GROUP BY event_type
     """,
@@ -862,13 +867,15 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return lagged.groupBy("event_type").agg(
         F.count(F.lit(1)).alias("n_scored"),
-        (
+        F.round(
             F.sum(F.abs(F.col("v") - F.col("pred"))).cast("double")
-            / F.count(F.lit(1))
+            / F.count(F.lit(1)),
+            9,
         ).alias("mae"),
-        (
+        F.round(
             F.sum(F.abs(F.col("v") - F.col("pred"))).cast("double")
-            / F.sum("v").cast("double")
+            / F.sum("v").cast("double"),
+            9,
         ).alias("wape"),
     )
 
@@ -909,15 +916,15 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lagged GROUP BY event_type
     )
     SELECT event_type, n,
-           (sk1 - (CAST(s1 AS DOUBLE) / n) * (h1 + t1)
+           ROUND((sk1 - (CAST(s1 AS DOUBLE) / n) * (h1 + t1)
                 + (n - 1) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS acf_1,
-           (sk2 - (CAST(s1 AS DOUBLE) / n) * (h2 + t2)
+             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 9) AS acf_1,
+           ROUND((sk2 - (CAST(s1 AS DOUBLE) / n) * (h2 + t2)
                 + (n - 2) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS acf_2,
-           (sk3 - (CAST(s1 AS DOUBLE) / n) * (h3 + t3)
+             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 9) AS acf_2,
+           ROUND((sk3 - (CAST(s1 AS DOUBLE) / n) * (h3 + t3)
                 + (n - 3) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)) AS acf_3
+             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 9) AS acf_3
     FROM agg
     """,
 )
@@ -975,7 +982,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             - mu * (F.col(f"h{k}") + F.col(f"t{k}"))
             + (F.col("n") - k) * mu * mu
         )
-        out.append((num / den).alias(f"acf_{k}"))
+        out.append(F.round(num / den, 9).alias(f"acf_{k}"))
     return agg.select(*out)
 
 
@@ -1031,14 +1038,14 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(SUM(n_rows) AS BIGINT) AS n_hours,
-           CAST(CAST(SUM(sdd) AS DECIMAL(38,12)) AS DOUBLE) / SUM(n_rows)
-             AS var_detrended,
-           CAST(CAST(SUM(ssr) AS DECIMAL(38,9)) AS DOUBLE) / SUM(n_rows)
-             AS var_remainder,
-           GREATEST(0.0, 1.0
+           ROUND(CAST(CAST(SUM(sdd) AS DECIMAL(38,12)) AS DOUBLE) / SUM(n_rows)
+             , 9) AS var_detrended,
+           ROUND(CAST(CAST(SUM(ssr) AS DECIMAL(38,9)) AS DOUBLE) / SUM(n_rows)
+             , 9) AS var_remainder,
+           ROUND(GREATEST(0.0, 1.0
                - (CAST(CAST(SUM(ssr) AS DECIMAL(38,9)) AS DOUBLE) / SUM(n_rows))
                / (CAST(CAST(SUM(sdd) AS DECIMAL(38,12)) AS DOUBLE) / SUM(n_rows)))
-             AS seasonality_strength
+             , 9) AS seasonality_strength
     FROM rem_hod GROUP BY event_type
     """,
 )
@@ -1110,10 +1117,10 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_r = "CAST(CAST(SUM(ssr) AS DECIMAL(38,9)) AS DOUBLE) / SUM(n_rows)"
     return rem_hod.groupBy("event_type").agg(
         F.sum("n_rows").cast("bigint").alias("n_hours"),
-        F.expr(var_d).alias("var_detrended"),
-        F.expr(var_r).alias("var_remainder"),
+        F.expr(f"ROUND({var_d}, 9)").alias("var_detrended"),
+        F.expr(f"ROUND({var_r}, 9)").alias("var_remainder"),
         F.expr(
-            f"GREATEST(0.0, 1.0 - ({var_r}) / ({var_d}))"
+            f"ROUND(GREATEST(0.0, 1.0 - ({var_r}) / ({var_d})), 9)"
         ).alias("seasonality_strength"),
     )
 
@@ -1282,7 +1289,7 @@ def ts_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_hours,
            CAST(SUM(CASE WHEN ABS(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_anomalous,
-           MAX(ABS(z)) AS max_abs_z
+           ROUND(MAX(ABS(z)), 9) AS max_abs_z
     FROM z GROUP BY event_type
     """,
 )
@@ -1328,7 +1335,7 @@ def ts_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.abs(F.col("z")) > 3.0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_anomalous"),
-        F.max(F.abs(F.col("z"))).alias("max_abs_z"),
+        F.round(F.max(F.abs(F.col("z"))), 9).alias("max_abs_z"),
     )
 
 
@@ -1788,3 +1795,12 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round((mean - 2 * sd) / 100.0, 9).alias("lower_band"),
         (F.col("x") > mean + 2 * sd).alias("breakout_above"),
     )
+
+
+# Round-at-9 exemption (registry.ROUND9_EXEMPT): the CUSUM deviation grows
+# with series length (~2.5e3 at sf0.01), past the magnitude where Spark
+# and DuckDB ROUND agree — kept raw; its protection is the single exact
+# DECIMAL |n*S_k - k*S_n| with ONE shared final float division.
+exempt_round9("ts_cusum_changepoint", {
+    "max_cusum_dev": "cumulative deviation grows with series length",
+})
