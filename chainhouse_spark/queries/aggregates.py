@@ -12,7 +12,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chainhouse_spark.operators.partitioning import spread
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
 
@@ -460,3 +460,11 @@ def agg_sum_map_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("type_counts"),
         F.sum("cnt").alias("total"),
     )
+
+
+# Round-at-9 exemption (registry.ROUND9_EXEMPT): price scale ~1e5, past
+# the cross-engine ROUND agreement zone; the percentile itself is an
+# exact order statistic both engines pick identically.
+exempt_round9("agg_percentiles", {
+    "p90_price": "price scale (~1e5 at sf0.01)",
+})

@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
 
@@ -434,3 +434,11 @@ def audience_engagement_decay(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("cool")
         .alias("tier"),
     )
+
+
+# Round-at-9 exemption (registry.ROUND9_EXEMPT): cents scale ~6e4, past
+# the cross-engine ROUND agreement zone — protected by the exact integer
+# cents sum with one shared final division.
+exempt_round9("audience_ltv_cohort", {
+    "ltv_cents_per_user": "cents scale (~6e4 at sf0.01)",
+})

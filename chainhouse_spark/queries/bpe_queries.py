@@ -12,6 +12,7 @@ exact integers in both engines.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 from chainhouse_spark.operators.bpe import bpe_encode_stats, bpe_train
 from chainhouse_spark.queries.registry import FRUGAL_ORACLE, register
@@ -98,8 +99,8 @@ def _encode_oracle(n: int) -> str:
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(len(word)) AS BIGINT) AS n_chars,
            CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
-           CAST(SUM(len(word)) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE)
-             AS compression
+           ROUND(CAST(SUM(len(word)) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE)
+             , 9) AS compression
     FROM enc GROUP BY doc_id
     """
 
@@ -129,4 +130,6 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc aggregation."""
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=N_MERGES)
-    return bpe_encode_stats(docs, merges)
+    return bpe_encode_stats(docs, merges).withColumn(
+        "compression", F.round("compression", 9)
+    )

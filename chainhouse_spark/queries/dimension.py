@@ -13,7 +13,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chainhouse_spark.operators.scd2 import scd2_apply
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
 _T0 = "1995-01-01 00:00:00"
@@ -149,3 +149,11 @@ def cdc_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             | (F.col("old_price") != F.col("new_price"))
         )
     )
+
+
+# Round-at-9 exemption (registry.ROUND9_EXEMPT): c_acctbal is a raw data
+# column passed through (~1e4) — rounding would alter data semantics AND
+# sits past the cross-engine ROUND agreement zone.
+exempt_round9("scd2_customer_merge", {
+    "c_acctbal": "raw data column passthrough (~1e4)",
+})

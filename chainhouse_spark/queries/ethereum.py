@@ -334,8 +334,8 @@ def eth_contract_creations(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE t."type" = 2) AS n_type2,
            CAST(MAX(CAST(t.maxPriorityFeePerGas AS DECIMAL(38,0))) AS VARCHAR)
              AS max_priority_fee,
-           CAST(COUNT(*) FILTER (WHERE t."type" = 2) AS DOUBLE) / COUNT(*)
-             AS type2_share
+           ROUND(CAST(COUNT(*) FILTER (WHERE t."type" = 2) AS DOUBLE) / COUNT(*)
+             , 9) AS type2_share
     FROM tx GROUP BY number
     """,
 )
@@ -354,7 +354,8 @@ def eth_type2_fee_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("max_priority_fee"),
         )
         .withColumn(
-            "type2_share", F.col("n_type2").cast("double") / F.col("n_tx")
+            "type2_share",
+            F.round(F.col("n_type2").cast("double") / F.col("n_tx"), 9),
         )
         .orderBy("blockNumber")
     )
@@ -611,8 +612,8 @@ def eth_address_net_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT number,
            CAST(CAST(gasUsed AS DECIMAL(38,0)) AS VARCHAR) AS gas_used,
-           CAST(CAST(gasUsed AS DOUBLE) / CAST(gasLimit AS DOUBLE) AS DOUBLE)
-             AS fullness,
+           ROUND(CAST(CAST(gasUsed AS DOUBLE) / CAST(gasLimit AS DOUBLE) AS DOUBLE)
+             , 9) AS fullness,
            CASE
              WHEN CAST(gasUsed AS DECIMAL(38,0)) = 0 THEN 'empty'
              WHEN CAST(gasUsed AS DOUBLE) / CAST(gasLimit AS DOUBLE) < 0.3
@@ -638,7 +639,7 @@ def eth_block_fullness(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.select(
             "number",
             F.col("gasUsed").cast("decimal(38,0)").cast("string").alias("gas_used"),
-            ratio.alias("fullness"),
+            F.round(ratio, 9).alias("fullness"),
             F.when(F.col("gasUsed").cast("decimal(38,0)") == 0, "empty")
             .when(ratio < 0.3, "low")
             .when(ratio < 0.9, "normal")

@@ -18,7 +18,7 @@ from chainhouse_spark.operators.incremental import (
     merge_states,
     partial_state,
 )
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
 _KEYS = ["o_orderpriority"]
@@ -60,3 +60,11 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("min_val").cast("double").alias("min_val"),
         F.col("max_val").cast("double").alias("max_val"),
     )
+
+
+# Round-at-9 exemption (registry.ROUND9_EXEMPT): value-scale mean ~2.5e5,
+# past the cross-engine ROUND agreement zone — protected by the exact
+# decimal sum merge with one shared final division.
+exempt_round9("incremental_agg_merge", {
+    "avg_val": "value-scale mean (~2.5e5 at sf0.01)",
+})

@@ -245,7 +245,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cnt.user_id, n_click, n_purchase,
            CAST(n_click * n_purchase AS BIGINT) AS contrib,
            tot.total_join_rows, tot.n_keys,
-           CAST(n_click * n_purchase AS DOUBLE) / tot.total_join_rows AS share
+           ROUND(CAST(n_click * n_purchase AS DOUBLE) / tot.total_join_rows, 9) AS share
     FROM cnt, tot
     ORDER BY contrib DESC, cnt.user_id ASC
     LIMIT 10
@@ -288,7 +288,9 @@ def join_skew_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
             contrib.alias("contrib"),
             "total_join_rows",
             "n_keys",
-            (contrib.cast("double") / F.col("total_join_rows")).alias("share"),
+            F.round(
+                contrib.cast("double") / F.col("total_join_rows"), 9
+            ).alias("share"),
         )
         .orderBy(F.desc("contrib"), F.asc("user_id"))
         .limit(10)

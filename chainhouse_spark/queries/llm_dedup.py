@@ -134,7 +134,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 9) AS jaccard
     FROM common
     JOIN sz sa ON sa.doc_id = doc_a
     JOIN sz sb ON sb.doc_id = doc_b
@@ -145,7 +145,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard ≥ 0.8 near-dup pairs (the verifier stage after LSH)."""
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), shingle_words=3, threshold=0.8
-    )
+    ).withColumn("jaccard", F.round("jaccard", 9))
 
 
 @register(
@@ -405,7 +405,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b,
-           CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) AS jaccard
+           ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 9) AS jaccard
     FROM common
     JOIN sz sa ON sa.doc_id = doc_a
     JOIN sz sb ON sb.doc_id = doc_b
@@ -480,7 +480,11 @@ def dedup_ppjoin_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "doc_a",
             "doc_b",
-            (F.col("n_common").cast("double") / (F.col("na") + F.col("nb") - F.col("n_common"))).alias("jaccard"),
+            F.round(
+                F.col("n_common").cast("double")
+                / (F.col("na") + F.col("nb") - F.col("n_common")),
+                9,
+            ).alias("jaccard"),
         )
     )
 

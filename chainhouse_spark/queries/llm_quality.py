@@ -92,14 +92,14 @@ _KEEP_SQL = (
     + """
     SELECT doc_id,
            n_words,
-           CAST(distinct_words AS DOUBLE) / n_words AS distinct_word_frac,
-           CAST(top_word_cnt AS DOUBLE) / n_words AS top_word_frac,
-           CASE WHEN n_bigrams > 0
+           ROUND(CAST(distinct_words AS DOUBLE) / n_words, 9) AS distinct_word_frac,
+           ROUND(CAST(top_word_cnt AS DOUBLE) / n_words, 9) AS top_word_frac,
+           ROUND(CASE WHEN n_bigrams > 0
                 THEN 1.0 - CAST(distinct_bigrams AS DOUBLE) / n_bigrams
-                ELSE 0.0 END AS dup_bigram_frac,
-           CASE WHEN n_bigrams > 0
+                ELSE 0.0 END, 9) AS dup_bigram_frac,
+           ROUND(CASE WHEN n_bigrams > 0
                 THEN CAST(top_bigram_cnt AS DOUBLE) / n_bigrams
-                ELSE 0.0 END AS top_bigram_frac
+                ELSE 0.0 END, 9) AS top_bigram_frac
     FROM m
     """,
 )
@@ -112,24 +112,27 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", m.alias("m")).select(
         "doc_id",
         F.col("m.n_words").alias("n_words"),
-        (F.col("m.distinct_words").cast("double") / F.col("m.n_words")).alias(
-            "distinct_word_frac"
-        ),
-        (F.col("m.top_word_cnt").cast("double") / F.col("m.n_words")).alias(
-            "top_word_frac"
-        ),
-        F.when(
-            F.col("m.n_bigrams") > 0,
-            F.lit(1.0) - F.col("m.distinct_bigrams").cast("double") / F.col("m.n_bigrams"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("dup_bigram_frac"),
-        F.when(
-            F.col("m.n_bigrams") > 0,
-            F.col("m.top_bigram_cnt").cast("double") / F.col("m.n_bigrams"),
-        )
-        .otherwise(F.lit(0.0))
-        .alias("top_bigram_frac"),
+        F.round(
+            F.col("m.distinct_words").cast("double") / F.col("m.n_words"), 9
+        ).alias("distinct_word_frac"),
+        F.round(
+            F.col("m.top_word_cnt").cast("double") / F.col("m.n_words"), 9
+        ).alias("top_word_frac"),
+        F.round(
+            F.when(
+                F.col("m.n_bigrams") > 0,
+                F.lit(1.0)
+                - F.col("m.distinct_bigrams").cast("double") / F.col("m.n_bigrams"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("dup_bigram_frac"),
+        F.round(
+            F.when(
+                F.col("m.n_bigrams") > 0,
+                F.col("m.top_bigram_cnt").cast("double") / F.col("m.n_bigrams"),
+            ).otherwise(F.lit(0.0)),
+            9,
+        ).alias("top_bigram_frac"),
     )
 
 
@@ -144,7 +147,7 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              / count(*) AS kept_frac,
            CAST(sum(top_word_cnt) AS BIGINT) AS sum_top_word_cnt,
            CAST(sum(n_words) AS BIGINT) AS sum_words,
-           CAST(sum(top_word_cnt) AS DOUBLE) / sum(n_words) AS micro_top_word_frac
+           ROUND(CAST(sum(top_word_cnt) AS DOUBLE) / sum(n_words), 9) AS micro_top_word_frac
     FROM m
     GROUP BY source
     """,
@@ -168,9 +171,9 @@ def filter_quality_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.sum(keep).cast("double") / F.count(F.lit(1))).alias("kept_frac"),
         F.sum("top_word_cnt").alias("sum_top_word_cnt"),
         F.sum("n_words").alias("sum_words"),
-        (F.sum("top_word_cnt").cast("double") / F.sum("n_words")).alias(
-            "micro_top_word_frac"
-        ),
+        F.round(
+            F.sum("top_word_cnt").cast("double") / F.sum("n_words"), 9
+        ).alias("micro_top_word_frac"),
     )
 
 
@@ -289,12 +292,14 @@ def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
         JOIN c1 ON big.w1 = c1.w1
     )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(lp) AS DOUBLE) AS sum_lp,
-           CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_lp
-    FROM scored GROUP BY doc_id
-    ORDER BY avg_lp ASC, doc_id ASC LIMIT 100
+    SELECT doc_id, n_bigrams, sum_lp, ROUND(avg_lp, 9) AS avg_lp FROM (
+        SELECT doc_id,
+               CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+               CAST(SUM(lp) AS DOUBLE) AS sum_lp,
+               CAST(SUM(lp) AS DOUBLE) / COUNT(*) AS avg_lp
+        FROM scored GROUP BY doc_id
+        ORDER BY avg_lp ASC, doc_id ASC LIMIT 100
+    )
     """,
 )
 def lm_bigram_perplexity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -361,6 +366,7 @@ def lm_bigram_perplexity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("avg_lp"), F.asc("doc_id"))
         .limit(100)
+        .withColumn("avg_lp", F.round("avg_lp", 9))
     )
 
 
@@ -681,8 +687,8 @@ _CAL_EDGES = ("0.25", "0.5", "1.0", "1.5")
     SELECT margin_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(correct) AS BIGINT) AS n_correct,
-           CAST(SUM(correct) AS DOUBLE) / COUNT(*) AS accuracy,
-           CAST(SUM(margin) AS DOUBLE) / COUNT(*) AS mean_margin
+           ROUND(CAST(SUM(correct) AS DOUBLE) / COUNT(*), 9) AS accuracy,
+           ROUND(CAST(SUM(margin) AS DOUBLE) / COUNT(*), 9) AS mean_margin
     FROM bucketed
     GROUP BY margin_bucket
     """,
@@ -723,8 +729,8 @@ def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy(bucket.alias("margin_bucket")).agg(
         cnt.cast("bigint").alias("n_docs"),
         F.sum("correct").cast("bigint").alias("n_correct"),
-        (F.sum("correct").cast("double") / cnt).alias("accuracy"),
-        (F.sum("margin").cast("double") / cnt).alias("mean_margin"),
+        F.round(F.sum("correct").cast("double") / cnt, 9).alias("accuracy"),
+        F.round(F.sum("margin").cast("double") / cnt, 9).alias("mean_margin"),
     )
 
 
@@ -753,12 +759,12 @@ def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.lang, c.n_actual,
            COALESCE(p.n_predicted, 0) AS n_predicted, c.tp,
-           CAST(c.tp AS DOUBLE) / NULLIF(p.n_predicted, 0) AS precision_c,
-           CAST(c.tp AS DOUBLE) / c.n_actual AS recall_c,
-           2.0 * (CAST(c.tp AS DOUBLE) / NULLIF(p.n_predicted, 0))
+           ROUND(CAST(c.tp AS DOUBLE) / NULLIF(p.n_predicted, 0), 9) AS precision_c,
+           ROUND(CAST(c.tp AS DOUBLE) / c.n_actual, 9) AS recall_c,
+           ROUND(2.0 * (CAST(c.tp AS DOUBLE) / NULLIF(p.n_predicted, 0))
                * (CAST(c.tp AS DOUBLE) / c.n_actual)
              / NULLIF((CAST(c.tp AS DOUBLE) / NULLIF(p.n_predicted, 0))
-                      + (CAST(c.tp AS DOUBLE) / c.n_actual), 0.0) AS f1
+                      + (CAST(c.tp AS DOUBLE) / c.n_actual), 0.0), 9) AS f1
     FROM per_class c LEFT JOIN pred_tot p ON c.lang = p.lang
     """,
 )
@@ -797,10 +803,11 @@ def nb_classwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_actual",
             F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
             "tp",
-            F.expr(prec).alias("precision_c"),
-            F.expr(rec).alias("recall_c"),
+            F.expr(f"ROUND({prec}, 9)").alias("precision_c"),
+            F.expr(f"ROUND({rec}, 9)").alias("recall_c"),
             F.expr(
-                f"2.0 * ({prec}) * ({rec}) / NULLIF(({prec}) + ({rec}), 0.0)"
+                f"ROUND(2.0 * ({prec}) * ({rec})"
+                f" / NULLIF(({prec}) + ({rec}), 0.0), 9)"
             ).alias("f1"),
         )
     )

@@ -190,7 +190,8 @@ def dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE k.h32 < CAST(FLOOR(pl.rate * 4294967296.0) AS BIGINT)
         GROUP BY k.source
     )
-    SELECT pl.source, pl.n_docs, pl.src_tok, pl.target_tok, pl.rate,
+    SELECT pl.source, pl.n_docs, pl.src_tok, pl.target_tok,
+           ROUND(pl.rate, 9) AS rate,
            COALESCE(kept.kept_docs, 0) AS kept_docs,
            COALESCE(kept.kept_tok, 0) AS kept_tok
     FROM plan pl LEFT JOIN kept ON kept.source = pl.source
@@ -251,7 +252,7 @@ def mixture_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "src_tok",
             "target_tok",
-            "rate",
+            F.round("rate", 9).alias("rate"),
             F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
             F.coalesce("kept_tok", F.lit(0)).alias("kept_tok"),
         )
@@ -403,8 +404,8 @@ from chainhouse_spark.queries.llm_text import _DUCK_HITS as _CARD_HITS
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(COUNT(*) FILTER (WHERE lang = 'en') AS DOUBLE)
                / COUNT(*) AS en_share,
-           CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(20,6))) AS DOUBLE)
-               / COUNT(*) AS mean_quality,
+           ROUND(CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(20,6))) AS DOUBLE)
+               / COUNT(*), 9) AS mean_quality,
            CAST(MIN(med_c) AS BIGINT) AS median_chars
     FROM med
     GROUP BY source
@@ -466,9 +467,10 @@ def dataset_card_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).cast("double")
             / cnt
         ).alias("en_share"),
-        (
+        F.round(
             F.sum(F.round(F.col("score"), 6).cast("decimal(20,6)")).cast("double")
-            / cnt
+            / cnt,
+            9,
         ).alias("mean_quality"),
         F.min("med_c").cast("bigint").alias("median_chars"),
     )
@@ -529,13 +531,13 @@ def sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_src p, tot t
     ),
     z AS (SELECT CAST(SUM(w_dec) AS DECIMAL(24,12)) AS z_dec FROM w)
-    SELECT w.source, w.n_docs, w.src_tok, w.q_share,
-           CAST(w.w_dec AS DOUBLE) / CAST(z.z_dec AS DOUBLE) AS p_temp,
+    SELECT w.source, w.n_docs, w.src_tok, ROUND(w.q_share, 9) AS q_share,
+           ROUND(CAST(w.w_dec AS DOUBLE) / CAST(z.z_dec AS DOUBLE), 9) AS p_temp,
            CAST(FLOOR((CAST(w.total_tok AS DOUBLE) / 2.0)
                       * (CAST(w.w_dec AS DOUBLE) / CAST(z.z_dec AS DOUBLE)))
                 AS BIGINT) AS planned_tok,
-           (CAST(w.w_dec AS DOUBLE) / CAST(z.z_dec AS DOUBLE)) / w.q_share
-             AS oversample_factor
+           ROUND((CAST(w.w_dec AS DOUBLE) / CAST(z.z_dec AS DOUBLE)) / w.q_share
+             , 9) AS oversample_factor
     FROM w, z
     """,
 )
@@ -572,12 +574,12 @@ def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "src_tok",
-        "q_share",
-        F.expr(p).alias("p_temp"),
+        F.round("q_share", 9).alias("q_share"),
+        F.expr(f"ROUND({p}, 9)").alias("p_temp"),
         F.expr(
             f"CAST(FLOOR((CAST(total_tok AS DOUBLE) / 2.0) * ({p})) AS BIGINT)"
         ).alias("planned_tok"),
-        F.expr(f"({p}) / q_share").alias("oversample_factor"),
+        F.expr(f"ROUND(({p}) / q_share, 9)").alias("oversample_factor"),
     )
 
 

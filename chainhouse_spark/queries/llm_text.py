@@ -37,14 +37,14 @@ _DUCK_HITS = {
     SELECT doc_id,
            LENGTH(text) AS n_chars_actual,
            len(string_split(text, ' ')) AS n_tokens,
-           CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')) AS avg_token_len,
-           CAST({_DUCK_HITS['en']} AS DOUBLE) / len(string_split(text, ' ')) AS stopword_ratio,
+           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 9) AS avg_token_len,
+           ROUND(CAST({_DUCK_HITS['en']} AS DOUBLE) / len(string_split(text, ' ')), 9) AS stopword_ratio,
            CAST(LENGTH(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
            CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio,
-           LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+           ROUND(LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
              + (CAST({_DUCK_HITS['en']} AS DOUBLE) / len(string_split(text, ' '))) * 0.3
              + (1.0 - CAST(LENGTH(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.2
-             AS quality_score
+             , 9) AS quality_score
     FROM documents
     """,
 )
@@ -59,16 +59,18 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         F.length("text").alias("n_chars_actual"),
         nt.alias("n_tokens"),
-        (
-            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / nt
+        F.round(
+            F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / nt,
+            9,
         ).alias("avg_token_len"),
-        sw.alias("stopword_ratio"),
+        F.round(sw, 9).alias("stopword_ratio"),
         pr.alias("punct_ratio"),
         digit_ratio("text").alias("digit_ratio"),
-        (
+        F.round(
             F.least(F.lit(1.0), nt / 100.0) * 0.5
             + sw * 0.3
-            + (F.lit(1.0) - pr) * 0.2
+            + (F.lit(1.0) - pr) * 0.2,
+            9,
         ).alias("quality_score"),
     )
 
@@ -126,8 +128,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(string_split(text, ' ')) AS n_ws_tokens,
            len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
            len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
-           CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')) AS type_token_ratio,
+           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' ')), 9) AS type_token_ratio,
            (LENGTH(text) + 3) // 4 AS approx_bpe_tokens
     FROM documents
     """,
@@ -142,9 +144,9 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_ws_tokens"),
         F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("n_re_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        (F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias(
-            "type_token_ratio"
-        ),
+        F.round(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 9
+        ).alias("type_token_ratio"),
         F.expr("(LENGTH(text) + 3) div 4").alias("approx_bpe_tokens"),
     )
 
@@ -166,7 +168,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                * ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS tfidf
       FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
     )
-    SELECT doc_id, term, tfidf, CAST(rn AS INT) AS rank
+    SELECT doc_id, term, ROUND(tfidf, 9) AS tfidf, CAST(rn AS INT) AS rank
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
       FROM scored
@@ -219,7 +221,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
-        .select("doc_id", "term", "tfidf", "rank")
+        .select("doc_id", "term", F.round("tfidf", 9).alias("tfidf"), "rank")
     )
 
 
@@ -521,11 +523,11 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n AS BIGINT) AS n_points,
            top_token, top_count,
-           (n * sxy - sx * sy) / (n * sxx - sx * sx) AS zipf_slope,
-           ((n * sxy - sx * sy)
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope,
+           ROUND(((n * sxy - sx * sy)
              / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
            * ((n * sxy - sx * sy)
-             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))) AS r2
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))), 9) AS r2
     FROM m
     """,
 )
@@ -573,8 +575,8 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_points"),
         "top_token",
         "top_count",
-        ((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("zipf_slope"),
-        (corr * corr).alias("r2"),
+        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9).alias("zipf_slope"),
+        F.round(corr * corr, 9).alias("r2"),
     )
 
 
@@ -594,8 +596,8 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
            CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dis_legomena,
-           CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
-             AS hapax_ratio
+           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             , 9) AS hapax_ratio
     FROM tf GROUP BY source
     """,
 )
@@ -621,7 +623,8 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dis_legomena"),
         F.expr(
-            "CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)"
+            "ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / COUNT(*), 9)"
         ).alias("hapax_ratio"),
     )
 
@@ -743,8 +746,8 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(CAST(SUM(fk) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*)
-             AS mean_fk_grade,
+           ROUND(CAST(CAST(SUM(fk) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*)
+             , 9) AS mean_fk_grade,
            CAST(MIN(fk) AS DOUBLE) AS min_fk,
            CAST(MAX(fk) AS DOUBLE) AS max_fk
     FROM scored GROUP BY lang
@@ -781,9 +784,10 @@ def text_readability_fk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("lang")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-            (
+            F.round(
                 F.sum("fk").cast("decimal(28,6)").cast("double")
-                / F.count(F.lit(1))
+                / F.count(F.lit(1)),
+                9,
             ).alias("mean_fk_grade"),
             F.min("fk").cast("double").alias("min_fk"),
             F.max("fk").cast("double").alias("max_fk"),

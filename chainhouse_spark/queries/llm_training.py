@@ -176,7 +176,7 @@ _BATCH_SZ = 8  # docs per batch
            MAX(n_tok) AS max_tokens,
            CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
            CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS pad_waste,
-           CAST(SUM(n_tok) AS DOUBLE) / (MAX(n_tok) * COUNT(*)) AS utilization
+           ROUND(CAST(SUM(n_tok) AS DOUBLE) / (MAX(n_tok) * COUNT(*)), 9) AS utilization
     FROM assigned
     GROUP BY bucket, batch_id
     ORDER BY bucket, batch_id
@@ -223,9 +223,10 @@ def batch_by_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("max_tokens") * F.col("n_docs") - F.col("sum_tokens")).alias(
                 "pad_waste"
             ),
-            (
+            F.round(
                 F.col("sum_tokens").cast("double")
-                / (F.col("max_tokens") * F.col("n_docs"))
+                / (F.col("max_tokens") * F.col("n_docs")),
+                9,
             ).alias("utilization"),
         )
         .orderBy("bucket", "batch_id")

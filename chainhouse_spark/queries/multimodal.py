@@ -32,7 +32,7 @@ from chainhouse_spark.multimodal.ops import (
     image_features,
     image_resize,
 )
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
 
@@ -143,10 +143,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s_r AS DOUBLE) / CAST(width * height AS DOUBLE) AS mean_r,
            CAST(s_g AS DOUBLE) / CAST(width * height AS DOUBLE) AS mean_g,
            CAST(s_b AS DOUBLE) / CAST(width * height AS DOUBLE) AS mean_b,
-           sqrt(CAST(s2_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE)
+           ROUND(sqrt(CAST(s2_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE)
                 - (CAST(s_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE))
                   * (CAST(s_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE)))
-             AS std_all,
+             , 9) AS std_all,
            CAST(s_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE) AS brightness
     FROM s
     """,
@@ -155,7 +155,9 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Binary decode → channel means/std/brightness. Batch-vectorized numpy
     with an integer-exact float finish, so the oracle reproduces every
     double bit-for-bit from the payload hex (see multimodal/ops.py)."""
-    return image_features(_assets(spark, sf_dir))
+    return image_features(_assets(spark, sf_dir)).withColumn(
+        "std_all", F.round("std_all", 9)
+    )
 
 
 @register(
@@ -596,11 +598,11 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flagged GROUP BY asset_id
     )
     SELECT b.asset_id, b.n_samples, b.n_clipped,
-           CAST(b.n_clipped AS DOUBLE) / b.n_samples AS clipped_frac,
+           ROUND(CAST(b.n_clipped AS DOUBLE) / b.n_samples, 9) AS clipped_frac,
            COALESCE(r.n_silence_runs, 0) AS n_silence_runs,
            COALESCE(r.longest_silence_run, 0) AS longest_silence_run,
-           CAST(COALESCE(r.silence_total, 0) AS DOUBLE) / b.n_samples
-               AS silence_frac
+           ROUND(CAST(COALESCE(r.silence_total, 0) AS DOUBLE) / b.n_samples
+               , 9) AS silence_frac
     FROM base_agg b LEFT JOIN run_agg r ON b.asset_id = r.asset_id
     """,
 )
@@ -613,4 +615,17 @@ def mm_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     no shuffle."""
     from chainhouse_spark.multimodal.ops import audio_quality
 
-    return audio_quality(_assets(spark, sf_dir))
+    return audio_quality(_assets(spark, sf_dir)).withColumn(
+        "clipped_frac", F.round("clipped_frac", 9)
+    ).withColumn("silence_frac", F.round("silence_frac", 9))
+
+
+# Round-at-9 exemptions (registry.ROUND9_EXEMPT): magnitudes past the
+# cross-engine ROUND agreement zone — protected instead by integer-exact
+# decode sums finished with one shared IEEE formula.
+exempt_round9("mm_audio_features", {
+    "rms": "PCM16 amplitude scale (~2.5e4)",
+})
+exempt_round9("mm_metadata_stats", {
+    "avg_bytes": "payload byte scale (~2.5e3)",
+})

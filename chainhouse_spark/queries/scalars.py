@@ -14,7 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
 
@@ -92,10 +92,10 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         l_orderkey,
         l_linenumber,
-        ABS(l_discount - 0.05) AS disc_dev,
+        ROUND(ABS(l_discount - 0.05), 9) AS disc_dev,
         CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_bucket,
         CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k,
-        SQRT(l_quantity) AS qty_sqrt,
+        ROUND(SQRT(l_quantity), 9) AS qty_sqrt,
         l_orderkey % 97 AS key_mod,
         CAST(l_quantity AS BIGINT) // 10 AS qty_div10,
         ROUND(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS price_r1,
@@ -104,17 +104,18 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Math on IEEE-exact operations only (see module docstring). ROUND is
-    applied to a DECIMAL, where half-up is well-defined in both engines —
-    rounding doubles differs (banker's vs half-up) and is avoided."""
+    """Math on IEEE-exact operations only (see module docstring). ROUND on
+    a DECIMAL (price_r1) is half-up in both engines; ROUND(double, 9) on
+    the two bounded float outputs is cross-engine-exact below ~1e3 (the
+    round-at-9 convention, registry.ROUND9_EXEMPT docs)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.abs(F.col("l_discount") - 0.05).alias("disc_dev"),
+        F.round(F.abs(F.col("l_discount") - 0.05), 9).alias("disc_dev"),
         F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
         F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
-        F.sqrt("l_quantity").alias("qty_sqrt"),
+        F.round(F.sqrt("l_quantity"), 9).alias("qty_sqrt"),
         (F.col("l_orderkey") % 97).alias("key_mod"),
         F.expr("CAST(l_quantity AS BIGINT) div 10").alias("qty_div10"),
         F.round(F.col("l_extendedprice").cast("decimal(12,2)"), 1).alias("price_r1"),
@@ -470,3 +471,11 @@ def scalar_try_safety(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("try_cast(o_orderpriority AS BIGINT)").alias("bad_cast"),
         F.expr("try_cast(substr(o_orderpriority, 1, 1) AS BIGINT)").alias("good_cast"),
     )
+
+
+# Round-at-9 exemption (registry.ROUND9_EXEMPT): price/modulo ratio ~5e5,
+# past the cross-engine ROUND agreement zone — protected by the shared
+# single-division formula (try_divide == x / NULLIF(y, 0)).
+exempt_round9("scalar_try_safety", {
+    "safe_div": "price-scale ratio (~5e5 at sf0.01)",
+})

@@ -562,7 +562,7 @@ LEAST(64,
            n_exact,
            n_zero_registers,
            CAST(s_scaled AS VARCHAR) AS s_scaled,
-           {_HLL_C} / CAST(s_scaled AS DOUBLE) AS hll_estimate,
+           ROUND({_HLL_C} / CAST(s_scaled AS DOUBLE), 9) AS hll_estimate,
            CASE WHEN n_zero_registers > 0
                  AND {_HLL_C} / CAST(s_scaled AS DOUBLE) <= 2.5 * {_HLL_M}
                 THEN ROUND({_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE)
@@ -628,7 +628,7 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         "n_zero_registers",
         F.col("s_scaled").cast("string").alias("s_scaled"),
-        est.alias("hll_estimate"),
+        F.round(est, 9).alias("hll_estimate"),
         F.when(
             (F.col("n_zero_registers") > 0) & (est <= 2.5 * _HLL_M),
             F.round(

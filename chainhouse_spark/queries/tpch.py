@@ -21,7 +21,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
 # Exact decimal views of the double money columns (see registry.py):
@@ -42,7 +42,7 @@ _DISC = "CAST(l_discount AS DECIMAL(4,2))"
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
-        CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_qty,
+        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 9) AS avg_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
         COUNT(*) AS count_order
     FROM lineitem
@@ -61,7 +61,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(SUM({_PRICE}) AS DOUBLE)").alias("sum_base_price"),
             F.expr(f"CAST(SUM({_PRICE} * {_DISC_F}) AS DOUBLE)").alias("sum_disc_price"),
             F.expr(f"CAST(SUM({_PRICE} * {_DISC_F} * {_TAX_F}) AS DOUBLE)").alias("sum_charge"),
-            F.expr(f"CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*)").alias("avg_qty"),
+            F.expr(f"ROUND(CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*), 9)").alias("avg_qty"),
             F.expr(f"CAST(SUM({_PRICE}) AS DOUBLE) / COUNT(*)").alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )
@@ -186,3 +186,11 @@ def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).alias("n_items"),
         )
     )
+
+
+# Round-at-9 exemption (registry.ROUND9_EXEMPT): price-scale mean ~5e4,
+# past the cross-engine ROUND agreement zone — protected by the exact
+# decimal sum with one shared final division.
+exempt_round9("q1_pricing_summary", {
+    "avg_price": "price-scale mean (~5e4 at sf0.01)",
+})

@@ -22,7 +22,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
 _QTY = "CAST(l_quantity AS DECIMAL(12,2))"
@@ -218,8 +218,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle=f"""
-    SELECT 100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-           / CAST(SUM({_REV}) AS DOUBLE) AS promo_revenue
+    SELECT ROUND(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(SUM({_REV}) AS DOUBLE), 9) AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -239,9 +239,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.expr(
-                f"100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} "
+                f"ROUND(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} "
                 f"ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) "
-                f"/ CAST(SUM({_REV}) AS DOUBLE)"
+                f"/ CAST(SUM({_REV}) AS DOUBLE), 9)"
             ).alias("promo_revenue")
         )
     )
@@ -388,3 +388,12 @@ def q22_idle_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(SUM({_BAL}) AS DOUBLE)").alias("totacctbal"),
         )
     )
+
+
+# Round-at-9 exemption (registry.ROUND9_EXEMPT): Q17's avg_yearly is a
+# revenue sum / 7 (~4e6 at sf0.01, grows linearly with data volume) —
+# past the cross-engine ROUND agreement zone; protected by the exact
+# decimal revenue sum with one shared final division.
+exempt_round9("q17_small_quantity_revenue", {
+    "avg_yearly": "revenue sum scale, grows with SF (~4e6 at sf0.01)",
+})

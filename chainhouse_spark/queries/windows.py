@@ -226,8 +226,8 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            o_orderpriority,
-           percent_rank() OVER w AS pct_rank,
-           cume_dist() OVER w AS cume,
+           ROUND(percent_rank() OVER w, 9) AS pct_rank,
+           ROUND(cume_dist() OVER w, 9) AS cume,
            nth_value(o_orderkey, 3) OVER w AS third_key
     FROM orders
     WHERE o_orderkey < 2000
@@ -243,8 +243,8 @@ def window_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.percent_rank().over(w).alias("pct_rank"),
-        F.cume_dist().over(w).alias("cume"),
+        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 9).alias("cume"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
     )
 
@@ -346,13 +346,13 @@ def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
     )
     SELECT event_type, t, event_id,
            CAST(n AS BIGINT) AS n_window,
-           (CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
            / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
             * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-             AS rolling_corr
+             , 9) AS rolling_corr
     FROM roll WHERE n = 30
     """,
 )
@@ -399,7 +399,7 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         "event_id",
         F.col("n").cast("bigint").alias("n_window"),
-        corr.alias("rolling_corr"),
+        F.round(corr, 9).alias("rolling_corr"),
     )
 
 
@@ -407,10 +407,10 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_median",
     oracle="""
     SELECT user_id, event_id,
-           MEDIAN(value) OVER (
+           ROUND(MEDIAN(value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 14 PRECEDING AND CURRENT ROW
-           ) AS med15
+           ), 9) AS med15
     FROM events
     """,
 )
@@ -448,4 +448,5 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2.0
         )
         .alias("med15"),
+    ).withColumn("med15", F.round("med15", 9)
     )
