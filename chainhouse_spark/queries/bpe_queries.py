@@ -15,6 +15,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chainhouse_spark.operators.bpe import bpe_encode_stats, bpe_train
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import FRUGAL_ORACLE, register
 from chainhouse_spark.tables import load_table
 
@@ -99,8 +100,8 @@ def _encode_oracle(n: int) -> str:
            CAST(COUNT(*) AS BIGINT) AS n_words,
            CAST(SUM(len(word)) AS BIGINT) AS n_chars,
            CAST(SUM(n_sym) AS BIGINT) AS n_symbols,
-           ROUND(CAST(SUM(len(word)) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE)
-             , 9) AS compression
+           (ROUND((CAST(SUM(len(word)) AS DOUBLE) / CAST(SUM(n_sym) AS DOUBLE)
+             ) * 1e9) / 1e9 + 0.0) AS compression
     FROM enc GROUP BY doc_id
     """
 
@@ -131,5 +132,5 @@ def bpe_encode_compression(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = load_table(spark, sf_dir, "documents")
     merges = bpe_train(docs, n_merges=N_MERGES)
     return bpe_encode_stats(docs, merges).withColumn(
-        "compression", F.round("compression", 9)
+        "compression", round9("compression")
     )

@@ -27,6 +27,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import register
 from chainhouse_spark.sources.fixtures import raw_blocks_df, write_raw_blocks_jsonl
 from chainhouse_spark.transforms import all_tables_from_raw
@@ -334,8 +335,8 @@ def eth_contract_creations(spark: SparkSession, sf_dir: str) -> DataFrame:
            COUNT(*) FILTER (WHERE t."type" = 2) AS n_type2,
            CAST(MAX(CAST(t.maxPriorityFeePerGas AS DECIMAL(38,0))) AS VARCHAR)
              AS max_priority_fee,
-           ROUND(CAST(COUNT(*) FILTER (WHERE t."type" = 2) AS DOUBLE) / COUNT(*)
-             , 9) AS type2_share
+           (ROUND((CAST(COUNT(*) FILTER (WHERE t."type" = 2) AS DOUBLE) / COUNT(*)
+             ) * 1e9) / 1e9 + 0.0) AS type2_share
     FROM tx GROUP BY number
     """,
 )
@@ -355,7 +356,7 @@ def eth_type2_fee_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .withColumn(
             "type2_share",
-            F.round(F.col("n_type2").cast("double") / F.col("n_tx"), 9),
+            round9(F.col("n_type2").cast("double") / F.col("n_tx")),
         )
         .orderBy("blockNumber")
     )
@@ -612,8 +613,8 @@ def eth_address_net_flow(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle=f"""
     SELECT number,
            CAST(CAST(gasUsed AS DECIMAL(38,0)) AS VARCHAR) AS gas_used,
-           ROUND(CAST(CAST(gasUsed AS DOUBLE) / CAST(gasLimit AS DOUBLE) AS DOUBLE)
-             , 9) AS fullness,
+           (ROUND((CAST(CAST(gasUsed AS DOUBLE) / CAST(gasLimit AS DOUBLE) AS DOUBLE)
+             ) * 1e9) / 1e9 + 0.0) AS fullness,
            CASE
              WHEN CAST(gasUsed AS DECIMAL(38,0)) = 0 THEN 'empty'
              WHEN CAST(gasUsed AS DOUBLE) / CAST(gasLimit AS DOUBLE) < 0.3
@@ -639,7 +640,7 @@ def eth_block_fullness(spark: SparkSession, sf_dir: str) -> DataFrame:
         b.select(
             "number",
             F.col("gasUsed").cast("decimal(38,0)").cast("string").alias("gas_used"),
-            F.round(ratio, 9).alias("fullness"),
+            round9(ratio).alias("fullness"),
             F.when(F.col("gasUsed").cast("decimal(38,0)") == 0, "empty")
             .when(ratio < 0.3, "low")
             .when(ratio < 0.9, "normal")

@@ -433,8 +433,8 @@ def funnel_latency_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY prev_type, next_type
     )
     SELECT prev_type, next_type, n,
-           ROUND(CAST(n AS DOUBLE)
-               / SUM(n) OVER (PARTITION BY prev_type), 9) AS p
+           (ROUND((CAST(n AS DOUBLE)
+               / SUM(n) OVER (PARTITION BY prev_type)) * 1e9) / 1e9 + 0.0) AS p
     FROM cnt
     """,
 )
@@ -492,9 +492,9 @@ def sequence_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(c1 * c2) AS BIGINT) AS r2,
            CAST(SUM(c1 * c3) AS BIGINT) AS r3,
            CAST(SUM(c1 * c4) AS BIGINT) AS r4,
-           ROUND(CAST(SUM(c1 * c2) AS DOUBLE) / SUM(c1), 9) AS day1_retention,
-           ROUND(CAST(SUM(c1 * c3) AS DOUBLE) / SUM(c1), 9) AS day3_retention,
-           ROUND(CAST(SUM(c1 * c4) AS DOUBLE) / SUM(c1), 9) AS day7_retention
+           (ROUND((CAST(SUM(c1 * c2) AS DOUBLE) / SUM(c1)) * 1e9) / 1e9 + 0.0) AS day1_retention,
+           (ROUND((CAST(SUM(c1 * c3) AS DOUBLE) / SUM(c1)) * 1e9) / 1e9 + 0.0) AS day3_retention,
+           (ROUND((CAST(SUM(c1 * c4) AS DOUBLE) / SUM(c1)) * 1e9) / 1e9 + 0.0) AS day7_retention
     FROM per_user
     """,
 )
@@ -524,9 +524,9 @@ def funnel_retention_conditions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("c1") * F.col("c2")).cast("bigint").alias("r2"),
         F.sum(F.col("c1") * F.col("c3")).cast("bigint").alias("r3"),
         F.sum(F.col("c1") * F.col("c4")).cast("bigint").alias("r4"),
-        F.expr("ROUND(CAST(SUM(c1 * c2) AS DOUBLE) / SUM(c1), 9)").alias("day1_retention"),
-        F.expr("ROUND(CAST(SUM(c1 * c3) AS DOUBLE) / SUM(c1), 9)").alias("day3_retention"),
-        F.expr("ROUND(CAST(SUM(c1 * c4) AS DOUBLE) / SUM(c1), 9)").alias("day7_retention"),
+        F.expr("(ROUND((CAST(SUM(c1 * c2) AS DOUBLE) / SUM(c1)) * 1e9) / 1e9 + 0.0)").alias("day1_retention"),
+        F.expr("(ROUND((CAST(SUM(c1 * c3) AS DOUBLE) / SUM(c1)) * 1e9) / 1e9 + 0.0)").alias("day3_retention"),
+        F.expr("(ROUND((CAST(SUM(c1 * c4) AS DOUBLE) / SUM(c1)) * 1e9) / 1e9 + 0.0)").alias("day7_retention"),
     )
 
 

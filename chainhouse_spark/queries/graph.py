@@ -254,8 +254,8 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     scored AS (
         SELECT a, b, common_neighbors,
-               ROUND(CAST(common_neighbors AS DOUBLE)
-                   / (da.d + db.d - common_neighbors), 9) AS jaccard
+               (ROUND((CAST(common_neighbors AS DOUBLE)
+                   / (da.d + db.d - common_neighbors)) * 1e9) / 1e9 + 0.0) AS jaccard
         FROM nonedge
         JOIN deg da ON da.node = a
         JOIN deg db ON db.node = b
@@ -568,9 +568,9 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pairs
     )
     SELECT CAST(n / 2 AS BIGINT) AS n_edges,
-           ROUND((n * sxy - sx * sy)
+           (ROUND(((n * sxy - sx * sy)
              / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))
-             , 9) AS degree_assortativity
+             ) * 1e9) / 1e9 + 0.0) AS degree_assortativity
     FROM m
     """,
 )
@@ -606,9 +606,9 @@ def graph_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return m.selectExpr(
         "CAST(n / 2 AS BIGINT) AS n_edges",
-        "ROUND((n * sxy - sx * sy)"
+        "(ROUND(((n * sxy - sx * sy)"
         " / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))"
-        ", 9) AS degree_assortativity",
+        ") * 1e9) / 1e9 + 0.0) AS degree_assortativity",
     )
 
 

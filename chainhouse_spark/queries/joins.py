@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import register
 from chainhouse_spark.tables import load_table
 
@@ -245,7 +246,7 @@ def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT cnt.user_id, n_click, n_purchase,
            CAST(n_click * n_purchase AS BIGINT) AS contrib,
            tot.total_join_rows, tot.n_keys,
-           ROUND(CAST(n_click * n_purchase AS DOUBLE) / tot.total_join_rows, 9) AS share
+           (ROUND((CAST(n_click * n_purchase AS DOUBLE) / tot.total_join_rows) * 1e9) / 1e9 + 0.0) AS share
     FROM cnt, tot
     ORDER BY contrib DESC, cnt.user_id ASC
     LIMIT 10
@@ -288,9 +289,8 @@ def join_skew_preflight(spark: SparkSession, sf_dir: str) -> DataFrame:
             contrib.alias("contrib"),
             "total_join_rows",
             "n_keys",
-            F.round(
-                contrib.cast("double") / F.col("total_join_rows"), 9
-            ).alias("share"),
+            round9(
+                contrib.cast("double") / F.col("total_join_rows")).alias("share"),
         )
         .orderBy(F.desc("contrib"), F.asc("user_id"))
         .limit(10)

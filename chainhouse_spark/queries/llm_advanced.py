@@ -22,6 +22,7 @@ from chainhouse_spark.operators.bloom import (
 from chainhouse_spark.operators.dedup import MINHASH_PRIME
 from chainhouse_spark.queries.llm_dedup import _duck_hex8
 from chainhouse_spark.operators.quantize import quantize_int8, quantized_topk
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import FRUGAL_ORACLE, register
 from chainhouse_spark.tables import load_table
 
@@ -42,7 +43,7 @@ _IDX = f"(SELECT UNNEST(range(1, {DIMS + 1})) AS i) i"
     WITH sc AS (
         SELECT vec_id, embedding, {_DUCK_SCALE} AS scale FROM embeddings
     )
-    SELECT vec_id, ROUND(scale, 9) AS scale,
+    SELECT vec_id, (ROUND((scale) * 1e9) / 1e9 + 0.0) AS scale,
            array_to_string(ARRAY_AGG({_DUCK_QELEM} ORDER BY i.i), ',') AS q
     FROM sc, {_IDX}
     GROUP BY vec_id, scale
@@ -55,7 +56,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     hash list cells); the operator keeps the real array column."""
     out = quantize_int8(load_table(spark, sf_dir, "embeddings"))
     return out.select(
-        "vec_id", F.round("scale", 9).alias("scale"),
+        "vec_id", round9("scale").alias("scale"),
         F.array_join("q", ",").alias("q"),
     )
 
@@ -89,7 +90,7 @@ def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN sc qs ON qs.vec_id = query_id
         JOIN sc cs ON cs.vec_id = cand_id
     )
-    SELECT query_id, cand_id, ROUND(score, 9) AS score, CAST(rank AS INT) AS rank
+    SELECT query_id, cand_id, (ROUND((score) * 1e9) / 1e9 + 0.0) AS score, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 10
     """,
 )
@@ -99,7 +100,7 @@ def ann_quantized_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     the 4×-less-bandwidth scoring path."""
     emb = load_table(spark, sf_dir, "embeddings")
     res = quantized_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
-    return res.withColumn("score", F.round("score", 9))
+    return res.withColumn("score", round9("score"))
 
 
 # Bloom decontamination: same held-out split (doc_id % 97 = 0) as the exact
@@ -193,8 +194,8 @@ _DUCK_SRC_SH = """
         GROUP BY a.source, b.source
     )
     SELECT e.source_a, e.source_b, e.est_jaccard,
-           ROUND(CAST(COALESCE(c.n_common, 0) AS DOUBLE)
-               / (sa.n_sh + sb.n_sh - COALESCE(c.n_common, 0)), 9) AS exact_jaccard
+           (ROUND((CAST(COALESCE(c.n_common, 0) AS DOUBLE)
+               / (sa.n_sh + sb.n_sh - COALESCE(c.n_common, 0))) * 1e9) / 1e9 + 0.0) AS exact_jaccard
     FROM est e
     LEFT JOIN common c ON c.source_a = e.source_a AND c.source_b = e.source_b
     JOIN sz sa ON sa.source = e.source_a
@@ -351,7 +352,7 @@ def cluster_kmeans_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE s.qrank <= 50
         GROUP BY s.query_id, s.cand_id
     )
-    SELECT query_id, cand_id, ROUND(cos_sim, 9) AS cos_sim, CAST(rank AS INT) AS rank
+    SELECT query_id, cand_id, (ROUND((cos_sim) * 1e9) / 1e9 + 0.0) AS cos_sim, CAST(rank AS INT) AS rank
     FROM (
         SELECT query_id, cand_id, cos_sim,
                ROW_NUMBER() OVER (
@@ -398,7 +399,7 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round("cos_sim", 9).alias("cos_sim"),
+            round9("cos_sim").alias("cos_sim"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
@@ -416,7 +417,7 @@ def ann_two_stage_rerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT t.doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_tokens,
-           ROUND(CAST(SUM(d.doc_freq) AS DOUBLE) / COUNT(*), 9) AS mean_doc_freq,
+           (ROUND((CAST(SUM(d.doc_freq) AS DOUBLE) / COUNT(*)) * 1e9) / 1e9 + 0.0) AS mean_doc_freq,
            CAST(SUM(CASE WHEN d.doc_freq <= 2 THEN 1 ELSE 0 END) AS DOUBLE)
                / COUNT(*) AS rare_ratio
     FROM tf t JOIN df d USING (token)
@@ -444,9 +445,8 @@ def text_rarity_score(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("doc_id")
         .agg(
             F.count(F.lit(1)).alias("n_tokens"),
-            F.round(
-                F.sum("doc_freq").cast("double") / F.count(F.lit(1)), 9
-            ).alias("mean_doc_freq"),
+            round9(
+                F.sum("doc_freq").cast("double") / F.count(F.lit(1))).alias("mean_doc_freq"),
             (
                 F.sum(F.when(F.col("doc_freq") <= 2, 1).otherwise(0)).cast("double")
                 / F.count(F.lit(1))
@@ -519,7 +519,7 @@ def bpe_pair_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM embeddings e, s
         GROUP BY e.vec_id, s.j
     )
-    SELECT vec_id, CAST(j AS INT) AS j, ROUND(p, 9) AS p FROM proj
+    SELECT vec_id, CAST(j AS INT) AS j, (ROUND((p) * 1e9) / 1e9 + 0.0) AS p FROM proj
     """,
 )
 def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -538,7 +538,7 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return out.select(
         "vec_id", F.posexplode("proj").alias("j", "p")
-    ).withColumn("p", F.round("p", 9))
+    ).withColumn("p", round9("p"))
 
 
 # Projected-LSH: the composed scale path — JL-project 64 -> 16 dims
@@ -592,7 +592,7 @@ _DUCK_PROJ8 = f"""
         WHERE q.vec_id < 5
         GROUP BY q.vec_id, c.vec_id
     )
-    SELECT query_id, cand_id, ROUND(cos_sim, 9) AS cos_sim, CAST(rank AS INT) AS rank
+    SELECT query_id, cand_id, (ROUND((cos_sim) * 1e9) / 1e9 + 0.0) AS cos_sim, CAST(rank AS INT) AS rank
     FROM (
         SELECT query_id, cand_id,
                dot / (sqrt(qq) * sqrt(cc)) AS cos_sim,
@@ -662,7 +662,7 @@ def ann_projected_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.round("cos_sim", 9).alias("cos_sim"),
+            round9("cos_sim").alias("cos_sim"),
             F.col("rank").cast("int").alias("rank"),
         )
     )
@@ -830,7 +830,7 @@ def tokenize_with_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         UNION ALL
         SELECT hi, lo, CAST(n_common AS DOUBLE) / n_hi FROM sized
     )
-    SELECT doc_a, doc_b, ROUND(containment, 9) AS containment
+    SELECT doc_a, doc_b, (ROUND((containment) * 1e9) / 1e9 + 0.0) AS containment
     FROM ori WHERE containment >= 0.6
     """,
 )
@@ -842,7 +842,7 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     return containment_pairs(
         load_table(spark, sf_dir, "documents"), shingle_words=3, threshold=0.6
-    ).withColumn("containment", F.round("containment", 9))
+    ).withColumn("containment", round9("containment"))
 
 
 @register(

@@ -18,6 +18,7 @@ from chainhouse_spark.operators.dedup import (
     simhash,
     simhash_near_pairs,
 )
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import FRUGAL_ORACLE, register
 from chainhouse_spark.tables import load_table
 
@@ -134,7 +135,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY a.doc_id, b.doc_id
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 9) AS jaccard
+           (ROUND((CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)) * 1e9) / 1e9 + 0.0) AS jaccard
     FROM common
     JOIN sz sa ON sa.doc_id = doc_a
     JOIN sz sb ON sb.doc_id = doc_b
@@ -145,7 +146,7 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact Jaccard ≥ 0.8 near-dup pairs (the verifier stage after LSH)."""
     return ngram_jaccard_pairs(
         load_table(spark, sf_dir, "documents"), shingle_words=3, threshold=0.8
-    ).withColumn("jaccard", F.round("jaccard", 9))
+    ).withColumn("jaccard", round9("jaccard"))
 
 
 @register(
@@ -405,7 +406,7 @@ def dedup_substring_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY c.doc_a, c.doc_b
     )
     SELECT doc_a, doc_b,
-           ROUND(CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common), 9) AS jaccard
+           (ROUND((CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common)) * 1e9) / 1e9 + 0.0) AS jaccard
     FROM common
     JOIN sz sa ON sa.doc_id = doc_a
     JOIN sz sb ON sb.doc_id = doc_b

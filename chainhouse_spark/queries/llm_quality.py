@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import register
 from chainhouse_spark.tables import load_table
 
@@ -92,14 +93,14 @@ _KEEP_SQL = (
     + """
     SELECT doc_id,
            n_words,
-           ROUND(CAST(distinct_words AS DOUBLE) / n_words, 9) AS distinct_word_frac,
-           ROUND(CAST(top_word_cnt AS DOUBLE) / n_words, 9) AS top_word_frac,
-           ROUND(CASE WHEN n_bigrams > 0
+           (ROUND((CAST(distinct_words AS DOUBLE) / n_words) * 1e9) / 1e9 + 0.0) AS distinct_word_frac,
+           (ROUND((CAST(top_word_cnt AS DOUBLE) / n_words) * 1e9) / 1e9 + 0.0) AS top_word_frac,
+           (ROUND((CASE WHEN n_bigrams > 0
                 THEN 1.0 - CAST(distinct_bigrams AS DOUBLE) / n_bigrams
-                ELSE 0.0 END, 9) AS dup_bigram_frac,
-           ROUND(CASE WHEN n_bigrams > 0
+                ELSE 0.0 END) * 1e9) / 1e9 + 0.0) AS dup_bigram_frac,
+           (ROUND((CASE WHEN n_bigrams > 0
                 THEN CAST(top_bigram_cnt AS DOUBLE) / n_bigrams
-                ELSE 0.0 END, 9) AS top_bigram_frac
+                ELSE 0.0 END) * 1e9) / 1e9 + 0.0) AS top_bigram_frac
     FROM m
     """,
 )
@@ -112,12 +113,10 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
     return d.select("doc_id", m.alias("m")).select(
         "doc_id",
         F.col("m.n_words").alias("n_words"),
-        F.round(
-            F.col("m.distinct_words").cast("double") / F.col("m.n_words"), 9
-        ).alias("distinct_word_frac"),
-        F.round(
-            F.col("m.top_word_cnt").cast("double") / F.col("m.n_words"), 9
-        ).alias("top_word_frac"),
+        round9(
+            F.col("m.distinct_words").cast("double") / F.col("m.n_words")).alias("distinct_word_frac"),
+        round9(
+            F.col("m.top_word_cnt").cast("double") / F.col("m.n_words")).alias("top_word_frac"),
         F.round(
             F.when(
                 F.col("m.n_bigrams") > 0,
@@ -147,7 +146,7 @@ def text_repetition_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
              / count(*) AS kept_frac,
            CAST(sum(top_word_cnt) AS BIGINT) AS sum_top_word_cnt,
            CAST(sum(n_words) AS BIGINT) AS sum_words,
-           ROUND(CAST(sum(top_word_cnt) AS DOUBLE) / sum(n_words), 9) AS micro_top_word_frac
+           (ROUND((CAST(sum(top_word_cnt) AS DOUBLE) / sum(n_words)) * 1e9) / 1e9 + 0.0) AS micro_top_word_frac
     FROM m
     GROUP BY source
     """,
@@ -171,9 +170,8 @@ def filter_quality_gate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame
         (F.sum(keep).cast("double") / F.count(F.lit(1))).alias("kept_frac"),
         F.sum("top_word_cnt").alias("sum_top_word_cnt"),
         F.sum("n_words").alias("sum_words"),
-        F.round(
-            F.sum("top_word_cnt").cast("double") / F.sum("n_words"), 9
-        ).alias("micro_top_word_frac"),
+        round9(
+            F.sum("top_word_cnt").cast("double") / F.sum("n_words")).alias("micro_top_word_frac"),
     )
 
 
@@ -292,7 +290,7 @@ def text_encoding_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         JOIN c12 ON big.w1 = c12.w1 AND big.w2 = c12.w2
         JOIN c1 ON big.w1 = c1.w1
     )
-    SELECT doc_id, n_bigrams, sum_lp, ROUND(avg_lp, 9) AS avg_lp FROM (
+    SELECT doc_id, n_bigrams, sum_lp, (ROUND((avg_lp) * 1e9) / 1e9 + 0.0) AS avg_lp FROM (
         SELECT doc_id,
                CAST(COUNT(*) AS BIGINT) AS n_bigrams,
                CAST(SUM(lp) AS DOUBLE) AS sum_lp,
@@ -366,7 +364,7 @@ def lm_bigram_perplexity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.asc("avg_lp"), F.asc("doc_id"))
         .limit(100)
-        .withColumn("avg_lp", F.round("avg_lp", 9))
+        .withColumn("avg_lp", round9("avg_lp"))
     )
 
 
@@ -687,8 +685,8 @@ _CAL_EDGES = ("0.25", "0.5", "1.0", "1.5")
     SELECT margin_bucket,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
            CAST(SUM(correct) AS BIGINT) AS n_correct,
-           ROUND(CAST(SUM(correct) AS DOUBLE) / COUNT(*), 9) AS accuracy,
-           ROUND(CAST(SUM(margin) AS DOUBLE) / COUNT(*), 9) AS mean_margin
+           (ROUND((CAST(SUM(correct) AS DOUBLE) / COUNT(*)) * 1e9) / 1e9 + 0.0) AS accuracy,
+           (ROUND((CAST(SUM(margin) AS DOUBLE) / COUNT(*)) * 1e9) / 1e9 + 0.0) AS mean_margin
     FROM bucketed
     GROUP BY margin_bucket
     """,
@@ -729,8 +727,8 @@ def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return per_doc.groupBy(bucket.alias("margin_bucket")).agg(
         cnt.cast("bigint").alias("n_docs"),
         F.sum("correct").cast("bigint").alias("n_correct"),
-        F.round(F.sum("correct").cast("double") / cnt, 9).alias("accuracy"),
-        F.round(F.sum("margin").cast("double") / cnt, 9).alias("mean_margin"),
+        round9(F.sum("correct").cast("double") / cnt).alias("accuracy"),
+        round9(F.sum("margin").cast("double") / cnt).alias("mean_margin"),
     )
 
 
@@ -759,12 +757,12 @@ def nb_margin_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT c.lang, c.n_actual,
            COALESCE(p.n_predicted, 0) AS n_predicted, c.tp,
-           ROUND(CAST(c.tp AS DOUBLE) / NULLIF(p.n_predicted, 0), 9) AS precision_c,
-           ROUND(CAST(c.tp AS DOUBLE) / c.n_actual, 9) AS recall_c,
-           ROUND(2.0 * (CAST(c.tp AS DOUBLE) / NULLIF(p.n_predicted, 0))
+           (ROUND((CAST(c.tp AS DOUBLE) / NULLIF(p.n_predicted, 0)) * 1e9) / 1e9 + 0.0) AS precision_c,
+           (ROUND((CAST(c.tp AS DOUBLE) / c.n_actual) * 1e9) / 1e9 + 0.0) AS recall_c,
+           (ROUND((2.0 * (CAST(c.tp AS DOUBLE) / NULLIF(p.n_predicted, 0))
                * (CAST(c.tp AS DOUBLE) / c.n_actual)
              / NULLIF((CAST(c.tp AS DOUBLE) / NULLIF(p.n_predicted, 0))
-                      + (CAST(c.tp AS DOUBLE) / c.n_actual), 0.0), 9) AS f1
+                      + (CAST(c.tp AS DOUBLE) / c.n_actual), 0.0)) * 1e9) / 1e9 + 0.0) AS f1
     FROM per_class c LEFT JOIN pred_tot p ON c.lang = p.lang
     """,
 )
@@ -803,11 +801,11 @@ def nb_classwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_actual",
             F.coalesce("n_predicted", F.lit(0)).alias("n_predicted"),
             "tp",
-            F.expr(f"ROUND({prec}, 9)").alias("precision_c"),
-            F.expr(f"ROUND({rec}, 9)").alias("recall_c"),
+            F.expr(f"(ROUND(({prec}) * 1e9) / 1e9 + 0.0)").alias("precision_c"),
+            F.expr(f"(ROUND(({rec}) * 1e9) / 1e9 + 0.0)").alias("recall_c"),
             F.expr(
-                f"ROUND(2.0 * ({prec}) * ({rec})"
-                f" / NULLIF(({prec}) + ({rec}), 0.0), 9)"
+                f"(ROUND((2.0 * ({prec}) * ({rec})"
+                f" / NULLIF(({prec}) + ({rec}), 0.0)) * 1e9) / 1e9 + 0.0)"
             ).alias("f1"),
         )
     )

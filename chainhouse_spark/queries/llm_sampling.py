@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import FRUGAL_ORACLE, register
 from chainhouse_spark.tables import load_table
 
@@ -191,7 +192,7 @@ def dataset_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY k.source
     )
     SELECT pl.source, pl.n_docs, pl.src_tok, pl.target_tok,
-           ROUND(pl.rate, 9) AS rate,
+           (ROUND((pl.rate) * 1e9) / 1e9 + 0.0) AS rate,
            COALESCE(kept.kept_docs, 0) AS kept_docs,
            COALESCE(kept.kept_tok, 0) AS kept_tok
     FROM plan pl LEFT JOIN kept ON kept.source = pl.source
@@ -252,7 +253,7 @@ def mixture_token_budget_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_docs",
             "src_tok",
             "target_tok",
-            F.round("rate", 9).alias("rate"),
+            round9("rate").alias("rate"),
             F.coalesce("kept_docs", F.lit(0)).alias("kept_docs"),
             F.coalesce("kept_tok", F.lit(0)).alias("kept_tok"),
         )
@@ -404,8 +405,8 @@ from chainhouse_spark.queries.llm_text import _DUCK_HITS as _CARD_HITS
            CAST(COUNT(DISTINCT lang) AS BIGINT) AS n_langs,
            CAST(COUNT(*) FILTER (WHERE lang = 'en') AS DOUBLE)
                / COUNT(*) AS en_share,
-           ROUND(CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(20,6))) AS DOUBLE)
-               / COUNT(*), 9) AS mean_quality,
+           (ROUND((CAST(SUM(CAST(ROUND(score, 6) AS DECIMAL(20,6))) AS DOUBLE)
+               / COUNT(*)) * 1e9) / 1e9 + 0.0) AS mean_quality,
            CAST(MIN(med_c) AS BIGINT) AS median_chars
     FROM med
     GROUP BY source
@@ -531,13 +532,13 @@ def sample_exact_k_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_src p, tot t
     ),
     z AS (SELECT CAST(SUM(w_dec) AS DECIMAL(24,12)) AS z_dec FROM w)
-    SELECT w.source, w.n_docs, w.src_tok, ROUND(w.q_share, 9) AS q_share,
-           ROUND(CAST(w.w_dec AS DOUBLE) / CAST(z.z_dec AS DOUBLE), 9) AS p_temp,
+    SELECT w.source, w.n_docs, w.src_tok, (ROUND((w.q_share) * 1e9) / 1e9 + 0.0) AS q_share,
+           (ROUND((CAST(w.w_dec AS DOUBLE) / CAST(z.z_dec AS DOUBLE)) * 1e9) / 1e9 + 0.0) AS p_temp,
            CAST(FLOOR((CAST(w.total_tok AS DOUBLE) / 2.0)
                       * (CAST(w.w_dec AS DOUBLE) / CAST(z.z_dec AS DOUBLE)))
                 AS BIGINT) AS planned_tok,
-           ROUND((CAST(w.w_dec AS DOUBLE) / CAST(z.z_dec AS DOUBLE)) / w.q_share
-             , 9) AS oversample_factor
+           (ROUND(((CAST(w.w_dec AS DOUBLE) / CAST(z.z_dec AS DOUBLE)) / w.q_share
+             ) * 1e9) / 1e9 + 0.0) AS oversample_factor
     FROM w, z
     """,
 )
@@ -574,12 +575,12 @@ def sample_temperature_mixing(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         "n_docs",
         "src_tok",
-        F.round("q_share", 9).alias("q_share"),
-        F.expr(f"ROUND({p}, 9)").alias("p_temp"),
+        round9("q_share").alias("q_share"),
+        F.expr(f"(ROUND(({p}) * 1e9) / 1e9 + 0.0)").alias("p_temp"),
         F.expr(
             f"CAST(FLOOR((CAST(total_tok AS DOUBLE) / 2.0) * ({p})) AS BIGINT)"
         ).alias("planned_tok"),
-        F.expr(f"ROUND(({p}) / q_share, 9)").alias("oversample_factor"),
+        F.expr(f"(ROUND((({p}) / q_share) * 1e9) / 1e9 + 0.0)").alias("oversample_factor"),
     )
 
 

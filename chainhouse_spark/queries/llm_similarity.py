@@ -15,6 +15,7 @@ from chainhouse_spark.operators.similarity import (
     embedding_near_pairs,
     lsh_topk,
 )
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import FRUGAL_ORACLE, register
 from chainhouse_spark.tables import load_table
 
@@ -64,7 +65,7 @@ _DUCK_BUCKET_C = " + ".join(
                ) AS rank
         FROM dots
     )
-    SELECT query_id, cand_id, ROUND(cos_sim, 9) AS cos_sim, CAST(rank AS INT) AS rank
+    SELECT query_id, cand_id, (ROUND((cos_sim) * 1e9) / 1e9 + 0.0) AS cos_sim, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 10
     """,
 )
@@ -72,7 +73,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Exact cosine top-10 for query vectors vec_id < 5 vs the whole corpus."""
     emb = load_table(spark, sf_dir, "embeddings")
     res = brute_force_topk(emb, emb.filter(F.col("vec_id") < 5), k=10)
-    return res.withColumn("cos_sim", F.round("cos_sim", 9)).withColumn(
+    return res.withColumn("cos_sim", round9("cos_sim")).withColumn(
         "rank", F.col("rank").cast("int")
     )
 
@@ -97,7 +98,7 @@ def ann_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rank
         FROM dots
     )
-    SELECT query_id, cand_id, ROUND(cos_sim, 9) AS cos_sim, CAST(rank AS INT) AS rank
+    SELECT query_id, cand_id, (ROUND((cos_sim) * 1e9) / 1e9 + 0.0) AS cos_sim, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 10
     """,
 )
@@ -106,7 +107,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     LSH bucket (~corpus/256 per probe at scale)."""
     emb = load_table(spark, sf_dir, "embeddings")
     res = lsh_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, nbits=8)
-    return res.withColumn("cos_sim", F.round("cos_sim", 9)).withColumn(
+    return res.withColumn("cos_sim", round9("cos_sim")).withColumn(
         "rank", F.col("rank").cast("int")
     )
 
@@ -115,7 +116,7 @@ def ann_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     "embedding_near_pairs",
     oracle=f"""
     SELECT q.label AS blk, q.vec_id AS vec_a, c.vec_id AS vec_b,
-           ROUND({_DOT} / (sqrt({_QQ}) * sqrt({_CC})), 9) AS cos_sim
+           (ROUND(({_DOT} / (sqrt({_QQ}) * sqrt({_CC}))) * 1e9) / 1e9 + 0.0) AS cos_sim
     FROM embeddings q, embeddings c, {_IDX}
     WHERE q.label = c.label AND q.vec_id < c.vec_id
     GROUP BY q.label, q.vec_id, c.vec_id
@@ -126,15 +127,15 @@ def embedding_near_pairs_q(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs (cosine ≥ 0.35) blocked by label."""
     emb = load_table(spark, sf_dir, "embeddings")
     return embedding_near_pairs(emb, threshold=0.35).withColumn(
-        "cos_sim", F.round("cos_sim", 9)
+        "cos_sim", round9("cos_sim")
     )
 
 
 @register(
     "embedding_norms",
     oracle=f"""
-    SELECT c.vec_id, ROUND(sqrt({_CC}), 9) AS l2_norm,
-           ROUND({_CC}, 9) AS sq_sum
+    SELECT c.vec_id, (ROUND((sqrt({_CC})) * 1e9) / 1e9 + 0.0) AS l2_norm,
+           (ROUND(({_CC}) * 1e9) / 1e9 + 0.0) AS sq_sum
     FROM embeddings c, {_IDX}
     GROUP BY c.vec_id
     """,
@@ -147,10 +148,9 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = load_table(spark, sf_dir, "embeddings")
     return emb.select(
         "vec_id",
-        F.round(
-            F.expr(f"sqrt({dot_sql('embedding', 'embedding')})"), 9
-        ).alias("l2_norm"),
-        F.round(F.expr(dot_sql("embedding", "embedding")), 9).alias("sq_sum"),
+        round9(
+            F.expr(f"sqrt({dot_sql('embedding', 'embedding')})")).alias("l2_norm"),
+        round9(F.expr(dot_sql("embedding", "embedding"))).alias("sq_sum"),
     )
 
 
@@ -260,7 +260,7 @@ def ann_ivf_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                ) AS rank
         FROM dots
     )
-    SELECT query_id, cand_id, ROUND(cos_sim, 9) AS cos_sim, CAST(rank AS INT) AS rank
+    SELECT query_id, cand_id, (ROUND((cos_sim) * 1e9) / 1e9 + 0.0) AS cos_sim, CAST(rank AS INT) AS rank
     FROM ranked WHERE rank <= 10
     """,
 )
@@ -273,7 +273,7 @@ def ann_lsh_multiprobe_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     emb = load_table(spark, sf_dir, "embeddings")
     res = lsh_multiprobe_topk(emb, emb.filter(F.col("vec_id") < 5), k=10, nbits=8)
-    return res.withColumn("cos_sim", F.round("cos_sim", 9)).withColumn(
+    return res.withColumn("cos_sim", round9("cos_sim")).withColumn(
         "rank", F.col("rank").cast("int")
     )
 
@@ -460,7 +460,7 @@ def ann_ivf_at_rest_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cent a JOIN cent b ON a.dim = b.dim AND a.label < b.label
     )
     SELECT label_a, label_b,
-           ROUND(SQRT(CAST(SUM(t) AS DOUBLE)), 9) AS centroid_l2
+           (ROUND((SQRT(CAST(SUM(t) AS DOUBLE))) * 1e9) / 1e9 + 0.0) AS centroid_l2
     FROM pairs
     GROUP BY label_a, label_b
     """,
@@ -500,7 +500,7 @@ def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("t"),
     )
     return pairs.groupBy("label_a", "label_b").agg(
-        F.round(F.sqrt(F.sum("t").cast("double")), 9).alias("centroid_l2")
+        round9(F.sqrt(F.sum("t").cast("double"))).alias("centroid_l2")
     )
 
 
@@ -526,12 +526,12 @@ def embedding_class_separation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT label,
            MIN(n_a) AS n_a, MIN(n_b) AS n_b,
-           ROUND(CAST(SUM(CAST(ROUND(ca * cb, 9) AS DECIMAL(20,9))) AS DOUBLE)
+           (ROUND((CAST(SUM(CAST(ROUND(ca * cb, 9) AS DECIMAL(20,9))) AS DOUBLE)
              / (SQRT(CAST(SUM(CAST(ROUND(ca * ca, 9) AS DECIMAL(20,9))) AS DOUBLE))
                 * SQRT(CAST(SUM(CAST(ROUND(cb * cb, 9) AS DECIMAL(20,9))) AS DOUBLE)))
-             , 9) AS centroid_cosine,
-           ROUND(SQRT(CAST(SUM(CAST(ROUND((ca - cb) * (ca - cb), 9)
-                              AS DECIMAL(20,9))) AS DOUBLE)), 9) AS centroid_l2_drift
+             ) * 1e9) / 1e9 + 0.0) AS centroid_cosine,
+           (ROUND((SQRT(CAST(SUM(CAST(ROUND((ca - cb) * (ca - cb), 9)
+                              AS DECIMAL(20,9))) AS DOUBLE))) * 1e9) / 1e9 + 0.0) AS centroid_l2_drift
     FROM paired
     GROUP BY label
     """,
@@ -574,13 +574,13 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("n_a").alias("n_a"),
         F.min("n_b").alias("n_b"),
         F.expr(
-            f"ROUND(CAST(SUM({dec.format(x='ca * cb')}) AS DOUBLE)"
+            f"(ROUND((CAST(SUM({dec.format(x='ca * cb')}) AS DOUBLE)"
             f" / (SQRT(CAST(SUM({dec.format(x='ca * ca')}) AS DOUBLE))"
-            f" * SQRT(CAST(SUM({dec.format(x='cb * cb')}) AS DOUBLE))), 9)"
+            f" * SQRT(CAST(SUM({dec.format(x='cb * cb')}) AS DOUBLE)))) * 1e9) / 1e9 + 0.0)"
         ).alias("centroid_cosine"),
         F.expr(
-            f"ROUND(SQRT(CAST(SUM({dec.format(x='(ca - cb) * (ca - cb)')})"
-            f" AS DOUBLE)), 9)"
+            f"(ROUND((SQRT(CAST(SUM({dec.format(x='(ca - cb) * (ca - cb)')})"
+            f" AS DOUBLE))) * 1e9) / 1e9 + 0.0)"
         ).alias("centroid_l2_drift"),
     )
 
@@ -595,7 +595,7 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         WHERE q.vec_id < 5 AND c.vec_id != q.vec_id
         GROUP BY q.vec_id, c.vec_id
     )
-    SELECT query_id, cand_id, ROUND(dot / (sqrt(qq) * sqrt(cc)), 9) AS cos_sim
+    SELECT query_id, cand_id, (ROUND((dot / (sqrt(qq) * sqrt(cc))) * 1e9) / 1e9 + 0.0) AS cos_sim
     FROM dots
     WHERE dot / (sqrt(qq) * sqrt(cc)) >= 0.3
     """,
@@ -628,7 +628,7 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= 0.3)
-        .withColumn("cos_sim", F.round("cos_sim", 9))
+        .withColumn("cos_sim", round9("cos_sim"))
     )
 
 

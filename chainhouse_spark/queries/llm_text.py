@@ -17,6 +17,7 @@ from chainhouse_spark.functions.text import (
     stopword_hits_sql,
     stopword_ratio,
 )
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import FRUGAL_ORACLE, register
 from chainhouse_spark.tables import load_table
 
@@ -37,14 +38,14 @@ _DUCK_HITS = {
     SELECT doc_id,
            LENGTH(text) AS n_chars_actual,
            len(string_split(text, ' ')) AS n_tokens,
-           ROUND(CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' ')), 9) AS avg_token_len,
-           ROUND(CAST({_DUCK_HITS['en']} AS DOUBLE) / len(string_split(text, ' ')), 9) AS stopword_ratio,
+           (ROUND((CAST(LENGTH(REPLACE(text, ' ', '')) AS DOUBLE) / len(string_split(text, ' '))) * 1e9) / 1e9 + 0.0) AS avg_token_len,
+           (ROUND((CAST({_DUCK_HITS['en']} AS DOUBLE) / len(string_split(text, ' '))) * 1e9) / 1e9 + 0.0) AS stopword_ratio,
            CAST(LENGTH(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text) AS punct_ratio,
            CAST(LENGTH(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE) / LENGTH(text) AS digit_ratio,
-           ROUND(LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
+           (ROUND((LEAST(1.0, len(string_split(text, ' ')) / 100.0) * 0.5
              + (CAST({_DUCK_HITS['en']} AS DOUBLE) / len(string_split(text, ' '))) * 0.3
              + (1.0 - CAST(LENGTH(regexp_replace(lower(text), '[a-z0-9 ]', '', 'g')) AS DOUBLE) / LENGTH(text)) * 0.2
-             , 9) AS quality_score
+             ) * 1e9) / 1e9 + 0.0) AS quality_score
     FROM documents
     """,
 )
@@ -63,7 +64,7 @@ def text_quality_scores(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).cast("double") / nt,
             9,
         ).alias("avg_token_len"),
-        F.round(sw, 9).alias("stopword_ratio"),
+        round9(sw).alias("stopword_ratio"),
         pr.alias("punct_ratio"),
         digit_ratio("text").alias("digit_ratio"),
         F.round(
@@ -128,8 +129,8 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
            len(string_split(text, ' ')) AS n_ws_tokens,
            len(regexp_extract_all(text, '[a-z0-9]+')) AS n_re_tokens,
            len(list_distinct(string_split(text, ' '))) AS n_unique_tokens,
-           ROUND(CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
-               / len(string_split(text, ' ')), 9) AS type_token_ratio,
+           (ROUND((CAST(len(list_distinct(string_split(text, ' '))) AS DOUBLE)
+               / len(string_split(text, ' '))) * 1e9) / 1e9 + 0.0) AS type_token_ratio,
            (LENGTH(text) + 3) // 4 AS approx_bpe_tokens
     FROM documents
     """,
@@ -144,9 +145,8 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(toks).alias("n_ws_tokens"),
         F.size(F.expr("regexp_extract_all(text, '[a-z0-9]+', 0)")).alias("n_re_tokens"),
         F.size(F.array_distinct(toks)).alias("n_unique_tokens"),
-        F.round(
-            F.size(F.array_distinct(toks)).cast("double") / F.size(toks), 9
-        ).alias("type_token_ratio"),
+        round9(
+            F.size(F.array_distinct(toks)).cast("double") / F.size(toks)).alias("type_token_ratio"),
         F.expr("(LENGTH(text) + 3) div 4").alias("approx_bpe_tokens"),
     )
 
@@ -168,7 +168,7 @@ def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
                * ((CAST(n_docs AS DOUBLE) - df + 0.5) / (df + 0.5)) AS tfidf
       FROM tf JOIN dl USING (doc_id) JOIN df USING (term) CROSS JOIN n
     )
-    SELECT doc_id, term, ROUND(tfidf, 9) AS tfidf, CAST(rn AS INT) AS rank
+    SELECT doc_id, term, (ROUND((tfidf) * 1e9) / 1e9 + 0.0) AS tfidf, CAST(rn AS INT) AS rank
     FROM (
       SELECT *, ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, term) AS rn
       FROM scored
@@ -221,7 +221,7 @@ def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         scored.withColumn("rank", F.row_number().over(w).cast("int"))
         .filter(F.col("rank") <= 3)
-        .select("doc_id", "term", F.round("tfidf", 9).alias("tfidf"), "rank")
+        .select("doc_id", "term", round9("tfidf").alias("tfidf"), "rank")
     )
 
 
@@ -523,11 +523,11 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n AS BIGINT) AS n_points,
            top_token, top_count,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS zipf_slope,
-           ROUND(((n * sxy - sx * sy)
+           (ROUND(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e9) / 1e9 + 0.0) AS zipf_slope,
+           (ROUND((((n * sxy - sx * sy)
              / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
            * ((n * sxy - sx * sy)
-             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))), 9) AS r2
+             / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))) * 1e9) / 1e9 + 0.0) AS r2
     FROM m
     """,
 )
@@ -575,8 +575,8 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         n.cast("bigint").alias("n_points"),
         "top_token",
         "top_count",
-        F.round((n * sxy - sx * sy) / (n * sxx - sx * sx), 9).alias("zipf_slope"),
-        F.round(corr * corr, 9).alias("r2"),
+        round9((n * sxy - sx * sy) / (n * sxx - sx * sx)).alias("zipf_slope"),
+        round9(corr * corr).alias("r2"),
     )
 
 
@@ -596,8 +596,8 @@ def corpus_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_hapax,
            CAST(SUM(CASE WHEN c = 2 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_dis_legomena,
-           ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
-             , 9) AS hapax_ratio
+           (ROUND((CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+             ) * 1e9) / 1e9 + 0.0) AS hapax_ratio
     FROM tf GROUP BY source
     """,
 )
@@ -623,8 +623,8 @@ def text_hapax_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_dis_legomena"),
         F.expr(
-            "ROUND(CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
-            " / COUNT(*), 9)"
+            "(ROUND((CAST(SUM(CASE WHEN c = 1 THEN 1 ELSE 0 END) AS DOUBLE)"
+            " / COUNT(*)) * 1e9) / 1e9 + 0.0)"
         ).alias("hapax_ratio"),
     )
 
@@ -746,8 +746,8 @@ def text_sentence_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT lang,
            CAST(COUNT(*) AS BIGINT) AS n_docs,
-           ROUND(CAST(CAST(SUM(fk) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*)
-             , 9) AS mean_fk_grade,
+           (ROUND((CAST(CAST(SUM(fk) AS DECIMAL(28,6)) AS DOUBLE) / COUNT(*)
+             ) * 1e9) / 1e9 + 0.0) AS mean_fk_grade,
            CAST(MIN(fk) AS DOUBLE) AS min_fk,
            CAST(MAX(fk) AS DOUBLE) AS max_fk
     FROM scored GROUP BY lang

@@ -176,7 +176,7 @@ _BATCH_SZ = 8  # docs per batch
            MAX(n_tok) AS max_tokens,
            CAST(SUM(n_tok) AS BIGINT) AS sum_tokens,
            CAST(MAX(n_tok) * COUNT(*) - SUM(n_tok) AS BIGINT) AS pad_waste,
-           ROUND(CAST(SUM(n_tok) AS DOUBLE) / (MAX(n_tok) * COUNT(*)), 9) AS utilization
+           (ROUND((CAST(SUM(n_tok) AS DOUBLE) / (MAX(n_tok) * COUNT(*))) * 1e9) / 1e9 + 0.0) AS utilization
     FROM assigned
     GROUP BY bucket, batch_id
     ORDER BY bucket, batch_id

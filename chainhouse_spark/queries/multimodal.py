@@ -32,6 +32,7 @@ from chainhouse_spark.multimodal.ops import (
     image_features,
     image_resize,
 )
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
@@ -143,10 +144,10 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(s_r AS DOUBLE) / CAST(width * height AS DOUBLE) AS mean_r,
            CAST(s_g AS DOUBLE) / CAST(width * height AS DOUBLE) AS mean_g,
            CAST(s_b AS DOUBLE) / CAST(width * height AS DOUBLE) AS mean_b,
-           ROUND(sqrt(CAST(s2_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE)
+           (ROUND((sqrt(CAST(s2_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE)
                 - (CAST(s_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE))
                   * (CAST(s_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE)))
-             , 9) AS std_all,
+             ) * 1e9) / 1e9 + 0.0) AS std_all,
            CAST(s_all AS DOUBLE) / CAST(width * height * 3 AS DOUBLE) AS brightness
     FROM s
     """,
@@ -156,7 +157,7 @@ def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     with an integer-exact float finish, so the oracle reproduces every
     double bit-for-bit from the payload hex (see multimodal/ops.py)."""
     return image_features(_assets(spark, sf_dir)).withColumn(
-        "std_all", F.round("std_all", 9)
+        "std_all", round9("std_all")
     )
 
 
@@ -598,11 +599,11 @@ def mm_video_scene_cuts(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM flagged GROUP BY asset_id
     )
     SELECT b.asset_id, b.n_samples, b.n_clipped,
-           ROUND(CAST(b.n_clipped AS DOUBLE) / b.n_samples, 9) AS clipped_frac,
+           (ROUND((CAST(b.n_clipped AS DOUBLE) / b.n_samples) * 1e9) / 1e9 + 0.0) AS clipped_frac,
            COALESCE(r.n_silence_runs, 0) AS n_silence_runs,
            COALESCE(r.longest_silence_run, 0) AS longest_silence_run,
-           ROUND(CAST(COALESCE(r.silence_total, 0) AS DOUBLE) / b.n_samples
-               , 9) AS silence_frac
+           (ROUND((CAST(COALESCE(r.silence_total, 0) AS DOUBLE) / b.n_samples
+               ) * 1e9) / 1e9 + 0.0) AS silence_frac
     FROM base_agg b LEFT JOIN run_agg r ON b.asset_id = r.asset_id
     """,
 )
@@ -616,8 +617,8 @@ def mm_audio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chainhouse_spark.multimodal.ops import audio_quality
 
     return audio_quality(_assets(spark, sf_dir)).withColumn(
-        "clipped_frac", F.round("clipped_frac", 9)
-    ).withColumn("silence_frac", F.round("silence_frac", 9))
+        "clipped_frac", round9("clipped_frac")
+    ).withColumn("silence_frac", round9("silence_frac"))
 
 
 # Round-at-9 exemptions (registry.ROUND9_EXEMPT): magnitudes past the

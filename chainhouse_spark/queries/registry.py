@@ -47,14 +47,19 @@ FRUGAL_ORACLE = (
 # future re-association of one side cannot silently re-arm a last-ulp
 # divergence (the round-7 ts_trend_slope_by_type class).
 #
-# CAVEAT — the convention is only cross-engine-safe for BOUNDED columns.
-# Spark's round(x, 9) rounds the shortest decimal repr via BigDecimal
-# HALF_UP (exact); DuckDB's ROUND(x, 9) multiplies by 1e9, rounds, divides.
-# Once |x|*1e9 approaches 2^53 (~9.0e15, i.e. |x| ≳ 9e6; measured
-# divergence from ~3e6 with adversarial 9th-digit ties), the multiply
-# itself misrounds and the two engines emit different doubles FROM THE
-# SAME INPUT — rounding such a column breaks parity instead of protecting
-# it. Columns here are therefore deliberately left unrounded; their
+# HOW to round — use chainhouse_spark.functions.rounding (round9 for
+# Columns, round9_sql for oracle SQL): the scheme is
+# `ROUND(x * 1e9) / 1e9 + 0.0`, NOT plain ROUND(x, 9). Plain ROUND
+# resolves 9th-digit ties differently per engine (Spark: decimal repr,
+# DuckDB: binary product — measured 9/3M divergence even below |x|=1e3,
+# plus a -0.0 class on tiny negatives); the product-space scheme makes
+# both engines round the same double with the same tie rule, so agreement
+# is deterministic (tests/test_round_convention.py pins this).
+#
+# CAVEAT — even scheme-B rounding is pointless for UNBOUNDED columns:
+# once |x|*1e9 leaves the 2^53 integer range (|x| ≳ 9e6) rounding
+# degenerates to identity, and plain ROUND would actively diverge there.
+# Columns here are therefore deliberately left unrounded; their
 # protection is the original rule (association-identical formulas on both
 # sides), stated per-column below. The sweep and the pytest gate
 # (tests/test_oracle_parity.py) treat these as documented exemptions.

@@ -14,6 +14,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
@@ -92,10 +93,10 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT
         l_orderkey,
         l_linenumber,
-        ROUND(ABS(l_discount - 0.05), 9) AS disc_dev,
+        (ROUND((ABS(l_discount - 0.05)) * 1e9) / 1e9 + 0.0) AS disc_dev,
         CAST(FLOOR(l_quantity / 7) AS BIGINT) AS qty_bucket,
         CAST(CEIL(l_extendedprice / 1000) AS BIGINT) AS price_k,
-        ROUND(SQRT(l_quantity), 9) AS qty_sqrt,
+        (ROUND((SQRT(l_quantity)) * 1e9) / 1e9 + 0.0) AS qty_sqrt,
         l_orderkey % 97 AS key_mod,
         CAST(l_quantity AS BIGINT) // 10 AS qty_div10,
         ROUND(CAST(l_extendedprice AS DECIMAL(12,2)), 1) AS price_r1,
@@ -105,17 +106,17 @@ def scalar_date_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def scalar_math_funcs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Math on IEEE-exact operations only (see module docstring). ROUND on
-    a DECIMAL (price_r1) is half-up in both engines; ROUND(double, 9) on
+    a DECIMAL (price_r1) is half-up in both engines; (ROUND((double) * 1e9) / 1e9 + 0.0) on
     the two bounded float outputs is cross-engine-exact below ~1e3 (the
     round-at-9 convention, registry.ROUND9_EXEMPT docs)."""
     li = load_table(spark, sf_dir, "lineitem")
     return li.select(
         "l_orderkey",
         "l_linenumber",
-        F.round(F.abs(F.col("l_discount") - 0.05), 9).alias("disc_dev"),
+        round9(F.abs(F.col("l_discount") - 0.05)).alias("disc_dev"),
         F.floor(F.col("l_quantity") / 7).alias("qty_bucket"),
         F.ceil(F.col("l_extendedprice") / 1000).alias("price_k"),
-        F.round(F.sqrt("l_quantity"), 9).alias("qty_sqrt"),
+        round9(F.sqrt("l_quantity")).alias("qty_sqrt"),
         (F.col("l_orderkey") % 97).alias("key_mod"),
         F.expr("CAST(l_quantity AS BIGINT) div 10").alias("qty_div10"),
         F.round(F.col("l_extendedprice").cast("decimal(12,2)"), 1).alias("price_r1"),

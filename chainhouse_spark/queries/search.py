@@ -540,8 +540,8 @@ _NDCG_TERM = "CAST(ROUND(1.0 / log2({r} + 1.0), 9) AS DECIMAL(12,9))"
         SELECT query_id,
                CAST(SUM(rel) AS BIGINT) AS hits_at_10,
                CAST(SUM(rel) AS DOUBLE) / 10.0 AS precision_at_10,
-               ROUND(COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rank END), 0.0)
-                 , 9) AS mrr_at_10,
+               (ROUND((COALESCE(1.0 / MIN(CASE WHEN rel = 1 THEN rank END), 0.0)
+                 ) * 1e9) / 1e9 + 0.0) AS mrr_at_10,
                CAST(COALESCE(SUM(CASE WHEN rel = 1
                    THEN {_NDCG_TERM.format(r='rank')} END), 0) AS DECIMAL(20,9))
                  AS dcg
@@ -557,9 +557,9 @@ _NDCG_TERM = "CAST(ROUND(1.0 / log2({r} + 1.0), 9) AS DECIMAL(12,9))"
     )
     SELECT t.query_id, i.n_rel_corpus, t.hits_at_10, t.precision_at_10,
            t.mrr_at_10,
-           ROUND(CASE WHEN i.idcg > 0
+           (ROUND((CASE WHEN i.idcg > 0
                 THEN CAST(t.dcg AS DOUBLE) / CAST(i.idcg AS DOUBLE)
-                ELSE 0.0 END, 9) AS ndcg_at_10
+                ELSE 0.0 END) * 1e9) / 1e9 + 0.0) AS ndcg_at_10
     FROM top t JOIN ideal i ON t.query_id = i.query_id
     """,
 )
@@ -613,8 +613,8 @@ def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             # CAST to DOUBLE: Spark parses the bare 1.0 literal as DECIMAL
             # and would emit a DECIMAL ratio where the oracle emits DOUBLE.
-            "ROUND(COALESCE(CAST(1.0 AS DOUBLE) / MIN(CASE WHEN rel = 1 THEN rank END),"
-            " CAST(0.0 AS DOUBLE)), 9)"
+            "(ROUND((COALESCE(CAST(1.0 AS DOUBLE) / MIN(CASE WHEN rel = 1 THEN rank END),"
+            " CAST(0.0 AS DOUBLE))) * 1e9) / 1e9 + 0.0)"
         ).alias("mrr_at_10"),
         F.expr(
             f"CAST(COALESCE(SUM(CASE WHEN rel = 1 THEN {dcg_term} END), 0)"
@@ -642,8 +642,8 @@ def eval_retrieval_ndcg(spark: SparkSession, sf_dir: str) -> DataFrame:
         "precision_at_10",
         "mrr_at_10",
         F.expr(
-            "ROUND(CASE WHEN idcg > 0 THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)"
-            " ELSE 0.0 END, 9)"
+            "(ROUND((CASE WHEN idcg > 0 THEN CAST(dcg AS DOUBLE) / CAST(idcg AS DOUBLE)"
+            " ELSE 0.0 END) * 1e9) / 1e9 + 0.0)"
         ).alias("ndcg_at_10"),
     )
 

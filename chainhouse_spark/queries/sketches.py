@@ -27,6 +27,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import register
 from chainhouse_spark.tables import load_table
 
@@ -562,7 +563,7 @@ LEAST(64,
            n_exact,
            n_zero_registers,
            CAST(s_scaled AS VARCHAR) AS s_scaled,
-           ROUND({_HLL_C} / CAST(s_scaled AS DOUBLE), 9) AS hll_estimate,
+           (ROUND(({_HLL_C} / CAST(s_scaled AS DOUBLE)) * 1e9) / 1e9 + 0.0) AS hll_estimate,
            CASE WHEN n_zero_registers > 0
                  AND {_HLL_C} / CAST(s_scaled AS DOUBLE) <= 2.5 * {_HLL_M}
                 THEN ROUND({_HLL_M} * LN(CAST({_HLL_M} AS DOUBLE)
@@ -628,7 +629,7 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_exact",
         "n_zero_registers",
         F.col("s_scaled").cast("string").alias("s_scaled"),
-        F.round(est, 9).alias("hll_estimate"),
+        round9(est).alias("hll_estimate"),
         F.when(
             (F.col("n_zero_registers") > 0) & (est <= 2.5 * _HLL_M),
             F.round(

@@ -24,6 +24,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
@@ -52,13 +53,13 @@ _MOMENT_AGGS = f"""
 # the single source for both engines' formulas.
 _CORR_FORMULAS = """
     (sxy - sx * sy / n) / (n - 1.0) AS covar_samp,
-    ROUND((n * sxy - sx * sy)
-      / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)), 9) AS corr,
-    ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS slope,
+    (ROUND(((n * sxy - sx * sy)
+      / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy))) * 1e9) / 1e9 + 0.0) AS corr,
+    (ROUND(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e9) / 1e9 + 0.0) AS slope,
     (sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n AS intercept,
-    ROUND(((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
+    (ROUND((((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
       * ((n * sxy - sx * sy) / (SQRT(n * sxx - sx * sx) * SQRT(n * syy - sy * sy)))
-      , 9) AS r2
+      ) * 1e9) / 1e9 + 0.0) AS r2
 """
 
 
@@ -97,16 +98,16 @@ _HIGH_MOMENT_AGGS = f"""
 # m2 * SQRT(m2) (resp. m2 * m2) instead of POWER() so both engines hit the
 # same IEEE operations.
 _HIGH_MOMENT_FORMULAS = """
-    ROUND(sxx / n - (sx / n) * (sx / n), 9) AS variance_pop,
-    ROUND(SQRT(sxx / n - (sx / n) * (sx / n)), 9) AS stddev_pop,
-    ROUND((sxxx / n - 3.0 * (sx / n) * (sxx / n) + 2.0 * (sx / n) * (sx / n) * (sx / n))
+    (ROUND((sxx / n - (sx / n) * (sx / n)) * 1e9) / 1e9 + 0.0) AS variance_pop,
+    (ROUND((SQRT(sxx / n - (sx / n) * (sx / n))) * 1e9) / 1e9 + 0.0) AS stddev_pop,
+    (ROUND(((sxxx / n - 3.0 * (sx / n) * (sxx / n) + 2.0 * (sx / n) * (sx / n) * (sx / n))
       / ((sxx / n - (sx / n) * (sx / n)) * SQRT(sxx / n - (sx / n) * (sx / n)))
-      , 9) AS skewness_pop,
-    ROUND((sxxxx / n - 4.0 * (sx / n) * (sxxx / n)
+      ) * 1e9) / 1e9 + 0.0) AS skewness_pop,
+    (ROUND(((sxxxx / n - 4.0 * (sx / n) * (sxxx / n)
        + 6.0 * (sx / n) * (sx / n) * (sxx / n)
        - 3.0 * (sx / n) * (sx / n) * (sx / n) * (sx / n))
       / ((sxx / n - (sx / n) * (sx / n)) * (sxx / n - (sx / n) * (sx / n)))
-      - 3.0, 9) AS kurtosis_excess
+      - 3.0) * 1e9) / 1e9 + 0.0) AS kurtosis_excess
 """
 
 
@@ -281,8 +282,8 @@ def stat_weighted_median(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM pts
     )
     SELECT event_type,
-           ROUND(CAST(SUM(v_cents * dt) AS DOUBLE)
-             / (CAST(SUM(dt) AS DOUBLE) * 100.0), 9) AS tw_avg,
+           (ROUND((CAST(SUM(v_cents * dt) AS DOUBLE)
+             / (CAST(SUM(dt) AS DOUBLE) * 100.0)) * 1e9) / 1e9 + 0.0) AS tw_avg,
            CAST(SUM(dt) AS BIGINT) AS covered_sec
     FROM seg WHERE dt IS NOT NULL
     GROUP BY event_type
@@ -449,10 +450,10 @@ def stat_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(n1 AS BIGINT) AS n_a,
            CAST(n2 AS BIGINT) AS n_b,
-           ROUND((s1 / n1 - s2 / n2) / 100.0, 9) AS mean_diff,
-           ROUND((s1 / n1 - s2 / n2)
+           (ROUND(((s1 / n1 - s2 / n2) / 100.0) * 1e9) / 1e9 + 0.0) AS mean_diff,
+           (ROUND(((s1 / n1 - s2 / n2)
              / SQRT( ((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1
-                   + ((q2 - s2 * s2 / n2) / (n2 - 1.0)) / n2 ), 9) AS t_stat,
+                   + ((q2 - s2 * s2 / n2) / (n2 - 1.0)) / n2 )) * 1e9) / 1e9 + 0.0) AS t_stat,
            ( ((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1
            + ((q2 - s2 * s2 / n2) / (n2 - 1.0)) / n2 )
            * ( ((q1 - s1 * s1 / n1) / (n1 - 1.0)) / n1
@@ -493,8 +494,8 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
     return m.selectExpr(
         "CAST(n1 AS BIGINT) AS n_a",
         "CAST(n2 AS BIGINT) AS n_b",
-        "ROUND((s1 / n1 - s2 / n2) / 100.0, 9) AS mean_diff",
-        f"ROUND((s1 / n1 - s2 / n2) / SQRT({v1} + {v2}), 9) AS t_stat",
+        "(ROUND(((s1 / n1 - s2 / n2) / 100.0) * 1e9) / 1e9 + 0.0) AS mean_diff",
+        f"(ROUND(((s1 / n1 - s2 / n2) / SQRT({v1} + {v2})) * 1e9) / 1e9 + 0.0) AS t_stat",
         f"({v1} + {v2}) * ({v1} + {v2})"
         f" / ({v1} * ({v1}) / (n1 - 1.0) + {v2} * ({v2}) / (n2 - 1.0))"
         " AS welch_dof",
@@ -513,8 +514,8 @@ def stat_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM events GROUP BY event_type
     )
     SELECT e.event_id, e.event_type, e.value,
-           ROUND((CAST(CAST(ROUND(e.value * 100, 0) AS BIGINT) AS DOUBLE) - m.s / m.n)
-             / SQRT(m.q / m.n - (m.s / m.n) * (m.s / m.n)), 9) AS zscore
+           (ROUND(((CAST(CAST(ROUND(e.value * 100, 0) AS BIGINT) AS DOUBLE) - m.s / m.n)
+             / SQRT(m.q / m.n - (m.s / m.n) * (m.s / m.n))) * 1e9) / 1e9 + 0.0) AS zscore
     FROM events e JOIN m ON e.event_type = m.event_type
     WHERE ABS(
         (CAST(CAST(ROUND(e.value * 100, 0) AS BIGINT) AS DOUBLE) - m.s / m.n)
@@ -543,7 +544,7 @@ def stat_zscore_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Threshold compares RAW z (identical formula both sides); only the
     # emitted column rounds — round-before-filter would move the cut line.
     return joined.filter(F.abs(z) > 2.5).select(
-        "event_id", "event_type", "value", F.round(z, 9).alias("zscore")
+        "event_id", "event_type", "value", round9(z).alias("zscore")
     )
 
 
@@ -613,8 +614,8 @@ def stat_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT n.n_a, n.n_b,
            CAST(MAX(ABS(c_a * n.n_b - c_b * n.n_a)) AS BIGINT) AS d_num,
            n.n_a * n.n_b AS d_den,
-           ROUND(CAST(MAX(ABS(c_a * n.n_b - c_b * n.n_a)) AS DOUBLE)
-               / (n.n_a * n.n_b), 9) AS d_stat
+           (ROUND((CAST(MAX(ABS(c_a * n.n_b - c_b * n.n_a)) AS DOUBLE)
+               / (n.n_a * n.n_b)) * 1e9) / 1e9 + 0.0) AS d_stat
     FROM steps, n
     GROUP BY n.n_a, n.n_b
     """,
@@ -668,9 +669,8 @@ def stat_ks_two_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_b",
             "d_num",
             (F.col("n_a") * F.col("n_b")).alias("d_den"),
-            F.round(
-                F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b")), 9
-            ).alias("d_stat"),
+            round9(
+                F.col("d_num").cast("double") / (F.col("n_a") * F.col("n_b"))).alias("d_stat"),
         )
     )
 
@@ -702,8 +702,8 @@ _BENFORD_CASE = "CASE " + " ".join(
     tot AS (SELECT CAST(SUM(n_obs) AS BIGINT) AS n FROM obs),
     terms AS (
         SELECT o.digit, o.n_obs, t.n,
-               ROUND(({_BENFORD_CASE}), 9) AS benford_frac,
-               ROUND(CAST(o.n_obs AS DOUBLE) / t.n, 9) AS obs_frac,
+               (ROUND((({_BENFORD_CASE})) * 1e9) / 1e9 + 0.0) AS benford_frac,
+               (ROUND((CAST(o.n_obs AS DOUBLE) / t.n) * 1e9) / 1e9 + 0.0) AS obs_frac,
                ROUND((o.n_obs - t.n * ({_BENFORD_CASE}))
                      * (o.n_obs - t.n * ({_BENFORD_CASE}))
                      / (t.n * ({_BENFORD_CASE})), 10) AS term
@@ -738,8 +738,8 @@ def stat_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         "digit",
         "n_obs",
         "n",
-        F.expr(f"ROUND(({_BENFORD_CASE}), 9)").alias("benford_frac"),
-        F.round(F.col("n_obs").cast("double") / F.col("n"), 9).alias("obs_frac"),
+        F.expr(f"(ROUND((({_BENFORD_CASE})) * 1e9) / 1e9 + 0.0)").alias("benford_frac"),
+        round9(F.col("n_obs").cast("double") / F.col("n")).alias("obs_frac"),
         F.expr(
             f"ROUND((n_obs - n * ({_BENFORD_CASE})) "
             f"* (n_obs - n * ({_BENFORD_CASE})) "
@@ -785,10 +785,10 @@ def stat_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(n1 AS BIGINT) AS n_a,
            CAST(n2 AS BIGINT) AS n_b,
            (r1_x2 - n1 * (n1 + 1.0)) / 2.0 AS u_stat,
-           ROUND(((r1_x2 - n1 * (n1 + 1.0)) / 2.0 - n1 * n2 / 2.0)
+           (ROUND((((r1_x2 - n1 * (n1 + 1.0)) / 2.0 - n1 * n2 / 2.0)
              / SQRT(n1 * n2 / 12.0
                     * ((n1 + n2 + 1.0)
-                       - ties / ((n1 + n2) * (n1 + n2 - 1.0)))), 9) AS z_stat
+                       - ties / ((n1 + n2) * (n1 + n2 - 1.0))))) * 1e9) / 1e9 + 0.0) AS z_stat
     FROM agg
     """,
 )
@@ -840,9 +840,9 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(n1 AS BIGINT) AS n_a",
         "CAST(n2 AS BIGINT) AS n_b",
         "(r1_x2 - n1 * (n1 + 1.0)) / 2.0 AS u_stat",
-        "ROUND(((r1_x2 - n1 * (n1 + 1.0)) / 2.0 - n1 * n2 / 2.0)"
+        "(ROUND((((r1_x2 - n1 * (n1 + 1.0)) / 2.0 - n1 * n2 / 2.0)"
         " / SQRT(n1 * n2 / 12.0 * ((n1 + n2 + 1.0)"
-        " - ties / ((n1 + n2) * (n1 + n2 - 1.0)))), 9) AS z_stat",
+        " - ties / ((n1 + n2) * (n1 + n2 - 1.0))))) * 1e9) / 1e9 + 0.0) AS z_stat",
     )
 
 
@@ -1032,13 +1032,13 @@ def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type, n_above, n_below, n_runs,
            CASE WHEN n_above = 0 OR n_below = 0 THEN NULL ELSE
-           ROUND((CAST(n_runs AS DOUBLE)
+           (ROUND(((CAST(n_runs AS DOUBLE)
             - (2.0 * n_above * n_below / (n_above + n_below) + 1.0))
            / SQRT(2.0 * n_above * n_below
                   * (2.0 * n_above * n_below - n_above - n_below)
                   / ((CAST(n_above + n_below AS DOUBLE)
                       * (n_above + n_below))
-                     * (n_above + n_below - 1.0))), 9) END AS z_stat
+                     * (n_above + n_below - 1.0)))) * 1e9) / 1e9 + 0.0) END AS z_stat
     FROM agg
     """,
 )
@@ -1117,7 +1117,7 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         # a degenerate dichotomy (all values on one side of the median)
         # has zero variance — NULL z rather than ANSI divide-by-zero /
         # DuckDB inf divergence
-        F.when(var > 0, F.round((r - mu) / F.sqrt(var), 9)).alias("z_stat"),
+        F.when(var > 0, round9((r - mu) / F.sqrt(var))).alias("z_stat"),
     )
 
 
@@ -1142,13 +1142,13 @@ def stat_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(MIN(n) AS BIGINT) AS n,
-           ROUND(CAST(SUM(c) AS DOUBLE) / MIN(n) / 100, 9) AS mean,
-           ROUND(CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN c ELSE 0 END) AS DOUBLE)
-               / (MIN(n) - 2 * MIN(k)) / 100, 9) AS trimmed_mean_5pct,
-           ROUND(CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN c ELSE 0 END)
+           (ROUND((CAST(SUM(c) AS DOUBLE) / MIN(n) / 100) * 1e9) / 1e9 + 0.0) AS mean,
+           (ROUND((CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN c ELSE 0 END) AS DOUBLE)
+               / (MIN(n) - 2 * MIN(k)) / 100) * 1e9) / 1e9 + 0.0) AS trimmed_mean_5pct,
+           (ROUND((CAST(SUM(CASE WHEN rk > k AND rk <= n - k THEN c ELSE 0 END)
                 + MIN(k) * MAX(CASE WHEN rk = k + 1 THEN c END)
                 + MIN(k) * MAX(CASE WHEN rk = n - k THEN c END) AS DOUBLE)
-               / MIN(n) / 100, 9) AS winsorized_mean_5pct
+               / MIN(n) / 100) * 1e9) / 1e9 + 0.0) AS winsorized_mean_5pct
     FROM marked
     GROUP BY event_type
     """,
@@ -1182,7 +1182,7 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     hi = F.max(F.when(F.col("rk") == F.col("n") - F.col("k"), F.col("c")))
     return ranked.groupBy("event_type").agg(
         F.min("n").cast("bigint").alias("n"),
-        F.round(F.sum("c").cast("double") / F.min("n") / 100, 9).alias("mean"),
+        round9(F.sum("c").cast("double") / F.min("n") / 100).alias("mean"),
         F.round(
             F.sum(kept).cast("double")
             / (F.min("n") - 2 * F.min("k"))
@@ -1239,9 +1239,9 @@ def stat_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT g AS l_returnflag,
            CAST(n AS BIGINT) AS n_rows,
-           ROUND((n * sab - sa * sb)
+           (ROUND(((n * sab - sa * sb)
              / (SQRT(n * saa - sa * sa) * SQRT(n * sbb - sb * sb))
-             , 9) AS spearman_rho
+             ) * 1e9) / 1e9 + 0.0) AS spearman_rho
     FROM m
     """,
 )
@@ -1339,12 +1339,12 @@ def stat_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(dims.ns AS INT) AS n_sources,
            CAST(dims.nl AS INT) AS n_langs,
            CAST(SUM(mi_term) AS DOUBLE) AS mi_bits,
-           ROUND(CAST(SUM(mi_term) AS DOUBLE)
-               / CAST(SUM(hxy_term) AS DOUBLE), 9) AS nmi_joint,
-           ROUND(SQRT(CAST(SUM(CAST(ROUND(chi_term, 6) AS DECIMAL(20,6))) AS DOUBLE)
+           (ROUND((CAST(SUM(mi_term) AS DOUBLE)
+               / CAST(SUM(hxy_term) AS DOUBLE)) * 1e9) / 1e9 + 0.0) AS nmi_joint,
+           (ROUND((SQRT(CAST(SUM(CAST(ROUND(chi_term, 6) AS DECIMAL(20,6))) AS DOUBLE)
                 / dims.n
                 / (CASE WHEN dims.ns < dims.nl THEN dims.ns ELSE dims.nl END - 1))
-               , 9) AS cramers_v
+               ) * 1e9) / 1e9 + 0.0) AS cramers_v
     FROM terms, dims
     GROUP BY dims.n, dims.ns, dims.nl
     """,
@@ -1397,9 +1397,8 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.countDistinct("source").cast("int").alias("n_sources"),
         F.countDistinct("lang").cast("int").alias("n_langs"),
         F.sum("mi_term").cast("double").alias("mi_bits"),
-        F.round(
-            F.sum("mi_term").cast("double") / F.sum("hxy_term").cast("double"), 9
-        ).alias("nmi_joint"),
+        round9(
+            F.sum("mi_term").cast("double") / F.sum("hxy_term").cast("double")).alias("nmi_joint"),
         F.sum("chi_term").cast("double").alias("chi2"),
     )
     k = F.when(F.col("n_sources") < F.col("n_langs"), F.col("n_sources")).otherwise(
@@ -1411,7 +1410,7 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_langs",
         "mi_bits",
         "nmi_joint",
-        F.round(F.sqrt(F.col("chi2") / F.col("n_docs") / (k - 1)), 9).alias(
+        round9(F.sqrt(F.col("chi2") / F.col("n_docs") / (k - 1))).alias(
             "cramers_v"
         ),
     )
@@ -1430,8 +1429,8 @@ def stat_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT source,
            CAST(MIN(n) AS BIGINT) AS n_docs,
            CAST(SUM(x) AS BIGINT) AS total_chars,
-           ROUND(CAST(2 * SUM(rk * x) - (MIN(n) + 1) * SUM(x) AS DOUBLE)
-               / (MIN(n) * SUM(x)), 9) AS gini
+           (ROUND((CAST(2 * SUM(rk * x) - (MIN(n) + 1) * SUM(x) AS DOUBLE)
+               / (MIN(n) * SUM(x))) * 1e9) / 1e9 + 0.0) AS gini
     FROM ranked
     GROUP BY source
     """,
@@ -1493,11 +1492,11 @@ def stat_gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cnt GROUP BY event_type
     )
     SELECT event_type, n_events, n_minutes, n_active_minutes,
-           ROUND(CAST(n_events AS DOUBLE) / n_minutes, 9) AS mean_per_minute,
-           ROUND((CAST(s2 AS DOUBLE) / n_minutes
+           (ROUND((CAST(n_events AS DOUBLE) / n_minutes) * 1e9) / 1e9 + 0.0) AS mean_per_minute,
+           (ROUND(((CAST(s2 AS DOUBLE) / n_minutes
               - (CAST(n_events AS DOUBLE) / n_minutes)
                 * (CAST(n_events AS DOUBLE) / n_minutes))
-             / (CAST(n_events AS DOUBLE) / n_minutes), 9) AS fano_factor
+             / (CAST(n_events AS DOUBLE) / n_minutes)) * 1e9) / 1e9 + 0.0) AS fano_factor
     FROM agg
     """,
 )
@@ -1529,10 +1528,9 @@ def stat_arrival_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_events",
         "n_minutes",
         "n_active_minutes",
-        F.round(mean, 9).alias("mean_per_minute"),
-        F.round(
-            (F.col("s2").cast("double") / F.col("n_minutes") - mean * mean) / mean, 9
-        ).alias("fano_factor"),
+        round9(mean).alias("mean_per_minute"),
+        round9(
+            (F.col("s2").cast("double") / F.col("n_minutes") - mean * mean) / mean).alias("fano_factor"),
     )
 
 
@@ -1615,7 +1613,7 @@ def _boot_oracle() -> str:
         FROM v JOIN m ON 1 = 1
     )
     SELECT n_rows, mean_cents, mbar AS boot_mean_cents,
-           ROUND(boot_se_cents, 9) AS boot_se_cents
+           (ROUND((boot_se_cents) * 1e9) / 1e9 + 0.0) AS boot_se_cents
     FROM f
     """
 
@@ -1661,7 +1659,7 @@ def stat_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_rows",
         "mean_cents",
         F.col("mbar").alias("boot_mean_cents"),
-        F.round(F.expr(f"sqrt({_boot_var_chain()})"), 9).alias("boot_se_cents"),
+        round9(F.expr(f"sqrt({_boot_var_chain()})")).alias("boot_se_cents"),
     )
 
 
@@ -1686,15 +1684,15 @@ def stat_bootstrap_se(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(n1 AS BIGINT) AS n_a, CAST(n2 AS BIGINT) AS n_b,
-           ROUND((s1 / n1) / 100.0, 9) AS mean_a,
-           ROUND((2.7963852180769197
+           (ROUND(((s1 / n1) / 100.0) * 1e9) / 1e9 + 0.0) AS mean_a,
+           (ROUND(((2.7963852180769197
             * SQRT((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
                    + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2)) / 100.0
-             , 9) AS mde_abs,
-           ROUND((2.7963852180769197
+             ) * 1e9) / 1e9 + 0.0) AS mde_abs,
+           (ROUND(((2.7963852180769197
             * SQRT((q1 - s1 * s1 / n1) / (n1 - 1.0) / n1
                    + (q2 - s2 * s2 / n2) / (n2 - 1.0) / n2)) / (s1 / n1)
-             , 9) AS mde_rel
+             ) * 1e9) / 1e9 + 0.0) AS mde_rel
     FROM m
     """,
 )
@@ -1728,9 +1726,9 @@ def stat_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "CAST(n1 AS BIGINT) AS n_a",
         "CAST(n2 AS BIGINT) AS n_b",
-        "ROUND((s1 / n1) / 100.0, 9) AS mean_a",
-        f"ROUND((2.7963852180769197 * {se}) / 100.0, 9) AS mde_abs",
-        f"ROUND((2.7963852180769197 * {se}) / (s1 / n1), 9) AS mde_rel",
+        "(ROUND(((s1 / n1) / 100.0) * 1e9) / 1e9 + 0.0) AS mean_a",
+        f"(ROUND(((2.7963852180769197 * {se}) / 100.0) * 1e9) / 1e9 + 0.0) AS mde_abs",
+        f"(ROUND(((2.7963852180769197 * {se}) / (s1 / n1)) * 1e9) / 1e9 + 0.0) AS mde_rel",
     )
 
 
@@ -1758,15 +1756,15 @@ def stat_ab_power_mde(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM per_user
     )
     SELECT CAST(n AS BIGINT) AS n_users,
-           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 9) AS theta,
+           (ROUND(((n * sxy - sx * sy) / (n * sxx - sx * sx)) * 1e9) / 1e9 + 0.0) AS theta,
            (syy - sy * sy / n) / (n - 1.0) AS var_post,
            ((syy - sy * sy / n)
             - (n * sxy - sx * sy) / (n * sxx - sx * sx)
               * (sxy - sx * sy / n)) / (n - 1.0) AS var_cuped,
-           ROUND(1.0 - (((syy - sy * sy / n)
+           (ROUND((1.0 - (((syy - sy * sy / n)
                    - (n * sxy - sx * sy) / (n * sxx - sx * sx)
                      * (sxy - sx * sy / n)) / (n - 1.0))
-                 / ((syy - sy * sy / n) / (n - 1.0)), 9) AS variance_reduction
+                 / ((syy - sy * sy / n) / (n - 1.0))) * 1e9) / 1e9 + 0.0) AS variance_reduction
     FROM m
     """,
 )
@@ -1808,10 +1806,10 @@ def stat_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
     # their protection (registry.ROUND9_EXEMPT).
     return m.selectExpr(
         "CAST(n AS BIGINT) AS n_users",
-        f"ROUND({theta}, 9) AS theta",
+        f"(ROUND(({theta}) * 1e9) / 1e9 + 0.0) AS theta",
         f"{var_post} AS var_post",
         f"{var_cuped} AS var_cuped",
-        f"ROUND(1.0 - ({var_cuped}) / ({var_post}), 9) AS variance_reduction",
+        f"(ROUND((1.0 - ({var_cuped}) / ({var_post})) * 1e9) / 1e9 + 0.0) AS variance_reduction",
     )
 
 
@@ -1829,11 +1827,11 @@ def stat_cuped_variance_reduction(spark: SparkSession, sf_dir: str) -> DataFrame
         FROM arms
     )
     SELECT n0 AS n_arm_a, n1 AS n_arm_b,
-           ROUND((CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)
+           (ROUND(((CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)
             * CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)) / ((n0 + n1) / 2.0)
            + (CAST(n1 - (n0 + n1) / 2.0 AS DOUBLE)
               * CAST(n1 - (n0 + n1) / 2.0 AS DOUBLE)) / ((n0 + n1) / 2.0)
-             , 9) AS chi2,
+             ) * 1e9) / 1e9 + 0.0) AS chi2,
            ((CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)
              * CAST(n0 - (n0 + n1) / 2.0 AS DOUBLE)) / ((n0 + n1) / 2.0)
             + (CAST(n1 - (n0 + n1) / 2.0 AS DOUBLE)
@@ -1868,7 +1866,7 @@ def stat_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
     return w.selectExpr(
         "n0 AS n_arm_a",
         "n1 AS n_arm_b",
-        f"ROUND({chi2}, 9) AS chi2",
+        f"(ROUND(({chi2}) * 1e9) / 1e9 + 0.0) AS chi2",
         f"({chi2}) > 3.841458820694124 AS srm_detected",
     )
 
@@ -1908,10 +1906,10 @@ def stat_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM m
     )
     SELECT n_rows,
-           ROUND((m11 - m10) / 100.0, 9) AS treated_delta,
-           ROUND((m01 - m00) / 100.0, 9) AS control_delta,
-           ROUND(((m11 - m10) - (m01 - m00)) / 100.0, 9) AS did_estimate,
-           ROUND(SQRT(v11 + v10 + v01 + v00) / 100.0, 9) AS did_se
+           (ROUND(((m11 - m10) / 100.0) * 1e9) / 1e9 + 0.0) AS treated_delta,
+           (ROUND(((m01 - m00) / 100.0) * 1e9) / 1e9 + 0.0) AS control_delta,
+           (ROUND((((m11 - m10) - (m01 - m00)) / 100.0) * 1e9) / 1e9 + 0.0) AS did_estimate,
+           (ROUND((SQRT(v11 + v10 + v01 + v00) / 100.0) * 1e9) / 1e9 + 0.0) AS did_se
     FROM w
     """,
 )
@@ -1967,10 +1965,10 @@ def stat_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return w.selectExpr(
         "n_rows",
-        "ROUND((m11 - m10) / 100.0, 9) AS treated_delta",
-        "ROUND((m01 - m00) / 100.0, 9) AS control_delta",
-        "ROUND(((m11 - m10) - (m01 - m00)) / 100.0, 9) AS did_estimate",
-        "ROUND(SQRT(v11 + v10 + v01 + v00) / 100.0, 9) AS did_se",
+        "(ROUND(((m11 - m10) / 100.0) * 1e9) / 1e9 + 0.0) AS treated_delta",
+        "(ROUND(((m01 - m00) / 100.0) * 1e9) / 1e9 + 0.0) AS control_delta",
+        "(ROUND((((m11 - m10) - (m01 - m00)) / 100.0) * 1e9) / 1e9 + 0.0) AS did_estimate",
+        "(ROUND((SQRT(v11 + v10 + v01 + v00) / 100.0) * 1e9) / 1e9 + 0.0) AS did_se",
     )
 
 

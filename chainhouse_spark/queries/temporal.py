@@ -9,6 +9,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chainhouse_spark.operators.asof import asof_join, asof_join_forward, range_join
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import register
 from chainhouse_spark.tables import load_table
 
@@ -389,7 +390,7 @@ def interval_overlap_join_binned(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(COUNT(*) AS BIGINT) AS n_purchases,
            CAST(COUNT(click_id) AS BIGINT) AS n_matched,
-           ROUND(CAST(COUNT(click_id) AS DOUBLE) / COUNT(*), 9) AS match_rate,
+           (ROUND((CAST(COUNT(click_id) AS DOUBLE) / COUNT(*)) * 1e9) / 1e9 + 0.0) AS match_rate,
            CAST(SUM(CASE WHEN click_id IS NOT NULL
                          THEN CAST(FLOOR(epoch(purchase_ts)) AS BIGINT)
                               - CAST(FLOOR(epoch(click_ts)) AS BIGINT)
@@ -445,9 +446,8 @@ def asof_tolerance_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     return tol.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_purchases"),
         F.count("click_id").cast("bigint").alias("n_matched"),
-        F.round(
-            F.count("click_id").cast("double") / F.count(F.lit(1)), 9
-        ).alias("match_rate"),
+        round9(
+            F.count("click_id").cast("double") / F.count(F.lit(1))).alias("match_rate"),
         F.sum(
             F.when(
                 F.col("click_id").isNotNull(),

@@ -15,6 +15,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
@@ -333,7 +334,7 @@ _INTERP = """
               (ORDER BY idx ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_i
         FROM base
     )
-    SELECT hour, ROUND(v, 9) AS observed, ROUND({_INTERP}, 9) AS filled FROM nb
+    SELECT hour, (ROUND((v) * 1e9) / 1e9 + 0.0) AS observed, (ROUND(({_INTERP}) * 1e9) / 1e9 + 0.0) AS filled FROM nb
     """,
 )
 def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -386,7 +387,7 @@ def ts_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
                   (ORDER BY idx ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING) AS next_i
             FROM _ts_interp_base
         )
-        SELECT hour, ROUND(v, 9) AS observed, ROUND({_INTERP}, 9) AS filled FROM nb
+        SELECT hour, (ROUND((v) * 1e9) / 1e9 + 0.0) AS observed, (ROUND(({_INTERP}) * 1e9) / 1e9 + 0.0) AS filled FROM nb
         """
     )
 
@@ -687,7 +688,7 @@ def _duck_arr_median(arr: str) -> str:
                {_duck_arr_median('list_transform(arr, x -> abs(x - med))')} AS mad
         FROM med
     )
-    SELECT event_id, event_type, value, med, ROUND(mad, 9) AS mad,
+    SELECT event_id, event_type, value, med, (ROUND((mad) * 1e9) / 1e9 + 0.0) AS mad,
            ABS(value - med) > 3.0 * 1.4826 * mad AS is_anomaly
     FROM mad
     WHERE ABS(value - med) > 3.0 * 1.4826 * mad
@@ -731,7 +732,7 @@ def ts_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         # emitted column rounds (even-frame medians average two floats)
         .select(
             "event_id", "event_type", "value", "med",
-            F.round("mad", 9).alias("mad"), "is_anomaly",
+            round9("mad").alias("mad"), "is_anomaly",
         )
     )
 
@@ -842,8 +843,8 @@ def ts_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(COUNT(*) AS BIGINT) AS n_scored,
-           ROUND(CAST(SUM(ABS(v - pred)) AS DOUBLE) / COUNT(*), 9) AS mae,
-           ROUND(CAST(SUM(ABS(v - pred)) AS DOUBLE) / CAST(SUM(v) AS DOUBLE), 9) AS wape
+           (ROUND((CAST(SUM(ABS(v - pred)) AS DOUBLE) / COUNT(*)) * 1e9) / 1e9 + 0.0) AS mae,
+           (ROUND((CAST(SUM(ABS(v - pred)) AS DOUBLE) / CAST(SUM(v) AS DOUBLE)) * 1e9) / 1e9 + 0.0) AS wape
     FROM lagged WHERE pred IS NOT NULL
     GROUP BY event_type
     """,
@@ -916,15 +917,15 @@ def ts_seasonal_naive_error(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM lagged GROUP BY event_type
     )
     SELECT event_type, n,
-           ROUND((sk1 - (CAST(s1 AS DOUBLE) / n) * (h1 + t1)
+           (ROUND(((sk1 - (CAST(s1 AS DOUBLE) / n) * (h1 + t1)
                 + (n - 1) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 9) AS acf_1,
-           ROUND((sk2 - (CAST(s1 AS DOUBLE) / n) * (h2 + t2)
+             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) * 1e9) / 1e9 + 0.0) AS acf_1,
+           (ROUND(((sk2 - (CAST(s1 AS DOUBLE) / n) * (h2 + t2)
                 + (n - 2) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 9) AS acf_2,
-           ROUND((sk3 - (CAST(s1 AS DOUBLE) / n) * (h3 + t3)
+             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) * 1e9) / 1e9 + 0.0) AS acf_2,
+           (ROUND(((sk3 - (CAST(s1 AS DOUBLE) / n) * (h3 + t3)
                 + (n - 3) * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))
-             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n)), 9) AS acf_3
+             / (s2 - n * (CAST(s1 AS DOUBLE) / n) * (CAST(s1 AS DOUBLE) / n))) * 1e9) / 1e9 + 0.0) AS acf_3
     FROM agg
     """,
 )
@@ -982,7 +983,7 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
             - mu * (F.col(f"h{k}") + F.col(f"t{k}"))
             + (F.col("n") - k) * mu * mu
         )
-        out.append(F.round(num / den, 9).alias(f"acf_{k}"))
+        out.append(round9(num / den).alias(f"acf_{k}"))
     return agg.select(*out)
 
 
@@ -1038,14 +1039,14 @@ def ts_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT event_type,
            CAST(SUM(n_rows) AS BIGINT) AS n_hours,
-           ROUND(CAST(CAST(SUM(sdd) AS DECIMAL(38,12)) AS DOUBLE) / SUM(n_rows)
-             , 9) AS var_detrended,
-           ROUND(CAST(CAST(SUM(ssr) AS DECIMAL(38,9)) AS DOUBLE) / SUM(n_rows)
-             , 9) AS var_remainder,
-           ROUND(GREATEST(0.0, 1.0
+           (ROUND((CAST(CAST(SUM(sdd) AS DECIMAL(38,12)) AS DOUBLE) / SUM(n_rows)
+             ) * 1e9) / 1e9 + 0.0) AS var_detrended,
+           (ROUND((CAST(CAST(SUM(ssr) AS DECIMAL(38,9)) AS DOUBLE) / SUM(n_rows)
+             ) * 1e9) / 1e9 + 0.0) AS var_remainder,
+           (ROUND((GREATEST(0.0, 1.0
                - (CAST(CAST(SUM(ssr) AS DECIMAL(38,9)) AS DOUBLE) / SUM(n_rows))
                / (CAST(CAST(SUM(sdd) AS DECIMAL(38,12)) AS DOUBLE) / SUM(n_rows)))
-             , 9) AS seasonality_strength
+             ) * 1e9) / 1e9 + 0.0) AS seasonality_strength
     FROM rem_hod GROUP BY event_type
     """,
 )
@@ -1117,10 +1118,10 @@ def ts_seasonality_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     var_r = "CAST(CAST(SUM(ssr) AS DECIMAL(38,9)) AS DOUBLE) / SUM(n_rows)"
     return rem_hod.groupBy("event_type").agg(
         F.sum("n_rows").cast("bigint").alias("n_hours"),
-        F.expr(f"ROUND({var_d}, 9)").alias("var_detrended"),
-        F.expr(f"ROUND({var_r}, 9)").alias("var_remainder"),
+        F.expr(f"(ROUND(({var_d}) * 1e9) / 1e9 + 0.0)").alias("var_detrended"),
+        F.expr(f"(ROUND(({var_r}) * 1e9) / 1e9 + 0.0)").alias("var_remainder"),
         F.expr(
-            f"ROUND(GREATEST(0.0, 1.0 - ({var_r}) / ({var_d})), 9)"
+            f"(ROUND((GREATEST(0.0, 1.0 - ({var_r}) / ({var_d}))) * 1e9) / 1e9 + 0.0)"
         ).alias("seasonality_strength"),
     )
 
@@ -1289,7 +1290,7 @@ def ts_trend_slope_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
            CAST(COUNT(*) AS BIGINT) AS n_hours,
            CAST(SUM(CASE WHEN ABS(z) > 3.0 THEN 1 ELSE 0 END) AS BIGINT)
              AS n_anomalous,
-           ROUND(MAX(ABS(z)), 9) AS max_abs_z
+           (ROUND((MAX(ABS(z))) * 1e9) / 1e9 + 0.0) AS max_abs_z
     FROM z GROUP BY event_type
     """,
 )
@@ -1335,7 +1336,7 @@ def ts_anomaly_seasonal_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.abs(F.col("z")) > 3.0, 1).otherwise(0))
         .cast("bigint")
         .alias("n_anomalous"),
-        F.round(F.max(F.abs(F.col("z"))), 9).alias("max_abs_z"),
+        round9(F.max(F.abs(F.col("z")))).alias("max_abs_z"),
     )
 
 

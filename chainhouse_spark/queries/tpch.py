@@ -42,7 +42,7 @@ _DISC = "CAST(l_discount AS DECIMAL(4,2))"
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) AS sum_base_price,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2))) AS DOUBLE) AS sum_disc_price,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2)) * CAST(1 - l_discount AS DECIMAL(4,2)) * CAST(1 + l_tax AS DECIMAL(4,2))) AS DOUBLE) AS sum_charge,
-        ROUND(CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*), 9) AS avg_qty,
+        (ROUND((CAST(SUM(CAST(l_quantity AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*)) * 1e9) / 1e9 + 0.0) AS avg_qty,
         CAST(SUM(CAST(l_extendedprice AS DECIMAL(12,2))) AS DOUBLE) / COUNT(*) AS avg_price,
         COUNT(*) AS count_order
     FROM lineitem
@@ -61,7 +61,7 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.expr(f"CAST(SUM({_PRICE}) AS DOUBLE)").alias("sum_base_price"),
             F.expr(f"CAST(SUM({_PRICE} * {_DISC_F}) AS DOUBLE)").alias("sum_disc_price"),
             F.expr(f"CAST(SUM({_PRICE} * {_DISC_F} * {_TAX_F}) AS DOUBLE)").alias("sum_charge"),
-            F.expr(f"ROUND(CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*), 9)").alias("avg_qty"),
+            F.expr(f"(ROUND((CAST(SUM({_QTY}) AS DOUBLE) / COUNT(*)) * 1e9) / 1e9 + 0.0)").alias("avg_qty"),
             F.expr(f"CAST(SUM({_PRICE}) AS DOUBLE) / COUNT(*)").alias("avg_price"),
             F.count(F.lit(1)).alias("count_order"),
         )

@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import register
 from chainhouse_spark.tables import load_table
 
@@ -65,7 +66,7 @@ def _supply(spark: SparkSession, sf_dir: str) -> DataFrame:
       WHERE r_name = 'EUROPE'
     )
     SELECT s_acctbal, s_name, n_name, p_partkey, p_brand,
-           ROUND(CAST(unit_cost AS DOUBLE), 9) AS unit_cost
+           (ROUND((CAST(unit_cost AS DOUBLE)) * 1e9) / 1e9 + 0.0) AS unit_cost
     FROM part
     JOIN supply ON p_partkey = l_partkey
     JOIN eu ON l_suppkey = s_suppkey
@@ -108,7 +109,7 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .select(
             "s_acctbal", "s_name", "n_name", "p_partkey", "p_brand",
-            F.round(F.col("unit_cost").cast("double"), 9).alias("unit_cost"),
+            round9(F.col("unit_cost").cast("double")).alias("unit_cost"),
         )
         .orderBy(F.desc("s_acctbal"), "n_name", "s_name", "p_partkey")
         .limit(100)

@@ -218,8 +218,8 @@ def q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "q14_promo_revenue",
     oracle=f"""
-    SELECT ROUND(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
-           / CAST(SUM({_REV}) AS DOUBLE), 9) AS promo_revenue
+    SELECT (ROUND((100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE)
+           / CAST(SUM({_REV}) AS DOUBLE)) * 1e9) / 1e9 + 0.0) AS promo_revenue
     FROM lineitem, part
     WHERE l_partkey = p_partkey
       AND l_shipdate >= TIMESTAMP '1996-09-01 00:00:00'
@@ -239,9 +239,9 @@ def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(p), F.col("l_partkey") == F.col("p_partkey"))
         .agg(
             F.expr(
-                f"ROUND(100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} "
+                f"(ROUND((100.00 * CAST(SUM(CASE WHEN p_type = 'PROMO' THEN {_REV} "
                 f"ELSE CAST(0 AS DECIMAL(12,2)) END) AS DOUBLE) "
-                f"/ CAST(SUM({_REV}) AS DOUBLE), 9)"
+                f"/ CAST(SUM({_REV}) AS DOUBLE)) * 1e9) / 1e9 + 0.0)"
             ).alias("promo_revenue")
         )
     )

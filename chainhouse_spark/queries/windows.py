@@ -16,6 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from chainhouse_spark.functions.rounding import round9
 from chainhouse_spark.queries.registry import register
 from chainhouse_spark.tables import load_table
 
@@ -226,8 +227,8 @@ def window_range_interval_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     SELECT o_orderkey,
            o_orderpriority,
-           ROUND(percent_rank() OVER w, 9) AS pct_rank,
-           ROUND(cume_dist() OVER w, 9) AS cume,
+           (ROUND((percent_rank() OVER w) * 1e9) / 1e9 + 0.0) AS pct_rank,
+           (ROUND((cume_dist() OVER w) * 1e9) / 1e9 + 0.0) AS cume,
            nth_value(o_orderkey, 3) OVER w AS third_key
     FROM orders
     WHERE o_orderkey < 2000
@@ -243,8 +244,8 @@ def window_rank_fractions(spark: SparkSession, sf_dir: str) -> DataFrame:
     return o.select(
         "o_orderkey",
         "o_orderpriority",
-        F.round(F.percent_rank().over(w), 9).alias("pct_rank"),
-        F.round(F.cume_dist().over(w), 9).alias("cume"),
+        round9(F.percent_rank().over(w)).alias("pct_rank"),
+        round9(F.cume_dist().over(w)).alias("cume"),
         F.nth_value("o_orderkey", 3).over(w).alias("third_key"),
     )
 
@@ -346,13 +347,13 @@ def window_cumulative_distinct_users(spark: SparkSession, sf_dir: str) -> DataFr
     )
     SELECT event_type, t, event_id,
            CAST(n AS BIGINT) AS n_window,
-           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+           (ROUND(((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
               - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
            / (SQRT(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
                      - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
             * SQRT(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
                      - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))
-             , 9) AS rolling_corr
+             ) * 1e9) / 1e9 + 0.0) AS rolling_corr
     FROM roll WHERE n = 30
     """,
 )
@@ -399,7 +400,7 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
         "t",
         "event_id",
         F.col("n").cast("bigint").alias("n_window"),
-        F.round(corr, 9).alias("rolling_corr"),
+        round9(corr).alias("rolling_corr"),
     )
 
 
@@ -407,10 +408,10 @@ def window_rolling_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_moving_median",
     oracle="""
     SELECT user_id, event_id,
-           ROUND(MEDIAN(value) OVER (
+           (ROUND((MEDIAN(value) OVER (
                PARTITION BY user_id ORDER BY ts, event_id
                ROWS BETWEEN 14 PRECEDING AND CURRENT ROW
-           ), 9) AS med15
+           )) * 1e9) / 1e9 + 0.0) AS med15
     FROM events
     """,
 )
@@ -448,5 +449,5 @@ def window_moving_median(spark: SparkSession, sf_dir: str) -> DataFrame:
             / 2.0
         )
         .alias("med15"),
-    ).withColumn("med15", F.round("med15", 9)
+    ).withColumn("med15", round9("med15")
     )

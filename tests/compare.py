@@ -10,16 +10,18 @@ local parity suite passes, but a local pass has always implied a driver
 pass. Queries meet this bar via the round-at-9 convention — float outputs
 are rounded at 9 decimal digits by association-identical formulas on both
 the Spark and oracle sides (audited by ``tools/float_convention_sweep.py``
-and gated per-query in test_oracle_parity.py). Rounding shrinks the
-divergence surface; it is NOT an absolute guarantee: Spark's round(x, 9)
-(BigDecimal HALF_UP on the shortest repr) and DuckDB's ROUND(x, 9)
-(multiply/round/divide) agree only while |x|*1e9 stays well inside 2^53 —
-safe below ~1e6, measurably divergent from ~3e6 on adversarial 9th-digit
-ties. Magnitude-unbounded columns are therefore exempt (documented in
-``queries.registry.ROUND9_EXEMPT``) and rely on the underlying rule that
-rounding merely backs up: the Spark and oracle formulas must stay
-association-identical, so both engines compute the same double before any
-rounding at all.
+and gated per-query in test_oracle_parity.py). The rounding itself uses
+the product-space scheme ``ROUND(x * 1e9) / 1e9 + 0.0``
+(``chainhouse_spark.functions.rounding``) — plain ROUND(x, 9) resolves
+9th-digit ties differently per engine (measured 9/3M divergence on
+natural doubles even below |x|=1e3, plus a -0.0 class), while the
+product-space form makes both engines round the same double with the
+same tie rule, so agreement is deterministic
+(tests/test_round_convention.py). Magnitude-unbounded columns are exempt
+(documented in ``queries.registry.ROUND9_EXEMPT``) and rely on the
+underlying rule that rounding merely backs up: the Spark and oracle
+formulas must stay association-identical, so both engines compute the
+same double before any rounding at all.
 """
 
 from __future__ import annotations

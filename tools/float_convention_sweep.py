@@ -6,12 +6,13 @@ Convention (see tests/compare.py): every float column a query emits should
 be rounded at 9 decimal digits in BOTH the Spark expression and the oracle
 SQL, so that a future re-association of one side's formula cannot silently
 re-arm a last-ulp divergence (the round-7 ``ts_trend_slope_by_type``
-class). Rounding REDUCES the divergence surface; it is not an absolute
-guarantee: Spark rounds via BigDecimal HALF_UP on the shortest decimal
-repr while DuckDB multiplies/divides by 1e9, so the two engines agree only
-while |value|*1e9 stays well inside 2^53 (safe ≲1e6; measured divergence
-from ~3e6 on adversarial 9th-digit ties). Columns whose magnitude can
-exceed that bound are DELIBERATELY unrounded and documented in
+class). Rounding uses the product-space scheme ``ROUND(x*1e9)/1e9 + 0.0``
+(``chainhouse_spark.functions.rounding`` — round9 / round9_sql): plain
+ROUND(x, 9) resolves 9th-digit ties differently per engine and diverges
+on signed zero, while the product-space form is deterministically
+cross-engine-exact (tests/test_round_convention.py). Columns whose
+magnitude can exceed ~9e6 (where rounding degenerates to identity) are
+DELIBERATELY unrounded and documented in
 ``chainhouse_spark.queries.registry.ROUND9_EXEMPT`` — for them the
 protection is the original rule (association-identical formulas on both
 sides), and this sweep skips them.
