@@ -51,6 +51,21 @@ def main() -> int:
     sys.path.insert(0, root)
     from chainhouse_spark.queries import QUERIES  # noqa: E402
 
+    # Carry-over obligation: queries whose OUTPUT changed in a prior round
+    # but fell outside that round's ~50-row driver window. They hold STALE
+    # green rows and must lead the next rotation before anything else.
+    try:
+        from chainhouse_spark.queries import _ROUND10_HEAD  # noqa: E402
+        if _ROUND10_HEAD:
+            print("# !! CARRY-OVER: these output-changed queries hold stale")
+            print("# !! green rows — they MUST lead the next rotation's front")
+            print("# !! (see the _ROUND10_HEAD comment in queries/__init__.py):")
+            for n in _ROUND10_HEAD:
+                print(f"# !!   {n}")
+            print()
+    except ImportError:
+        pass
+
     status: dict[str, tuple[int, str]] = {}
     for path in sorted(glob.glob(os.path.join(root, "CORRECTNESS_r*.json"))):
         rnd = int(re.search(r"_r(\d+)", path).group(1))
