@@ -109,6 +109,13 @@ def test_query_matches_oracle(name, spark, sf_dir, duck):
     sys.path.insert(0, str(_REPO / "tools"))
     from float_convention_sweep import flag_unrounded_cols
 
+    from chainhouse_spark.queries.registry import ROUND9_EXEMPT
+
+    stale_exempt = set(ROUND9_EXEMPT.get(name, {})) - set(spdf.columns)
+    assert not stale_exempt, (
+        f"{name}: ROUND9_EXEMPT names columns {sorted(stale_exempt)} that "
+        "the query no longer emits — update the exemption next to the query"
+    )
     unrounded_cols = flag_unrounded_cols(name, spdf)
     assert not unrounded_cols, (
         f"{name}: float columns {unrounded_cols} emit raw unrounded doubles "
