@@ -272,7 +272,9 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     coefficient of their neighborhoods |N(a)∩N(b)| / |N(a)∪N(b)| — the
     classic recommender primitives. Wedge endpoints enumerate the candidate
     set (an equi-join on the shared middle, the triangle machinery reused),
-    existing edges drop via an ANTI join, degrees join back broadcast-sized.
+    existing edges drop via an ANTI join, and the degree table (which grows
+    linearly with |nodes|) joins back equi-keyed with the broadcast-vs-
+    shuffle choice left to AQE — never force-broadcast.
     Jaccard is a single division of exact integers. Top-20 is an ordered
     limit, never a global sort."""
     e = _edges(spark, sf_dir).cache()
