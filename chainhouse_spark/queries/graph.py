@@ -816,3 +816,127 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
         .limit(20)
         .drop("__lift_raw")
     )
+
+
+
+@register(
+    "graph_modularity",
+    oracle="""
+    WITH op AS (SELECT DISTINCT l_orderkey, l_partkey FROM lineitem),
+    e AS (
+        SELECT DISTINCT a.l_partkey AS src, b.l_partkey AS dst
+        FROM op a JOIN op b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    sym AS (SELECT src AS node FROM e UNION ALL SELECT dst FROM e),
+    deg AS (SELECT node, CAST(COUNT(*) AS BIGINT) AS d FROM sym GROUP BY node),
+    nl AS (
+        SELECT deg.node, deg.d, p.p_brand AS cluster
+        FROM deg JOIN part p ON deg.node = p.p_partkey
+    ),
+    m AS (SELECT CAST(COUNT(*) AS BIGINT) AS m FROM e),
+    dc AS (
+        SELECT cluster, CAST(SUM(d) AS BIGINT) AS dc FROM nl GROUP BY cluster
+    ),
+    ec AS (
+        SELECT s.cluster, CAST(COUNT(*) AS BIGINT) AS ec
+        FROM e JOIN nl s ON e.src = s.node JOIN nl t ON e.dst = t.node
+        WHERE s.cluster = t.cluster
+        GROUP BY s.cluster
+    ),
+    comb AS (
+        SELECT dc.cluster, dc.dc, COALESCE(ec.ec, 0) AS ec FROM dc
+        LEFT JOIN ec ON dc.cluster = ec.cluster
+    ),
+    agg AS (
+        SELECT CAST((SELECT COUNT(*) FROM nl) AS BIGINT) AS n_nodes,
+               (SELECT m FROM m) AS n_edges,
+               CAST(COUNT(*) AS BIGINT) AS n_communities,
+               CAST(SUM(4 * (SELECT m FROM m) * ec - dc * dc) AS BIGINT)
+                 AS q_num
+        FROM comb
+    )
+    SELECT n_nodes, n_edges, n_communities,
+           (ROUND((CAST(q_num AS DOUBLE)
+              / (4.0 * n_edges * n_edges)) * 1e9) / 1e9 + 0.0) AS modularity
+    FROM agg
+    """,
+)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity of the BRAND partition measured on the co-purchase
+    graph — the partition-quality score that answers "do co-purchases
+    concentrate within brands, or is brand irrelevant to what ships
+    together?" (Q > 0: intra-brand edges exceed the degree-preserving
+    random expectation). Communities are the part's brand — a
+    deterministic label, so BOTH engines evaluate the identical partition
+    (an iterative community detector would be engine-specific; the
+    repo's connected-components/LPA queries cover that machinery, and any
+    label column can be swapped in). Q = sum_c (e_c/m - (deg_c/2m)^2) is
+    evaluated as ONE exact-integer numerator sum_c (4*m*e_c - deg_c^2)
+    over 4m^2 — a single float division at emission, nothing else to
+    round. Scale: membership and degree joins are node-keyed equi-joins
+    (AQE-decided, never force-broadcast — the membership table grows with
+    |nodes|); the intra-edge check ships two longs per edge through one
+    shuffle; the final sum is |communities| rows."""
+    li = load_table(spark, sf_dir, "lineitem")
+    part = load_table(spark, sf_dir, "part")
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    e = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .distinct()
+        # e and nl feed 3+ consumers each; checkpoint so the co-purchase
+        # self-join runs ONCE instead of once per branch (was 24 parquet
+        # scans re-derived from lineitem at plan time).
+        .localCheckpoint(eager=False)
+    )
+    sym = e.select(F.col("src").alias("node")).unionAll(
+        e.select(F.col("dst").alias("node"))
+    )
+    deg = sym.groupBy("node").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    nl = deg.join(
+        part.select(
+            F.col("p_partkey").alias("node"), F.col("p_brand").alias("cluster")
+        ),
+        "node",
+    ).localCheckpoint(eager=False)
+    m = e.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    dc = nl.groupBy("cluster").agg(F.sum("d").cast("bigint").alias("dc"))
+    ec = (
+        e.join(
+            nl.select(F.col("node").alias("src"), F.col("cluster").alias("cl_s")),
+            "src",
+        )
+        .join(
+            nl.select(F.col("node").alias("dst"), F.col("cluster").alias("cl_t")),
+            "dst",
+        )
+        .filter(F.col("cl_s") == F.col("cl_t"))
+        .groupBy(F.col("cl_s").alias("cluster"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("ec"))
+    )
+    comb = dc.join(ec, "cluster", "left_outer").select(
+        "cluster", "dc", F.coalesce("ec", F.lit(0)).cast("bigint").alias("ec")
+    )
+    n_nodes = nl.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+    agg = comb.crossJoin(m).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_communities"),
+        F.sum(4 * F.col("m") * F.col("ec") - F.col("dc") * F.col("dc"))
+        .cast("bigint")
+        .alias("q_num"),
+        F.min("m").cast("bigint").alias("n_edges"),
+    )
+    return n_nodes.crossJoin(agg).selectExpr(
+        "n_nodes",
+        "n_edges",
+        "n_communities",
+        "(ROUND((CAST(q_num AS DOUBLE) / (4.0 * n_edges * n_edges)) * 1e9)"
+        " / 1e9 + 0.0) AS modularity",
+    )

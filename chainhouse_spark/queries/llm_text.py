@@ -865,3 +865,63 @@ def text_boilerplate_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_docs"), F.asc("ngram"))
         .limit(50)
     )
+
+
+@register(
+    "text_simpson_diversity",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH tok AS (
+        SELECT lang, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    freq AS (
+        SELECT lang, token, CAST(COUNT(*) AS BIGINT) AS n_i
+        FROM tok WHERE token <> '' GROUP BY lang, token
+    ),
+    agg AS (
+        SELECT lang,
+               CAST(SUM(n_i) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_types,
+               CAST(SUM(n_i * (n_i - 1)) AS BIGINT) AS s2
+        FROM freq GROUP BY lang
+    )
+    SELECT lang, n_tokens, n_types,
+           (ROUND((CAST(s2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE)
+              * (n_tokens - 1.0))) * 1e9) / 1e9 + 0.0) AS simpson_lambda,
+           (ROUND(((CAST(n_tokens AS DOUBLE) * (n_tokens - 1.0))
+              / CAST(s2 AS DOUBLE)) * 1e9) / 1e9 + 0.0) AS inv_simpson
+    FROM agg
+    """,
+)
+def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Simpson's lexical diversity per language: lambda = the probability
+    two tokens drawn without replacement are the same type (sum n_i(n_i-1)
+    / N(N-1)), and its inverse — the "effective vocabulary size" a corpus
+    mix report puts next to hapax ratio and Zipf fit (lambda is length-
+    robust where raw TTR collapses on long corpora). The unbiased
+    formulation keeps everything EXACT integers: per-(lang, token)
+    frequencies, then one bigint sum of n_i(n_i-1) per language — the
+    only float ops are the two final single divisions. Scale: the same
+    two map-side-combinable shuffles as TF-IDF (token counts, then
+    language rollup); no row ever carries more than three longs."""
+    d = load_table(spark, sf_dir, "documents")
+    freq = (
+        d.select("lang", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_i"))
+    )
+    agg = freq.groupBy("lang").agg(
+        F.sum("n_i").cast("bigint").alias("n_tokens"),
+        F.count(F.lit(1)).cast("bigint").alias("n_types"),
+        F.sum(F.col("n_i") * (F.col("n_i") - 1)).cast("bigint").alias("s2"),
+    )
+    return agg.selectExpr(
+        "lang",
+        "n_tokens",
+        "n_types",
+        "(ROUND((CAST(s2 AS DOUBLE) / (CAST(n_tokens AS DOUBLE)"
+        " * (n_tokens - 1.0))) * 1e9) / 1e9 + 0.0) AS simpson_lambda",
+        "(ROUND(((CAST(n_tokens AS DOUBLE) * (n_tokens - 1.0))"
+        " / CAST(s2 AS DOUBLE)) * 1e9) / 1e9 + 0.0) AS inv_simpson",
+    )

@@ -769,3 +769,138 @@ def eval_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             (2.0 * F.sum("conc") - F.count(F.lit(1))) / F.count(F.lit(1)), 9
         ).alias("kendall_tau"),
     )
+
+
+# Precision-at-k term for MAP, product-space-rounded (the repo round-at-9
+# scheme) then DECIMAL-summed so cross-engine float order can't move AP.
+_AP_TERM = (
+    "CAST((ROUND((CAST({h} AS DOUBLE) / {r}) * 1e9) / 1e9 + 0.0)"
+    " AS DECIMAL(12,9))"
+)
+
+
+@register(
+    "eval_retrieval_map",
+    oracle=f"""
+    WITH dots AS (
+        SELECT q.vec_id AS query_id, q.label AS q_label,
+               c.vec_id AS cand_id, c.label AS c_label,
+               SUM(CAST(q.embedding[i.i] AS DOUBLE)
+                   * CAST(c.embedding[i.i] AS DOUBLE) ORDER BY i.i) AS dot,
+               SUM(CAST(q.embedding[i.i] AS DOUBLE)
+                   * CAST(q.embedding[i.i] AS DOUBLE) ORDER BY i.i) AS qq,
+               SUM(CAST(c.embedding[i.i] AS DOUBLE)
+                   * CAST(c.embedding[i.i] AS DOUBLE) ORDER BY i.i) AS cc
+        FROM embeddings q, embeddings c,
+             (SELECT UNNEST(range(1, 65)) AS i) i
+        WHERE q.vec_id < 8 AND c.vec_id >= 8
+        GROUP BY 1, 2, 3, 4
+    ),
+    ranked AS (
+        SELECT query_id, q_label, cand_id,
+               CASE WHEN c_label = q_label THEN 1 ELSE 0 END AS rel,
+               ROW_NUMBER() OVER (
+                   PARTITION BY query_id
+                   ORDER BY dot / (sqrt(qq) * sqrt(cc)) DESC, cand_id
+               ) AS rank
+        FROM dots
+    ),
+    hits AS (
+        SELECT query_id, rel, rank,
+               SUM(rel) OVER (
+                   PARTITION BY query_id ORDER BY rank
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS h
+        FROM ranked WHERE rank <= 10
+    ),
+    n_rel AS (
+        SELECT q.vec_id AS query_id,
+               CAST(COUNT(*) FILTER (WHERE c.label = q.label) AS BIGINT)
+                 AS n_rel_corpus
+        FROM embeddings q, embeddings c
+        WHERE q.vec_id < 8 AND c.vec_id >= 8
+        GROUP BY 1
+    ),
+    top AS (
+        SELECT query_id,
+               CAST(SUM(rel) AS BIGINT) AS hits_at_10,
+               CAST(COALESCE(SUM(CASE WHEN rel = 1
+                   THEN {_AP_TERM.format(h='h', r='rank')} END), 0)
+                 AS DECIMAL(20,9)) AS ap_num
+        FROM hits GROUP BY query_id
+    )
+    SELECT t.query_id, n.n_rel_corpus, t.hits_at_10,
+           (ROUND((CAST(t.hits_at_10 AS DOUBLE) / n.n_rel_corpus) * 1e9)
+             / 1e9 + 0.0) AS recall_at_10,
+           (ROUND((CAST(t.ap_num AS DOUBLE)
+                   / LEAST(10, n.n_rel_corpus)) * 1e9) / 1e9 + 0.0)
+             AS ap_at_10
+    FROM top t JOIN n_rel n ON t.query_id = n.query_id
+    """,
+)
+def eval_retrieval_map(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Mean-average-precision eval of the exact cosine ranker: Recall@10
+    and AP@10 per query — the order-sensitive retrieval metric next to
+    eval_retrieval_ndcg's graded-gain view (AP integrates precision at
+    each relevant hit, so early misses cost quadratically). Running hit
+    counts are exact integers from a per-query window (<= 10 rows per
+    query); each precision term h/k is product-space-rounded at 9 digits
+    and DECIMAL-summed, and AP divides by min(10, |relevant|) — the only
+    float ops are fixed single divisions on aggregate rows. Scale: the
+    scoring pass is the same broadcast map-only cosine as
+    ann_bruteforce_topk; everything after the per-query top-10 touches
+    <= 10 rows per query."""
+    emb = load_table(spark, sf_dir, "embeddings")
+    queries = emb.filter(F.col("vec_id") < 8)
+    corpus = emb.filter(F.col("vec_id") >= 8)
+    from chainhouse_spark.operators.similarity import brute_force_topk
+
+    top10 = brute_force_topk(corpus, queries, k=10)
+    labels_q = queries.select(
+        F.col("vec_id").alias("query_id"), F.col("label").alias("q_label")
+    )
+    labels_c = emb.select(
+        F.col("vec_id").alias("cand_id"), F.col("label").alias("c_label")
+    )
+    ranked = (
+        top10.join(F.broadcast(labels_q), "query_id")
+        .join(labels_c, "cand_id")
+        .select(
+            "query_id",
+            (F.col("c_label") == F.col("q_label")).cast("int").alias("rel"),
+            "rank",
+        )
+    )
+    w = (
+        Window.partitionBy("query_id")
+        .orderBy("rank")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    hits = ranked.withColumn("h", F.sum("rel").over(w))
+    top = hits.groupBy("query_id").agg(
+        F.sum("rel").cast("bigint").alias("hits_at_10"),
+        F.expr(
+            "CAST(COALESCE(SUM(CASE WHEN rel = 1 THEN "
+            + _AP_TERM.format(h="h", r="rank")
+            + " END), 0) AS DECIMAL(20,9))"
+        ).alias("ap_num"),
+    )
+    n_rel = (
+        corpus.select(F.col("label").alias("c_label"))
+        .crossJoin(F.broadcast(labels_q))
+        .groupBy("query_id")
+        .agg(
+            F.sum((F.col("c_label") == F.col("q_label")).cast("int"))
+            .cast("bigint")
+            .alias("n_rel_corpus")
+        )
+    )
+    return top.join(F.broadcast(n_rel), "query_id").selectExpr(
+        "query_id",
+        "n_rel_corpus",
+        "hits_at_10",
+        "(ROUND((CAST(hits_at_10 AS DOUBLE) / n_rel_corpus) * 1e9)"
+        " / 1e9 + 0.0) AS recall_at_10",
+        "(ROUND((CAST(ap_num AS DOUBLE) / LEAST(10, n_rel_corpus)) * 1e9)"
+        " / 1e9 + 0.0) AS ap_at_10",
+    )

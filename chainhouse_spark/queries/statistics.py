@@ -2344,3 +2344,538 @@ exempt_round9("stat_cuped_variance_reduction", {
     "var_post": "cents^2-scale variance (>=1e6)",
     "var_cuped": "cents^2-scale variance (>=1e6)",
 })
+
+
+# ---------------------------------------------------------------------------
+# Round-9 additions: the nonparametric / categorical / survival members of
+# the experimentation toolkit. Same exactness discipline as the rest of the
+# module: integer/decimal aggregation, one shared float formula at the end.
+# ---------------------------------------------------------------------------
+
+# Kruskal-Wallis H: shared formula fragments (Spark SQL == DuckDB SQL).
+_KW_H = (
+    "(12.0 / (n_total * (n_total + 1.0))) * rank_sq_over_n"
+    " - 3.0 * (n_total + 1.0)"
+)
+_KW_CORR = "(1.0 - ties / (n_total * n_total * n_total - n_total))"
+
+
+@register(
+    "stat_kruskal_wallis",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+               event_type AS g,
+               CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM events GROUP BY 1, 2
+    ),
+    tot AS (
+        SELECT c, CAST(SUM(cnt) AS BIGINT) AS t FROM v GROUP BY c
+    ),
+    r AS (
+        SELECT c, t,
+               COALESCE(SUM(t) OVER (
+                   ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS c_lt
+        FROM tot
+    ),
+    grp AS (
+        SELECT v.g,
+               CAST(SUM(v.cnt) AS BIGINT) AS n_g,
+               CAST(SUM(v.cnt * (2 * r.c_lt + r.t + 1)) AS BIGINT) AS r2_g
+        FROM v JOIN r ON v.c = r.c
+        GROUP BY v.g
+    ),
+    agg AS (
+        SELECT CAST(COUNT(*) AS INT) AS n_groups,
+               CAST(SUM(n_g) AS DOUBLE) AS n_total,
+               CAST(SUM(CAST(ROUND(
+                   (CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)) / (4.0 * n_g),
+                   4) AS DECIMAL(38,4))) AS DOUBLE) AS rank_sq_over_n
+        FROM grp
+    ),
+    tie AS (
+        SELECT CAST(SUM(t * t * t - t) AS DOUBLE) AS ties FROM r
+    )
+    SELECT n_groups,
+           CAST(n_total AS BIGINT) AS n_total,
+           (ROUND(({_KW_H}) * 1e9) / 1e9 + 0.0) AS h_stat,
+           (ROUND((({_KW_H}) / {_KW_CORR}) * 1e9) / 1e9 + 0.0)
+             AS h_tie_corrected
+    FROM agg, tie
+    """,
+)
+def stat_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kruskal-Wallis H across ALL event-type populations — the k-group
+    generalization of Mann-Whitney (nonparametric one-way ANOVA on ranks),
+    completing the toolkit's test family: Welch (2 groups, parametric),
+    ANOVA (k groups, parametric), MWU (2 groups, ranks), KW (k groups,
+    ranks). Midranks are exact integers over DISTINCT cent values
+    (2*midrank = 2*below + ties + 1), so each group's doubled rank sum
+    r2_g is an exact BIGINT; the per-group R_g^2/n_g = r2_g^2/(4 n_g)
+    terms are rounded at 4 decimals and DECIMAL-summed (k terms, order-
+    insensitive), and the H / tie-correction formulas run once on the
+    single aggregate row. The ordered cumulative counts use the
+    distributed exact prefix sum (operators/ranking.py) — never a
+    single-task global window, even with near-unique values."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.select(
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+            F.col("event_type").alias("g"),
+        )
+        .groupBy("c", "g")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+        # |distinct cents x groups| rows; feeds both the rank spine and the
+        # per-group join -> one events scan instead of per-branch re-scans
+        .localCheckpoint(eager=False)
+    )
+    tot = v.groupBy("c").agg(F.sum("cnt").cast("bigint").alias("t"))
+    from chainhouse_spark.operators.ranking import global_running_sums
+
+    r = global_running_sums(tot, [F.asc("c")], {"t": "c_le"}).withColumn(
+        "c_lt", F.col("c_le") - F.col("t")
+    )
+    grp = (
+        v.join(r.select("c", "t", "c_lt"), "c")
+        .groupBy("g")
+        .agg(
+            F.sum("cnt").cast("bigint").alias("n_g"),
+            F.sum(F.col("cnt") * (2 * F.col("c_lt") + F.col("t") + 1))
+            .cast("bigint")
+            .alias("r2_g"),
+        )
+    )
+    agg = grp.agg(
+        F.count(F.lit(1)).cast("int").alias("n_groups"),
+        F.sum("n_g").cast("double").alias("n_total"),
+        F.expr(
+            "CAST(SUM(CAST(ROUND("
+            "(CAST(r2_g AS DOUBLE) * CAST(r2_g AS DOUBLE)) / (4.0 * n_g),"
+            " 4) AS DECIMAL(38,4))) AS DOUBLE)"
+        ).alias("rank_sq_over_n"),
+    )
+    tie = r.agg(
+        F.sum(F.col("t") * F.col("t") * F.col("t") - F.col("t"))
+        .cast("double")
+        .alias("ties")
+    )
+    return agg.crossJoin(tie).selectExpr(
+        "n_groups",
+        "CAST(n_total AS BIGINT) AS n_total",
+        f"(ROUND(({_KW_H}) * 1e9) / 1e9 + 0.0) AS h_stat",
+        f"(ROUND((({_KW_H}) / {_KW_CORR}) * 1e9) / 1e9 + 0.0)"
+        " AS h_tie_corrected",
+    )
+
+
+# AUC via the rank-sum identity: AUC = (R_pos - n1(n1+1)/2) / (n1 n2), with
+# midranks handling score ties. Shared emission formulas:
+_AUC = "(r2s - n1 * (n1 + 1.0)) / (2.0 * n1 * n2)"
+
+
+@register(
+    "eval_auc_roc",
+    oracle=f"""
+    WITH v AS (
+        SELECT CAST(ROUND(value * 100, 0) AS BIGINT) AS c,
+               CAST(COUNT(*) FILTER (WHERE event_type = 'purchase') AS BIGINT)
+                 AS na,
+               CAST(COUNT(*) FILTER (WHERE event_type <> 'purchase') AS BIGINT)
+                 AS nb
+        FROM events GROUP BY 1
+    ),
+    r AS (
+        SELECT c, na, nb, na + nb AS t,
+               COALESCE(SUM(na + nb) OVER (
+                   ORDER BY c ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING
+               ), 0) AS c_lt
+        FROM v
+    ),
+    agg AS (
+        SELECT CAST(SUM(na) AS DOUBLE) AS n1,
+               CAST(SUM(nb) AS DOUBLE) AS n2,
+               CAST(SUM(na * (2 * c_lt + t + 1)) AS DOUBLE) AS r2s
+        FROM r
+    )
+    SELECT CAST(n1 AS BIGINT) AS n_pos,
+           CAST(n2 AS BIGINT) AS n_neg,
+           (ROUND(({_AUC}) * 1e9) / 1e9 + 0.0) AS auc,
+           (ROUND((2.0 * ({_AUC}) - 1.0) * 1e9) / 1e9 + 0.0) AS gini_coef
+    FROM agg
+    """,
+)
+def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ROC AUC of `value` as a score for predicting the purchase class —
+    the threshold-free ranking metric every model-based quality filter
+    reports next to its classwise F1. Computed exactly via the rank-sum
+    identity AUC = (R_pos - n1(n1+1)/2)/(n1 n2) (the Mann-Whitney
+    relation): midranks over DISTINCT cent scores keep every rank term an
+    exact integer (ties get the standard 1/2 credit automatically), so
+    the only float ops are the final AUC and Gini (2*AUC - 1) formulas on
+    one aggregate row. Distributed exact prefix sum over distinct scores;
+    no per-row windows, no threshold sweep materialization."""
+    e = load_table(spark, sf_dir, "events")
+    v = (
+        e.select(
+            F.round(F.col("value") * 100, 0).cast("bigint").alias("c"),
+            (F.col("event_type") == "purchase").alias("is_pos"),
+        )
+        .groupBy("c")
+        .agg(
+            F.count(F.when(F.col("is_pos"), 1)).alias("na"),
+            F.count(F.when(~F.col("is_pos"), 1)).alias("nb"),
+        )
+        .withColumn("t", F.col("na") + F.col("nb"))
+    )
+    from chainhouse_spark.operators.ranking import global_running_sums
+
+    r = global_running_sums(v, [F.asc("c")], {"t": "c_le"}).withColumn(
+        "c_lt", F.col("c_le") - F.col("t")
+    )
+    agg = r.agg(
+        F.sum("na").cast("double").alias("n1"),
+        F.sum("nb").cast("double").alias("n2"),
+        F.sum(F.col("na") * (2 * F.col("c_lt") + F.col("t") + 1))
+        .cast("double")
+        .alias("r2s"),
+    )
+    return agg.selectExpr(
+        "CAST(n1 AS BIGINT) AS n_pos",
+        "CAST(n2 AS BIGINT) AS n_neg",
+        f"(ROUND(({_AUC}) * 1e9) / 1e9 + 0.0) AS auc",
+        f"(ROUND((2.0 * ({_AUC}) - 1.0) * 1e9) / 1e9 + 0.0) AS gini_coef",
+    )
+
+
+@register(
+    "stat_cramers_v",
+    oracle="""
+    WITH cell AS (
+        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
+        FROM documents GROUP BY lang, source
+    ),
+    rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cell GROUP BY lang),
+    ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cell GROUP BY source),
+    n AS (SELECT CAST(SUM(o) AS DOUBLE) AS n_docs FROM cell),
+    term AS (
+        SELECT CAST(ROUND(
+            (cell.o - CAST(rt.r AS DOUBLE) * ct.c / n.n_docs)
+            * (cell.o - CAST(rt.r AS DOUBLE) * ct.c / n.n_docs)
+            / (CAST(rt.r AS DOUBLE) * ct.c / n.n_docs),
+            6) AS DECIMAL(28,6)) AS chi_term
+        FROM cell JOIN rt ON cell.lang = rt.lang
+                  JOIN ct ON cell.source = ct.source, n
+    ),
+    dims AS (
+        SELECT (SELECT CAST(COUNT(*) AS INT) FROM rt) AS n_langs,
+               (SELECT CAST(COUNT(*) AS INT) FROM ct) AS n_sources,
+               (SELECT n_docs FROM n) AS n_docs,
+               CAST(SUM(chi_term) AS DOUBLE) AS chi2
+        FROM term
+    )
+    SELECT CAST(n_docs AS BIGINT) AS n_docs, n_langs, n_sources,
+           CAST((n_langs - 1) * (n_sources - 1) AS INT) AS dof,
+           (ROUND(chi2 * 1e9) / 1e9 + 0.0) AS chi2,
+           (ROUND(SQRT(chi2 / (n_docs * LEAST(n_langs - 1, n_sources - 1)))
+             * 1e9) / 1e9 + 0.0) AS cramers_v
+    FROM dims
+    """,
+)
+def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cramér's V association between the two categorical document
+    dimensions (lang x source) — the chi-square-based effect size that a
+    corpus-mixture audit reports to answer "does source composition depend
+    on language?". Observed cell counts, row totals, and column totals are
+    exact integers from ONE corpus scan (cell counts re-aggregate map-side
+    to the marginals — no second scan); each chi-square cell term
+    (o - e)^2/e is computed by one shared float formula, rounded at 6
+    decimals, and DECIMAL-summed (|langs| x |sources| terms, order-
+    insensitive). SQRT is IEEE-correctly-rounded, so V rounds identically
+    from an identical chi2 on both engines. Scale: the marginal joins are
+    equi-keyed on bounded-cardinality categories; AQE picks the strategy
+    (never force-broadcast — category counts grow with corpus diversity)."""
+    d = load_table(spark, sf_dir, "documents")
+    cell = d.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("o")
+    ).localCheckpoint(eager=False)  # |langs x sources| rows; 4 consumers -> 1 corpus scan
+    rt = cell.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
+    ct = cell.groupBy("source").agg(F.sum("o").cast("bigint").alias("c"))
+    n = cell.agg(F.sum("o").cast("double").alias("n_docs"))
+    term = (
+        cell.join(rt, "lang")
+        .join(ct, "source")
+        .crossJoin(n)
+        .selectExpr(
+            "CAST(ROUND("
+            "(o - CAST(r AS DOUBLE) * c / n_docs)"
+            " * (o - CAST(r AS DOUBLE) * c / n_docs)"
+            " / (CAST(r AS DOUBLE) * c / n_docs),"
+            " 6) AS DECIMAL(28,6)) AS chi_term"
+        )
+    )
+    dims = (
+        term.agg(F.expr("CAST(SUM(chi_term) AS DOUBLE)").alias("chi2"))
+        .crossJoin(rt.agg(F.count(F.lit(1)).cast("int").alias("n_langs")))
+        .crossJoin(ct.agg(F.count(F.lit(1)).cast("int").alias("n_sources")))
+        .crossJoin(n)
+    )
+    return dims.selectExpr(
+        "CAST(n_docs AS BIGINT) AS n_docs",
+        "n_langs",
+        "n_sources",
+        "CAST((n_langs - 1) * (n_sources - 1) AS INT) AS dof",
+        "(ROUND(chi2 * 1e9) / 1e9 + 0.0) AS chi2",
+        "(ROUND(SQRT(chi2 / (n_docs * LEAST(n_langs - 1, n_sources - 1)))"
+        " * 1e9) / 1e9 + 0.0) AS cramers_v",
+    )
+
+
+@register(
+    "surv_kaplan_meier",
+    oracle="""
+    WITH u AS (
+        SELECT user_id,
+               MIN(ts) AS first_ts,
+               MAX(ts) AS last_ts,
+               MIN(ts) FILTER (WHERE event_type = 'error') AS err_ts
+        FROM events GROUP BY user_id
+    ),
+    d AS (
+        SELECT CASE WHEN err_ts IS NOT NULL
+                    THEN date_diff('day', CAST(first_ts AS DATE),
+                                   CAST(err_ts AS DATE))
+                    ELSE date_diff('day', CAST(first_ts AS DATE),
+                                   CAST(last_ts AS DATE)) END AS dur,
+               CASE WHEN err_ts IS NOT NULL THEN 1 ELSE 0 END AS observed
+        FROM u
+    ),
+    lt AS (
+        SELECT dur,
+               CAST(SUM(observed) AS BIGINT) AS d,
+               CAST(COUNT(*) AS BIGINT) AS w
+        FROM d GROUP BY dur
+    ),
+    r AS (
+        SELECT dur, d, w,
+               (SELECT COUNT(*) FROM d)
+               - COALESCE(SUM(w) OVER (
+                     ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING
+                     AND 1 PRECEDING), 0) AS n_risk
+        FROM lt
+    ),
+    ev AS (
+        SELECT dur, n_risk, d, w - d AS cens,
+               CAST(ROUND(LN(CAST(n_risk - d AS DOUBLE) / n_risk), 6)
+                    AS DECIMAL(12,6)) AS lterm
+        FROM r WHERE d > 0 AND n_risk > d
+    )
+    SELECT CAST(dur AS INT) AS t_day,
+           CAST(n_risk AS BIGINT) AS n_risk,
+           d AS n_events,
+           cens AS n_censored,
+           (ROUND((CAST(d AS DOUBLE) / n_risk) * 1e9) / 1e9 + 0.0) AS hazard,
+           CAST(SUM(lterm) OVER (
+               ORDER BY dur ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) AS log_survival
+    FROM ev
+    """,
+)
+def surv_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Kaplan-Meier life table for time-to-first-error per user (right-
+    censored at the user's last observed event) — the survival curve an
+    experimentation stack fits to churn/failure timing. Per event day:
+    the at-risk count (exact descending cumulative), deaths, censored,
+    the discrete hazard d/n (one exact division), and the log survival
+    curve ln S(t) = sum ln(1 - d/n). Each log term is rounded at 6
+    decimals and summed as DECIMAL (the drift_psi recipe: LN may differ
+    in the last ulp across engines, and decimal prefix sums are exact
+    regardless of either engine's windowed-sum association), so the
+    emitted curve is bit-identical by construction; S(t) itself is
+    exp(log_survival) client-side — EXP is not IEEE-exactness-guaranteed,
+    so the query emits the log domain. The degenerate terminal step where
+    everyone at risk dies (S -> 0, ln -> -inf) is excluded. Scale: one
+    user-keyed aggregate collapses the corpus; everything after runs on
+    <= |distinct days| rows (bounded by the observation span, not data
+    volume), via the distributed exact prefix sum."""
+    e = load_table(spark, sf_dir, "events")
+    u = e.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(F.when(F.col("event_type") == "error", F.col("ts"))).alias(
+            "err_ts"
+        ),
+    )
+    d = u.select(
+        F.when(
+            F.col("err_ts").isNotNull(),
+            F.datediff(F.to_date("err_ts"), F.to_date("first_ts")),
+        )
+        .otherwise(F.datediff(F.to_date("last_ts"), F.to_date("first_ts")))
+        .alias("dur"),
+        F.when(F.col("err_ts").isNotNull(), 1).otherwise(0).alias("observed"),
+    ).localCheckpoint(eager=False)  # |users| rows; feeds lt AND the n_users scalar
+    lt = d.groupBy("dur").agg(
+        F.sum("observed").cast("bigint").alias("d"),
+        F.count(F.lit(1)).cast("bigint").alias("w"),
+    )
+    from chainhouse_spark.operators.ranking import global_running_sums
+
+    n_users = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    r = (
+        global_running_sums(lt, [F.asc("dur")], {"w": "w_le"})
+        .crossJoin(n_users)
+        .withColumn("n_risk", F.col("n_users") - (F.col("w_le") - F.col("w")))
+    )
+    ev = r.filter((F.col("d") > 0) & (F.col("n_risk") > F.col("d"))).selectExpr(
+        "dur",
+        "n_risk",
+        "d",
+        "w - d AS cens",
+        "CAST(ROUND(LN(CAST(n_risk - d AS DOUBLE) / n_risk), 6)"
+        " AS DECIMAL(12,6)) AS lterm",
+    )
+    curve = global_running_sums(ev, [F.asc("dur")], {"lterm": "log_surv_dec"})
+    return curve.selectExpr(
+        "CAST(dur AS INT) AS t_day",
+        "CAST(n_risk AS BIGINT) AS n_risk",
+        "d AS n_events",
+        "cens AS n_censored",
+        "(ROUND((CAST(d AS DOUBLE) / n_risk) * 1e9) / 1e9 + 0.0) AS hazard",
+        "CAST(log_surv_dec AS DOUBLE) AS log_survival",
+    )
+
+
+# Jensen-Shannon term, shared verbatim by both engines. p0/p1 are the
+# Laplace-smoothed bin probabilities (same bins and smoothing as
+# drift_psi_by_source): 0.5*KL(p||m) + 0.5*KL(q||m) with m = (p+q)/2.
+_JS_TERM = (
+    "0.5 * (p0 * LN(p0 / ((p0 + p1) / 2.0))"
+    " + p1 * LN(p1 / ((p0 + p1) / 2.0)))"
+)
+
+
+@register(
+    "drift_js_divergence",
+    oracle=f"""
+    WITH base AS (
+        SELECT source,
+               CAST(doc_id % 2 AS INT) AS snap,
+               CAST(LEAST(n_chars // 64, 9) AS INT) AS bin
+        FROM documents
+    ),
+    cnt AS (
+        SELECT source, bin,
+               CAST(COUNT(*) FILTER (WHERE snap = 0) AS BIGINT) AS c0,
+               CAST(COUNT(*) FILTER (WHERE snap = 1) AS BIGINT) AS c1
+        FROM base GROUP BY source, bin
+    ),
+    spine AS (
+        SELECT s.source, CAST(b AS INT) AS bin
+        FROM (SELECT DISTINCT source FROM cnt) s, UNNEST(range(0, 10)) t(b)
+    ),
+    full_cnt AS (
+        SELECT spine.source, spine.bin,
+               COALESCE(cnt.c0, 0) AS c0, COALESCE(cnt.c1, 0) AS c1
+        FROM spine LEFT JOIN cnt
+          ON spine.source = cnt.source AND spine.bin = cnt.bin
+    ),
+    tot AS (
+        SELECT source, c0, c1,
+               SUM(c0) OVER (PARTITION BY source) AS n0,
+               SUM(c1) OVER (PARTITION BY source) AS n1
+        FROM full_cnt
+    ),
+    term AS (
+        SELECT source, n0, n1,
+               CAST(c0 + 1 AS DOUBLE) / (n0 + 10) AS p0,
+               CAST(c1 + 1 AS DOUBLE) / (n1 + 10) AS p1
+        FROM tot
+    ),
+    agg AS (
+        SELECT source,
+               CAST(MIN(n0) AS BIGINT) AS n_base,
+               CAST(MIN(n1) AS BIGINT) AS n_cur,
+               CAST(SUM(CAST(ROUND({_JS_TERM}, 6)
+                        AS DECIMAL(20,6))) AS DOUBLE) AS js
+        FROM term GROUP BY source
+    )
+    SELECT source, n_base, n_cur,
+           js AS js_divergence,
+           (ROUND(SQRT(js) * 1e9) / 1e9 + 0.0) AS js_distance
+    FROM agg
+    """,
+)
+def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jensen-Shannon divergence of each source's document-length
+    distribution between the two corpus snapshots — the SYMMETRIC,
+    bounded ([0, ln 2]) drift measure next to drift_psi_by_source's PSI:
+    JS never blows up on near-empty bins (KL to the mixture is finite by
+    construction) and its square root is a metric, so sources are
+    mutually comparable. Same fixed 10-bin length histogram and Laplace
+    smoothing as the PSI monitor; each JS term is one shared float
+    formula rounded at 6 decimals and DECIMAL-summed (order-insensitive;
+    LN last-ulp safe), and the JS DISTANCE applies IEEE-exact SQRT to the
+    identical sum. Scale: identical to PSI — one count shuffle collapses
+    the corpus map-side to <= |sources| x 20 cells; the conditional-pivot
+    single-scan shape (no spine join, no second corpus scan)."""
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        (F.col("doc_id") % 2).cast("int").alias("snap"),
+        F.least(F.col("n_chars") / F.lit(64), F.lit(9)).cast("int").alias("bin"),
+    )
+
+    def _c(snap: int, b: int):
+        return (
+            F.sum(
+                F.when((F.col("snap") == snap) & (F.col("bin") == b), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"b{b}_{snap}")
+        )
+
+    agg = d.groupBy("source").agg(*[_c(s, b) for s in (0, 1) for b in range(10)])
+    arr0 = F.array(*[F.col(f"b{b}_0") for b in range(10)])
+    arr1 = F.array(*[F.col(f"b{b}_1") for b in range(10)])
+    tot = (
+        agg.select(
+            "source",
+            sum(
+                [F.col(f"b{b}_0") for b in range(10)], F.lit(0).cast("bigint")
+            ).alias("n0"),
+            sum(
+                [F.col(f"b{b}_1") for b in range(10)], F.lit(0).cast("bigint")
+            ).alias("n1"),
+            arr0.alias("a0"),
+            arr1.alias("a1"),
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+        )
+        .select(
+            "source",
+            F.element_at("a0", F.col("bin") + 1).alias("c0"),
+            F.element_at("a1", F.col("bin") + 1).alias("c1"),
+            "n0",
+            "n1",
+        )
+    )
+    term = tot.select(
+        "source",
+        "n0",
+        "n1",
+        ((F.col("c0") + 1).cast("double") / (F.col("n0") + 10)).alias("p0"),
+        ((F.col("c1") + 1).cast("double") / (F.col("n1") + 10)).alias("p1"),
+    )
+    out = term.groupBy("source").agg(
+        F.min("n0").cast("bigint").alias("n_base"),
+        F.min("n1").cast("bigint").alias("n_cur"),
+        F.expr(
+            f"CAST(SUM(CAST(ROUND({_JS_TERM}, 6) AS DECIMAL(20,6))) AS DOUBLE)"
+        ).alias("js"),
+    )
+    return out.selectExpr(
+        "source",
+        "n_base",
+        "n_cur",
+        "js AS js_divergence",
+        "(ROUND(SQRT(js) * 1e9) / 1e9 + 0.0) AS js_distance",
+    )

@@ -12,7 +12,7 @@ nothing and the join against the rollup broadcasts the day's slice.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from chainhouse_spark.functions.rounding import round9
@@ -1805,3 +1805,113 @@ def ts_bollinger_bands(spark: SparkSession, sf_dir: str) -> DataFrame:
 exempt_round9("ts_cusum_changepoint", {
     "max_cusum_dev": "cumulative deviation grows with series length",
 })
+
+
+@register(
+    "ts_theil_sen_slope",
+    oracle="""
+    WITH daily AS (
+        SELECT event_type, CAST(ts AS DATE) AS day,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+                 AS cents
+        FROM events GROUP BY 1, 2
+    ),
+    nd AS (
+        SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_days
+        FROM daily GROUP BY event_type
+    ),
+    pairs AS (
+        SELECT a.event_type,
+               CAST(b.cents - a.cents AS DOUBLE)
+                 / date_diff('day', a.day, b.day) AS slope,
+               a.day AS d1, b.day AS d2
+        FROM daily a JOIN daily b
+          ON a.event_type = b.event_type AND a.day < b.day
+    ),
+    ranked AS (
+        SELECT event_type, slope,
+               ROW_NUMBER() OVER (
+                   PARTITION BY event_type ORDER BY slope, d1, d2
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_pairs
+        FROM pairs
+    ),
+    med AS (
+        SELECT event_type, CAST(MIN(n_pairs) AS BIGINT) AS n_pairs,
+               MIN(slope) AS lo, MAX(slope) AS hi
+        FROM ranked
+        WHERE rn = FLOOR((n_pairs + 1) / 2.0)
+           OR rn = FLOOR((n_pairs + 2) / 2.0)
+        GROUP BY event_type
+    )
+    SELECT m.event_type, n.n_days, m.n_pairs,
+           (ROUND(((lo + hi) / 2.0) * 1e9) / 1e9 + 0.0) AS theil_sen_slope
+    FROM med m JOIN nd n ON m.event_type = n.event_type
+    """,
+)
+def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil-Sen trend slope of each event type's daily value series — the
+    ROBUST member of the trend family next to ts_trend_slope_by_type's
+    OLS: the median of all pairwise slopes has a 29% breakdown point, so
+    a single corrupted day cannot move it (the estimator monitoring
+    pipelines prefer when spikes are expected). Daily totals are exact
+    integer cents, each pairwise slope is one exact float division of
+    exact integers, and the median is picked positionally (two-middle
+    rule via ROW_NUMBER under a total order — no interpolation, no
+    engine quantile): MIN+MAX of the <= 2 picked rows averages them
+    without an order-dependent float sum. Scale: the pair join is
+    equi-keyed per series and quadratic only in DISTINCT DAYS (bounded by
+    the observation span, never data volume — 10 years is ~6.6M pairs
+    per series); the rank window partitions by series."""
+    e = load_table(spark, sf_dir, "events")
+    daily = e.groupBy(
+        "event_type", F.to_date("ts").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    ).localCheckpoint(eager=False)  # |series x days| rows; self-join + count read it
+    nd = daily.groupBy("event_type").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days")
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    pairs = a.join(
+        b,
+        (F.col("a.event_type") == F.col("b.event_type"))
+        & (F.col("a.day") < F.col("b.day")),
+    ).select(
+        F.col("a.event_type").alias("event_type"),
+        (
+            (F.col("b.cents") - F.col("a.cents")).cast("double")
+            / F.datediff(F.col("b.day"), F.col("a.day"))
+        ).alias("slope"),
+        F.col("a.day").alias("d1"),
+        F.col("b.day").alias("d2"),
+    )
+    w = Window.partitionBy("event_type").orderBy("slope", "d1", "d2")
+    ranked = pairs.select(
+        "event_type",
+        "slope",
+        F.row_number().over(w).alias("rn"),
+        F.count(F.lit(1))
+        .over(Window.partitionBy("event_type"))
+        .alias("n_pairs"),
+    )
+    med = (
+        ranked.filter(
+            (F.col("rn") == F.floor((F.col("n_pairs") + 1) / F.lit(2.0)))
+            | (F.col("rn") == F.floor((F.col("n_pairs") + 2) / F.lit(2.0)))
+        )
+        .groupBy("event_type")
+        .agg(
+            F.min("n_pairs").cast("bigint").alias("n_pairs"),
+            F.min("slope").alias("lo"),
+            F.max("slope").alias("hi"),
+        )
+    )
+    return med.join(nd, "event_type").selectExpr(
+        "event_type",
+        "n_days",
+        "n_pairs",
+        "(ROUND(((lo + hi) / 2.0) * 1e9) / 1e9 + 0.0) AS theil_sen_slope",
+    )

@@ -922,3 +922,41 @@ def test_marginal_joins_not_force_broadcast(spark):
         assert f.cartesian_products == 0
         # basket lift's scalar combine is the one permitted BNLJ
         assert f.nested_loop_joins <= 1
+
+
+def test_round9_additions_plan_shapes(spark):
+    # The nine round-9 additions: never a cartesian product, never a Python
+    # eval, never an unpartitioned-window funnel. Rank-based stats ride the
+    # distributed exact prefix sum; branched consumers read bounded-size
+    # localCheckpoints instead of re-scanning the base table.
+    for name in (
+        "stat_kruskal_wallis", "eval_auc_roc", "stat_cramers_v",
+        "surv_kaplan_meier", "drift_js_divergence", "eval_retrieval_map",
+        "text_simpson_diversity", "ts_theil_sen_slope", "graph_modularity",
+    ):
+        f = plan_facts(q(spark, name))
+        assert f.cartesian_products == 0, name
+        assert f.python_evals == 0, name
+        assert f.single_partition_suspects == [], name
+    # JS divergence keeps PSI's conditional-pivot single-scan shape: one
+    # corpus scan, one count shuffle, no joins of any kind.
+    f = plan_facts(q(spark, "drift_js_divergence"))
+    assert f.scans == 1
+    assert f.shuffle_exchanges <= 1
+    assert f.broadcast_joins + f.sortmerge_joins + f.nested_loop_joins == 0
+    # Simpson diversity: one corpus scan, two map-side-combinable shuffles.
+    f = plan_facts(q(spark, "text_simpson_diversity"))
+    assert f.scans == 1
+    assert f.shuffle_exchanges <= 2
+    # The modularity edge table feeds sym/m/ec through ONE materialization:
+    # no parquet re-scan of lineitem may survive outside the checkpoint
+    # lineage (was 24 scans before the checkpoint).
+    from chainhouse_spark.plans.audit import explain_formatted
+
+    text = explain_formatted(q(spark, "graph_modularity"))
+    assert text.count("Scan parquet") == 0
+    assert "Scan ExistingRDD" in text
+    # Theil-Sen: the pair join must be an equi-join on the series key (the
+    # day inequality is a post-join filter), never a cartesian.
+    f = plan_facts(q(spark, "ts_theil_sen_slope"))
+    assert f.broadcast_joins + f.sortmerge_joins + f.shuffled_hash_joins >= 1
