@@ -925,3 +925,74 @@ def text_simpson_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(ROUND(((CAST(n_tokens AS DOUBLE) * (n_tokens - 1.0))"
         " / CAST(s2 AS DOUBLE)) * 1e9) / 1e9 + 0.0) AS inv_simpson",
     )
+
+
+@register(
+    "text_burstiness",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH tf AS (
+        SELECT doc_id, unnest(string_split(text, ' ')) AS token
+        FROM documents
+    ),
+    cnt AS (
+        SELECT token, doc_id, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM tf WHERE token <> '' GROUP BY token, doc_id
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_docs FROM documents),
+    term AS (
+        SELECT token,
+               CAST(COUNT(*) AS BIGINT) AS df,
+               CAST(SUM(tf) AS BIGINT) AS cf,
+               CAST(SUM(tf * tf) AS BIGINT) AS cf2
+        FROM cnt GROUP BY token
+    )
+    SELECT token, df, cf,
+           (ROUND((CAST(n_docs * cf2 - cf * cf AS DOUBLE)
+              / (CAST(n_docs AS DOUBLE) * cf)) * 1e9) / 1e9 + 0.0)
+             AS burstiness
+    FROM term, n
+    WHERE df >= 20
+    ORDER BY burstiness DESC, token ASC
+    LIMIT 25
+    """,
+)
+def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Top-25 burstiest terms: the variance-to-mean ratio (Fisher index) of
+    a token's within-document count over ALL documents — the Church-Gale
+    signal that separates topical content words (bursty: absent from most
+    docs, repeated where present) from function words (VMR ~ 1, Poisson-
+    like). Including the zero-count documents needs no zero rows: with
+    mean = cf/N and E[tf^2] = cf2/N, VMR = (N*cf2 - cf^2)/(N*cf) — exact
+    integers into ONE float division per term. df >= 20 suppresses
+    rare-token noise; ordering is (burstiness DESC, token ASC) — a total
+    order on deterministic doubles. Scale: two map-side-combinable token
+    shuffles (the TF-IDF shape), a 1-row N broadcast, and a distributed
+    ordered LIMIT (TakeOrderedAndProject) — the full term table is never
+    globally sorted."""
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select("doc_id", F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token", "doc_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    )
+    term = cnt.groupBy("token").agg(
+        F.count(F.lit(1)).cast("bigint").alias("df"),
+        F.sum("tf").cast("bigint").alias("cf"),
+        F.sum(F.col("tf") * F.col("tf")).cast("bigint").alias("cf2"),
+    )
+    n = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    return (
+        term.filter(F.col("df") >= 20)
+        .crossJoin(F.broadcast(n))
+        .selectExpr(
+            "token",
+            "df",
+            "cf",
+            "(ROUND((CAST(n_docs * cf2 - cf * cf AS DOUBLE)"
+            " / (CAST(n_docs AS DOUBLE) * cf)) * 1e9) / 1e9 + 0.0)"
+            " AS burstiness",
+        )
+        .orderBy(F.desc("burstiness"), F.asc("token"))
+        .limit(25)
+    )

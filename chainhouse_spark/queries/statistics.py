@@ -2879,3 +2879,62 @@ def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         "js AS js_divergence",
         "(ROUND(SQRT(js) * 1e9) / 1e9 + 0.0) AS js_distance",
     )
+
+
+# Jarque-Bera: exact DECIMAL power sums of event cents (value*100; fits
+# DECIMAL(8,0), so the 4th-power products stay inside DECIMAL(38,0)), then
+# the one shared float pipeline mean -> central moments -> JB.
+_JB_X = "CAST(ROUND(value * 100, 0) AS DECIMAL(8,0))"
+# The squared term is re-anchored at DECIMAL(18,0) so the 3rd/4th-power
+# products stay inside both engines' decimal width rules (DuckDB keeps a
+# DECIMAL(18) in int64 and overflows the raw multiply; width 19 forces
+# int128 storage, and 19+19 <= 38 keeps the product width legal).
+_JB_X2 = f"CAST({_JB_X} * {_JB_X} AS DECIMAL(19,0))"
+_JB_AGGS = f"""
+    CAST(COUNT(*) AS DOUBLE) AS n,
+    CAST(SUM({_JB_X}) AS DOUBLE) AS sx,
+    CAST(SUM({_JB_X2}) AS DOUBLE) AS sxx,
+    CAST(SUM({_JB_X2} * {_JB_X}) AS DOUBLE) AS sxxx,
+    CAST(SUM({_JB_X2} * {_JB_X2}) AS DOUBLE) AS sxxxx
+"""
+_JB_MOMENTS = """
+    n,
+    (sxx / n - (sx / n) * (sx / n)) AS m2,
+    (sxxx / n - 3.0 * (sx / n) * (sxx / n)
+      + 2.0 * (sx / n) * (sx / n) * (sx / n)) AS m3,
+    (sxxxx / n - 4.0 * (sx / n) * (sxxx / n)
+      + 6.0 * (sx / n) * (sx / n) * (sxx / n)
+      - 3.0 * (sx / n) * (sx / n) * (sx / n) * (sx / n)) AS m4
+"""
+_JB_FINAL = """
+    CAST(n AS BIGINT) AS n_events,
+    (ROUND((m3 / (m2 * SQRT(m2))) * 1e9) / 1e9 + 0.0) AS skewness_pop,
+    (ROUND((m4 / (m2 * m2) - 3.0) * 1e9) / 1e9 + 0.0) AS kurtosis_excess,
+    (ROUND((n / 6.0 * ((m3 / (m2 * SQRT(m2))) * (m3 / (m2 * SQRT(m2)))
+      + (m4 / (m2 * m2) - 3.0) * (m4 / (m2 * m2) - 3.0) / 4.0))
+      * 1e9) / 1e9 + 0.0) AS jarque_bera
+"""
+
+
+@register(
+    "stat_jarque_bera",
+    oracle=f"""
+    WITH m AS (SELECT {_JB_AGGS} FROM events),
+    c AS (SELECT {_JB_MOMENTS} FROM m)
+    SELECT {_JB_FINAL} FROM c
+    """,
+)
+def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Jarque-Bera normality TEST on the event-value distribution — the
+    moment-based gate an experimentation stack runs before trusting a
+    t-test's normal approximation (JB ~ chi2(2) under normality; large JB
+    says "use the rank tests instead"). Skewness and excess kurtosis come
+    from exact DECIMAL power sums (the stat_moments machinery — order-
+    insensitive, map-side combinable, one shuffle of five decimals), and
+    JB = n/6 (S^2 + K^2/4) is one shared float formula on the single
+    aggregate row; denominators use m2*SQRT(m2) / m2*m2 instead of POWER()
+    so both engines hit the same IEEE operations."""
+    e = load_table(spark, sf_dir, "events")
+    m = e.agg(*[F.expr(a.strip()) for a in _JB_AGGS.split(",\n")])
+    c = m.selectExpr(*_JB_MOMENTS.split(",\n"))
+    return c.selectExpr(*_JB_FINAL.split(",\n"))

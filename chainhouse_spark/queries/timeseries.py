@@ -1915,3 +1915,220 @@ def ts_theil_sen_slope(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_pairs",
         "(ROUND(((lo + hi) / 2.0) * 1e9) / 1e9 + 0.0) AS theil_sen_slope",
     )
+
+
+# Rescaled-range fragments shared by both engines. All chunk arithmetic is
+# exact BIGINT: with per-hour cents < ~2e9 and chunk length <= 64, every
+# intermediate (w*S_j, j*Tc, w*SS, Tc^2) stays far below 2^63 through
+# sf10+ (the statistics-module bounded-integer invariant); the only float
+# ops are the per-chunk R/S division (IEEE-exact inputs) and the final
+# log-log slope on 4 aggregate rows.
+_RS_SLOPE = (
+    "(n_sizes * sxy - sx * sy) / (n_sizes * sxx - sx * sx)"
+)
+
+
+@register(
+    "ts_hurst_rs",
+    oracle=f"""
+    WITH hourly AS (
+        SELECT date_trunc('hour', ts) AS h,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    idxd AS (
+        SELECT x, x * x AS xx,
+               CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS idx,
+               CAST(COUNT(*) OVER () AS BIGINT) AS t_hours
+        FROM hourly
+    ),
+    expanded AS (
+        SELECT i.x, i.xx, i.idx, i.t_hours, CAST(w.w AS BIGINT) AS w,
+               (i.idx - 1) // w.w AS chunk,
+               (i.idx - 1) % w.w + 1 AS j
+        FROM idxd i, (SELECT UNNEST([8, 16, 32, 64]) AS w) w
+        WHERE i.idx <= w.w * (i.t_hours // w.w)
+    ),
+    cum AS (
+        SELECT w, chunk, j, x, xx, t_hours,
+               SUM(x) OVER (
+                   PARTITION BY w, chunk ORDER BY j
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW
+               ) AS s_j,
+               SUM(x) OVER (PARTITION BY w, chunk) AS tc
+        FROM expanded
+    ),
+    chunks AS (
+        SELECT w, chunk,
+               CAST(MAX(w * s_j - j * tc) - MIN(w * s_j - j * tc) AS BIGINT)
+                 AS r_int,
+               CAST(SUM(xx) AS BIGINT) AS ss,
+               CAST(MIN(tc) AS BIGINT) AS tc,
+               CAST(MIN(t_hours) AS BIGINT) AS t_hours
+        FROM cum GROUP BY w, chunk
+    ),
+    per_w AS (
+        SELECT w, CAST(MIN(t_hours) AS BIGINT) AS t_hours,
+               CAST(COUNT(*) AS BIGINT) AS n_chunks,
+               CAST(SUM(CAST(ROUND(
+                   CAST(r_int AS DOUBLE)
+                   / SQRT(CAST(w * ss - tc * tc AS DOUBLE)), 6)
+                 AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*) AS mean_rs
+        FROM chunks GROUP BY w
+    ),
+    terms AS (
+        SELECT w, t_hours, mean_rs,
+               CAST(ROUND(LN(CAST(w AS DOUBLE)), 6) AS DECIMAL(12,6)) AS lx,
+               CAST(ROUND(LN(mean_rs), 6) AS DECIMAL(12,6)) AS ly,
+               CAST(ROUND(LN(CAST(w AS DOUBLE)) * LN(CAST(w AS DOUBLE)), 6)
+                 AS DECIMAL(12,6)) AS lxx,
+               CAST(ROUND(LN(CAST(w AS DOUBLE)) * LN(mean_rs), 6)
+                 AS DECIMAL(12,6)) AS lxy
+        FROM per_w
+    ),
+    slope AS (
+        SELECT CAST(COUNT(*) AS DOUBLE) AS n_sizes,
+               CAST(SUM(lx) AS DOUBLE) AS sx, CAST(SUM(ly) AS DOUBLE) AS sy,
+               CAST(SUM(lxx) AS DOUBLE) AS sxx,
+               CAST(SUM(lxy) AS DOUBLE) AS sxy,
+               CAST(MIN(t_hours) AS BIGINT) AS n_hours
+        FROM terms
+    ),
+    pivoted AS (
+        SELECT
+            (ROUND(MIN(CASE WHEN w = 8 THEN mean_rs END) * 1e9) / 1e9 + 0.0)
+              AS rs_w8,
+            (ROUND(MIN(CASE WHEN w = 16 THEN mean_rs END) * 1e9) / 1e9 + 0.0)
+              AS rs_w16,
+            (ROUND(MIN(CASE WHEN w = 32 THEN mean_rs END) * 1e9) / 1e9 + 0.0)
+              AS rs_w32,
+            (ROUND(MIN(CASE WHEN w = 64 THEN mean_rs END) * 1e9) / 1e9 + 0.0)
+              AS rs_w64
+        FROM per_w
+    )
+    SELECT s.n_hours, p.rs_w8, p.rs_w16, p.rs_w32, p.rs_w64,
+           (ROUND(({_RS_SLOPE}) * 1e9) / 1e9 + 0.0) AS hurst_exponent
+    FROM slope s, pivoted p
+    """,
+)
+def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hurst exponent of the hourly event-value series by classic rescaled-
+    range (R/S) analysis — the long-memory diagnostic (H > 0.5 trending /
+    persistent, < 0.5 mean-reverting) a forecasting pipeline checks before
+    trusting ARIMA-class models. For window sizes w in {{8,16,32,64}} the
+    series splits into full w-hour chunks; within each chunk the range of
+    cumulative mean deviations is computed SCALED BY w so it stays exact
+    integer (w*S_j - j*Tc), the stddev denominator likewise (w*SS - Tc^2),
+    and R/S is one float division of exact integers. Per-size means are
+    round-at-6 DECIMAL sums; H is the closed-form OLS slope of ln(R/S) on
+    ln(w) over 4 points whose products are rounded-then-DECIMAL-summed
+    (order-insensitive). Scale: the hourly rollup is one map-side-
+    combinable shuffle; the global hour index uses the DISTRIBUTED exact
+    row number (never a single-task window over the series); everything
+    after runs on |hours| x 4 rows, bounded by the observation span."""
+    e = load_table(spark, sf_dir, "events")
+    hourly = e.groupBy(F.date_trunc("hour", F.col("ts")).alias("h")).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("bigint"))
+        .cast("bigint")
+        .alias("x")
+    )
+    from chainhouse_spark.operators.ranking import global_row_number
+
+    idxd = global_row_number(hourly, [F.asc("h")], "idx").withColumn(
+        "xx", F.col("x") * F.col("x")
+    )
+    t_hours = idxd.agg(F.count(F.lit(1)).cast("bigint").alias("t_hours"))
+    expanded = (
+        idxd.crossJoin(F.broadcast(t_hours))
+        .select(
+            "x",
+            "xx",
+            "idx",
+            "t_hours",
+            F.explode(
+                F.array(F.lit(8), F.lit(16), F.lit(32), F.lit(64))
+            ).alias("w0"),
+        )
+        .withColumn("w", F.col("w0").cast("bigint"))
+        .drop("w0")
+        .filter(
+            F.col("idx")
+            <= F.col("w") * F.floor(F.col("t_hours") / F.col("w"))
+        )
+        .withColumn("chunk", F.floor((F.col("idx") - 1) / F.col("w")))
+        .withColumn("j", (F.col("idx") - 1) % F.col("w") + 1)
+    )
+    wcum = (
+        Window.partitionBy("w", "chunk")
+        .orderBy("j")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wfull = Window.partitionBy("w", "chunk")
+    cum = expanded.select(
+        "w",
+        "chunk",
+        "j",
+        "xx",
+        "t_hours",
+        F.sum("x").over(wcum).alias("s_j"),
+        F.sum("x").over(wfull).alias("tc"),
+    )
+    chunks = cum.groupBy("w", "chunk").agg(
+        (
+            F.max(F.col("w") * F.col("s_j") - F.col("j") * F.col("tc"))
+            - F.min(F.col("w") * F.col("s_j") - F.col("j") * F.col("tc"))
+        )
+        .cast("bigint")
+        .alias("r_int"),
+        F.sum("xx").cast("bigint").alias("ss"),
+        F.min("tc").cast("bigint").alias("tc"),
+        F.min("t_hours").cast("bigint").alias("t_hours"),
+    )
+    per_w = (
+        chunks.groupBy("w")
+        .agg(
+            F.min("t_hours").cast("bigint").alias("t_hours"),
+            F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(CAST(r_int AS DOUBLE)"
+                " / SQRT(CAST(w * ss - tc * tc AS DOUBLE)), 6)"
+                " AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*)"
+            ).alias("mean_rs"),
+        )
+        # 4 rows; feeds both the pivot and the slope aggregate
+        .localCheckpoint(eager=False)
+    )
+    terms = per_w.selectExpr(
+        "t_hours",
+        "CAST(ROUND(LN(CAST(w AS DOUBLE)), 6) AS DECIMAL(12,6)) AS lx",
+        "CAST(ROUND(LN(mean_rs), 6) AS DECIMAL(12,6)) AS ly",
+        "CAST(ROUND(LN(CAST(w AS DOUBLE)) * LN(CAST(w AS DOUBLE)), 6)"
+        " AS DECIMAL(12,6)) AS lxx",
+        "CAST(ROUND(LN(CAST(w AS DOUBLE)) * LN(mean_rs), 6)"
+        " AS DECIMAL(12,6)) AS lxy",
+    )
+    slope = terms.agg(
+        F.count(F.lit(1)).cast("double").alias("n_sizes"),
+        F.expr("CAST(SUM(lx) AS DOUBLE)").alias("sx"),
+        F.expr("CAST(SUM(ly) AS DOUBLE)").alias("sy"),
+        F.expr("CAST(SUM(lxx) AS DOUBLE)").alias("sxx"),
+        F.expr("CAST(SUM(lxy) AS DOUBLE)").alias("sxy"),
+        F.min("t_hours").cast("bigint").alias("n_hours"),
+    )
+    pivoted = per_w.agg(
+        *[
+            F.expr(
+                f"(ROUND(MIN(CASE WHEN w = {wv} THEN mean_rs END) * 1e9)"
+                f" / 1e9 + 0.0) AS rs_w{wv}"
+            )
+            for wv in (8, 16, 32, 64)
+        ]
+    )
+    return slope.crossJoin(pivoted).selectExpr(
+        "n_hours",
+        "rs_w8",
+        "rs_w16",
+        "rs_w32",
+        "rs_w64",
+        f"(ROUND(({_RS_SLOPE}) * 1e9) / 1e9 + 0.0) AS hurst_exponent",
+    )

@@ -933,6 +933,7 @@ def test_round9_additions_plan_shapes(spark):
         "stat_kruskal_wallis", "eval_auc_roc", "stat_cramers_v",
         "surv_kaplan_meier", "drift_js_divergence", "eval_retrieval_map",
         "text_simpson_diversity", "ts_theil_sen_slope", "graph_modularity",
+        "stat_jarque_bera", "text_burstiness", "ts_hurst_rs",
     ):
         f = plan_facts(q(spark, name))
         assert f.cartesian_products == 0, name
@@ -960,3 +961,19 @@ def test_round9_additions_plan_shapes(spark):
     # day inequality is a post-join filter), never a cartesian.
     f = plan_facts(q(spark, "ts_theil_sen_slope"))
     assert f.broadcast_joins + f.sortmerge_joins + f.shuffled_hash_joins >= 1
+
+
+def test_jarque_bera_single_scan(spark):
+    # One scan, one shuffle of five decimals — the "ship moments" shape.
+    f = plan_facts(q(spark, "stat_jarque_bera"))
+    assert f.scans == 1
+    assert f.shuffle_exchanges <= 1
+
+
+def test_hurst_windows_are_partitioned(spark):
+    # The chunk windows partition by (w, chunk); the only global structure
+    # is the distributed row-number machinery (checkpoint-backed), so no
+    # single-partition funnel may appear.
+    f = plan_facts(q(spark, "ts_hurst_rs"))
+    assert f.single_partition_suspects == []
+    assert f.shuffle_exchanges <= 4
