@@ -809,3 +809,104 @@ def nb_classwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("f1"),
         )
     )
+
+
+@register(
+    "eval_confusion_mcc",
+    oracle=_NB_SCORE_CTE
+    + """,
+    pred AS (
+        SELECT actual, cand AS predicted
+        FROM (SELECT doc_id, actual, cand,
+                     ROW_NUMBER() OVER (PARTITION BY doc_id
+                                        ORDER BY s DESC, cand ASC) AS rn
+              FROM score)
+        WHERE rn = 1
+    ),
+    conf AS (
+        SELECT actual, predicted, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pred GROUP BY actual, predicted
+    ),
+    t AS (SELECT actual AS k, CAST(SUM(n) AS BIGINT) AS tk FROM conf GROUP BY actual),
+    p AS (SELECT predicted AS k, CAST(SUM(n) AS BIGINT) AS pk FROM conf GROUP BY predicted),
+    marg AS (
+        SELECT COALESCE(t.k, p.k) AS k,
+               COALESCE(tk, 0) AS tk, COALESCE(pk, 0) AS pk
+        FROM t FULL OUTER JOIN p ON t.k = p.k
+    ),
+    agg AS (
+        SELECT CAST((SELECT SUM(n) FROM conf) AS DOUBLE) AS s,
+               CAST((SELECT SUM(n) FROM conf WHERE actual = predicted)
+                 AS DOUBLE) AS c,
+               CAST(COUNT(*) AS BIGINT) AS n_classes,
+               CAST(SUM(pk * tk) AS DOUBLE) AS sum_pt,
+               CAST(SUM(pk * pk) AS DOUBLE) AS sum_p2,
+               CAST(SUM(tk * tk) AS DOUBLE) AS sum_t2
+        FROM marg
+    )
+    SELECT CAST(s AS BIGINT) AS n_docs, n_classes,
+           (ROUND((c / s) * 1e9) / 1e9 + 0.0) AS accuracy,
+           (ROUND(((c * s - sum_pt)
+              / (SQRT(s * s - sum_p2) * SQRT(s * s - sum_t2)))
+              * 1e9) / 1e9 + 0.0) AS mcc
+    FROM agg
+    """,
+)
+def eval_confusion_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multiclass Matthews correlation (the R_K statistic) of the Naive
+    Bayes language classifier — the single-number confusion summary that,
+    unlike accuracy, stays honest under class imbalance (predict-the-
+    majority scores MCC ~ 0, not 0.8). From the same exact-arithmetic NB
+    argmax as nb_classify_confusion, the whole statistic needs only the
+    per-class true/predicted marginals: MCC = (c*s - sum p_k t_k) /
+    (sqrt(s^2 - sum p_k^2) * sqrt(s^2 - sum t_k^2)) — every sum is an
+    exact integer over |classes| rows, and the final formula is one
+    shared float expression (IEEE SQRT) on a single aggregate row.
+    Scale: identical to the confusion query (broadcast constant-size
+    model, doc-keyed argmax window); the marginal math runs on
+    |classes|-row tables."""
+    score = _nb_scores(load_table(spark, sf_dir, "documents"))
+    from pyspark.sql import Window
+
+    win = Window.partitionBy("doc_id").orderBy(F.desc("s"), F.asc("cand"))
+    pred = (
+        score.withColumn("rn", F.row_number().over(win))
+        .filter(F.col("rn") == 1)
+        .select("actual", F.col("cand").alias("predicted"))
+    )
+    conf = pred.groupBy("actual", "predicted").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    ).localCheckpoint(eager=False)  # |classes|^2 rows; 4 consumers
+    t = conf.groupBy(F.col("actual").alias("k")).agg(
+        F.sum("n").cast("bigint").alias("tk")
+    )
+    p = conf.groupBy(F.col("predicted").alias("k")).agg(
+        F.sum("n").cast("bigint").alias("pk")
+    )
+    marg = (
+        t.join(p, "k", "full_outer")
+        .select(
+            F.coalesce("tk", F.lit(0)).alias("tk"),
+            F.coalesce("pk", F.lit(0)).alias("pk"),
+        )
+    )
+    scalars = conf.agg(
+        F.sum("n").cast("double").alias("s"),
+        F.sum(F.when(F.col("actual") == F.col("predicted"), F.col("n")))
+        .cast("double")
+        .alias("c"),
+    )
+    agg = marg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum(F.col("pk") * F.col("tk")).cast("double").alias("sum_pt"),
+        F.sum(F.col("pk") * F.col("pk")).cast("double").alias("sum_p2"),
+        F.sum(F.col("tk") * F.col("tk")).cast("double").alias("sum_t2"),
+    )
+    return scalars.crossJoin(agg).selectExpr(
+        "CAST(s AS BIGINT) AS n_docs",
+        "n_classes",
+        "(ROUND((c / s) * 1e9) / 1e9 + 0.0) AS accuracy",
+        "(ROUND(((c * s - sum_pt)"
+        " / (SQRT(s * s - sum_p2) * SQRT(s * s - sum_t2)))"
+        " * 1e9) / 1e9 + 0.0) AS mcc",
+    )

@@ -996,3 +996,129 @@ def text_burstiness(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("burstiness"), F.asc("token"))
         .limit(25)
     )
+
+
+# Shannon term in bits, rounded-then-DECIMAL-summed (the stat_entropy
+# recipe) — shared verbatim by both engines.
+_H_TERM_SQL = (
+    "CAST(ROUND(-(CAST(c AS DOUBLE) / CAST(n AS DOUBLE))"
+    " * LN(CAST(c AS DOUBLE) / CAST(n AS DOUBLE)) / LN(2.0), 6)"
+    " AS DECIMAL(20,6))"
+)
+
+
+@register(
+    "text_ngram_entropy_rate",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH toks AS (
+        SELECT doc_id, lang,
+               list_filter(string_split(text, ' '), x -> x <> '') AS t
+        FROM documents
+    ),
+    uni AS (
+        SELECT lang, unnest(t) AS w FROM toks
+    ),
+    ucnt AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM uni GROUP BY lang, w
+    ),
+    utot AS (
+        SELECT lang, w, c, SUM(c) OVER (PARTITION BY lang) AS n FROM ucnt
+    ),
+    h1 AS (
+        SELECT lang,
+               CAST(MIN(n) AS BIGINT) AS n_tokens,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_tokens,
+               CAST(SUM({_H_TERM_SQL}) AS DOUBLE) AS h_unigram_bits
+        FROM utot GROUP BY lang
+    ),
+    bi AS (
+        SELECT lang, t[i.i] || ' ' || t[i.i + 1] AS w
+        FROM toks, UNNEST(range(1, len(t))) i(i)
+    ),
+    bcnt AS (
+        SELECT lang, w, CAST(COUNT(*) AS BIGINT) AS c
+        FROM bi GROUP BY lang, w
+    ),
+    btot AS (
+        SELECT lang, w, c, SUM(c) OVER (PARTITION BY lang) AS n FROM bcnt
+    ),
+    h2 AS (
+        SELECT lang,
+               CAST(MIN(n) AS BIGINT) AS n_bigrams,
+               CAST(COUNT(*) AS BIGINT) AS n_unique_bigrams,
+               CAST(SUM({_H_TERM_SQL}) AS DOUBLE) AS h_bigram_bits
+        FROM btot GROUP BY lang
+    )
+    SELECT h1.lang, n_tokens, n_unique_tokens, n_bigrams, n_unique_bigrams,
+           h_unigram_bits, h_bigram_bits,
+           h_bigram_bits - h_unigram_bits AS cond_entropy_bits
+    FROM h1 JOIN h2 ON h1.lang = h2.lang
+    """,
+)
+def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bigram entropy rate per language: unigram entropy H(w), bigram
+    entropy H(w1 w2), and the conditional entropy H(w2 | w1) = H2 - H1 —
+    the information-theoretic redundancy measure a corpus report reads
+    next to Zipf fit (low conditional entropy = formulaic/boilerplate
+    text; near-unigram entropy = shuffled or synthetic text). Counts are
+    exact; every -p log2 p term is rounded at 6 decimals and
+    DECIMAL-summed (the stat_entropy recipe), and the conditional entropy
+    is one subtraction of two such sums. Bigrams enumerate positionally
+    (element i, i+1 of the filtered token array) — no self-join. Scale:
+    two map-side-combinable count shuffles per order (the TF-IDF shape);
+    the per-language totals ride windows over the count tables, never
+    the corpus."""
+    d = load_table(spark, sf_dir, "documents")
+    toks = d.select(
+        "lang",
+        F.filter(F.split(F.col("text"), " "), lambda x: x != "").alias("t"),
+    )
+    from pyspark.sql import Window
+
+    def _entropy(cnt: DataFrame, n_col: str, uniq_col: str, h_col: str) -> DataFrame:
+        tot = cnt.select(
+            "lang", "c", F.sum("c").over(Window.partitionBy("lang")).alias("n")
+        )
+        return tot.groupBy("lang").agg(
+            F.min("n").cast("bigint").alias(n_col),
+            F.count(F.lit(1)).cast("bigint").alias(uniq_col),
+            F.expr(f"CAST(SUM({_H_TERM_SQL}) AS DOUBLE)").alias(h_col),
+        )
+
+    ucnt = (
+        toks.select("lang", F.explode("t").alias("w"))
+        .groupBy("lang", "w")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    h1 = _entropy(ucnt, "n_tokens", "n_unique_tokens", "h_unigram_bits")
+    # size >= 2 guard: Spark's sequence(1, 0) REVERSES into [1, 0] instead
+    # of being empty (the eval_retrieval_ndcg idcg gotcha); DuckDB's
+    # end-exclusive range(1, 1) is already empty, so the filter only
+    # removes rows the oracle never generates.
+    bi = toks.filter(F.size("t") >= 2).select(
+        "lang",
+        F.explode(F.expr("sequence(1, size(t) - 1)")).alias("i"),
+        "t",
+    ).select(
+        "lang",
+        F.concat(
+            F.element_at("t", F.col("i")),
+            F.lit(" "),
+            F.element_at("t", F.col("i") + 1),
+        ).alias("w"),
+    )
+    bcnt = bi.groupBy("lang", "w").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    h2 = _entropy(bcnt, "n_bigrams", "n_unique_bigrams", "h_bigram_bits")
+    return h1.join(h2, "lang").selectExpr(
+        "lang",
+        "n_tokens",
+        "n_unique_tokens",
+        "n_bigrams",
+        "n_unique_bigrams",
+        "h_unigram_bits",
+        "h_bigram_bits",
+        "h_bigram_bits - h_unigram_bits AS cond_entropy_bits",
+    )
