@@ -29,6 +29,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.storagelevel import StorageLevel
 
 from chainhouse_spark.queries.registry import register
 from chainhouse_spark.tables import load_table
@@ -894,8 +895,14 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .distinct()
         # e and nl feed 3+ consumers each; checkpoint so the co-purchase
         # self-join runs ONCE instead of once per branch (was 24 parquet
-        # scans re-derived from lineitem at plan time).
-        .localCheckpoint(eager=False)
+        # scans re-derived from lineitem at plan time). The edge table is
+        # the one intermediate that GROWS with data (~117M rows at the
+        # sf10 smoke): DISK_ONLY, because the default deserialized
+        # MEMORY_AND_DISK blocks OOMed the shared 8 GB heap at sf10 while
+        # 32 concurrent tasks were also holding join state — at cluster
+        # scale you spill a reused edge list to local disk, not the
+        # storage pool.
+        .localCheckpoint(eager=False, storageLevel=StorageLevel.DISK_ONLY)
     )
     sym = e.select(F.col("src").alias("node")).unionAll(
         e.select(F.col("dst").alias("node"))

@@ -2549,85 +2549,100 @@ def eval_auc_roc(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "stat_cramers_v",
+    "stat_theils_u",
     oracle="""
-    WITH cell AS (
-        SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS o
-        FROM documents GROUP BY lang, source
+    WITH cnt AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS c
+        FROM documents GROUP BY source, lang
     ),
-    rt AS (SELECT lang, CAST(SUM(o) AS BIGINT) AS r FROM cell GROUP BY lang),
-    ct AS (SELECT source, CAST(SUM(o) AS BIGINT) AS c FROM cell GROUP BY source),
-    n AS (SELECT CAST(SUM(o) AS DOUBLE) AS n_docs FROM cell),
-    term AS (
-        SELECT CAST(ROUND(
-            (cell.o - CAST(rt.r AS DOUBLE) * ct.c / n.n_docs)
-            * (cell.o - CAST(rt.r AS DOUBLE) * ct.c / n.n_docs)
-            / (CAST(rt.r AS DOUBLE) * ct.c / n.n_docs),
-            6) AS DECIMAL(28,6)) AS chi_term
-        FROM cell JOIN rt ON cell.lang = rt.lang
-                  JOIN ct ON cell.source = ct.source, n
+    n AS (SELECT CAST(SUM(c) AS BIGINT) AS n FROM cnt),
+    hl AS (
+        SELECT CAST(COUNT(*) AS INT) AS n_langs,
+               CAST(SUM(CAST(ROUND(-(CAST(cl AS DOUBLE) / n)
+                    * LN(CAST(cl AS DOUBLE) / n) / LN(2.0), 6)
+                 AS DECIMAL(20,6))) AS DOUBLE) AS h_lang
+        FROM (SELECT lang, CAST(SUM(c) AS BIGINT) AS cl FROM cnt GROUP BY lang), n
     ),
-    dims AS (
-        SELECT (SELECT CAST(COUNT(*) AS INT) FROM rt) AS n_langs,
-               (SELECT CAST(COUNT(*) AS INT) FROM ct) AS n_sources,
-               (SELECT n_docs FROM n) AS n_docs,
-               CAST(SUM(chi_term) AS DOUBLE) AS chi2
-        FROM term
+    hs AS (
+        SELECT CAST(COUNT(*) AS INT) AS n_sources,
+               CAST(SUM(CAST(ROUND(-(CAST(cs AS DOUBLE) / n)
+                    * LN(CAST(cs AS DOUBLE) / n) / LN(2.0), 6)
+                 AS DECIMAL(20,6))) AS DOUBLE) AS h_source
+        FROM (SELECT source, CAST(SUM(c) AS BIGINT) AS cs FROM cnt GROUP BY source), n
+    ),
+    hj AS (
+        SELECT CAST(SUM(CAST(ROUND(-(CAST(c AS DOUBLE) / n)
+                    * LN(CAST(c AS DOUBLE) / n) / LN(2.0), 6)
+                 AS DECIMAL(20,6))) AS DOUBLE) AS h_joint
+        FROM cnt, n
     )
-    SELECT CAST(n_docs AS BIGINT) AS n_docs, n_langs, n_sources,
-           CAST((n_langs - 1) * (n_sources - 1) AS INT) AS dof,
-           (ROUND(chi2 * 1e9) / 1e9 + 0.0) AS chi2,
-           (ROUND(SQRT(chi2 / (n_docs * LEAST(n_langs - 1, n_sources - 1)))
-             * 1e9) / 1e9 + 0.0) AS cramers_v
-    FROM dims
+    SELECT (SELECT n FROM n) AS n_docs, n_langs, n_sources,
+           h_lang AS h_lang_bits, h_source AS h_source_bits,
+           h_joint AS h_joint_bits,
+           (ROUND(((h_lang + h_source - h_joint) / h_lang) * 1e9) / 1e9 + 0.0)
+             AS u_lang_given_source,
+           (ROUND(((h_lang + h_source - h_joint) / h_source) * 1e9) / 1e9 + 0.0)
+             AS u_source_given_lang
+    FROM hl, hs, hj
     """,
 )
-def stat_cramers_v(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cramér's V association between the two categorical document
-    dimensions (lang x source) — the chi-square-based effect size that a
-    corpus-mixture audit reports to answer "does source composition depend
-    on language?". Observed cell counts, row totals, and column totals are
-    exact integers from ONE corpus scan (cell counts re-aggregate map-side
-    to the marginals — no second scan); each chi-square cell term
-    (o - e)^2/e is computed by one shared float formula, rounded at 6
-    decimals, and DECIMAL-summed (|langs| x |sources| terms, order-
-    insensitive). SQRT is IEEE-correctly-rounded, so V rounds identically
-    from an identical chi2 on both engines. Scale: the marginal joins are
-    equi-keyed on bounded-cardinality categories; AQE picks the strategy
-    (never force-broadcast — category counts grow with corpus diversity)."""
+def stat_theils_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Theil's uncertainty coefficient U in BOTH directions over the
+    lang x source contingency — the ASYMMETRIC association measure next to
+    stat_mutual_information's symmetric MI/V: U(lang|source) answers "how
+    much does knowing the source tell you about language" and
+    U(source|lang) the reverse, and the asymmetry itself is the signal (a
+    source dedicated to one language drives the first near 1 while the
+    second stays low). U(Y|X) = (H(X) + H(Y) - H(X,Y)) / H(Y), every
+    entropy a rounded-then-DECIMAL-summed exact-count sum (the
+    stat_entropy recipe) and the final ratios one shared float formula.
+    Scale: ONE corpus count shuffle builds the |langs x sources| cube
+    (localCheckpoint — three marginal consumers, no corpus re-scan);
+    everything downstream runs on cube-sized rows."""
     d = load_table(spark, sf_dir, "documents")
-    cell = d.groupBy("lang", "source").agg(
-        F.count(F.lit(1)).cast("bigint").alias("o")
-    ).localCheckpoint(eager=False)  # |langs x sources| rows; 4 consumers -> 1 corpus scan
-    rt = cell.groupBy("lang").agg(F.sum("o").cast("bigint").alias("r"))
-    ct = cell.groupBy("source").agg(F.sum("o").cast("bigint").alias("c"))
-    n = cell.agg(F.sum("o").cast("double").alias("n_docs"))
-    term = (
-        cell.join(rt, "lang")
-        .join(ct, "source")
-        .crossJoin(n)
-        .selectExpr(
-            "CAST(ROUND("
-            "(o - CAST(r AS DOUBLE) * c / n_docs)"
-            " * (o - CAST(r AS DOUBLE) * c / n_docs)"
-            " / (CAST(r AS DOUBLE) * c / n_docs),"
-            " 6) AS DECIMAL(28,6)) AS chi_term"
+    cnt = (
+        d.groupBy("source", "lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .localCheckpoint(eager=False)
+    )
+    n = cnt.agg(F.sum("c").cast("bigint").alias("n"))
+
+    def _h(marg: DataFrame, ccol: str, cnt_alias: str, h_alias: str) -> DataFrame:
+        return (
+            marg.crossJoin(F.broadcast(n))
+            .agg(
+                F.count(F.lit(1)).cast("int").alias(cnt_alias),
+                F.expr(
+                    f"CAST(SUM(CAST(ROUND(-(CAST({ccol} AS DOUBLE) / n)"
+                    f" * LN(CAST({ccol} AS DOUBLE) / n) / LN(2.0), 6)"
+                    f" AS DECIMAL(20,6))) AS DOUBLE)"
+                ).alias(h_alias),
+            )
         )
+
+    lm = cnt.groupBy("lang").agg(F.sum("c").cast("bigint").alias("cl"))
+    sm = cnt.groupBy("source").agg(F.sum("c").cast("bigint").alias("cs"))
+    hl = _h(lm, "cl", "n_langs", "h_lang")
+    hs = _h(sm, "cs", "n_sources", "h_source")
+    hj = _h(cnt.select(F.col("c")), "c", "n_cells_unused", "h_joint").drop(
+        "n_cells_unused"
     )
-    dims = (
-        term.agg(F.expr("CAST(SUM(chi_term) AS DOUBLE)").alias("chi2"))
-        .crossJoin(rt.agg(F.count(F.lit(1)).cast("int").alias("n_langs")))
-        .crossJoin(ct.agg(F.count(F.lit(1)).cast("int").alias("n_sources")))
-        .crossJoin(n)
-    )
-    return dims.selectExpr(
-        "CAST(n_docs AS BIGINT) AS n_docs",
-        "n_langs",
-        "n_sources",
-        "CAST((n_langs - 1) * (n_sources - 1) AS INT) AS dof",
-        "(ROUND(chi2 * 1e9) / 1e9 + 0.0) AS chi2",
-        "(ROUND(SQRT(chi2 / (n_docs * LEAST(n_langs - 1, n_sources - 1)))"
-        " * 1e9) / 1e9 + 0.0) AS cramers_v",
+    return (
+        n.crossJoin(hl)
+        .crossJoin(hs)
+        .crossJoin(hj)
+        .selectExpr(
+            "n AS n_docs",
+            "n_langs",
+            "n_sources",
+            "h_lang AS h_lang_bits",
+            "h_source AS h_source_bits",
+            "h_joint AS h_joint_bits",
+            "(ROUND(((h_lang + h_source - h_joint) / h_lang) * 1e9) / 1e9"
+            " + 0.0) AS u_lang_given_source",
+            "(ROUND(((h_lang + h_source - h_joint) / h_source) * 1e9) / 1e9"
+            " + 0.0) AS u_source_given_lang",
+        )
     )
 
 

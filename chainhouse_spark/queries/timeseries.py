@@ -1937,7 +1937,8 @@ _RS_SLOPE = (
         FROM events GROUP BY 1
     ),
     idxd AS (
-        SELECT x, x * x AS xx,
+        SELECT x,
+               CAST(x AS DECIMAL(19,0)) * CAST(x AS DECIMAL(19,0)) AS xx,
                CAST(ROW_NUMBER() OVER (ORDER BY h) AS BIGINT) AS idx,
                CAST(COUNT(*) OVER () AS BIGINT) AS t_hours
         FROM hourly
@@ -1962,7 +1963,7 @@ _RS_SLOPE = (
         SELECT w, chunk,
                CAST(MAX(w * s_j - j * tc) - MIN(w * s_j - j * tc) AS BIGINT)
                  AS r_int,
-               CAST(SUM(xx) AS BIGINT) AS ss,
+               CAST(SUM(xx) AS DECIMAL(28,0)) AS ss,
                CAST(MIN(tc) AS BIGINT) AS tc,
                CAST(MIN(t_hours) AS BIGINT) AS t_hours
         FROM cum GROUP BY w, chunk
@@ -1972,7 +1973,9 @@ _RS_SLOPE = (
                CAST(COUNT(*) AS BIGINT) AS n_chunks,
                CAST(SUM(CAST(ROUND(
                    CAST(r_int AS DOUBLE)
-                   / SQRT(CAST(w * ss - tc * tc AS DOUBLE)), 6)
+                   / SQRT(CAST(CAST(w AS DECIMAL(6,0)) * ss
+                          - CAST(tc AS DECIMAL(17,0))
+                            * CAST(tc AS DECIMAL(17,0)) AS DOUBLE)), 6)
                  AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*) AS mean_rs
         FROM chunks GROUP BY w
     ),
@@ -2018,7 +2021,9 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     trusting ARIMA-class models. For window sizes w in {{8,16,32,64}} the
     series splits into full w-hour chunks; within each chunk the range of
     cumulative mean deviations is computed SCALED BY w so it stays exact
-    integer (w*S_j - j*Tc), the stddev denominator likewise (w*SS - Tc^2),
+    integer (w*S_j - j*Tc, BIGINT-safe to ~1e12 cents/hour), the stddev
+    denominator likewise exact in DECIMAL (w*SS - Tc^2 leaves BIGINT once
+    hourly sums pass ~1e8 cents — found by the 100x smoke),
     and R/S is one float division of exact integers. Per-size means are
     round-at-6 DECIMAL sums; H is the closed-form OLS slope of ln(R/S) on
     ln(w) over 4 points whose products are rounded-then-DECIMAL-summed
@@ -2035,7 +2040,12 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
     from chainhouse_spark.operators.ranking import global_row_number
 
     idxd = global_row_number(hourly, [F.asc("h")], "idx").withColumn(
-        "xx", F.col("x") * F.col("x")
+        # DECIMAL squares: at the sf10 smoke the hourly sum reaches ~1e8
+        # cents, so x*x (and downstream w*SS, Tc^2) overflow ANSI BIGINT —
+        # caught live by the 100x smoke (ARITHMETIC_OVERFLOW in stage 13).
+        # DECIMAL(19)^2 -> (38,0) holds hourly sums to ~1e12 cents.
+        "xx",
+        F.col("x").cast("decimal(19,0)") * F.col("x").cast("decimal(19,0)"),
     )
     t_hours = idxd.agg(F.count(F.lit(1)).cast("bigint").alias("t_hours"))
     expanded = (
@@ -2080,7 +2090,7 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("bigint")
         .alias("r_int"),
-        F.sum("xx").cast("bigint").alias("ss"),
+        F.sum("xx").cast("decimal(28,0)").alias("ss"),
         F.min("tc").cast("bigint").alias("tc"),
         F.min("t_hours").cast("bigint").alias("t_hours"),
     )
@@ -2091,7 +2101,9 @@ def ts_hurst_rs(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("bigint").alias("n_chunks"),
             F.expr(
                 "CAST(SUM(CAST(ROUND(CAST(r_int AS DOUBLE)"
-                " / SQRT(CAST(w * ss - tc * tc AS DOUBLE)), 6)"
+                " / SQRT(CAST(CAST(w AS DECIMAL(6,0)) * ss"
+                " - CAST(tc AS DECIMAL(17,0))"
+                " * CAST(tc AS DECIMAL(17,0)) AS DOUBLE)), 6)"
                 " AS DECIMAL(16,6))) AS DOUBLE) / COUNT(*)"
             ).alias("mean_rs"),
         )

@@ -930,7 +930,7 @@ def test_round9_additions_plan_shapes(spark):
     # distributed exact prefix sum; branched consumers read bounded-size
     # localCheckpoints instead of re-scanning the base table.
     for name in (
-        "stat_kruskal_wallis", "eval_auc_roc", "stat_cramers_v",
+        "stat_kruskal_wallis", "eval_auc_roc", "stat_theils_u",
         "surv_kaplan_meier", "drift_js_divergence", "eval_retrieval_map",
         "text_simpson_diversity", "ts_theil_sen_slope", "graph_modularity",
         "stat_jarque_bera", "text_burstiness", "ts_hurst_rs",
