@@ -2953,3 +2953,138 @@ def stat_jarque_bera(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = e.agg(*[F.expr(a.strip()) for a in _JB_AGGS.split(",\n")])
     c = m.selectExpr(*_JB_MOMENTS.split(",\n"))
     return c.selectExpr(*_JB_FINAL.split(",\n"))
+
+
+# --- Hash-deterministic randomization (Monte-Carlo permutation-style) test
+# of the purchase-vs-error mean difference. Replicate b relabels each row
+# by one md5 bit keyed on (event_id, b) — exchangeable-null relabeling the
+# two engines reproduce bit-for-bit where a real permutation (global
+# shuffle + exact size split) could not be made engine-deterministic. The
+# observed groups are near-balanced, so the equal-probability relabel
+# matches the observed design. Everything is ONE aggregate pass:
+# 2 + 2*B conditional integer sums; the replicate statistics and the
+# indicator sum are a fixed float chain on the single aggregate row.
+_PERM_B = 64
+
+
+def _perm_bit_spark(b: int) -> str:
+    return (
+        f"(CAST(conv(substr(md5(CAST(event_id AS STRING) || ':p{b}'),"
+        f" 1, 1), 16, 10) AS INT) % 2)"
+    )
+
+
+def _perm_bit_duck(b: int) -> str:
+    return (
+        f"((instr('0123456789abcdef',"
+        f" substr(md5(CAST(event_id AS VARCHAR) || ':p{b}'), 1, 1)) - 1) % 2)"
+    )
+
+
+def _perm_t(b) -> str:
+    # replicate (or observed, b="0") mean difference in cents
+    return (
+        f"(CAST(sa{b} AS DOUBLE) / na{b}"
+        f" - CAST(sx - sa{b} AS DOUBLE) / (n_rows - na{b}))"
+    )
+
+
+def _perm_indicator_chain() -> str:
+    expr = f"(CASE WHEN ABS(t1) >= ABS(t0) THEN 1 ELSE 0 END)"
+    for b in range(2, _PERM_B + 1):
+        expr = (
+            f"({expr} + (CASE WHEN ABS(t{b}) >= ABS(t0) THEN 1 ELSE 0 END))"
+        )
+    return expr
+
+
+def _perm_oracle() -> str:
+    sums = ",\n               ".join(
+        f"CAST(SUM(CASE WHEN {_perm_bit_duck(b)} = 1 THEN 1 ELSE 0 END)"
+        f" AS BIGINT) AS na{b},"
+        f" CAST(SUM(CASE WHEN {_perm_bit_duck(b)} = 1 THEN x ELSE 0 END)"
+        f" AS BIGINT) AS sa{b}"
+        for b in range(1, _PERM_B + 1)
+    )
+    ts = ",\n               ".join(
+        f"{_perm_t(b)} AS t{b}" for b in ["0"] + list(range(1, _PERM_B + 1))
+    )
+    return f"""
+    WITH x AS (
+        SELECT event_id, CAST(ROUND(value * 100, 0) AS BIGINT) AS x,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS is_a
+        FROM events WHERE event_type IN ('purchase', 'error')
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+               CAST(SUM(x) AS BIGINT) AS sx,
+               CAST(SUM(is_a) AS BIGINT) AS na0,
+               CAST(SUM(CASE WHEN is_a = 1 THEN x ELSE 0 END) AS BIGINT)
+                 AS sa0,
+               {sums}
+        FROM x
+    ),
+    t AS (SELECT n_rows, na0, {ts} FROM s)
+    SELECT na0 AS n_a,
+           CAST(n_rows - na0 AS BIGINT) AS n_b,
+           (ROUND((t0) * 1e9) / 1e9 + 0.0) AS mean_diff_cents,
+           (ROUND((CAST(1 + {_perm_indicator_chain()} AS DOUBLE)
+              / {_PERM_B + 1}.0) * 1e9) / 1e9 + 0.0) AS p_value
+    FROM t
+    """
+
+
+@register("stat_randomization_test", oracle=_perm_oracle())
+def stat_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Monte-Carlo randomization test of the purchase-vs-error mean value
+    difference — the assumption-free member of the A/B family (Welch
+    needs normal-ish tails, MWU tests ranks; the randomization test's
+    null is plain exchangeability). B=64 hash-deterministic relabelings
+    (one md5 bit per (event_id, replicate) — reproducible across engines
+    where a true random permutation is not), replicate statistic = mean
+    difference under the relabel, p = (1 + #{{|T_b| >= |T_obs|}})/(B+1) —
+    the add-one Monte-Carlo estimator, exact integers into one division.
+    Scale: ONE aggregate pass with 2+2B conditional integer sums (no
+    explode, no per-replicate shuffle — the stat_bootstrap_se shape);
+    the 65 statistics and the indicator chain evaluate on a single row."""
+    e = load_table(spark, sf_dir, "events").filter(
+        F.col("event_type").isin("purchase", "error")
+    )
+    x = e.select(
+        "event_id",
+        F.round(F.col("value") * 100, 0).cast("bigint").alias("x"),
+        (F.col("event_type") == "purchase").cast("int").alias("is_a"),
+    )
+    aggs = [
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("is_a").cast("bigint").alias("na0"),
+        F.expr("CAST(SUM(CASE WHEN is_a = 1 THEN x ELSE 0 END) AS BIGINT)").alias(
+            "sa0"
+        ),
+    ]
+    for b in range(1, _PERM_B + 1):
+        bit = _perm_bit_spark(b)
+        aggs.append(
+            F.expr(
+                f"CAST(SUM(CASE WHEN {bit} = 1 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias(f"na{b}")
+        )
+        aggs.append(
+            F.expr(
+                f"CAST(SUM(CASE WHEN {bit} = 1 THEN x ELSE 0 END) AS BIGINT)"
+            ).alias(f"sa{b}")
+        )
+    s = x.agg(*aggs)
+    t = s.selectExpr(
+        "n_rows",
+        "na0",
+        *[f"{_perm_t(b)} AS t{b}" for b in ["0"] + list(range(1, _PERM_B + 1))],
+    )
+    return t.selectExpr(
+        "na0 AS n_a",
+        "CAST(n_rows - na0 AS BIGINT) AS n_b",
+        "(ROUND((t0) * 1e9) / 1e9 + 0.0) AS mean_diff_cents",
+        f"(ROUND((CAST(1 + {_perm_indicator_chain()} AS DOUBLE)"
+        f" / {_PERM_B + 1}.0) * 1e9) / 1e9 + 0.0) AS p_value",
+    )
