@@ -77,6 +77,12 @@ BENCH_QUERIES = [
     "ts_m4_downsample",
     "audience_rfm_segments",
     "search_hybrid_rrf",
+    # Round-9 additions: the two heaviest new shapes — the brand-partition
+    # modularity (edge materialization + membership joins; the DISK_ONLY
+    # checkpoint under timing) and the Hurst R/S pipeline (distributed
+    # row-number + partitioned chunk windows + decimal reductions).
+    "graph_modularity",
+    "ts_hurst_rs",
 ]
 
 RUNS_PER_QUERY = 6

@@ -1052,7 +1052,8 @@ _H_TERM_SQL = (
     )
     SELECT h1.lang, n_tokens, n_unique_tokens, n_bigrams, n_unique_bigrams,
            h_unigram_bits, h_bigram_bits,
-           h_bigram_bits - h_unigram_bits AS cond_entropy_bits
+           (ROUND((h_bigram_bits - h_unigram_bits) * 1e9) / 1e9 + 0.0)
+             AS cond_entropy_bits
     FROM h1 JOIN h2 ON h1.lang = h2.lang
     """,
 )
@@ -1120,5 +1121,8 @@ def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_unique_bigrams",
         "h_unigram_bits",
         "h_bigram_bits",
-        "h_bigram_bits - h_unigram_bits AS cond_entropy_bits",
+        # the double subtraction of two 6-decimal sums is not 9-digit clean
+        # (convention gate) — round-at-9 the emission, identical both sides
+        "(ROUND((h_bigram_bits - h_unigram_bits) * 1e9) / 1e9 + 0.0)"
+        " AS cond_entropy_bits",
     )
