@@ -28,7 +28,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from chainhouse_spark.functions.rounding import round9
-from chainhouse_spark.queries.registry import register
+from chainhouse_spark.queries.registry import exempt_round9, register
 from chainhouse_spark.tables import load_table
 
 TOP_K = 10
@@ -658,3 +658,15 @@ def sketch_hll_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= 0.2 * F.col("n_exact")
         ).alias("within_20pct"),
     )
+
+
+# Theta-sketch estimates scale with the true distinct count (est = k-th
+# hash inverse x 2^32 / theta): past ~9e6 the round-at-9 product leaves
+# the 2^53 integer range and rounding degenerates — the magnitude-
+# unbounded class. Protection is the original rule: both engines replay
+# the identical deterministic md5 sketch and the identical single-division
+# formula (flagged by the sf0.01 convention audit, round 9).
+exempt_round9("sketch_theta_set_ops", {
+    "est_union": "grows with distinct count (theta-sketch estimate)",
+    "est_intersection": "grows with distinct count (theta-sketch estimate)",
+})

@@ -41,7 +41,8 @@ def _minute_rollup(e: DataFrame) -> DataFrame:
     SELECT date_trunc('minute', ts) AS minute, event_type,
            COUNT(*) AS n,
            CAST(SUM({_VAL}) AS DOUBLE) AS sum_value,
-           CAST(SUM({_VAL}) AS DOUBLE) / COUNT(*) AS avg_value
+           (ROUND((CAST(SUM({_VAL}) AS DOUBLE) / COUNT(*)) * 1e9) / 1e9
+             + 0.0) AS avg_value
     FROM events
     GROUP BY 1, 2
     """,
@@ -55,7 +56,12 @@ def ts_rollup_minute(spark: SparkSession, sf_dir: str) -> DataFrame:
         "event_type",
         "n",
         F.expr("CAST(sum_value_dec AS DOUBLE)").alias("sum_value"),
-        F.expr("CAST(sum_value_dec AS DOUBLE) / n").alias("avg_value"),
+        # round-at-9 emission: value-scale ratio (bounded by the value
+        # domain, not data volume) — sf0.001 happened to be round-clean,
+        # the sf0.01 convention audit flagged the raw division
+        F.expr(
+            "(ROUND((CAST(sum_value_dec AS DOUBLE) / n) * 1e9) / 1e9 + 0.0)"
+        ).alias("avg_value"),
     )
 
 
@@ -688,7 +694,9 @@ def _duck_arr_median(arr: str) -> str:
                {_duck_arr_median('list_transform(arr, x -> abs(x - med))')} AS mad
         FROM med
     )
-    SELECT event_id, event_type, value, med, (ROUND((mad) * 1e9) / 1e9 + 0.0) AS mad,
+    SELECT event_id, event_type, value,
+           (ROUND((med) * 1e9) / 1e9 + 0.0) AS med,
+           (ROUND((mad) * 1e9) / 1e9 + 0.0) AS mad,
            ABS(value - med) > 3.0 * 1.4826 * mad AS is_anomaly
     FROM mad
     WHERE ABS(value - med) > 3.0 * 1.4826 * mad
@@ -728,10 +736,11 @@ def ts_rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.abs(F.col("value") - F.col("med")) > 3.0 * 1.4826 * F.col("mad"),
         )
         .filter("is_anomaly")
-        # anomaly threshold compares RAW mad on both sides; only the
-        # emitted column rounds (even-frame medians average two floats)
+        # anomaly threshold compares RAW med/mad on both sides; only the
+        # emitted columns round (even-frame medians average two floats)
         .select(
-            "event_id", "event_type", "value", "med",
+            "event_id", "event_type", "value",
+            round9("med").alias("med"),
             round9("mad").alias("mad"), "is_anomaly",
         )
     )

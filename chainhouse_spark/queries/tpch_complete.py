@@ -120,8 +120,8 @@ def q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q8_market_share",
     oracle=f"""
     SELECT yr,
-           CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE)
-             / CAST(SUM(volume) AS DOUBLE) AS mkt_share
+           (ROUND((CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE)
+             / CAST(SUM(volume) AS DOUBLE)) * 1e9) / 1e9 + 0.0) AS mkt_share
     FROM (
       SELECT year(o_orderdate) AS yr, {_REV} AS volume, n2.n_name AS supp_nation
       FROM part, supplier, lineitem, orders, customer, nation n1, nation n2, region
@@ -162,9 +162,9 @@ def q8_market_share(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return sales.groupBy("yr").agg(
         F.expr(
-            "CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume "
+            "(ROUND((CAST(SUM(CASE WHEN supp_nation = 'NATION_1' THEN volume "
             "ELSE CAST(0 AS DECIMAL(4,2)) END) AS DOUBLE) "
-            "/ CAST(SUM(volume) AS DOUBLE)"
+            "/ CAST(SUM(volume) AS DOUBLE)) * 1e9) / 1e9 + 0.0)"
         ).alias("mkt_share")
     )
 
