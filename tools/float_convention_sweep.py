@@ -29,6 +29,13 @@ this standalone tool exists for ad-hoc full-registry audits.
 Usage: python tools/float_convention_sweep.py [sf_dir]
 One JSON line per query; a final summary line lists offenders.
 Exits 1 if any non-exempt offender is found.
+
+AUDIT SCALE MATTERS: default is sf0.01 (the driver's adjudication scale).
+The round-9 sf0.001 sweep missed four latent offenders whose values
+happened to be round-clean at that size (ts_rollup_minute.avg_value,
+ts_rolling_mad_anomaly.med, q8_market_share.mkt_share,
+sketch_theta_set_ops.est_*) — the sf0.01 parity run surfaced them.
+Audit at the scale the driver checks, or larger.
 """
 
 from __future__ import annotations
@@ -77,7 +84,7 @@ def flag_unrounded_cols(name: str, pdf) -> list[str]:
 
 
 def main() -> int:
-    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.001"
+    sf_dir = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.01"
     spark = build_spark("float_convention_sweep")
     offenders: dict[str, list[str]] = {}
     for name, fn in sorted(QUERIES.items()):
