@@ -662,3 +662,138 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranked.filter(F.col("rk") <= 3).select(
         "window_start", "event_type", "n", F.col("rk").cast("int").alias("rk")
     )
+
+
+@register(
+    "stream_psi_drift",
+    oracle="""
+    WITH base AS (
+        SELECT source,
+               CAST(doc_id % 2 AS INT) AS snap,
+               CAST(LEAST(n_chars // 64, 9) AS INT) AS bin
+        FROM documents
+    ),
+    cells AS (
+        SELECT source, snap, bin, CAST(COUNT(*) AS BIGINT) AS c
+        FROM base GROUP BY source, snap, bin
+    ),
+    spine AS (
+        SELECT s.source, CAST(sn AS INT) AS snap, CAST(b AS INT) AS bin
+        FROM (SELECT DISTINCT source FROM cells) s,
+             UNNEST(range(0, 2)) t1(sn), UNNEST(range(0, 10)) t2(b)
+    ),
+    full_cells AS (
+        SELECT spine.source, spine.snap, spine.bin, COALESCE(cells.c, 0) AS c
+        FROM spine LEFT JOIN cells
+          ON spine.source = cells.source AND spine.snap = cells.snap
+         AND spine.bin = cells.bin
+    ),
+    tot AS (
+        SELECT source, bin,
+               SUM(CASE WHEN snap = 0 THEN c ELSE 0 END) AS c0,
+               SUM(CASE WHEN snap = 1 THEN c ELSE 0 END) AS c1,
+               SUM(SUM(CASE WHEN snap = 0 THEN c ELSE 0 END))
+                 OVER (PARTITION BY source) AS n0,
+               SUM(SUM(CASE WHEN snap = 1 THEN c ELSE 0 END))
+                 OVER (PARTITION BY source) AS n1
+        FROM full_cells GROUP BY source, bin
+    ),
+    term AS (
+        SELECT source, n0, n1,
+               CAST(c0 + 1 AS DOUBLE) / (n0 + 10) AS p0,
+               CAST(c1 + 1 AS DOUBLE) / (n1 + 10) AS p1
+        FROM tot
+    )
+    SELECT source,
+           CAST(MIN(n0) AS BIGINT) AS n_base,
+           CAST(MIN(n1) AS BIGINT) AS n_cur,
+           CAST(SUM(CAST(ROUND((p1 - p0) * LN(p1 / p0), 6)
+                    AS DECIMAL(20,6))) AS DOUBLE) AS psi
+    FROM term GROUP BY source
+    """,
+)
+def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The PSI drift monitor RUNNING ON THE STREAM: the per-(source, snap,
+    bin) count cube is maintained as complete-mode streaming aggregation
+    state over the document stream (file source, AvailableNow) — the shape
+    of a resident ingest pipeline that alerts on distribution shift as new
+    crawl files land — and the PSI math runs once on the final cube
+    (<= |sources| x 20 rows). Complete-mode counts are a pure function of
+    the input set (micro-batch-boundary-independent), so the batch PSI
+    oracle hash-checks the streaming engine itself. Same fixed bins,
+    Laplace smoothing, and rounded-then-DECIMAL-summed terms as
+    drift_psi_by_source; empty cells enter via a 20-way conditional pivot
+    over the cube, never a corpus re-scan. At 100 TB the state is
+    sources x 20 longs — constant; swap the doc_id-parity snapshot for an
+    ingest-time watermark column in production."""
+    stream = _stream_source(spark, sf_dir, "documents")
+    cells = (
+        stream.select(
+            "source",
+            (F.col("doc_id") % 2).cast("int").alias("snap"),
+            F.least(F.col("n_chars") / F.lit(64), F.lit(9))
+            .cast("int")
+            .alias("bin"),
+        )
+        .groupBy("source", "snap", "bin")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    cube = _run_to_table(cells, "complete")
+
+    def _c(snap: int, b: int):
+        return (
+            F.sum(
+                F.when(
+                    (F.col("snap") == snap) & (F.col("bin") == b), F.col("c")
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias(f"b{b}_{snap}")
+        )
+
+    agg = cube.groupBy("source").agg(
+        *[_c(sn, b) for sn in (0, 1) for b in range(10)]
+    )
+    arr0 = F.array(*[F.col(f"b{b}_0") for b in range(10)])
+    arr1 = F.array(*[F.col(f"b{b}_1") for b in range(10)])
+    tot = (
+        agg.select(
+            "source",
+            sum(
+                [F.col(f"b{b}_0") for b in range(10)], F.lit(0).cast("bigint")
+            ).alias("n0"),
+            sum(
+                [F.col(f"b{b}_1") for b in range(10)], F.lit(0).cast("bigint")
+            ).alias("n1"),
+            arr0.alias("a0"),
+            arr1.alias("a1"),
+            F.explode(F.sequence(F.lit(0), F.lit(9))).alias("bin"),
+        )
+        .select(
+            "source",
+            F.element_at("a0", F.col("bin") + 1).alias("c0"),
+            F.element_at("a1", F.col("bin") + 1).alias("c1"),
+            "n0",
+            "n1",
+        )
+    )
+    p0 = (F.col("c0") + 1).cast("double") / (F.col("n0") + 10)
+    p1 = (F.col("c1") + 1).cast("double") / (F.col("n1") + 10)
+    return (
+        tot.select(
+            "source",
+            "n0",
+            "n1",
+            p0.alias("p0"),
+            p1.alias("p1"),
+        )
+        .groupBy("source")
+        .agg(
+            F.min("n0").cast("bigint").alias("n_base"),
+            F.min("n1").cast("bigint").alias("n_cur"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND((p1 - p0) * LN(p1 / p0), 6)"
+                " AS DECIMAL(20,6))) AS DOUBLE)"
+            ).alias("psi"),
+        )
+    )
