@@ -64,6 +64,18 @@ def main() -> int:
             continue
         try:
             spdf = QUERIES[name](spark, args.sf).toPandas()
+            # Round-at-9 convention gate (same check test_oracle_parity.py
+            # runs): without it this tool green-lit queries whose raw
+            # unrounded emissions only show at sf0.01 (the round-9
+            # text_ngram_entropy_rate / ts_rollup_minute class).
+            sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+            from float_convention_sweep import flag_unrounded_cols
+
+            bad_cols = flag_unrounded_cols(name, spdf)
+            if bad_cols:
+                print(f"{name}: CONVENTION-FAIL unrounded {bad_cols}")
+                failed += 1
+                continue
             if name not in ORACLES:
                 print(f"{name}: rows-only OK ({len(spdf)} rows)")
                 continue
