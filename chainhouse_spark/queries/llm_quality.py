@@ -846,9 +846,10 @@ def nb_classwise_f1(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(s AS BIGINT) AS n_docs, n_classes,
            (ROUND((c / s) * 1e9) / 1e9 + 0.0) AS accuracy,
-           (ROUND(((c * s - sum_pt)
-              / (SQRT(s * s - sum_p2) * SQRT(s * s - sum_t2)))
-              * 1e9) / 1e9 + 0.0) AS mcc
+           (CASE WHEN s * s - sum_p2 <= 0 OR s * s - sum_t2 <= 0 THEN 0.0
+                 ELSE (ROUND(((c * s - sum_pt)
+                   / (SQRT(s * s - sum_p2) * SQRT(s * s - sum_t2)))
+                   * 1e9) / 1e9 + 0.0) END) AS mcc
     FROM agg
     """,
 )
@@ -906,7 +907,12 @@ def eval_confusion_mcc(spark: SparkSession, sf_dir: str) -> DataFrame:
         "CAST(s AS BIGINT) AS n_docs",
         "n_classes",
         "(ROUND((c / s) * 1e9) / 1e9 + 0.0) AS accuracy",
-        "(ROUND(((c * s - sum_pt)"
+        # degenerate-marginal guard (MCC = 0 by convention when every
+        # prediction or every label is one class; ANSI mode otherwise
+        # raises DIVIDE_BY_ZERO — hit live by the 100x scale smoke, where
+        # the suffixed 100-copy corpus drives NB to a single class)
+        "(CASE WHEN s * s - sum_p2 <= 0 OR s * s - sum_t2 <= 0 THEN 0.0"
+        " ELSE (ROUND(((c * s - sum_pt)"
         " / (SQRT(s * s - sum_p2) * SQRT(s * s - sum_t2)))"
-        " * 1e9) / 1e9 + 0.0) AS mcc",
+        " * 1e9) / 1e9 + 0.0) END) AS mcc",
     )
