@@ -851,7 +851,9 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT source,
-               CAST(doc_id % 2 AS INT) AS snap,
+               ((instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 2)
+                 AS snap,
                CAST(LEAST(n_chars // 64, 9) AS INT) AS bin
         FROM documents
     ),
@@ -901,8 +903,8 @@ def stat_mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Population Stability Index of each source's document-length
-    distribution between two corpus snapshots (deterministically split by
-    doc_id parity) — the drift monitor a recurring training-data refresh
+    distribution between two corpus snapshots (split by a deterministic
+    md5 bit of doc_id — id parity is constant within a source here) — the drift monitor a recurring training-data refresh
     runs before accepting a new crawl. Lengths bin into 10 fixed buckets;
     bin probabilities are Laplace-smoothed ((c+1)/(n+10)) so empty bins
     contribute finite terms, and each PSI term is rounded to 6 decimals and
@@ -917,7 +919,13 @@ def drift_psi_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     a second corpus scan) and every later op moves only cube-sized rows."""
     d = load_table(spark, sf_dir, "documents").select(
         "source",
-        (F.col("doc_id") % 2).cast("int").alias("snap"),
+        # md5-bit snapshot split (NOT doc_id parity — id parity is constant
+        # within a source in this data, so a parity split degenerates to
+        # base-vs-empty; found via drift_ks_by_source, round 9)
+        F.expr(
+            "(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10)"
+            " AS INT) % 2)"
+        ).alias("snap"),
         F.least(F.col("n_chars") / F.lit(64), F.lit(9)).cast("int").alias("bin"),
     )
     # The 10 bins are FIXED, so the whole (source, snap, bin) cube pivots
@@ -2775,7 +2783,9 @@ _JS_TERM = (
     oracle=f"""
     WITH base AS (
         SELECT source,
-               CAST(doc_id % 2 AS INT) AS snap,
+               ((instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 2)
+                 AS snap,
                CAST(LEAST(n_chars // 64, 9) AS INT) AS bin
         FROM documents
     ),
@@ -2836,7 +2846,13 @@ def drift_js_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
     single-scan shape (no spine join, no second corpus scan)."""
     d = load_table(spark, sf_dir, "documents").select(
         "source",
-        (F.col("doc_id") % 2).cast("int").alias("snap"),
+        # md5-bit snapshot split (NOT doc_id parity — id parity is constant
+        # within a source in this data, so a parity split degenerates to
+        # base-vs-empty; found via drift_ks_by_source, round 9)
+        F.expr(
+            "(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10)"
+            " AS INT) % 2)"
+        ).alias("snap"),
         F.least(F.col("n_chars") / F.lit(64), F.lit(9)).cast("int").alias("bin"),
     )
 
@@ -3087,4 +3103,116 @@ def stat_randomization_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(ROUND((t0) * 1e9) / 1e9 + 0.0) AS mean_diff_cents",
         f"(ROUND((CAST(1 + {_perm_indicator_chain()} AS DOUBLE)"
         f" / {_PERM_B + 1}.0) * 1e9) / 1e9 + 0.0) AS p_value",
+    )
+
+
+@register(
+    "drift_ks_by_source",
+    oracle="""
+    WITH base AS (
+        SELECT source,
+               ((instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 2)
+                 AS snap,
+               n_chars AS v
+        FROM documents
+    ),
+    cnt AS (
+        SELECT source, v,
+               CAST(COUNT(*) FILTER (WHERE snap = 0) AS BIGINT) AS c0,
+               CAST(COUNT(*) FILTER (WHERE snap = 1) AS BIGINT) AS c1
+        FROM base GROUP BY source, v
+    ),
+    cum AS (
+        SELECT source, v, c0, c1,
+               SUM(c0) OVER (PARTITION BY source ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS e0,
+               SUM(c1) OVER (PARTITION BY source ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS e1,
+               SUM(c0) OVER (PARTITION BY source) AS n0,
+               SUM(c1) OVER (PARTITION BY source) AS n1
+        FROM cnt
+    ),
+    agg AS (
+        SELECT source,
+               CAST(MIN(n0) AS BIGINT) AS n_base,
+               CAST(MIN(n1) AS BIGINT) AS n_cur,
+               CAST(MAX(ABS(e0 * n1 - e1 * n0)) AS BIGINT) AS d_num
+        FROM cum GROUP BY source
+    )
+    SELECT source, n_base, n_cur,
+           (ROUND((CAST(d_num AS DOUBLE)
+              / (CAST(n_base AS DOUBLE) * n_cur)) * 1e9) / 1e9 + 0.0) AS ks_d,
+           CAST(d_num AS DOUBLE) / (CAST(n_base AS DOUBLE) * n_cur)
+             > 1.358 * SQRT((n_base + CAST(n_cur AS DOUBLE))
+                            / (CAST(n_base AS DOUBLE) * n_cur)) AS reject_05
+    FROM agg
+    WHERE n_base > 0 AND n_cur > 0
+    """,
+)
+def drift_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact two-sample Kolmogorov-Smirnov drift test per source — the
+    third member of the drift trio next to PSI (binned, magnitude-of-
+    shift) and JS (binned, symmetric-bounded): KS compares the FULL
+    length distributions with no binning choice at all, so shape changes
+    that fall inside one PSI bin still register. Same machinery as the
+    global stat_ks_two_sample: the sup-distance is the integer max of
+    |ecdf0*n1 - ecdf1*n0| over pooled distinct values (cumulative counts
+    are exact, one division at the end), and the alpha=0.05 decision uses
+    the literal large-sample constant 1.358 against the same shared float
+    expressions. Scale: one count shuffle to (source, value) cells; the
+    ECDF windows partition BY SOURCE (never a single-task global window)
+    and the cross-product stays in BIGINT to ~1e9 docs per source per
+    snapshot. The snapshot split is a deterministic md5 bit (id parity is
+    constant within a source in this data — a parity split would compare
+    each source against an empty sample)."""
+    # snapshot split by an md5 bit, NOT doc_id parity: the synthetic
+    # generator strides doc_ids by source (src_i holds ids ≡ i mod 20), so
+    # id parity is CONSTANT within a source and a parity split degenerates
+    # to base-vs-empty; the hash bit is uncorrelated with any id layout.
+    d = load_table(spark, sf_dir, "documents").select(
+        "source",
+        F.expr(
+            "(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10)"
+            " AS INT) % 2)"
+        ).alias("snap"),
+        F.col("n_chars").alias("v"),
+    )
+    cnt = d.groupBy("source", "v").agg(
+        F.count(F.when(F.col("snap") == 0, 1)).cast("bigint").alias("c0"),
+        F.count(F.when(F.col("snap") == 1, 1)).cast("bigint").alias("c1"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    cum = cnt.select(
+        "source",
+        F.sum("c0").over(w).alias("e0"),
+        F.sum("c1").over(w).alias("e1"),
+        F.sum("c0").over(wall).alias("n0"),
+        F.sum("c1").over(wall).alias("n1"),
+    )
+    agg = cum.groupBy("source").agg(
+        F.min("n0").cast("bigint").alias("n_base"),
+        F.min("n1").cast("bigint").alias("n_cur"),
+        F.max(F.abs(F.col("e0") * F.col("n1") - F.col("e1") * F.col("n0")))
+        .cast("bigint")
+        .alias("d_num"),
+    )
+    # KS is undefined against an empty snapshot (tiny sources at small sf
+    # can land all docs on one parity) — excluded identically on both sides
+    return agg.filter((F.col("n_base") > 0) & (F.col("n_cur") > 0)).selectExpr(
+        "source",
+        "n_base",
+        "n_cur",
+        "(ROUND((CAST(d_num AS DOUBLE)"
+        " / (CAST(n_base AS DOUBLE) * n_cur)) * 1e9) / 1e9 + 0.0) AS ks_d",
+        "CAST(d_num AS DOUBLE) / (CAST(n_base AS DOUBLE) * n_cur)"
+        " > 1.358 * SQRT((n_base + CAST(n_cur AS DOUBLE))"
+        " / (CAST(n_base AS DOUBLE) * n_cur)) AS reject_05",
     )

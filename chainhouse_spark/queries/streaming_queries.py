@@ -669,7 +669,9 @@ def stream_sliding_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH base AS (
         SELECT source,
-               CAST(doc_id % 2 AS INT) AS snap,
+               ((instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 2)
+                 AS snap,
                CAST(LEAST(n_chars // 64, 9) AS INT) AS bin
         FROM documents
     ),
@@ -724,13 +726,18 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     Laplace smoothing, and rounded-then-DECIMAL-summed terms as
     drift_psi_by_source; empty cells enter via a 20-way conditional pivot
     over the cube, never a corpus re-scan. At 100 TB the state is
-    sources x 20 longs — constant; swap the doc_id-parity snapshot for an
+    sources x 20 longs — constant; swap the md5-bit snapshot for an
     ingest-time watermark column in production."""
     stream = _stream_source(spark, sf_dir, "documents")
     cells = (
         stream.select(
             "source",
-            (F.col("doc_id") % 2).cast("int").alias("snap"),
+            # md5-bit snapshot split (id parity is constant per source in
+            # this data — see drift_psi_by_source)
+            F.expr(
+                "(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10)"
+                " AS INT) % 2)"
+            ).alias("snap"),
             F.least(F.col("n_chars") / F.lit(64), F.lit(9))
             .cast("int")
             .alias("bin"),

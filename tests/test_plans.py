@@ -935,7 +935,7 @@ def test_round9_additions_plan_shapes(spark):
         "text_simpson_diversity", "ts_theil_sen_slope", "graph_modularity",
         "stat_jarque_bera", "text_burstiness", "ts_hurst_rs",
         "eval_confusion_mcc", "text_ngram_entropy_rate",
-        "stat_randomization_test",
+        "stat_randomization_test", "drift_ks_by_source",
     ):
         f = plan_facts(q(spark, name))
         assert f.cartesian_products == 0, name
