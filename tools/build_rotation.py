@@ -55,12 +55,12 @@ def main() -> int:
     # but fell outside that round's ~50-row driver window. They hold STALE
     # green rows and must lead the next rotation before anything else.
     try:
-        from chainhouse_spark.queries import _ROUND10_HEAD  # noqa: E402
-        if _ROUND10_HEAD:
+        from chainhouse_spark.queries import _STALE_CARRYOVER  # noqa: E402
+        if _STALE_CARRYOVER:
             print("# !! CARRY-OVER: these output-changed queries hold stale")
             print("# !! green rows — they MUST lead the next rotation's front")
-            print("# !! (see the _ROUND10_HEAD comment in queries/__init__.py):")
-            for n in _ROUND10_HEAD:
+            print("# !! (see the _STALE_CARRYOVER comment in queries/__init__.py):")
+            for n in _STALE_CARRYOVER:
                 print(f"# !!   {n}")
             print()
     except ImportError:
