@@ -92,11 +92,43 @@ Supported rewrites (ClickHouse → Spark):
                   reference SELECT-list aliases; inline OVER(...) in the
                   predicate / subquery forms raise)
 
-Unsupported-with-error: WITH TOTALS, cityHash64/sipHash64/halfMD5/
+  statement (r10)  GROUP BY k... WITH TOTALS → GROUP BY GROUPING SETS
+                  ((k...), ()) — the grand-total row arrives in-band with
+                  NULL keys (Spark's rollup convention; ClickHouse ships
+                  it out-of-band with default-value keys). HAVING +
+                  WITH TOTALS raises: ClickHouse's totals_mode setting
+                  makes the totals row's relationship to HAVING
+                  configuration-dependent, so no single rewrite is
+                  faithful. ROLLUP/CUBE + TOTALS raises (the () set is
+                  already in ROLLUP/CUBE).
+                  FROM t SAMPLE f (fraction or a/b) → deterministic md5
+                  hash-gate subquery on the table's declared sampling key
+                  (SAMPLE_KEYS registry — the analog of the sampling key
+                  ClickHouse declares in DDL): pmod(32-bit md5 prefix of
+                  the key, den) < num. Deterministic and repeatable across
+                  engines (ClickHouse's SAMPLE is intHash32-based and
+                  storage-defined, so exact row parity with ClickHouse is
+                  impossible by construction; the CONTRACT — a consistent,
+                  key-coherent ~f subset — is preserved). Row-count form
+                  (SAMPLE 10000) and SAMPLE ... OFFSET raise.
+  parametric (r10) topK(k)(x) → exact deterministic top-k by frequency
+                  (count desc, value asc tie-break) built from
+                  collect_list + higher-order functions. NULLs are
+                  skipped (collect_list drops them; same as ClickHouse).
+                  Exact where ClickHouse's topK is approximate — a
+                  deterministic upgrade, per the module's "never silently
+                  change values" rule it REPLACES the sketch rather than
+                  imitating its error. Memory is O(group values) on the
+                  agg buffer: fine for grouped use with bounded groups;
+                  for whole-table heavy hitters at scale use the
+                  topk_heavy_hitters operator (queries/sketches.py).
+
+Unsupported-with-error: cityHash64/sipHash64/halfMD5/
 farmHash64 (different algorithms — a silent rename would change results;
-use xxhash64/md5 explicitly), SAMPLE clause, rand/rand64 (ClickHouse
+use xxhash64/md5 explicitly), rand/rand64 (ClickHouse
 returns uniform UInt32/64, Spark rand() returns [0,1) — a silent rename
-would change every value), topK (use the topk_heavy_hitters operator),
+would change every value), WITH TOTALS combined with HAVING (totals_mode-
+dependent), SAMPLE with OFFSET or a row-count argument,
 dictGet (no external dictionaries — join the dimension table).
 """
 
@@ -325,9 +357,10 @@ _UNSUPPORTED = {
             "a silent rename would change every value. Use rand() on a "
             "Spark session directly and scale explicitly",
     "rand64": "ClickHouse rand64() is a uniform UInt64 — see rand()",
-    "topk": "approximate heavy hitters — use the topk_heavy_hitters "
-            "operator (queries/sketches.py), which pins its accuracy "
-            "contract in tests",
+    "topk": "write the parametric form topK(k)(x) — it translates to an "
+            "exact deterministic top-k by frequency; for whole-table "
+            "heavy hitters at scale use the topk_heavy_hitters operator "
+            "(queries/sketches.py)",
     "dictget": "no external dictionaries — join the dimension table "
                "(broadcast joins make this free for dictionary-sized sides)",
     # Behavioral-analytics parametric aggregates: each has a tested Spark
@@ -1026,6 +1059,61 @@ def _translate_calls(sql: str) -> str:
                     i = close2 + 1
                     continue
                 if (
+                    name.lower() == "topk"
+                    and k2 < n
+                    and sql[k2] == "("
+                ):
+                    # topK(k)(x): ClickHouse's approximate heavy hitters →
+                    # exact deterministic top-k by frequency, ties broken
+                    # by value ascending. Built entirely from higher-order
+                    # functions over one collect_list, so it stays a valid
+                    # aggregate expression in any position. NULLs skipped
+                    # (collect_list drops them — matches ClickHouse).
+                    #
+                    # Shape: sort the collected values, find run starts
+                    # (one linear pass), turn consecutive start positions
+                    # into run lengths, sort the (−count, value) structs,
+                    # slice k. O(n log n) per group — the first draft's
+                    # FILTER-per-distinct-value was O(n·d) and the 10×
+                    # scale smoke caught it at 74× (SCALE.md r10).
+                    # TRANSFORM(ARRAY(e), v -> body) is the let-binding
+                    # idiom: e is computed once and bound to v.
+                    # O(group values) agg buffer: grouped use; whole-table
+                    # scale path is topk_heavy_hitters (queries/sketches.py).
+                    close2 = _matching_paren(sql, k2)
+                    inner = _split_args(_translate_calls(sql[k2 + 1 : close2]))
+                    if len(args) != 1 or len(inner) != 1:
+                        raise CHTranslationError(
+                            "topK(k)(x) takes one parameter and one argument"
+                        )
+                    if not re.fullmatch(r"\d+", args[0].strip()):
+                        raise CHTranslationError(
+                            "topK(k)(x): k must be a positive integer literal"
+                        )
+                    k_lit, x = args[0].strip(), inner[0]
+                    starts = (
+                        "FILTER(SEQUENCE(1, SIZE(_s)), _i -> _i = 1 OR NOT "
+                        "(ELEMENT_AT(_s, _i) <=> "
+                        "ELEMENT_AT(_s, GREATEST(_i - 1, 1))))"
+                    )
+                    runs = (
+                        "ARRAY_SORT(TRANSFORM(SEQUENCE(1, SIZE(_st)), _j -> "
+                        "STRUCT(ELEMENT_AT(_st, _j) - "
+                        "COALESCE(TRY_ELEMENT_AT(_st, _j + 1), SIZE(_s) + 1) "
+                        "AS _negcnt, "
+                        "ELEMENT_AT(_s, ELEMENT_AT(_st, _j)) AS _val)))"
+                    )
+                    out.append(
+                        f"ELEMENT_AT(TRANSFORM(ARRAY("
+                        f"ARRAY_SORT(COLLECT_LIST({x}))), _s -> "
+                        f"IF(SIZE(_s) = 0, SLICE(_s, 1, 1), "
+                        f"ELEMENT_AT(TRANSFORM(ARRAY({starts}), _st -> "
+                        f"SLICE(TRANSFORM({runs}, _r -> _r._val), 1, {k_lit})"
+                        f"), 1))), 1)"
+                    )
+                    i = close2 + 1
+                    continue
+                if (
                     name.lower() in _PARAMETRIC
                     and k2 < n
                     and sql[k2] == "("
@@ -1290,18 +1378,159 @@ def _rewrite_array_join(sql: str) -> str:
         pos = end
 
 
-def translate_ch_sql(sql: str) -> str:
-    """ClickHouse-dialect SQL text → Spark SQL text (documented subset)."""
-    if _WITH_TOTALS.search(sql):
+# Sampling-key registry: the analog of the SAMPLE BY expression ClickHouse
+# declares in table DDL. SAMPLE f rewrites to a deterministic md5 hash-gate
+# on this key, so repeated queries (and different engines) see the SAME
+# subset, and rows sharing a key (e.g. lineitems of one order) stay
+# together — the property ClickHouse's sampling key exists to provide.
+# Callers can register additional tables: SAMPLE_KEYS["mytable"] = "id".
+SAMPLE_KEYS: dict[str, str] = {
+    "events": "event_id",
+    "documents": "doc_id",
+    "embeddings": "vec_id",
+    "orders": "o_orderkey",
+    "lineitem": "l_orderkey",
+    "customer": "c_custkey",
+    "part": "p_partkey",
+    "supplier": "s_suppkey",
+    "nation": "n_nationkey",
+    "region": "r_regionkey",
+}
+
+
+def sample_gate_sql(key: str, num: int, den: int) -> str:
+    """The deterministic hash-gate predicate SAMPLE rewrites to: first 8
+    md5 hex digits of the key (a uniform 32-bit value) mod den < num.
+    DuckDB mirror: the strpos-fold `_duck_hex8` (queries/llm_dedup.py)."""
+    return (
+        f"PMOD(CAST(CONV(SUBSTR(MD5(CAST({key} AS STRING)), 1, 8), 16, 10) "
+        f"AS BIGINT), {den}) < {num}"
+    )
+
+
+def _parse_sample_fraction(spec: str) -> tuple[int, int]:
+    """'1/4' or '0.25' → reduced (num, den); row-count form raises."""
+    from math import gcd
+
+    spec = spec.strip()
+    if "/" in spec:
+        a, b = spec.split("/", 1)
+        num, den = int(a), int(b)
+    elif "." in spec:
+        intpart, frac = spec.split(".", 1)
+        den = 10 ** len(frac)
+        num = (int(intpart) if intpart else 0) * den + (int(frac) if frac else 0)
+    else:
         raise CHTranslationError(
-            "WITH TOTALS adds a summary row Spark cannot emit in-band; "
-            "compute the total as a separate aggregate"
+            "SAMPLE <rowcount> picks a fraction from the table's size, "
+            "which only the storage engine knows; state the fraction "
+            "explicitly (SAMPLE 0.1 or SAMPLE 1/10)"
+        )
+    g = gcd(num, den) or 1
+    num, den = num // g, den // g
+    if not 0 < num < den:
+        raise CHTranslationError("SAMPLE fraction must be strictly in (0, 1)")
+    return num, den
+
+
+_SAMPLE_OFFSET = re.compile(r"\bSAMPLE\s+[\d./]+\s+OFFSET\b", re.IGNORECASE)
+_SAMPLE_TABLE = re.compile(
+    r"\bFROM\s+([A-Za-z_][\w.]*)((?:\s+(?:AS\s+)?[A-Za-z_]\w*)?)\s+"
+    r"SAMPLE\s+(\d*(?:\.\d+)?(?:\s*/\s*\d+)?)",
+    re.IGNORECASE,
+)
+
+
+def _rewrite_sample(sql: str) -> str:
+    """`FROM t [alias] SAMPLE f` → deterministic hash-gate subquery on the
+    table's registered sampling key. See the module docstring for why this
+    preserves SAMPLE's contract (consistent key-coherent subset) rather
+    than its storage-defined row choice."""
+    if _SAMPLE_OFFSET.search(sql):
+        raise CHTranslationError(
+            "SAMPLE ... OFFSET addresses a storage-defined sample ordering "
+            "that has no deterministic analog; take disjoint subsets with "
+            "explicit hash-gate ranges instead (pmod(h, den) BETWEEN a AND b)"
+        )
+    while True:
+        m = _SAMPLE_TABLE.search(sql)
+        if not m:
+            break
+        table, alias_tok, spec = m.group(1), (m.group(2) or "").strip(), m.group(3)
+        num, den = _parse_sample_fraction(spec)
+        short = table.split(".")[-1].lower()
+        key = SAMPLE_KEYS.get(short)
+        if key is None:
+            raise CHTranslationError(
+                f"SAMPLE on {table}: no sampling key registered (ClickHouse "
+                "reads it from the table DDL); add one with "
+                f"SAMPLE_KEYS[{short!r}] = '<key column>'"
+            )
+        alias = re.sub(r"(?i)^AS\s+", "", alias_tok) or table.split(".")[-1]
+        gate = sample_gate_sql(key, num, den)
+        sql = (
+            sql[: m.start()]
+            + f"FROM (SELECT * FROM {table} WHERE {gate}) {alias}"
+            + sql[m.end() :]
         )
     if _SAMPLE.search(sql):
         raise CHTranslationError(
-            "SAMPLE is storage-defined sampling; use TABLESAMPLE or a "
-            "hash-gate filter (pmod(xxhash64(key), n) = 0) for determinism"
+            "SAMPLE is only rewritten on a plain table reference "
+            "(FROM t [alias] SAMPLE f); apply the hash-gate manually for "
+            "subqueries: WHERE pmod(<32-bit md5 prefix of key>, den) < num"
         )
+    return sql
+
+
+_GROUP_BY_TOK = re.compile(r"\bGROUP\s+BY\s+", re.IGNORECASE)
+
+
+def _rewrite_with_totals(sql: str) -> str:
+    """`GROUP BY k... WITH TOTALS` → `GROUP BY GROUPING SETS ((k...), ())`.
+    The grand-total row arrives in-band with NULL group keys (Spark's
+    rollup convention) instead of ClickHouse's out-of-band default-value
+    block — values are identical, representation is documented."""
+    if not _WITH_TOTALS.search(sql):
+        return sql
+    d0 = _depth0_matches(sql, _WITH_TOTALS)
+    if len(d0) != 1 or len(list(_WITH_TOTALS.finditer(sql))) != 1:
+        raise CHTranslationError(
+            "WITH TOTALS inside a subquery (or repeated) is not rewritten; "
+            "apply GROUPING SETS ((keys), ()) manually in that subquery"
+        )
+    m = d0[0]
+    gbs = [g for g in _depth0_matches(sql, _GROUP_BY_TOK) if g.end() <= m.start()]
+    if not gbs:
+        raise CHTranslationError(
+            "WITH TOTALS without a GROUP BY at statement level is not "
+            "rewritten"
+        )
+    gb = gbs[-1]
+    keys = sql[gb.end() : m.start()].strip().rstrip(",")
+    if re.search(r"\b(ROLLUP|CUBE|GROUPING\s+SETS)\b", keys, re.IGNORECASE):
+        raise CHTranslationError(
+            "WITH TOTALS on ROLLUP/CUBE/GROUPING SETS is redundant — the "
+            "() grouping set already emits the grand total; drop WITH TOTALS"
+        )
+    if not keys:
+        raise CHTranslationError("WITH TOTALS: empty GROUP BY key list")
+    rest = sql[m.end() :]
+    if _depth0_matches(rest, re.compile(r"\bHAVING\b", re.IGNORECASE)):
+        raise CHTranslationError(
+            "WITH TOTALS + HAVING: the totals row's relationship to HAVING "
+            "depends on ClickHouse's totals_mode setting, so no single "
+            "rewrite is faithful; filter in an outer query around the "
+            "GROUPING SETS form instead"
+        )
+    return (
+        sql[: gb.start()]
+        + f"GROUP BY GROUPING SETS (({keys}), ())"
+        + rest
+    )
+
+
+def translate_ch_sql(sql: str) -> str:
+    """ClickHouse-dialect SQL text → Spark SQL text (documented subset)."""
     if _ASOF_JOIN.search(sql):
         raise CHTranslationError(
             "ASOF JOIN is not single-statement-expressible in Spark SQL; "
@@ -1320,6 +1549,10 @@ def translate_ch_sql(sql: str) -> str:
     # otherwise swallow the tail into the PARTITION BY list.
     sql = _FORMAT_TAIL.sub("", sql.rstrip())
     sql = _SETTINGS_TAIL.sub("", sql.rstrip())
+    # WITH TOTALS before QUALIFY/LIMIT BY: those rewrites wrap the
+    # statement in subqueries, which would push a top-level WITH TOTALS
+    # below depth 0 and turn it into an error.
+    sql = _rewrite_with_totals(sql)
     # QUALIFY before LIMIT BY: the LIMIT BY rewrite wraps the statement in
     # subqueries, which would push a top-level QUALIFY below depth 0.
     sql = _rewrite_qualify(sql)
@@ -1331,6 +1564,9 @@ def translate_ch_sql(sql: str) -> str:
             "instead (the ts_minute_spine_gapfill query is the recipe)"
         )
     sql = _FINAL.sub(r"\1", sql)
+    # SAMPLE after FINAL strip: ClickHouse orders them `FROM t FINAL
+    # SAMPLE f`, and the table-ref regex must see the table name adjacent.
+    sql = _rewrite_sample(sql)
     sql = _rewrite_array_join(sql)
     sql = _GLOBAL.sub("", sql)
     sql = _PREWHERE.sub("WHERE", sql)

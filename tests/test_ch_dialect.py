@@ -76,12 +76,11 @@ def test_strings_and_identifiers_untouched():
 
 
 def test_semantic_guards_raise():
-    with pytest.raises(CHTranslationError, match="TOTALS"):
-        t("SELECT a, count() FROM t GROUP BY a WITH TOTALS")
+    # r10: WITH TOTALS and SAMPLE gained deterministic rewrites; the
+    # guards that remain are the genuinely config/storage-dependent forms
+    # (test_with_totals_guards_raise / test_sample_guards_raise below).
     with pytest.raises(CHTranslationError, match="hash"):
         t("SELECT cityHash64(x) FROM t")
-    with pytest.raises(CHTranslationError, match="SAMPLE"):
-        t("SELECT * FROM t SAMPLE 0.1")
 
 
 def test_executed_equivalence_on_events(spark):
@@ -451,7 +450,8 @@ def test_new_semantic_guards_raise():
     for bad in (
         "SELECT rand()",
         "SELECT rand64()",
-        "SELECT topK(5)(x)",
+        # topK(5)(x) translates since r10 — see
+        # test_topk_parametric_translates_and_executes
         "SELECT dictGet('d', 'v', k)",
         "SELECT halfMD5(s)",
         "SELECT farmHash64(s)",
@@ -712,3 +712,80 @@ def test_sketch_and_weighted_topk_fail_loudly():
     ):
         with pytest.raises(CHTranslationError):
             translate_ch_sql(q)
+
+
+def test_with_totals_rewrites_to_grouping_sets():
+    out = t("SELECT a, count() AS n FROM t GROUP BY a WITH TOTALS")
+    assert "GROUPING SETS((a), ())" in out.replace("SETS ((", "SETS((")
+    assert "TOTALS" not in out.upper()
+    # multi-key list survives intact
+    out2 = t("SELECT a, b, count() FROM t GROUP BY a, b WITH TOTALS ORDER BY a")
+    assert "((a, b), ())" in out2
+    assert out2.rstrip().endswith("ORDER BY a")
+
+
+def test_with_totals_guards_raise():
+    with pytest.raises(CHTranslationError, match="totals_mode"):
+        t("SELECT a, count() FROM t GROUP BY a WITH TOTALS HAVING count() > 2")
+    with pytest.raises(CHTranslationError, match="redundant"):
+        t("SELECT a, count() FROM t GROUP BY ROLLUP(a) WITH TOTALS")
+    with pytest.raises(CHTranslationError, match="subquery"):
+        t("SELECT * FROM (SELECT a, count() FROM t GROUP BY a WITH TOTALS) x")
+    with pytest.raises(CHTranslationError, match="without a GROUP BY"):
+        t("SELECT count() FROM t WITH TOTALS")
+
+
+def test_sample_rewrites_to_hash_gate():
+    out = t("SELECT event_type FROM events SAMPLE 1/4")
+    assert "MD5(CAST(event_id AS STRING))" in out
+    assert ", 4) < 1" in out
+    # decimal form reduces: 0.25 == 1/4; alias preserved
+    out2 = t("SELECT e.event_type FROM events AS e SAMPLE 0.25")
+    assert ", 4) < 1" in out2 and ") e" in out2
+    # FINAL strips first, then SAMPLE sees the bare table ref
+    out3 = t("SELECT l_orderkey FROM lineitem FINAL SAMPLE 1/5")
+    assert "MD5(CAST(l_orderkey AS STRING))" in out3 and ", 5) < 1" in out3
+
+
+def test_sample_guards_raise():
+    with pytest.raises(CHTranslationError, match="rowcount"):
+        t("SELECT a FROM events SAMPLE 1000")
+    with pytest.raises(CHTranslationError, match="OFFSET"):
+        t("SELECT a FROM events SAMPLE 1/4 OFFSET 1/2")
+    with pytest.raises(CHTranslationError, match="no sampling key"):
+        t("SELECT a FROM mystery SAMPLE 0.5")
+    with pytest.raises(CHTranslationError, match="strictly in"):
+        t("SELECT a FROM events SAMPLE 5/4")
+    with pytest.raises(CHTranslationError, match="plain table reference"):
+        t("SELECT a FROM (SELECT 1 AS a) q SAMPLE 0.5")
+
+
+def test_topk_parametric_translates_and_executes(spark):
+    out = t("SELECT topK(3)(x) FROM t")
+    assert "COLLECT_LIST(x)" in out and "ARRAY_SORT" in out and ", 1, 3)" in out
+    with pytest.raises(CHTranslationError, match="integer literal"):
+        t("SELECT topK(k)(x) FROM t")
+    with pytest.raises(CHTranslationError, match="parametric form"):
+        t("SELECT topK(x) FROM t")
+    # executed: exact frequency order with value-ascending tie-break.
+    # 3×'b', 2×'a', 2×'c', 1×'d' -> top3 = b, then the a/c tie by value.
+    row = ch_sql(
+        spark,
+        "SELECT topK(3)(v) AS top3 FROM (SELECT explode(array("
+        "'b','b','b','a','a','c','c','d')) AS v)",
+    ).collect()[0]
+    assert row.top3 == ["b", "a", "c"]
+
+
+def test_sample_totals_topk_compose(spark):
+    # The registered driver query's shape end-to-end on a tiny frame.
+    df = ch_sql(
+        spark,
+        "SELECT v, count() AS n, topK(2)(u) AS top_u "
+        "FROM (SELECT explode(array(1, 2, 3, 4, 5, 6, 7, 8)) AS u, 'x' AS v) "
+        "GROUP BY v WITH TOTALS",
+    )
+    rows = {r.v: r for r in df.collect()}
+    assert set(rows) == {"x", None}
+    assert rows["x"].n == 8 and rows[None].n == 8
+    assert rows["x"].top_u == [1, 2]

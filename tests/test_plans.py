@@ -979,3 +979,15 @@ def test_hurst_windows_are_partitioned(spark):
     f = plan_facts(q(spark, "ts_hurst_rs"))
     assert f.single_partition_suspects == []
     assert f.shuffle_exchanges <= 4
+
+
+def test_ch_dialect_totals_sample_plan(spark):
+    # SAMPLE's hash-gate must sit at the scan (map-side filter before any
+    # exchange), the grouping-sets expand stays one aggregation tree, and
+    # topK's higher-order functions stay JVM-side (no Python evals). The
+    # expected budget: expand + partial agg → 1 exchange → final agg,
+    # plus AQE artifacts.
+    f = plan_facts(q(spark, "ch_dialect_totals_sample"))
+    assert f.cartesian_products == 0
+    assert f.python_evals == 0
+    assert f.shuffle_exchanges <= 2, f.shuffle_exchanges
