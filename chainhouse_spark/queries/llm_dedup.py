@@ -781,3 +781,118 @@ def dedup_shard_consistency(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("n_s") >= F.col("n_g")).alias("doc_sharding_overcounts"),
         )
     )
+
+
+# --------------------------------------------------------------------------
+# Contamination span report (r10): "how much leaked, not whether" — the
+# span-length extension of ExactSubstr/dedup_substring_spans. Cross-snapshot
+# pairs (deterministic md5-bit split of doc_id — NOT id arithmetic, which is
+# constant within a source in this data) are anchored on the same strided
+# 40-char shingles; consecutive anchors on one alignment diagonal
+# (p_a − p_b constant, p_b advancing by the stride) chain into runs, and a
+# run of r anchors certifies a shared span of >= 40 + (r−1)·10 characters.
+# --------------------------------------------------------------------------
+
+_SNAP_BIT = (
+    "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS INT) % 2"
+)
+
+
+@register(
+    "contamination_span_report",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH sh AS (
+        SELECT doc_id,
+               (strpos('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 2
+                   AS snap,
+               p, substr(text, p + 1, {_SPAN_LEN}) AS shingle
+        FROM (
+            SELECT doc_id, text,
+                   unnest(generate_series(0, length(text) - {_SPAN_LEN},
+                                          {_SPAN_STRIDE})) AS p
+            FROM documents WHERE length(text) >= {_SPAN_LEN}
+        )
+    ),
+    anchors AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, a.p AS pa, b.p AS pb
+        FROM sh a JOIN sh b ON a.shingle = b.shingle
+        WHERE a.snap = 0 AND b.snap = 1
+    ),
+    isl AS (
+        SELECT doc_a, doc_b, pa - pb AS diag, pb,
+               pb // {_SPAN_STRIDE}
+                 - ROW_NUMBER() OVER (PARTITION BY doc_a, doc_b, pa - pb
+                                      ORDER BY pb) AS isle
+        FROM anchors
+    ),
+    runs AS (
+        SELECT doc_a, doc_b, COUNT(*) AS r
+        FROM isl GROUP BY doc_a, doc_b, diag, isle
+    )
+    SELECT doc_a, doc_b,
+           CAST(MAX({_SPAN_LEN} + (r - 1) * {_SPAN_STRIDE}) AS BIGINT)
+               AS max_span_chars,
+           CAST(SUM({_SPAN_LEN} + (r - 1) * {_SPAN_STRIDE}) AS BIGINT)
+               AS total_span_chars,
+           CAST(COUNT(*) AS BIGINT) AS n_spans,
+           CAST(SUM(r) AS BIGINT) AS n_anchors
+    FROM runs GROUP BY doc_a, doc_b
+    """,
+)
+def contamination_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Longest (and total) exactly-shared character span per cross-snapshot
+    document pair — the contamination READOUT that tells a training-data
+    owner how much of an eval snapshot leaked into train, not merely that
+    something did (extends `dedup_substring_spans`; reference delegates all
+    such analytics to its ClickHouse store, SURVEY.md §2.6).
+
+    Anchoring: the same {40}-char / stride-{10} shingles as ExactSubstr.
+    A true shared span of length L produces floor((L−40)/10)+1 consecutive
+    anchors on one alignment diagonal, so the report is an exact function
+    of the anchor set and a deterministic lower bound on L — both engines
+    replay it bit-for-bit (no floats emitted).
+
+    Plan shape: shingling is map-only; the only data-sized shuffles are the
+    anchor equi-join on shingle content and one window + two aggregates on
+    (doc_a, doc_b, diagonal) — the island aggregate reuses the window's
+    partitioning (grouping keys are a superset), so no exchange between
+    them. At 100 TB the anchor join hash-partitions on the shingle; heavy
+    anchors (boilerplate) are the classic skew key, handled by AQE skew
+    splitting, and the shingle would be pre-hashed to 16 bytes before the
+    shuffle exactly as dedup_substring_spans documents."""
+    d = load_table(spark, sf_dir, "documents")
+    sh = d.filter(F.length("text") >= _SPAN_LEN).select(
+        "doc_id",
+        F.expr(_SNAP_BIT).alias("snap"),
+        F.explode(
+            F.expr(
+                f"transform(sequence(0, length(text) - {_SPAN_LEN},"
+                f" {_SPAN_STRIDE}), p -> struct(p AS p,"
+                f" substr(text, p + 1, {_SPAN_LEN}) AS shingle))"
+            )
+        ).alias("s"),
+    ).select("doc_id", "snap", F.col("s.p").alias("p"), F.col("s.shingle").alias("shingle"))
+    a = sh.filter(F.col("snap") == 0).select(
+        F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "shingle"
+    )
+    b = sh.filter(F.col("snap") == 1).select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "shingle"
+    )
+    anchors = a.join(b, "shingle").select(
+        "doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("diag"), "pb"
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pb")
+    isl = anchors.withColumn(
+        "isle", F.expr(f"pb DIV {_SPAN_STRIDE}") - F.row_number().over(w)
+    )
+    runs = isl.groupBy("doc_a", "doc_b", "diag", "isle").agg(
+        F.count(F.lit(1)).alias("r")
+    )
+    span = F.lit(_SPAN_LEN) + (F.col("r") - 1) * F.lit(_SPAN_STRIDE)
+    return runs.groupBy("doc_a", "doc_b").agg(
+        F.max(span).cast("long").alias("max_span_chars"),
+        F.sum(span).cast("long").alias("total_span_chars"),
+        F.count(F.lit(1)).cast("long").alias("n_spans"),
+        F.sum("r").cast("long").alias("n_anchors"),
+    )

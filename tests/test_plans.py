@@ -991,3 +991,15 @@ def test_ch_dialect_totals_sample_plan(spark):
     assert f.cartesian_products == 0
     assert f.python_evals == 0
     assert f.shuffle_exchanges <= 2, f.shuffle_exchanges
+
+
+def test_contamination_span_plan(spark):
+    # Shingling map-only; anchor join is an equi-join on shingle content
+    # (broadcast at test scale, hash at 100 TB — never a cartesian); the
+    # island aggregate reuses the window's (doc_a, doc_b, diag)
+    # partitioning, so the whole chain is join + window + 1 final-agg
+    # exchange. Column pruning must reach the scan (doc_id, text only).
+    f = plan_facts(q(spark, "contamination_span_report"))
+    assert f.cartesian_products == 0 and f.python_evals == 0
+    assert f.shuffle_exchanges <= 4, f.shuffle_exchanges
+    assert all("doc_id:bigint,text:string" in s for s in f.read_schemas)
