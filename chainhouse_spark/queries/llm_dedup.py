@@ -18,7 +18,7 @@ from chainhouse_spark.operators.dedup import (
     simhash,
     simhash_near_pairs,
 )
-from chainhouse_spark.functions.rounding import round9
+from chainhouse_spark.functions.rounding import round9, round9_sql
 from chainhouse_spark.queries.registry import FRUGAL_ORACLE, register
 from chainhouse_spark.tables import load_table
 
@@ -797,11 +797,10 @@ _SNAP_BIT = (
     "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10) AS INT) % 2"
 )
 
-
-@register(
-    "contamination_span_report",
-    oracle=f"""{FRUGAL_ORACLE}
-    WITH sh AS (
+# Shared oracle CTE chain: strided shingles with the snapshot bit, the
+# cross-snapshot anchor join, diagonal islands, and per-island run counts.
+_DUCK_SPAN_RUNS = f"""
+    sh AS (
         SELECT doc_id,
                (strpos('0123456789abcdef',
                        substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 2
@@ -830,6 +829,53 @@ _SNAP_BIT = (
         SELECT doc_a, doc_b, COUNT(*) AS r
         FROM isl GROUP BY doc_a, doc_b, diag, isle
     )
+"""
+
+
+def _span_runs(d: DataFrame) -> DataFrame:
+    """Per-island anchor-run counts (doc_a, doc_b, diag, isle, r) for
+    cross-snapshot pairs — the Spark twin of _DUCK_SPAN_RUNS. doc_a is
+    snapshot 0 (train), doc_b snapshot 1 (eval)."""
+    sh = (
+        d.filter(F.length("text") >= _SPAN_LEN)
+        .select(
+            "doc_id",
+            F.expr(_SNAP_BIT).alias("snap"),
+            F.explode(
+                F.expr(
+                    f"transform(sequence(0, length(text) - {_SPAN_LEN},"
+                    f" {_SPAN_STRIDE}), p -> struct(p AS p,"
+                    f" substr(text, p + 1, {_SPAN_LEN}) AS shingle))"
+                )
+            ).alias("s"),
+        )
+        .select(
+            "doc_id", "snap",
+            F.col("s.p").alias("p"), F.col("s.shingle").alias("shingle"),
+        )
+    )
+    a = sh.filter(F.col("snap") == 0).select(
+        F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "shingle"
+    )
+    b = sh.filter(F.col("snap") == 1).select(
+        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "shingle"
+    )
+    anchors = a.join(b, "shingle").select(
+        "doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("diag"), "pb"
+    )
+    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pb")
+    isl = anchors.withColumn(
+        "isle", F.expr(f"pb DIV {_SPAN_STRIDE}") - F.row_number().over(w)
+    )
+    return isl.groupBy("doc_a", "doc_b", "diag", "isle").agg(
+        F.count(F.lit(1)).alias("r")
+    )
+
+
+@register(
+    "contamination_span_report",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH {_DUCK_SPAN_RUNS}
     SELECT doc_a, doc_b,
            CAST(MAX({_SPAN_LEN} + (r - 1) * {_SPAN_STRIDE}) AS BIGINT)
                AS max_span_chars,
@@ -861,38 +907,69 @@ def contamination_span_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     anchors (boilerplate) are the classic skew key, handled by AQE skew
     splitting, and the shingle would be pre-hashed to 16 bytes before the
     shuffle exactly as dedup_substring_spans documents."""
-    d = load_table(spark, sf_dir, "documents")
-    sh = d.filter(F.length("text") >= _SPAN_LEN).select(
-        "doc_id",
-        F.expr(_SNAP_BIT).alias("snap"),
-        F.explode(
-            F.expr(
-                f"transform(sequence(0, length(text) - {_SPAN_LEN},"
-                f" {_SPAN_STRIDE}), p -> struct(p AS p,"
-                f" substr(text, p + 1, {_SPAN_LEN}) AS shingle))"
-            )
-        ).alias("s"),
-    ).select("doc_id", "snap", F.col("s.p").alias("p"), F.col("s.shingle").alias("shingle"))
-    a = sh.filter(F.col("snap") == 0).select(
-        F.col("doc_id").alias("doc_a"), F.col("p").alias("pa"), "shingle"
-    )
-    b = sh.filter(F.col("snap") == 1).select(
-        F.col("doc_id").alias("doc_b"), F.col("p").alias("pb"), "shingle"
-    )
-    anchors = a.join(b, "shingle").select(
-        "doc_a", "doc_b", (F.col("pa") - F.col("pb")).alias("diag"), "pb"
-    )
-    w = Window.partitionBy("doc_a", "doc_b", "diag").orderBy("pb")
-    isl = anchors.withColumn(
-        "isle", F.expr(f"pb DIV {_SPAN_STRIDE}") - F.row_number().over(w)
-    )
-    runs = isl.groupBy("doc_a", "doc_b", "diag", "isle").agg(
-        F.count(F.lit(1)).alias("r")
-    )
+    runs = _span_runs(load_table(spark, sf_dir, "documents"))
     span = F.lit(_SPAN_LEN) + (F.col("r") - 1) * F.lit(_SPAN_STRIDE)
     return runs.groupBy("doc_a", "doc_b").agg(
         F.max(span).cast("long").alias("max_span_chars"),
         F.sum(span).cast("long").alias("total_span_chars"),
         F.count(F.lit(1)).cast("long").alias("n_spans"),
         F.sum("r").cast("long").alias("n_anchors"),
+    )
+
+
+_LEAK_MIN_SPAN = 60  # chars: >= 3 consecutive anchors — two isolated
+# shingle hits don't count as a leak, a chained span does.
+
+
+@register(
+    "contamination_rate_by_source",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH {_DUCK_SPAN_RUNS},
+    best AS (
+        SELECT doc_b, MAX({_SPAN_LEN} + (r - 1) * {_SPAN_STRIDE}) AS s
+        FROM runs GROUP BY doc_b
+    )
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_docs,
+           CAST(SUM(CASE WHEN best.s >= {_LEAK_MIN_SPAN} THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_leaked,
+           {round9_sql(
+               f"CAST(SUM(CASE WHEN best.s >= {_LEAK_MIN_SPAN} THEN 1 "
+               "ELSE 0 END) AS DOUBLE) / COUNT(*)"
+           )} AS leak_rate
+    FROM documents d LEFT JOIN best ON best.doc_b = d.doc_id
+    WHERE (strpos('0123456789abcdef',
+                  substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) % 2 = 1
+    GROUP BY d.source
+    """,
+)
+def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cross-snapshot contamination RATE: per source, the fraction of
+    eval-snapshot documents with at least one exactly-shared span of
+    >= {60} chars (>= 3 chained anchors) in the train snapshot — the
+    go/no-go number a training run reads before trusting its eval set,
+    composed from the same anchor-run machinery as
+    contamination_span_report. Eval docs with no anchor at all survive the
+    LEFT join with a NULL best-span and count in the denominator.
+
+    Plan: the span pipeline's joins plus one doc_b max, a broadcast-sized
+    join back to the eval docs (best-span table is bounded by the eval
+    corpus), and a per-source rollup — nothing new grows with corpus size
+    beyond the pipeline already smoked at 10x/100x."""
+    d = load_table(spark, sf_dir, "documents")
+    runs = _span_runs(d)
+    span = F.lit(_SPAN_LEN) + (F.col("r") - 1) * F.lit(_SPAN_STRIDE)
+    best = runs.groupBy("doc_b").agg(F.max(span).alias("s"))
+    ev = d.filter(F.expr(_SNAP_BIT) == 1).select("doc_id", "source")
+    leaked = F.when(F.col("s") >= _LEAK_MIN_SPAN, 1).otherwise(0)
+    return (
+        ev.join(best, ev.doc_id == best.doc_b, "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_eval_docs"),
+            F.sum(leaked).cast("long").alias("n_leaked"),
+            round9(
+                F.sum(leaked).cast("double") / F.count(F.lit(1))
+            ).alias("leak_rate"),
+        )
     )

@@ -1003,3 +1003,12 @@ def test_contamination_span_plan(spark):
     assert f.cartesian_products == 0 and f.python_evals == 0
     assert f.shuffle_exchanges <= 4, f.shuffle_exchanges
     assert all("doc_id:bigint,text:string" in s for s in f.read_schemas)
+
+
+def test_contamination_rate_plan(spark):
+    # Same span pipeline as contamination_span_report plus a per-doc max
+    # and the join back to eval docs — still no cartesian, no Python, and
+    # the doc-side scan prunes to (doc_id, text / doc_id, source).
+    f = plan_facts(q(spark, "contamination_rate_by_source"))
+    assert f.cartesian_products == 0 and f.python_evals == 0
+    assert f.shuffle_exchanges <= 6, f.shuffle_exchanges
