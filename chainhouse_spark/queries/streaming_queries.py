@@ -46,14 +46,23 @@ _sink_counter = itertools.count()
 
 
 def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
-    """File-source stream over a single-parquet-file table. The streaming
-    file source requires a DIRECTORY to watch, so the file is exposed via a
-    symlink inside a temp dir (zero copy) — on a real deployment this is
-    just the landing directory new files arrive into."""
-    path = f"{sf_dir}/{table}.parquet"
+    """File-source stream over a parquet table. The streaming file source
+    requires a DIRECTORY to watch, so the data is exposed via symlinks
+    inside a temp dir (zero copy) — on a real deployment this is just the
+    landing directory new files arrive into. A Spark-written table is a
+    DIRECTORY of part-files; those are symlinked individually, because the
+    file stream lists only the watch dir itself (a symlinked subdirectory
+    would read as ZERO files — the round-9 scale smokes of stream queries
+    silently timed an empty stream this way; SCALE.md r10)."""
+    path = os.path.abspath(f"{sf_dir}/{table}.parquet")
     schema = spark.read.parquet(path).schema
     d = scratch_dir(prefix=f"stream_{table}_")
-    os.symlink(os.path.abspath(path), os.path.join(d, f"{table}.parquet"))
+    if os.path.isdir(path):
+        parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        for i, f in enumerate(sorted(parts)):
+            os.symlink(os.path.join(path, f), os.path.join(d, f"p{i}.parquet"))
+    else:
+        os.symlink(path, os.path.join(d, f"{table}.parquet"))
     return spark.readStream.schema(schema).parquet(d)
 
 
@@ -804,3 +813,114 @@ def stream_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("psi"),
         )
     )
+
+
+@register(
+    "stream_decontaminate_bloom",
+    oracle=None,  # assigned below — identical filter to the batch query
+)
+def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom decontamination RUNNING ON THE STREAM: training documents
+    arrive as a file-source stream (the landing-directory shape of a
+    resident ingest pipeline), probe the held-out split's broadcast
+    64 Ki-bit filter via a stream-static join, and the per-(doc, shingle)
+    positive-probe counts are the ONE streaming aggregation (complete
+    mode). The doc-level verdict — all k positions set, then hits per doc
+    — is a pure batch rollup of that final state, the
+    stream_hourly_distinct_users pattern for "the stream may not chain
+    aggregations".
+
+    Two structural differences from the batch operator, both forced by
+    streaming's one-stateful-operator budget AND by what the 100x scale
+    smoke found (SCALE.md r10): (1) per-document shingle dedup happens
+    MAP-SIDE via array_distinct on each document's shingle array (all of a
+    doc's shingles live in its one row), and (2) the filter ships as the
+    PACKED bitset the bloom.py docstring describes as the alternative
+    representation — 1024 longs inlined as an array literal — probed with
+    a map-side forall over each shingle's k positions. The first draft
+    joined against the set-bit-position table and kept per-(doc, shingle)
+    counts as streaming state; at 100x the filter saturates (every
+    training shingle goes positive — real Bloom behavior for a filter
+    sized at build time) and that state is corpus x shingles ≈ 10^8 rows:
+    the smoke OOMed the heap. In this form the probe is stateless and the
+    ONE streaming aggregation is the per-doc positive count — state is
+    one row per CONTAMINATED doc (output-sized), and the complete-mode
+    memory sink IS the result (no batch rollup needed).
+
+    Semantics are identical to the batch operator, and its DuckDB oracle
+    hash-checks the streaming engine bit-for-bit (same deterministic
+    Carter-Wegman positions, same false positives).
+
+    At 100 TB: the broadcast is 8 KiB regardless of test-set size,
+    per-micro-batch work is pure map, and streaming state is bounded by
+    contamination volume, not corpus volume."""
+    from chainhouse_spark.operators.bloom import (
+        BLOOM_BITS,
+        BLOOM_HASHES,
+        shingle_positions,
+    )
+    from chainhouse_spark.functions.text import word_shingles
+
+    test_static = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .filter(F.col("doc_id") % 97 == 0)
+    )
+    # Bounded collect: <= BLOOM_BITS distinct positions (65536) — the
+    # filter's fixed size, independent of test-set size by construction.
+    set_bits = [
+        r.pos for r in shingle_positions(test_static).select("pos").distinct().collect()
+    ]
+    words = [0] * (BLOOM_BITS // 64)
+    for p in set_bits:
+        words[p // 64] |= 1 << (p % 64)
+    # Pack to signed 64-bit for the BIGINT array literal.
+    mask_sql = "array(" + ",".join(
+        f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words
+    ) + ")"
+    probe_positive = (
+        f"forall(transform(sequence(0, {BLOOM_HASHES - 1}), "
+        f"j -> CAST((h1 + CAST(j AS BIGINT) * h2) % {BLOOM_BITS} AS INT)), "
+        f"p -> (element_at({mask_sql}, CAST(p DIV 64 AS INT) + 1) "
+        f"& shiftleft(1L, CAST(p % 64 AS INT))) != 0)"
+    )
+    train = _stream_source(spark, sf_dir, "documents").filter(
+        F.col("doc_id") % 97 != 0
+    )
+    hits_state = (
+        train.select(
+            "doc_id",
+            F.explode(F.array_distinct(word_shingles("text"))).alias("shingle"),
+        )
+        .select("doc_id", F.md5("shingle").alias("m"))
+        .select(
+            "doc_id",
+            F.expr("CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT)").alias("h1"),
+            F.expr("CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT)").alias("h2"),
+        )
+        .filter(F.expr(probe_positive))
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+    )
+    return _run_to_table(hits_state, "complete")
+
+
+def _stream_bloom_oracle() -> str:
+    from chainhouse_spark.operators.bloom import BLOOM_HASHES
+    from chainhouse_spark.queries.llm_advanced import _DUCK_BLOOM_POS
+
+    return f"""
+    WITH {_DUCK_BLOOM_POS},
+    bits AS (SELECT DISTINCT pos FROM pos WHERE doc_id % 97 = 0),
+    hits AS (
+        SELECT p.doc_id, p.m, COUNT(*) AS n_set
+        FROM pos p JOIN bits USING (pos)
+        WHERE p.doc_id % 97 <> 0
+        GROUP BY p.doc_id, p.m
+        HAVING COUNT(*) = {BLOOM_HASHES}
+    )
+    SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_hits
+    FROM hits GROUP BY doc_id
+    """
+
+
+_ORACLES["stream_decontaminate_bloom"] = _stream_bloom_oracle()
