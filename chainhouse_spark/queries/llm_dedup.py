@@ -973,3 +973,101 @@ def contamination_rate_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("leak_rate"),
         )
     )
+
+
+# LSH parameter planner (r10): the EXACT candidate-pair workload each
+# (bands, rows) split of the 16-hash signature would generate on THIS
+# corpus, next to the config's collision S-curve midpoint. s50 values are
+# precomputed literals (pure functions of b and r), identical in both
+# engines by construction.
+_LSH_PLAN_CONFIGS = [(16 // r, r) for r in (1, 2, 4, 8, 16)]
+_S50 = {r: round((1 - 0.5 ** (1.0 / b)) ** (1.0 / r), 9)
+        for b, r in _LSH_PLAN_CONFIGS}
+
+
+@register(
+    "dedup_lsh_band_plan",
+    oracle=FRUGAL_ORACLE + """
+    WITH
+    """ + _DUCK_SHINGLES + """,
+    """ + _DUCK_MINHASH + """,
+    cfg AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS r),
+    keys AS (
+        SELECT cfg.r, mh.doc_id, mh.s // cfg.r AS band,
+               STRING_AGG(CAST(mh.h AS VARCHAR), ',' ORDER BY mh.s) AS key
+        FROM mh, cfg
+        GROUP BY cfg.r, mh.doc_id, mh.s // cfg.r
+    ),
+    buckets AS (
+        SELECT r, band, key, CAST(COUNT(*) AS BIGINT) AS n
+        FROM keys GROUP BY r, band, key
+    )
+    SELECT CAST(16 // r AS INT) AS bands,
+           CAST(r AS INT) AS rows_per_band,
+           CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS candidate_pairs,
+           CAST(SUM(CASE WHEN n >= 2 THEN 1 ELSE 0 END) AS BIGINT)
+               AS multi_buckets,
+           CAST(MAX(n) AS BIGINT) AS max_bucket,
+           CASE r """ + " ".join(
+        f"WHEN {r} THEN {_S50[r]!r}" for r in (1, 2, 4, 8, 16)
+    ) + """ END AS s50_jaccard
+    FROM buckets GROUP BY r
+    """,
+)
+def dedup_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LSH banding PLANNER: for every (bands x rows) factorization of the
+    16-hash MinHash signature, the exact candidate-pair workload banding
+    would generate on this corpus — sum over buckets of C(n,2), bucket
+    multiplicity included, because that IS the join fan-out you pay —
+    plus bucket stats and the config's S-curve midpoint s50 = (1 −
+    (1/2)^(1/b))^(1/r) (the Jaccard at which a pair has a 50% chance of
+    becoming a candidate). The planning readout that picks `bands` for
+    dedup_minhash_lsh BEFORE paying for the join at 100 TB: scan the
+    row whose candidate_pairs fits the budget and whose s50 sits at the
+    dedup threshold.
+
+    One signature pass (the same single-md5 Carter-Wegman fold as
+    operators/dedup.py, replayed exactly by the oracle), one map-side
+    explode into all five configs' (r, band, key) rows, one shuffle to
+    count buckets, and a 5-row rollup. Nothing pair-shaped is ever
+    materialized — the planner costs one aggregation, the join it sizes
+    would cost candidate_pairs."""
+    from chainhouse_spark.operators.dedup import minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs)
+    keys = sigs.select(
+        F.explode(
+            F.expr(
+                "flatten(transform(array(1, 2, 4, 8, 16), r -> "
+                "transform(sequence(0, CAST(16 / r AS INT) - 1), b -> "
+                "struct(r AS r, b AS band, "
+                "concat_ws(',', transform(slice(sig, b * r + 1, r), "
+                "x -> CAST(x AS STRING))) AS key))))"
+            )
+        ).alias("k")
+    ).select("k.r", "k.band", "k.key")
+    buckets = keys.groupBy("r", "band", "key").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    s50 = "CASE r " + " ".join(
+        f"WHEN {r} THEN CAST({_S50[r]!r} AS DOUBLE)" for r in (1, 2, 4, 8, 16)
+    ) + " END"
+    return (
+        buckets.groupBy("r")
+        .agg(
+            F.sum(F.expr("n * (n - 1) DIV 2")).cast("bigint").alias("candidate_pairs"),
+            F.sum(F.when(F.col("n") >= 2, 1).otherwise(0))
+            .cast("bigint")
+            .alias("multi_buckets"),
+            F.max("n").cast("bigint").alias("max_bucket"),
+        )
+        .selectExpr(
+            "CAST(16 DIV r AS INT) AS bands",
+            "CAST(r AS INT) AS rows_per_band",
+            "candidate_pairs",
+            "multi_buckets",
+            "max_bucket",
+            f"{s50} AS s50_jaccard",
+        )
+    )

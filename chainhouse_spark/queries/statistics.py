@@ -3216,3 +3216,124 @@ def drift_ks_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         " > 1.358 * SQRT((n_base + CAST(n_cur AS DOUBLE))"
         " / (CAST(n_base AS DOUBLE) * n_cur)) AS reject_05",
     )
+
+
+@register(
+    "eval_brier_decomposition",
+    oracle="""
+    WITH b AS (
+        SELECT LEAST(CAST(ROUND(value * 100, 0) AS BIGINT), 10000) AS c,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS o
+        FROM events
+    ),
+    cells AS (
+        SELECT LEAST(c // 1000, 9) AS bin,
+               CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(o) AS BIGINT) AS so,
+               CAST(SUM(c) AS BIGINT) AS sc,
+               CAST(SUM((c - 10000 * o) * (c - 10000 * o)) AS BIGINT) AS sq
+        FROM b GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(nk) AS BIGINT) AS n, CAST(SUM(so) AS BIGINT) AS pos,
+               CAST(SUM(sq) AS BIGINT) AS sqsum
+        FROM cells
+    ),
+    terms AS (
+        SELECT
+            SUM(CAST(ROUND(
+                CAST(sc - 10000 * so AS DOUBLE) * CAST(sc - 10000 * so AS DOUBLE)
+                / (1e8 * nk), 6) AS DECIMAL(20,6))) AS rel_num,
+            SUM(CAST(ROUND(
+                CAST(so * n - pos * nk AS DOUBLE) * CAST(so * n - pos * nk AS DOUBLE)
+                / (CAST(nk AS DOUBLE) * n * n), 6) AS DECIMAL(20,6)))
+                AS res_num
+        FROM cells, tot
+    )
+    SELECT n AS n_events,
+           CAST(COUNT(*) AS INT) AS n_bins,
+           (ROUND((CAST(pos AS DOUBLE) / n) * 1e9) / 1e9 + 0.0) AS base_rate,
+           (ROUND((CAST(sqsum AS DOUBLE) / (1e8 * n)) * 1e9) / 1e9 + 0.0)
+               AS brier,
+           (ROUND((CAST(rel_num AS DOUBLE) / n) * 1e9) / 1e9 + 0.0)
+               AS reliability,
+           (ROUND((CAST(res_num AS DOUBLE) / n) * 1e9) / 1e9 + 0.0)
+               AS resolution,
+           (ROUND((CAST(pos AS DOUBLE) * (n - pos) / (CAST(n AS DOUBLE) * n))
+               * 1e9) / 1e9 + 0.0) AS uncertainty
+    FROM cells, tot, terms
+    GROUP BY n, pos, sqsum, rel_num, res_num
+    """,
+)
+def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy (1973) decomposition of the Brier score for min(value/100, 1)
+    as a purchase-probability forecast: brier (raw), reliability (how far
+    each decile bin's mean forecast sits from its observed rate — the
+    calibration gap the quality-filter owner acts on), resolution (how much
+    the bins separate outcomes), uncertainty (base-rate variance), with
+    brier_binned = reliability − resolution + uncertainty as the identity
+    the numbers satisfy when the forecast is binned.
+
+    Exactness: forecasts are clamped integer cents (c = min(round(100·v),
+    10000)), so (p−o)² sums as the exact integer Σ(c−10000·o)² and every
+    per-bin reliability/resolution term is a ratio built from exact
+    integers — (Σc−10000·Σo)²/(10⁸·n_k) and (n·Σo−pos·n_k)²/(n_k·n²).
+    The DIFFERENCE stays integer-exact; it is cast to DOUBLE before
+    squaring (the squared value overflows BIGINT at 100x corpus size —
+    the r10 scale smoke caught it live, same class as ts_hurst_rs in r9)
+    and double multiply/divide are IEEE-identical cross-engine; terms are
+    rounded-at-6 into DECIMAL before the (order-free) sum per the repo
+    convention.
+    Plan: one scan → 10-bin cell cube (map-side partial agg) → all math on
+    ≤10 rows. At 100 TB nothing but the cube crosses the wire."""
+    e = load_table(spark, sf_dir, "events")
+    b = e.select(
+        F.least(F.round(F.col("value") * 100, 0).cast("bigint"), F.lit(10000)).alias("c"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("o"),
+    )
+    cells = b.groupBy(
+        F.least(F.expr("c DIV 1000"), F.lit(9)).alias("bin")
+    ).agg(
+        F.count(F.lit(1)).cast("bigint").alias("nk"),
+        F.sum("o").cast("bigint").alias("so"),
+        F.sum("c").cast("bigint").alias("sc"),
+        F.sum((F.col("c") - 10000 * F.col("o")) * (F.col("c") - 10000 * F.col("o")))
+        .cast("bigint")
+        .alias("sq"),
+    )
+    tot = cells.agg(
+        F.sum("nk").cast("bigint").alias("n"),
+        F.sum("so").cast("bigint").alias("pos"),
+        F.sum("sq").cast("bigint").alias("sqsum"),
+    )
+    joined = cells.crossJoin(F.broadcast(tot))
+    terms = joined.agg(
+        F.sum(
+            F.expr(
+                "CAST(ROUND(CAST(sc - 10000 * so AS DOUBLE)"
+                " * CAST(sc - 10000 * so AS DOUBLE)"
+                " / (1e8 * nk), 6) AS DECIMAL(20,6))"
+            )
+        ).alias("rel_num"),
+        F.sum(
+            F.expr(
+                "CAST(ROUND(CAST(so * n - pos * nk AS DOUBLE)"
+                " * CAST(so * n - pos * nk AS DOUBLE)"
+                " / (CAST(nk AS DOUBLE) * n * n), 6) AS DECIMAL(20,6))"
+            )
+        ).alias("res_num"),
+        F.count(F.lit(1)).cast("int").alias("n_bins"),
+        F.min("n").alias("n"),
+        F.min("pos").alias("pos"),
+        F.min("sqsum").alias("sqsum"),
+    )
+    return terms.selectExpr(
+        "n AS n_events",
+        "n_bins",
+        "(ROUND((CAST(pos AS DOUBLE) / n) * 1e9) / 1e9 + 0.0) AS base_rate",
+        "(ROUND((CAST(sqsum AS DOUBLE) / (1e8 * n)) * 1e9) / 1e9 + 0.0) AS brier",
+        "(ROUND((CAST(rel_num AS DOUBLE) / n) * 1e9) / 1e9 + 0.0) AS reliability",
+        "(ROUND((CAST(res_num AS DOUBLE) / n) * 1e9) / 1e9 + 0.0) AS resolution",
+        "(ROUND((CAST(pos AS DOUBLE) * (n - pos) / (CAST(n AS DOUBLE) * n))"
+        " * 1e9) / 1e9 + 0.0) AS uncertainty",
+    )

@@ -1012,3 +1012,23 @@ def test_contamination_rate_plan(spark):
     f = plan_facts(q(spark, "contamination_rate_by_source"))
     assert f.cartesian_products == 0 and f.python_evals == 0
     assert f.shuffle_exchanges <= 6, f.shuffle_exchanges
+
+
+def test_brier_decomposition_plan(spark):
+    # One scan -> 10-bin cell cube via map-side partial agg; all term math
+    # runs on <= 10 rows (the totals cross-join is a 1-row broadcast BNLJ,
+    # and 3 of the 4 exchanges are single-partition hops over the cube).
+    f = plan_facts(q(spark, "eval_brier_decomposition"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.shuffle_exchanges <= 4, f.shuffle_exchanges
+    assert f.nested_loop_joins <= 1  # the 1-row totals broadcast
+
+
+def test_lsh_band_plan_single_bucket_shuffle(spark):
+    # The planner must never materialize pairs: one signature aggregation,
+    # one (r, band, key) bucket count, one 5-row rollup — join-free.
+    f = plan_facts(q(spark, "dedup_lsh_band_plan"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert (f.broadcast_joins + f.sortmerge_joins
+            + f.shuffled_hash_joins + f.nested_loop_joins) == 0
+    assert f.shuffle_exchanges <= 3, f.shuffle_exchanges
