@@ -83,6 +83,13 @@ BENCH_QUERIES = [
     # row-number + partitioned chunk windows + decimal reductions).
     "graph_modularity",
     "ts_hurst_rs",
+    # Round-10 additions: the three heaviest new shapes — the anchor-join +
+    # diagonal-island contamination span pipeline, its per-source rate
+    # composition (adds the doc-side join-back), and the streaming Bloom
+    # probe (file-source stream + packed-bitset forall under timing).
+    "contamination_span_report",
+    "contamination_rate_by_source",
+    "stream_decontaminate_bloom",
 ]
 
 RUNS_PER_QUERY = 6
