@@ -3337,3 +3337,140 @@ def eval_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(ROUND((CAST(pos AS DOUBLE) * (n - pos) / (CAST(n AS DOUBLE) * n))"
         " * 1e9) / 1e9 + 0.0) AS uncertainty",
     )
+
+
+# Per-column normalizers shared by Spark and the oracle rationale: every
+# column is reduced to a STRING both engines render identically (BIGINT
+# casts and raw strings only — never stringified doubles/timestamps, whose
+# formatting is engine-specific). value -> integer cents, ts -> epoch secs.
+_PROFILE_COLS = [
+    ("event_id", "CAST(event_id AS STRING)"),
+    ("user_id", "CAST(user_id AS STRING)"),
+    ("event_type", "event_type"),
+    ("value", "CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS STRING)"),
+    ("ts", "CAST(unix_micros(CAST(ts AS TIMESTAMP)) AS STRING)"),
+    ("props", "props"),
+]
+_PROFILE_COLS_DUCK = {
+    "event_id": "CAST(event_id AS VARCHAR)",
+    "user_id": "CAST(user_id AS VARCHAR)",
+    "event_type": "event_type",
+    "value": "CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR)",
+    "ts": "CAST(epoch_us(ts) AS VARCHAR)",
+    "props": "props",
+}
+
+
+@register(
+    "drift_column_profile",
+    oracle="""
+    WITH stacked AS (
+        """ + " UNION ALL ".join(
+        f"SELECT '{name}' AS col, {expr} AS v, "
+        "((strpos('0123456789abcdef', "
+        "substr(md5(CAST(event_id AS VARCHAR)), 1, 1)) - 1) % 2) AS snap "
+        "FROM events"
+        for name, expr in [
+            ("event_id", "CAST(event_id AS VARCHAR)"),
+            ("user_id", "CAST(user_id AS VARCHAR)"),
+            ("event_type", "event_type"),
+            ("value", "CAST(CAST(ROUND(value * 100, 0) AS BIGINT) AS VARCHAR)"),
+            ("ts", "CAST(epoch_us(ts) AS VARCHAR)"),
+            ("props", "props"),
+        ]
+    ) + """
+    ),
+    vc AS (
+        SELECT col, snap, v, CAST(COUNT(*) AS BIGINT) AS c
+        FROM stacked GROUP BY col, snap, v
+    ),
+    prof AS (
+        SELECT col, snap, CAST(SUM(c) AS BIGINT) AS total,
+               CAST(COALESCE(SUM(c) FILTER (WHERE v IS NULL), 0) AS BIGINT)
+                   AS n_null,
+               CAST(COUNT(v) AS BIGINT) AS n_distinct,
+               CAST(COALESCE(MAX(c) FILTER (WHERE v IS NOT NULL), 0)
+                   AS BIGINT) AS top_c
+        FROM vc GROUP BY col, snap
+    )
+    SELECT col,
+           CAST(SUM(CASE WHEN snap = 0 THEN total END) AS BIGINT) AS n_base,
+           CAST(SUM(CASE WHEN snap = 1 THEN total END) AS BIGINT) AS n_cur,
+           CAST(SUM(CASE WHEN snap = 0 THEN n_null END) AS BIGINT)
+               AS nulls_base,
+           CAST(SUM(CASE WHEN snap = 1 THEN n_null END) AS BIGINT)
+               AS nulls_cur,
+           CAST(SUM(CASE WHEN snap = 0 THEN n_distinct END) AS BIGINT)
+               AS distinct_base,
+           CAST(SUM(CASE WHEN snap = 1 THEN n_distinct END) AS BIGINT)
+               AS distinct_cur,
+           (ROUND((CAST(SUM(CASE WHEN snap = 0 THEN top_c END) AS DOUBLE)
+               / SUM(CASE WHEN snap = 0 THEN total END)) * 1e9) / 1e9 + 0.0)
+               AS top_share_base,
+           (ROUND((CAST(SUM(CASE WHEN snap = 1 THEN top_c END) AS DOUBLE)
+               / SUM(CASE WHEN snap = 1 THEN total END)) * 1e9) / 1e9 + 0.0)
+               AS top_share_cur
+    FROM prof GROUP BY col
+    """,
+)
+def drift_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-COLUMN profile drift between two snapshots (md5-bit split of
+    event_id): row counts, null counts, exact distinct counts, and
+    top-value concentration for every events column — the schema-level
+    data-quality monitor an ingest pipeline diffs before accepting a new
+    drop (a column whose null rate or distinct count jumps is a parser
+    regression even when row counts look fine; a top_share jump is a
+    default-value flood).
+
+    Every column is normalized to a STRING both engines render identically
+    (BIGINT casts and raw strings — doubles go through integer cents and
+    timestamps through integer epoch MICROseconds (seconds would collide sub-second-distinct values in Spark only), never engine-specific float/ts
+    formatting). Plan: one scan stacked 6-wide map-side (stack(), no
+    re-scan per column), one (col, snap, value) count, then all math on
+    <= 24 aggregate rows. At 100 TB the only data-sized exchange is the
+    value-count shuffle, keyed (col, snap, value) — 12 well-spread key
+    groups."""
+    e = load_table(spark, sf_dir, "events")
+    stack_expr = "stack(%d, %s) AS (col, v)" % (
+        len(_PROFILE_COLS),
+        ", ".join(f"'{n}', {x}" for n, x in _PROFILE_COLS),
+    )
+    stacked = e.select(
+        F.expr(stack_expr),
+        F.expr(
+            "(CAST(conv(substr(md5(CAST(event_id AS STRING)), 1, 1), 16, 10)"
+            " AS INT) % 2)"
+        ).alias("snap"),
+    )
+    # ONE aggregation over (col, snap, value) with NULL kept as a group —
+    # totals, null counts, distincts, and the mode all derive from it, so
+    # events is scanned exactly once (pinned).
+    vc = stacked.groupBy("col", "snap", "v").agg(
+        F.count(F.lit(1)).cast("bigint").alias("c")
+    )
+    prof = vc.groupBy("col", "snap").agg(
+        F.sum("c").cast("bigint").alias("total"),
+        F.coalesce(
+            F.sum(F.when(F.col("v").isNull(), F.col("c"))), F.lit(0)
+        ).cast("bigint").alias("n_null"),
+        F.count("v").cast("bigint").alias("n_distinct"),
+        F.coalesce(
+            F.max(F.when(F.col("v").isNotNull(), F.col("c"))), F.lit(0)
+        ).cast("bigint").alias("top_c"),
+    )
+    def _pick(c, s):
+        return F.sum(F.when(F.col("snap") == s, F.col(c)))
+    return prof.groupBy("col").agg(
+        _pick("total", 0).cast("bigint").alias("n_base"),
+        _pick("total", 1).cast("bigint").alias("n_cur"),
+        _pick("n_null", 0).cast("bigint").alias("nulls_base"),
+        _pick("n_null", 1).cast("bigint").alias("nulls_cur"),
+        _pick("n_distinct", 0).cast("bigint").alias("distinct_base"),
+        _pick("n_distinct", 1).cast("bigint").alias("distinct_cur"),
+        round9(
+            _pick("top_c", 0).cast("double") / _pick("total", 0)
+        ).alias("top_share_base"),
+        round9(
+            _pick("top_c", 1).cast("double") / _pick("total", 1)
+        ).alias("top_share_cur"),
+    )

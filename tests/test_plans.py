@@ -1032,3 +1032,12 @@ def test_lsh_band_plan_single_bucket_shuffle(spark):
     assert (f.broadcast_joins + f.sortmerge_joins
             + f.shuffled_hash_joins + f.nested_loop_joins) == 0
     assert f.shuffle_exchanges <= 3, f.shuffle_exchanges
+
+
+def test_column_profile_single_value_shuffle(spark):
+    # One scan stacked 6-wide map-side; the only data-sized exchange is
+    # the (col, snap, value) count — everything after runs on <= 24 rows.
+    f = plan_facts(q(spark, "drift_column_profile"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.scans == 1, f.scans
+    assert f.shuffle_exchanges <= 4, f.shuffle_exchanges
