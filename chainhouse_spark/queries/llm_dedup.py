@@ -1071,3 +1071,86 @@ def dedup_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"{s50} AS s50_jaccard",
         )
     )
+
+
+@register(
+    "dedup_impact_on_mixture",
+    oracle="""
+    WITH canon AS (
+        SELECT md5(text) AS h, MIN(doc_id) AS keep_id
+        FROM documents GROUP BY md5(text)
+    ),
+    sized AS (
+        SELECT d.doc_id, d.source,
+               CAST(len(string_split(d.text, ' ')) AS BIGINT) AS n_tok,
+               CASE WHEN c.keep_id = d.doc_id THEN 1 ELSE 0 END AS kept
+        FROM documents d JOIN canon c ON c.h = md5(d.text)
+    ),
+    per AS (
+        SELECT source,
+               CAST(COUNT(*) AS BIGINT) AS docs_before,
+               CAST(SUM(kept) AS BIGINT) AS docs_after,
+               CAST(SUM(n_tok) AS BIGINT) AS tokens_before,
+               CAST(SUM(CASE WHEN kept = 1 THEN n_tok ELSE 0 END) AS BIGINT)
+                   AS tokens_after
+        FROM sized GROUP BY source
+    ),
+    tot AS (
+        SELECT CAST(SUM(tokens_before) AS BIGINT) AS tb,
+               CAST(SUM(tokens_after) AS BIGINT) AS ta
+        FROM per
+    )
+    SELECT source, docs_before, docs_after, tokens_before, tokens_after,
+           (ROUND((CAST(tokens_before AS DOUBLE) / tb) * 1e9) / 1e9 + 0.0)
+               AS share_before,
+           (ROUND((CAST(tokens_after AS DOUBLE) / ta) * 1e9) / 1e9 + 0.0)
+               AS share_after
+    FROM per, tot
+    """,
+)
+def dedup_impact_on_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """What exact dedup DOES to the training mixture: per source, doc and
+    token counts before/after keeping one canonical copy (min doc_id) per
+    content hash, and the source's token SHARE before/after — the readout
+    that catches dedup silently reweighting the mixture (a source whose
+    mass was mostly cross-source duplicates shrinks, everyone else's share
+    rises; mixture weights tuned pre-dedup are stale after). Canonical
+    attribution is global, so a doc duplicated across sources is credited
+    to the minimum-id source, exactly like the exact_dedup operator keeps
+    it.
+
+    Plan: one content-hash aggregate (the same 16-byte-key shuffle as
+    dedup_exact), a hash-equi join back to attribute keep flags, one
+    per-source rollup, and 2 scalar totals broadcast back. All counts
+    exact integers; the two shares are the only floats (round-at-9)."""
+    d = load_table(spark, sf_dir, "documents")
+    hashed = d.select(
+        "doc_id", "source",
+        F.md5("text").alias("h"),
+        F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+    )
+    canon = hashed.groupBy("h").agg(F.min("doc_id").alias("keep_id"))
+    sized = hashed.join(canon, "h").withColumn(
+        "kept", F.when(F.col("doc_id") == F.col("keep_id"), 1).otherwise(0)
+    )
+    per = sized.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("docs_before"),
+        F.sum("kept").cast("bigint").alias("docs_after"),
+        F.sum("n_tok").cast("bigint").alias("tokens_before"),
+        F.sum(F.when(F.col("kept") == 1, F.col("n_tok")).otherwise(0))
+        .cast("bigint")
+        .alias("tokens_after"),
+    )
+    tot = per.agg(
+        F.sum("tokens_before").cast("bigint").alias("tb"),
+        F.sum("tokens_after").cast("bigint").alias("ta"),
+    )
+    return per.crossJoin(F.broadcast(tot)).select(
+        "source", "docs_before", "docs_after", "tokens_before", "tokens_after",
+        round9(F.col("tokens_before").cast("double") / F.col("tb")).alias(
+            "share_before"
+        ),
+        round9(F.col("tokens_after").cast("double") / F.col("ta")).alias(
+            "share_after"
+        ),
+    )

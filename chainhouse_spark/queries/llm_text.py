@@ -1126,3 +1126,75 @@ def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         "(ROUND((h_bigram_bits - h_unigram_bits) * 1e9) / 1e9 + 0.0)"
         " AS cond_entropy_bits",
     )
+
+
+@register(
+    "vocab_coverage_curve",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH tok AS (
+        SELECT unnest(string_split(text, ' ')) AS token FROM documents
+    ),
+    cnt AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS c
+        FROM tok WHERE token <> '' GROUP BY token
+    ),
+    curve AS (
+        SELECT CAST(ROW_NUMBER() OVER (ORDER BY c DESC, token ASC) AS BIGINT)
+                   AS vocab_size,
+               token, c,
+               CAST(SUM(c) OVER (ORDER BY c DESC, token ASC
+                                 ROWS UNBOUNDED PRECEDING) AS BIGINT)
+                   AS cum_count,
+               CAST(SUM(c) OVER () AS BIGINT) AS total_tokens
+        FROM cnt
+    )
+    SELECT vocab_size, token, c AS token_count, cum_count, total_tokens,
+           (ROUND((CAST(cum_count AS DOUBLE) / total_tokens) * 1e9) / 1e9
+               + 0.0) AS coverage
+    FROM curve WHERE vocab_size <= 1000
+    """,
+)
+def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cumulative token-mass coverage by frequency-ranked vocabulary size —
+    the curve a tokenizer owner reads to pick the vocab cutoff (the rank
+    where coverage crosses their OOV budget). One row per rank (capped at
+    the 1000-rank head; this corpus's whole vocabulary fits): token,
+    occurrence count, inclusive cumulative count, and coverage share under
+    the reproducible (count DESC, token ASC) total order.
+
+    Plan: one token-count shuffle, then the exact distributed prefix sum
+    (operators/ranking.py::global_running_sums — range partition + tiny
+    per-partition offsets; NO unpartitioned data-sized window) over the
+    ordered counts, and the 1000-row head taken by rank filter. Totals
+    come from one extra 1-row aggregate broadcast back. At 100 TB the
+    curve costs the token count plus a vocab-sized ranking pass."""
+    from chainhouse_spark.operators.ranking import (
+        global_row_number,
+        global_running_sums,
+    )
+
+    d = load_table(spark, sf_dir, "documents")
+    cnt = (
+        d.select(F.explode(F.split(F.col("text"), " ")).alias("token"))
+        .filter(F.col("token") != "")
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    )
+    order = [F.desc("c"), F.asc("token")]
+    ranked = global_row_number(cnt, order, out_col="vocab_size")
+    summed = global_running_sums(ranked, order, {"c": "cum_count"})
+    total = cnt.agg(F.sum("c").cast("bigint").alias("total_tokens"))
+    return (
+        summed.filter(F.col("vocab_size") <= 1000)
+        .crossJoin(F.broadcast(total))
+        .select(
+            F.col("vocab_size").cast("bigint"),
+            "token",
+            F.col("c").alias("token_count"),
+            F.col("cum_count").cast("bigint"),
+            "total_tokens",
+            round9(
+                F.col("cum_count").cast("double") / F.col("total_tokens")
+            ).alias("coverage"),
+        )
+    )

@@ -1041,3 +1041,22 @@ def test_column_profile_single_value_shuffle(spark):
     assert f.python_evals == 0 and f.cartesian_products == 0
     assert f.scans == 1, f.scans
     assert f.shuffle_exchanges <= 4, f.shuffle_exchanges
+
+
+def test_vocab_coverage_curve_no_global_window(spark):
+    # The prefix sum must be the distributed two-phase form — no
+    # unpartitioned data-sized window; single token-count shuffle feeds it.
+    f = plan_facts(q(spark, "vocab_coverage_curve"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.single_partition_suspects == [], f.single_partition_suspects
+    assert f.shuffle_exchanges <= 5, f.shuffle_exchanges
+
+
+def test_dedup_impact_plan(spark):
+    # Content-hash agg + hash join-back + source rollup + the 1-row totals
+    # broadcast (BNLJ) — 5 exchanges, of which only the first two carry
+    # data-sized rows (16-byte hash keys), the rest per-source aggregates.
+    f = plan_facts(q(spark, "dedup_impact_on_mixture"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.shuffle_exchanges <= 5, f.shuffle_exchanges
+    assert f.nested_loop_joins <= 1  # the 1-row totals broadcast
