@@ -3474,3 +3474,172 @@ def drift_column_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
             _pick("top_c", 1).cast("double") / _pick("total", 1)
         ).alias("top_share_cur"),
     )
+
+
+@register(
+    "drift_ks_fdr_bh",
+    oracle="""
+    WITH base AS (
+        SELECT source,
+               ((instr('0123456789abcdef',
+                       substr(md5(CAST(doc_id AS VARCHAR)), 1, 1)) - 1) % 2)
+                 AS snap,
+               n_chars AS v
+        FROM documents
+    ),
+    cnt AS (
+        SELECT source, v,
+               CAST(COUNT(*) FILTER (WHERE snap = 0) AS BIGINT) AS c0,
+               CAST(COUNT(*) FILTER (WHERE snap = 1) AS BIGINT) AS c1
+        FROM base GROUP BY source, v
+    ),
+    cum AS (
+        SELECT source, v, c0, c1,
+               SUM(c0) OVER (PARTITION BY source ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS e0,
+               SUM(c1) OVER (PARTITION BY source ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS e1,
+               SUM(c0) OVER (PARTITION BY source) AS n0,
+               SUM(c1) OVER (PARTITION BY source) AS n1
+        FROM cnt
+    ),
+    agg AS (
+        SELECT source,
+               CAST(MIN(n0) AS BIGINT) AS n_base,
+               CAST(MIN(n1) AS BIGINT) AS n_cur,
+               CAST(MAX(ABS(e0 * n1 - e1 * n0)) AS BIGINT) AS d_num
+        FROM cum GROUP BY source
+        HAVING MIN(n0) > 0 AND MIN(n1) > 0
+    ),
+    pv AS (
+        SELECT source, n_base, n_cur,
+               CAST(d_num AS DOUBLE) / (CAST(n_base AS DOUBLE) * n_cur) AS d,
+               CAST(ROUND(LEAST(
+                   2.0 * EXP(-2.0
+                       * ((CAST(n_base AS DOUBLE) * n_cur) / (n_base + n_cur))
+                       * (CAST(d_num AS DOUBLE)
+                          / (CAST(n_base AS DOUBLE) * n_cur))
+                       * (CAST(d_num AS DOUBLE)
+                          / (CAST(n_base AS DOUBLE) * n_cur))),
+                   1.0), 6) AS DECIMAL(10,6)) AS p6
+        FROM agg
+    ),
+    ranked AS (
+        SELECT source, n_base, n_cur, d, p6,
+               CAST(ROW_NUMBER() OVER (ORDER BY p6 ASC, source ASC) AS BIGINT)
+                   AS bh_rank,
+               CAST(COUNT(*) OVER () AS BIGINT) AS m
+        FROM pv
+    ),
+    cut AS (
+        SELECT COALESCE(MAX(CASE WHEN CAST(p6 AS DOUBLE)
+                       <= bh_rank * 0.05 / m THEN bh_rank END), 0) AS kmax
+        FROM ranked
+    )
+    SELECT source, n_base, n_cur,
+           (ROUND(d * 1e9) / 1e9 + 0.0) AS ks_d,
+           CAST(p6 AS DOUBLE) AS p_value,
+           bh_rank,
+           (ROUND((bh_rank * 0.05 / m) * 1e9) / 1e9 + 0.0) AS bh_critical,
+           bh_rank <= cut.kmax AS reject_fdr_05
+    FROM ranked, cut
+    """,
+)
+def drift_ks_fdr_bh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Benjamini-Hochberg FDR control over the per-source KS drift tests —
+    the alerting layer a many-source ingest monitor needs: testing 20
+    (or 2000) sources at alpha=0.05 each fires a false drift alarm on one
+    source per refresh by construction; BH's step-up (reject the smallest
+    K p-values where p_(k) <= k*q/m) caps the expected FALSE-DISCOVERY
+    fraction at q instead.
+
+    p-values use the one-term asymptotic two-sample KS bound
+    p = min(2*exp(-2*(n0*n1/(n0+n1))*d^2), 1) — an upper bound, so BH on
+    it is conservative (never anti-conservative). EXP may differ in the
+    last ulp across engines, so p is rounded at 6 into DECIMAL before
+    ranking and thresholding on BOTH sides (the LN/entropy-term recipe);
+    d itself and the exact integer sup-distance d_num reuse the
+    drift_ks_by_source machinery verbatim (per-source ECDF windows, no
+    global data-sized window). The BH step-up runs on <= |sources| rows —
+    the one intentionally tiny global window. Emits rank, critical value,
+    and the step-up decision per source."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.select(
+        "source",
+        F.expr(
+            "(CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 1), 16, 10)"
+            " AS INT) % 2)"
+        ).alias("snap"),
+        F.col("n_chars").alias("v"),
+    )
+    cnt = base.groupBy("source", "v").agg(
+        F.count(F.when(F.col("snap") == 0, 1)).cast("bigint").alias("c0"),
+        F.count(F.when(F.col("snap") == 1, 1)).cast("bigint").alias("c1"),
+    )
+    w_cum = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    w_src = Window.partitionBy("source")
+    cum = (
+        cnt.withColumn("e0", F.sum("c0").over(w_cum))
+        .withColumn("e1", F.sum("c1").over(w_cum))
+        .withColumn("n0", F.sum("c0").over(w_src))
+        .withColumn("n1", F.sum("c1").over(w_src))
+    )
+    agg = (
+        cum.groupBy("source")
+        .agg(
+            F.min("n0").cast("bigint").alias("n_base"),
+            F.min("n1").cast("bigint").alias("n_cur"),
+            F.max(F.abs(F.col("e0") * F.col("n1") - F.col("e1") * F.col("n0")))
+            .cast("bigint")
+            .alias("d_num"),
+        )
+        .filter((F.col("n_base") > 0) & (F.col("n_cur") > 0))
+    )
+    pv = agg.selectExpr(
+        "source",
+        "n_base",
+        "n_cur",
+        "CAST(d_num AS DOUBLE) / (CAST(n_base AS DOUBLE) * n_cur) AS d",
+        "CAST(ROUND(LEAST("
+        "2.0 * EXP(-2.0"
+        " * ((CAST(n_base AS DOUBLE) * n_cur) / (n_base + n_cur))"
+        " * (CAST(d_num AS DOUBLE) / (CAST(n_base AS DOUBLE) * n_cur))"
+        " * (CAST(d_num AS DOUBLE) / (CAST(n_base AS DOUBLE) * n_cur))),"
+        " 1.0), 6) AS DECIMAL(10,6)) AS p6",
+    )
+    from chainhouse_spark.operators.ranking import global_row_number
+
+    m_df = pv.agg(F.count(F.lit(1)).cast("bigint").alias("m"))
+    ranked = global_row_number(
+        pv, [F.asc("p6"), F.asc("source")], out_col="bh_rank"
+    ).withColumn("bh_rank", F.col("bh_rank").cast("bigint")).crossJoin(
+        F.broadcast(m_df)
+    )
+    kmax = ranked.agg(
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("p6").cast("double")
+                    <= F.col("bh_rank") * 0.05 / F.col("m"),
+                    F.col("bh_rank"),
+                )
+            ),
+            F.lit(0),
+        ).alias("kmax")
+    )
+    return ranked.crossJoin(F.broadcast(kmax)).select(
+        "source",
+        "n_base",
+        "n_cur",
+        round9("d").alias("ks_d"),
+        F.col("p6").cast("double").alias("p_value"),
+        "bh_rank",
+        round9(F.col("bh_rank") * 0.05 / F.col("m")).alias("bh_critical"),
+        (F.col("bh_rank") <= F.col("kmax")).alias("reject_fdr_05"),
+    )

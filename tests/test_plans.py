@@ -1060,3 +1060,15 @@ def test_dedup_impact_plan(spark):
     assert f.python_evals == 0 and f.cartesian_products == 0
     assert f.shuffle_exchanges <= 5, f.shuffle_exchanges
     assert f.nested_loop_joins <= 1  # the 1-row totals broadcast
+
+
+def test_ks_fdr_bh_plan(spark):
+    # Per-source ECDF windows (never a global data-sized window). The BH
+    # step-up uses the two-phase global_row_number over the <= |sources|
+    # p-value rows, so NO single-partition Sort suspect appears; the extra
+    # exchanges it costs all carry aggregate-sized rows (5 of them are
+    # explicit single-partition hops over <= 20 rows).
+    f = plan_facts(q(spark, "drift_ks_fdr_bh"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.single_partition_suspects == [], f.single_partition_suspects
+    assert f.shuffle_exchanges <= 13, f.shuffle_exchanges
