@@ -1154,3 +1154,96 @@ def dedup_impact_on_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
             "share_after"
         ),
     )
+
+
+@register(
+    "dedup_lsh_recall_report",
+    oracle=FRUGAL_ORACLE + """
+    WITH
+    """ + _DUCK_SHINGLES + """,
+    """ + _DUCK_MINHASH + """,
+    sig AS (SELECT doc_id, ARRAY_AGG(h ORDER BY s) AS sig FROM mh GROUP BY doc_id),
+    bands AS (
+        SELECT doc_id, b.b AS band,
+               md5(array_to_string(sig[b.b * 4 + 1 : b.b * 4 + 4], ',')) AS bh
+        FROM sig, (SELECT UNNEST(range(0, 4)) AS b) b
+    ),
+    cand AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM bands a
+        JOIN bands b ON a.band = b.band AND a.bh = b.bh AND a.doc_id < b.doc_id
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, COUNT(*) AS n_common
+        FROM sh a JOIN sh b ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    ),
+    truth AS (
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN sz sa ON sa.doc_id = doc_a
+        JOIN sz sb ON sb.doc_id = doc_b
+        WHERE CAST(n_common AS DOUBLE)
+              / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ),
+    hits AS (
+        SELECT COUNT(*) AS n_hits
+        FROM truth t JOIN cand c ON t.doc_a = c.doc_a AND t.doc_b = c.doc_b
+    )
+    SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_truth_pairs,
+           CAST((SELECT COUNT(*) FROM cand) AS BIGINT) AS n_candidates,
+           CAST(n_hits AS BIGINT) AS n_hits,
+           (ROUND((CAST(n_hits AS DOUBLE)
+               / (SELECT COUNT(*) FROM truth)) * 1e9) / 1e9 + 0.0) AS recall,
+           (ROUND((CAST(n_hits AS DOUBLE)
+               / (SELECT COUNT(*) FROM cand)) * 1e9) / 1e9 + 0.0)
+               AS candidate_precision
+    FROM hits
+    """,
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Measured RECALL of the production 4x4 MinHash-LSH banding against
+    the exact Jaccard >= 0.8 truth set, plus candidate precision — the
+    quality readout that pairs with dedup_lsh_band_plan's cost readout
+    (the planner says what each config COSTS, this says what the chosen
+    one CATCHES). The truth set is the prefix-filtered exact join the
+    dedup_ngram_jaccard query runs (shared-shingle blocked, never
+    all-pairs); at 100 TB this report runs on a hash-gated sample of the
+    corpus — the construction is sample-invariant because both sides see
+    the same docs.
+
+    Emits one row: truth-pair count, LSH candidate count, hits, recall,
+    and candidate precision — all counts exact, the two ratios round-at-9.
+    The oracle replays BOTH pipelines (Carter-Wegman minhash + banding,
+    and the exact shingle-overlap join) and intersects them itself."""
+    docs = load_table(spark, sf_dir, "documents")
+    truth = ngram_jaccard_pairs(docs, shingle_words=3, threshold=0.8).select(
+        "doc_a", "doc_b", F.lit(1).alias("t")
+    )
+    cand = lsh_candidate_pairs(
+        minhash_signatures(docs, num_hashes=16, shingle_words=3),
+        num_hashes=16,
+        bands=4,
+    ).select("doc_a", "doc_b", F.lit(1).alias("c"))
+    # One distributed plan: full-outer join the two pair sets once, then a
+    # single aggregate — each pipeline is computed exactly once (a
+    # 3-action .count() form would recompute both sides).
+    j = truth.join(cand, ["doc_a", "doc_b"], "full_outer")
+    return j.agg(
+        F.sum(F.coalesce(F.col("t"), F.lit(0))).cast("long").alias("n_truth_pairs"),
+        F.sum(F.coalesce(F.col("c"), F.lit(0))).cast("long").alias("n_candidates"),
+        F.sum(F.coalesce(F.col("t") * F.col("c"), F.lit(0)))
+        .cast("long")
+        .alias("n_hits"),
+    ).select(
+        "n_truth_pairs",
+        "n_candidates",
+        "n_hits",
+        round9(F.col("n_hits").cast("double") / F.col("n_truth_pairs")).alias(
+            "recall"
+        ),
+        round9(F.col("n_hits").cast("double") / F.col("n_candidates")).alias(
+            "candidate_precision"
+        ),
+    )

@@ -1072,3 +1072,11 @@ def test_ks_fdr_bh_plan(spark):
     assert f.python_evals == 0 and f.cartesian_products == 0
     assert f.single_partition_suspects == [], f.single_partition_suspects
     assert f.shuffle_exchanges <= 13, f.shuffle_exchanges
+
+
+def test_lsh_recall_report_single_plan(spark):
+    # Both pair pipelines feed ONE full-outer join + aggregate — no
+    # cartesian, no Python, each pipeline computed once in a single plan.
+    f = plan_facts(q(spark, "dedup_lsh_recall_report"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.shuffle_exchanges <= 10, f.shuffle_exchanges
