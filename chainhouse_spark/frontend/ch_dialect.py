@@ -1086,7 +1086,10 @@ def _translate_calls(sql: str) -> str:
                         raise CHTranslationError(
                             "topK(k)(x) takes one parameter and one argument"
                         )
-                    if not re.fullmatch(r"\d+", args[0].strip()):
+                    if not re.fullmatch(r"[1-9]\d*", args[0].strip()):
+                        # [1-9]\d* (not \d+): topK(0)(x) would otherwise
+                        # slip through as SLICE(..., 1, 0) — an always-empty
+                        # array instead of the error the message promises.
                         raise CHTranslationError(
                             "topK(k)(x): k must be a positive integer literal"
                         )
@@ -1169,6 +1172,27 @@ _LIMIT_BY_FULL = re.compile(r"\bLIMIT\s+(\d+)\s+BY\s+", re.IGNORECASE)
 _LIMIT_BY_OFFSET = re.compile(r"\bLIMIT\s+\d+\s*,\s*\d+\s+BY\b", re.IGNORECASE)
 _ORDER_BY_TOK = re.compile(r"\bORDER\s+BY\s+", re.IGNORECASE)
 _TAIL_LIMIT = re.compile(r"\bLIMIT\s+(\d+)\s*$", re.IGNORECASE)
+
+
+def _outside_string_matches(sql: str, pattern: re.Pattern) -> list[re.Match]:
+    """All `pattern` matches that start outside string literals, at ANY
+    paren depth (contrast `_depth0_matches`, which also requires depth 0).
+    Used by rewrites that legitimately fire inside subqueries (SAMPLE) but
+    must never fire inside a quoted literal — `WHERE s = 'FROM t SAMPLE
+    1/4'` is data, not syntax."""
+    out: list[re.Match] = []
+    j = 0
+    while j < len(sql):
+        if sql[j] in "'\"`":
+            j = _skip_string(sql, j)
+            continue
+        m = pattern.match(sql, j)
+        if m and (j == 0 or not (sql[j - 1].isalnum() or sql[j - 1] == "_")):
+            out.append(m)
+            j = m.end()
+            continue
+        j += 1
+    return out
 
 
 def _depth0_matches(sql: str, pattern: re.Pattern) -> list[re.Match]:
@@ -1446,16 +1470,17 @@ def _rewrite_sample(sql: str) -> str:
     table's registered sampling key. See the module docstring for why this
     preserves SAMPLE's contract (consistent key-coherent subset) rather
     than its storage-defined row choice."""
-    if _SAMPLE_OFFSET.search(sql):
+    if _outside_string_matches(sql, _SAMPLE_OFFSET):
         raise CHTranslationError(
             "SAMPLE ... OFFSET addresses a storage-defined sample ordering "
             "that has no deterministic analog; take disjoint subsets with "
             "explicit hash-gate ranges instead (pmod(h, den) BETWEEN a AND b)"
         )
     while True:
-        m = _SAMPLE_TABLE.search(sql)
-        if not m:
+        hits = _outside_string_matches(sql, _SAMPLE_TABLE)
+        if not hits:
             break
+        m = hits[0]
         table, alias_tok, spec = m.group(1), (m.group(2) or "").strip(), m.group(3)
         num, den = _parse_sample_fraction(spec)
         short = table.split(".")[-1].lower()
@@ -1473,7 +1498,7 @@ def _rewrite_sample(sql: str) -> str:
             + f"FROM (SELECT * FROM {table} WHERE {gate}) {alias}"
             + sql[m.end() :]
         )
-    if _SAMPLE.search(sql):
+    if _outside_string_matches(sql, _SAMPLE):
         raise CHTranslationError(
             "SAMPLE is only rewritten on a plain table reference "
             "(FROM t [alias] SAMPLE f); apply the hash-gate manually for "
@@ -1489,7 +1514,16 @@ def _rewrite_with_totals(sql: str) -> str:
     """`GROUP BY k... WITH TOTALS` → `GROUP BY GROUPING SETS ((k...), ())`.
     The grand-total row arrives in-band with NULL group keys (Spark's
     rollup convention) instead of ClickHouse's out-of-band default-value
-    block — values are identical, representation is documented."""
+    block — values are identical, representation is documented.
+
+    CAVEAT (nullable keys): if a grouping key column itself contains
+    NULLs, the in-band totals row is indistinguishable from the genuine
+    NULL-key group by looking at the key columns alone — ClickHouse never
+    has this collision because its totals block is out-of-band. When any
+    key is nullable, SELECT `GROUPING(key)` alongside it (1 marks the
+    totals row, 0 a real group, including the NULL-valued one); the
+    rewrite deliberately does not inject that column because it would
+    change the query's output schema."""
     if not _WITH_TOTALS.search(sql):
         return sql
     d0 = _depth0_matches(sql, _WITH_TOTALS)

@@ -59,6 +59,32 @@ def _stream_source(spark: SparkSession, sf_dir: str, table: str) -> DataFrame:
     d = scratch_dir(prefix=f"stream_{table}_")
     if os.path.isdir(path):
         parts = [f for f in os.listdir(path) if f.endswith(".parquet")]
+        if not parts:
+            # Fail LOUDLY (ADVICE r10): a layout this listing can't see —
+            # e.g. a Hive-partitioned table nesting part-files under
+            # key=value subdirectories — would otherwise reproduce exactly
+            # the silent empty-stream artifact this symlink fan-out exists
+            # to prevent (SCALE.md r10). Recursing is NOT the fix: the
+            # partition-column VALUES live in the directory names, so
+            # flat-symlinking nested files would stream those columns as
+            # all-NULL (Spark null-fills missing parquet columns) — silent
+            # wrongness instead of a silent empty stream.
+            nested = sorted(
+                os.path.relpath(os.path.join(r, f), path)
+                for r, _dirs, files in os.walk(path)
+                for f in files
+                if f.endswith(".parquet")
+            )
+            detail = (
+                f"part-files are nested ({nested[0]}, ... {len(nested)} "
+                "total) — a partitioned layout; stream the unpartitioned "
+                "form or point the watch dir at one leaf partition"
+                if nested
+                else "no .parquet part-files anywhere under the table dir"
+            )
+            raise FileNotFoundError(
+                f"cannot expose {path!r} as a file-source stream: {detail}"
+            )
         for i, f in enumerate(sorted(parts)):
             os.symlink(os.path.join(path, f), os.path.join(d, f"p{i}.parquet"))
     else:

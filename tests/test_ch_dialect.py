@@ -789,3 +789,30 @@ def test_sample_totals_topk_compose(spark):
     assert set(rows) == {"x", None}
     assert rows["x"].n == 8 and rows[None].n == 8
     assert rows["x"].top_u == [1, 2]
+
+
+def test_sample_inside_string_literal_untouched():
+    # ADVICE r10: the SAMPLE rewrite used raw .search over the SQL, so a
+    # quoted literal containing "FROM events SAMPLE 1/4" had the hash-gate
+    # subquery spliced INSIDE the string, silently changing its value.
+    # All three scan points (OFFSET guard, rewrite loop, residual guard)
+    # must be string-aware.
+    sql = "SELECT a FROM t WHERE s = 'FROM events SAMPLE 1/4'"
+    assert t(sql) == sql
+    # double-quoted and mixed with a REAL sample on the outer query:
+    out = t("SELECT event_type FROM events SAMPLE 1/4 "
+            "WHERE note = 'events SAMPLE 9/10 OFFSET 1/2'")
+    assert "'events SAMPLE 9/10 OFFSET 1/2'" in out  # literal intact
+    assert "MD5(CAST(event_id AS STRING))" in out    # real SAMPLE rewritten
+    # literal-only OFFSET text must not trip the OFFSET guard either
+    sql3 = "SELECT a FROM t WHERE s = 'SAMPLE 1/4 OFFSET 1/2'"
+    assert t(sql3) == sql3
+
+
+def test_topk_zero_rejected():
+    # ADVICE r10: \d+ accepted k=0 (always-empty SLICE) despite the error
+    # text promising a positive integer.
+    with pytest.raises(CHTranslationError, match="positive integer"):
+        t("SELECT topK(0)(x) FROM t")
+    with pytest.raises(CHTranslationError, match="positive integer"):
+        t("SELECT topK(00)(x) FROM t")

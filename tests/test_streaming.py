@@ -657,3 +657,27 @@ def test_rocksdb_state_store_matches_batch(spark, tmp_path):
         assert got == exp and len(got) > 0
     finally:
         spark.conf.set("spark.sql.streaming.stateStore.providerClass", prev)
+
+
+def test_stream_source_partitioned_layout_fails_loudly(spark, tmp_path):
+    """ADVICE r10: a table layout the top-level part-file listing cannot
+    see (Hive-partitioned key=value subdirs, or an empty dir) must raise,
+    not silently time an empty stream. Recursing is deliberately NOT done:
+    partition-column values live in the directory names, so flattening
+    would stream them as all-NULL."""
+    import pytest as _pytest
+
+    from chainhouse_spark.queries.streaming_queries import _stream_source
+
+    part_dir = str(tmp_path / "sfdir")
+    df = spark.range(10).selectExpr("id", "id % 2 AS k")
+    df.write.partitionBy("k").parquet(f"{part_dir}/events.parquet")
+    with _pytest.raises(FileNotFoundError, match="partitioned layout"):
+        _stream_source(spark, part_dir, "events")
+
+    empty_dir = str(tmp_path / "sfdir2")
+    import os as _os
+
+    _os.makedirs(f"{empty_dir}/events.parquet")
+    with _pytest.raises(Exception, match="part-files|Unable to infer|empty"):
+        _stream_source(spark, empty_dir, "events")
