@@ -107,6 +107,7 @@ EXTRA_BACKTOBACK = 4
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    loadavg = round(os.getloadavg()[0], 2)  # capture conditions at launch
     spark = build_spark(app_name="chainhouse-bench")
 
     # Warm the JVM/codegen paths so query 1 isn't charged for startup.
@@ -126,19 +127,58 @@ def main() -> None:
     timings = {name: round(t, 3) for name, t in timings.items()}
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_sec",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf),
-            }
-        )
-    )
+    # Floors for the lossless per-row block (same file the stderr gate
+    # uses): name, wall, floor, ratio per headline query + the launch
+    # loadavg — VERDICT r10 task 2: BENCH_r10's driver artifact truncated
+    # the human-readable tail and lost 5 of 33 rows, so the machine record
+    # must live in the ONE parsed JSON line itself.
+    floors = _load_reference(sf)
+    rows = [
+        {
+            "name": name,
+            "wall": t,
+            "floor": floors.get(name),
+            "ratio": round(t / floors[name], 3) if floors.get(name) else None,
+        }
+        for name, t in timings.items()
+    ]
+    payload = {
+        "metric": "headline_queries_total_sec",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "sf": float(sf),
+        "loadavg": loadavg,
+        "rows": rows,
+    }
+    # Lossless copy in the repo root (the artifact of record even if a
+    # capture harness truncates its copy).
+    here = os.path.dirname(os.path.abspath(__file__))
+    with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
+        json.dump(payload, f, indent=1)
+        f.write("\n")
+    # stderr report BEFORE the stdout JSON line, both flushed: a combined
+    # stdout+stderr capture then ends with the JSON line, so a
+    # last-line-parse harness recovers the full record (BENCH_r02–r10 all
+    # had "parsed": null because the report landed after the JSON line).
     _report_vs_baseline(timings, total, sf)
+    sys.stderr.flush()
+    print(json.dumps(payload), flush=True)
     spark.stop()
+
+
+def _load_reference(sf: str) -> dict[str, float]:
+    """Per-query floors from BENCH_STEADYSTATE.json (fall back to
+    BENCH_BASELINE.json), empty if none or sf mismatch."""
+    here = os.path.dirname(os.path.abspath(__file__))
+    for fname in ("BENCH_STEADYSTATE.json", "BENCH_BASELINE.json"):
+        path = os.path.join(here, fname)
+        if os.path.exists(path):
+            base = json.load(open(path))
+            if str(base.get("sf")) == str(float(sf)):
+                return dict(base["queries"])
+            return {}
+    return {}
 
 
 def _report_vs_baseline(timings: dict[str, float], total: float, sf: str) -> None:
