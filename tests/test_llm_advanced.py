@@ -347,3 +347,60 @@ def test_binary_hamming_is_coarse_but_useful(spark):
     assert len(bf & bh) / len(bf) >= 0.15
     f = plan_facts(df)
     assert f.python_evals == 0 and f.cartesian_products == 0
+
+
+def test_lsh_planner_roundtrip_reproduces_production_banding(spark):
+    """VERDICT r10 task 5: the band choice read off dedup_lsh_band_plan's
+    workload table must actually drive the executor and, on this corpus,
+    land on the production 4x4 banding — so dedup_minhash_lsh_planned's
+    pairs are exactly dedup_minhash_lsh's (identical candidates => equal
+    recall by construction)."""
+    from chainhouse_spark.queries import QUERIES
+
+    planned = QUERIES["dedup_minhash_lsh_planned"](spark, SF)
+    config = planned.select("bands", "rows_per_band").distinct().collect()
+    assert [(r.bands, r.rows_per_band) for r in config] == [(4, 4)]
+
+    unplanned = QUERIES["dedup_minhash_lsh"](spark, SF)
+    got = {
+        (r.doc_a, r.doc_b, r.est_jaccard)
+        for r in planned.select("doc_a", "doc_b", "est_jaccard").collect()
+    }
+    want = {(r.doc_a, r.doc_b, r.est_jaccard) for r in unplanned.collect()}
+    assert got == want and len(got) > 0
+
+
+def test_lsh_planner_budget_fallback_rule():
+    """The choice rule itself: eligibility is s50 <= tau AND workload <=
+    budget, max-s50 wins; empty eligibility falls back to the cheapest
+    config. Pure-Python twin of both engines' implementations."""
+    from types import SimpleNamespace as Row
+
+    from chainhouse_spark.queries.llm_dedup import (
+        _PLAN_BUDGET_DOCS_MULT,
+        _PLAN_TAU,
+        _S50,
+    )
+
+    assert _PLAN_TAU == 0.8 and _PLAN_BUDGET_DOCS_MULT == 4
+    # s50 is monotone increasing in r; only r=1,2,4 sit at-or-below tau.
+    assert [r for r in (1, 2, 4, 8, 16) if _S50[r] <= _PLAN_TAU] == [1, 2, 4]
+
+    def choose(plan, budget):
+        elig = [r for r in plan
+                if r.s50_jaccard <= _PLAN_TAU and r.candidate_pairs <= budget]
+        if elig:
+            return max(elig, key=lambda r: r.s50_jaccard)
+        return min(plan, key=lambda r: (r.candidate_pairs, -r.rows_per_band))
+
+    plan = [
+        Row(bands=16 // r, rows_per_band=r, candidate_pairs=c,
+            s50_jaccard=_S50[r])
+        for r, c in [(1, 2110), (2, 198), (4, 87), (8, 38), (16, 15)]
+    ]
+    # sf0.01 numbers with budget 4*500=2000: r=1 over budget, r=4 wins.
+    assert choose(plan, 2000).bands == 4
+    # Tiny budget starves every eligible config -> cheapest overall (r=16).
+    assert choose(plan, 10).rows_per_band == 16
+    # Huge budget: r=4 still wins (largest s50 <= tau), NOT r=1.
+    assert choose(plan, 10**9).bands == 4

@@ -1080,3 +1080,25 @@ def test_lsh_recall_report_single_plan(spark):
     f = plan_facts(q(spark, "dedup_lsh_recall_report"))
     assert f.python_evals == 0 and f.cartesian_products == 0
     assert f.shuffle_exchanges <= 10, f.shuffle_exchanges
+
+
+def test_semantic_dedup_cells_plan(spark):
+    # Candidate generation is cell-blocked (one (cell, salt) shuffle via
+    # embedding_near_pairs), components iterate on the pair relation
+    # behind a checkpoint, and the report is one id-equi join back to
+    # documents + one per-source aggregate. Never all-pairs, no Python.
+    f = plan_facts(q(spark, "semantic_dedup_cells"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.single_partition_suspects == [], f.single_partition_suspects
+    assert f.shuffle_exchanges <= 4, f.shuffle_exchanges
+
+
+def test_lsh_planned_executes_like_unplanned(spark):
+    # The planner-driven executor must produce the SAME physical shape as
+    # dedup_minhash_lsh: join-free bucket expansion (groupBy + in-place
+    # member-list expansion), bounded shuffles, nothing pair-quadratic.
+    f = plan_facts(q(spark, "dedup_minhash_lsh_planned"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert (f.broadcast_joins + f.sortmerge_joins
+            + f.shuffled_hash_joins + f.nested_loop_joins) == 0
+    assert f.shuffle_exchanges <= 4, f.shuffle_exchanges
