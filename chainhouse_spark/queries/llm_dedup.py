@@ -1372,3 +1372,123 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             "candidate_precision"
         ),
     )
+
+
+# dedup_modality_overlap: DuckDB twins of the 6-bit sign-LSH cell and the
+# ordered cosine fold (mirrors queries/llm_similarity.py, kept local so
+# module import order stays registration order).
+_MO_CELL_Q = " + ".join(
+    f"(CASE WHEN q.embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(6)
+)
+_MO_CELL_C = " + ".join(
+    f"(CASE WHEN c.embedding[{i + 1}] >= 0 THEN {1 << i} ELSE 0 END)"
+    for i in range(6)
+)
+_MO_DOT = ("SUM(CAST(q.embedding[i.i] AS DOUBLE) * "
+           "CAST(c.embedding[i.i] AS DOUBLE) ORDER BY i.i)")
+_MO_QQ = ("SUM(CAST(q.embedding[i.i] AS DOUBLE) * "
+          "CAST(q.embedding[i.i] AS DOUBLE) ORDER BY i.i)")
+_MO_CC = ("SUM(CAST(c.embedding[i.i] AS DOUBLE) * "
+          "CAST(c.embedding[i.i] AS DOUBLE) ORDER BY i.i)")
+
+
+@register(
+    "dedup_modality_overlap",
+    oracle=f"""
+    WITH sem AS (
+        SELECT q.vec_id AS a, c.vec_id AS b
+        FROM embeddings q, embeddings c,
+             (SELECT UNNEST(range(1, 65)) AS i) i
+        WHERE q.vec_id < c.vec_id AND ({_MO_CELL_Q}) = ({_MO_CELL_C})
+        GROUP BY q.vec_id, c.vec_id
+        HAVING {_MO_DOT} / (sqrt({_MO_QQ}) * sqrt({_MO_CC})) >= 0.2
+    ),
+    emb_docs AS (
+        SELECT d.doc_id, d.text FROM documents d
+        JOIN embeddings e ON e.vec_id = d.doc_id
+    ),
+    tok AS (SELECT doc_id, string_split(text, ' ') AS t FROM emb_docs),
+    sh AS (
+        SELECT DISTINCT doc_id, array_to_string(t[i:i+2], ' ') AS shingle
+        FROM tok, LATERAL (SELECT UNNEST(range(1, GREATEST(len(t) - 1, 1))) AS i) ii
+    ),
+    sz AS (SELECT doc_id, COUNT(*) AS n_sh FROM sh GROUP BY doc_id),
+    common AS (
+        SELECT x.doc_id AS a, y.doc_id AS b, COUNT(*) AS n_common
+        FROM sh x JOIN sh y ON x.shingle = y.shingle AND x.doc_id < y.doc_id
+        GROUP BY x.doc_id, y.doc_id
+    ),
+    lex AS (
+        SELECT a, b FROM common
+        JOIN sz sa ON sa.doc_id = a
+        JOIN sz sb ON sb.doc_id = b
+        WHERE CAST(n_common AS DOUBLE) / (sa.n_sh + sb.n_sh - n_common) >= 0.8
+    ),
+    j AS (
+        SELECT COALESCE(s.a, l.a) AS a,
+               CASE WHEN s.a IS NULL THEN 0 ELSE 1 END AS is_sem,
+               CASE WHEN l.a IS NULL THEN 0 ELSE 1 END AS is_lex
+        FROM sem s FULL OUTER JOIN lex l ON s.a = l.a AND s.b = l.b
+    )
+    SELECT CAST(SUM(is_sem) AS BIGINT) AS n_semantic,
+           CAST(SUM(is_lex) AS BIGINT) AS n_lexical,
+           CAST(SUM(is_sem * is_lex) AS BIGINT) AS n_both,
+           CAST(SUM(is_sem * (1 - is_lex)) AS BIGINT) AS n_semantic_only,
+           CAST(SUM((1 - is_sem) * is_lex) AS BIGINT) AS n_lexical_only,
+           (ROUND((CAST(SUM(is_sem * is_lex) AS DOUBLE) / COUNT(*)) * 1e9)
+            / 1e9 + 0.0) AS pair_jaccard
+    FROM j
+    """,
+)
+def dedup_modality_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Agreement report between the SEMANTIC near-dup pair set (6-bit
+    sign-LSH cells, exact within-cell cosine >= 0.2 — the
+    semantic_dedup_cells candidate relation) and the LEXICAL near-dup pair
+    set (exact 3-gram Jaccard >= 0.8, restricted to documents that have
+    embeddings so both modalities see the same universe): how many pairs
+    each finds, how many both find, and the Jaccard of the two PAIR SETS —
+    the audit that says what semantic dedup catches that lexical dedup
+    misses (paraphrases, translations, re-renders) and vice versa
+    (templated text whose embeddings differ). A dedup rollout decision
+    reads this one row before turning a second modality on.
+
+    Both pair pipelines are the proven blocked/inverted-index forms;
+    composition adds ONE full-outer join on pair keys (pair-relation
+    sized, never corpus-sized) and a 1-row aggregate. Exact integers plus
+    one round-at-9 ratio."""
+    from chainhouse_spark.functions.vector import sign_bucket
+    from chainhouse_spark.operators.dedup import ngram_jaccard_pairs
+    from chainhouse_spark.operators.similarity import embedding_near_pairs
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    docs = load_table(spark, sf_dir, "documents")
+    cells = emb.withColumn("cell", sign_bucket("embedding", nbits=6))
+    sem = embedding_near_pairs(cells, block_col="cell", threshold=0.2).select(
+        F.col("vec_a").alias("a"), F.col("vec_b").alias("b"), F.lit(1).alias("is_sem")
+    )
+    emb_docs = docs.join(
+        emb.select(F.col("vec_id").alias("doc_id")), "doc_id", "left_semi"
+    )
+    lex = ngram_jaccard_pairs(emb_docs, shingle_words=3, threshold=0.8).select(
+        F.col("doc_a").alias("a"), F.col("doc_b").alias("b"), F.lit(1).alias("is_lex")
+    )
+    j = sem.join(lex, ["a", "b"], "full_outer").select(
+        F.coalesce("is_sem", F.lit(0)).alias("is_sem"),
+        F.coalesce("is_lex", F.lit(0)).alias("is_lex"),
+    )
+    return j.agg(
+        F.sum("is_sem").cast("bigint").alias("n_semantic"),
+        F.sum("is_lex").cast("bigint").alias("n_lexical"),
+        F.sum(F.col("is_sem") * F.col("is_lex")).cast("bigint").alias("n_both"),
+        F.sum(F.col("is_sem") * (1 - F.col("is_lex")))
+        .cast("bigint")
+        .alias("n_semantic_only"),
+        F.sum((1 - F.col("is_sem")) * F.col("is_lex"))
+        .cast("bigint")
+        .alias("n_lexical_only"),
+        round9(
+            F.sum(F.col("is_sem") * F.col("is_lex")).cast("double")
+            / F.count(F.lit(1))
+        ).alias("pair_jaccard"),
+    )

@@ -809,3 +809,216 @@ def ann_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count("ac").cast("bigint").alias("n_hits"),
         F.round(F.count("ac") / 10.0, 2).alias("recall_at_10"),
     )
+
+
+@register(
+    "drift_embedding_cells",
+    oracle=f"""
+    WITH base AS (
+        SELECT ({_DUCK_CELL_Q}) AS cell,
+               ((strpos('0123456789abcdef',
+                        substr(md5(CAST(vec_id AS VARCHAR)), 1, 1)) - 1) % 2)
+                 AS snap
+        FROM embeddings q
+    ),
+    cnt AS (
+        SELECT cell,
+               CAST(COUNT(*) FILTER (WHERE snap = 0) AS BIGINT) AS c0,
+               CAST(COUNT(*) FILTER (WHERE snap = 1) AS BIGINT) AS c1
+        FROM base GROUP BY cell
+    ),
+    spine AS (
+        SELECT CAST(c AS INT) AS cell, COALESCE(cnt.c0, 0) AS c0,
+               COALESCE(cnt.c1, 0) AS c1
+        FROM UNNEST(range(0, {1 << _CELL_BITS})) t(c)
+        LEFT JOIN cnt ON cnt.cell = c
+    ),
+    tot AS (SELECT SUM(c0) AS n0, SUM(c1) AS n1 FROM spine)
+    SELECT cell,
+           CAST(c0 AS BIGINT) AS n_ref,
+           CAST(c1 AS BIGINT) AS n_cur,
+           (ROUND((CAST(c0 AS DOUBLE) / n0) * 1e9) / 1e9 + 0.0) AS share_ref,
+           (ROUND((CAST(c1 AS DOUBLE) / n1) * 1e9) / 1e9 + 0.0) AS share_cur,
+           CAST(CAST(ROUND(
+               (CAST(c1 + 1 AS DOUBLE) / (n1 + {1 << _CELL_BITS})
+                - CAST(c0 + 1 AS DOUBLE) / (n0 + {1 << _CELL_BITS}))
+               * LN((CAST(c1 + 1 AS DOUBLE) / (n1 + {1 << _CELL_BITS}))
+                    / (CAST(c0 + 1 AS DOUBLE) / (n0 + {1 << _CELL_BITS}))), 6)
+             AS DECIMAL(20, 6)) AS DOUBLE) AS psi_term
+    FROM spine, tot
+    """,
+)
+def drift_embedding_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Embedding-SPACE drift monitor: per sign-LSH cell, the population
+    share in two corpus snapshots (deterministic md5 bit of vec_id — the
+    id-arithmetic trap documented in drift_psi_by_source applies here too)
+    plus the cell's Laplace-smoothed PSI term. Length/field drift monitors
+    (drift_psi_by_source, drift_column_profile) can't see a re-embedding
+    or distribution shift that moves vectors BETWEEN regions of the space
+    while leaving every scalar column untouched — this is the readout an
+    embedding-index owner watches before deciding to re-train IVF
+    centroids or re-balance an at-rest layout. Cells are the same 6-bit
+    sign buckets semantic_dedup_cells blocks on, so a drifting cell here
+    directly names the partition whose dedup/probe cost is changing.
+
+    Per-cell PSI terms follow the stat_entropy recipe (ROUND(term, 6)
+    into DECIMAL — LN may differ in the last ulp across engines); shares
+    are exact integer ratios rounded at 9. The 64-row cell spine is fixed,
+    so the output is always 64 rows.
+
+    Scale: one scan collapses map-side to <= 64 x 2 cells in a single
+    shuffle; the spine is spark.range(64) (metadata), totals are a 1-row
+    broadcast. At 100 TB: identical plan, 64-row state."""
+    from chainhouse_spark.functions.vector import sign_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    n_cells = 1 << _CELL_BITS
+    base = emb.select(
+        sign_bucket("embedding", nbits=_CELL_BITS).alias("cell"),
+        F.expr(
+            "(CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 1), 16, 10)"
+            " AS INT) % 2)"
+        ).alias("snap"),
+    )
+    cnt = base.groupBy("cell").agg(
+        F.sum(F.when(F.col("snap") == 0, 1).otherwise(0)).cast("bigint").alias("c0"),
+        F.sum(F.when(F.col("snap") == 1, 1).otherwise(0)).cast("bigint").alias("c1"),
+    )
+    spine = (
+        spark.range(n_cells)
+        .select(F.col("id").cast("int").alias("cell"))
+        .join(F.broadcast(cnt), "cell", "left")
+        .select(
+            "cell",
+            F.coalesce("c0", F.lit(0)).alias("c0"),
+            F.coalesce("c1", F.lit(0)).alias("c1"),
+        )
+    )
+    tot = spine.agg(
+        F.sum("c0").alias("n0"), F.sum("c1").alias("n1")
+    )
+    p0 = f"(CAST(c0 + 1 AS DOUBLE) / (n0 + {n_cells}))"
+    p1 = f"(CAST(c1 + 1 AS DOUBLE) / (n1 + {n_cells}))"
+    return spine.crossJoin(F.broadcast(tot)).select(
+        "cell",
+        F.col("c0").cast("bigint").alias("n_ref"),
+        F.col("c1").cast("bigint").alias("n_cur"),
+        round9(F.expr("CAST(c0 AS DOUBLE) / n0")).alias("share_ref"),
+        round9(F.expr("CAST(c1 AS DOUBLE) / n1")).alias("share_cur"),
+        F.expr(
+            f"CAST(CAST(ROUND(({p1} - {p0}) * LN({p1} / {p0}), 6)"
+            " AS DECIMAL(20, 6)) AS DOUBLE)"
+        ).alias("psi_term"),
+    )
+
+
+_SWEEP_TAUS = [0.15, 0.2, 0.25, 0.3, 0.4, 0.5]
+
+
+@register(
+    "semantic_dedup_threshold_sweep",
+    oracle=f"""
+    WITH pairs AS (
+        SELECT q.vec_id AS vec_a, c.vec_id AS vec_b,
+               {_DOT} / (sqrt({_QQ}) * sqrt({_CC})) AS cos_sim
+        FROM embeddings q, embeddings c, {_IDX}
+        WHERE q.vec_id < c.vec_id AND ({_DUCK_CELL_Q}) = ({_DUCK_CELL_C})
+        GROUP BY q.vec_id, c.vec_id
+    ),
+    taus AS (
+        SELECT CAST(UNNEST({_SWEEP_TAUS!r}) AS DOUBLE) AS tau
+    ),
+    idm AS (
+        SELECT id, MAX(cos_sim) AS max_cos,
+               """ + ", ".join(
+        f"SUM(CASE WHEN cos_sim >= {t!r} THEN 1 ELSE 0 END) AS c_{i}"
+        for i, t in enumerate(_SWEEP_TAUS)
+    ) + f"""
+        FROM (SELECT UNNEST([vec_a, vec_b]) AS id, cos_sim FROM pairs)
+        GROUP BY id
+    )
+    SELECT t.tau,
+           CASE t.tau """ + " ".join(
+        f"WHEN {t!r} THEN (SELECT CAST(SUM(c_{i}) // 2 AS BIGINT) FROM idm)"
+        for i, t in enumerate(_SWEEP_TAUS)
+    ) + """ END AS n_pairs,
+           CASE t.tau """ + " ".join(
+        f"WHEN {t!r} THEN (SELECT CAST(SUM(CASE WHEN max_cos >= {t!r} "
+        f"THEN 1 ELSE 0 END) AS BIGINT) FROM idm)"
+        for i, t in enumerate(_SWEEP_TAUS)
+    ) + """ END AS n_docs_affected
+    FROM taus t
+    """,
+)
+def semantic_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold PLANNER for semantic dedup: for each candidate cosine
+    cutoff, how many within-cell near-dup pairs fire and how many distinct
+    documents they touch — the readout that picks semantic_dedup_cells'
+    tau BEFORE paying for connected components at scale (the companion of
+    dedup_lsh_band_plan and dedup_threshold_sweep, in embedding space).
+    The expensive within-cell pair relation is consumed EXACTLY ONCE
+    (Spark materializes identical subplans per consumer, so two branches
+    would pay the cell join twice): each pair explodes into its two doc
+    ids, a per-id aggregate keeps MAX(cosine) plus six conditional counts,
+    and one final 1-row aggregate answers everything — n_pairs(tau) =
+    SUM(per-id counts)/2 (each pair contributes exactly 2 id rows — exact
+    integer halving), n_docs_affected(tau) = COUNT(max_cos >= tau) (a doc
+    is touched at tau iff its best pair clears tau). Cosines are bit-exact
+    across engines (ordered fold), tau literals parse to identical
+    doubles, and float MAX is exact — every comparison matches and all
+    counts are exact integers.
+
+    Scale: the one pair-generation shuffle is cell-blocked (never
+    all-pairs); the sweep adds a 2x id explode whose per-id partial
+    aggregation collapses map-side, so the id shuffle carries corpus-sized
+    (not pair-sized) rows. Always 6 rows out."""
+    from chainhouse_spark.functions.vector import sign_bucket
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    cells = emb.withColumn("cell", sign_bucket("embedding", nbits=_CELL_BITS))
+    pairs = embedding_near_pairs(
+        cells, block_col="cell", threshold=-1.0
+    ).select("vec_a", "vec_b", "cos_sim")
+    idm = (
+        pairs.select(
+            F.explode(F.array("vec_a", "vec_b")).alias("id"), "cos_sim"
+        )
+        .groupBy("id")
+        .agg(
+            F.max("cos_sim").alias("max_cos"),
+            *[
+                F.sum(F.when(F.col("cos_sim") >= F.lit(t), 1).otherwise(0))
+                .alias(f"c_{i}")
+                for i, t in enumerate(_SWEEP_TAUS)
+            ],
+        )
+    )
+    row = idm.agg(
+        *[
+            F.expr(f"CAST(SUM(c_{i}) DIV 2 AS BIGINT)").alias(f"np_{i}")
+            for i in range(len(_SWEEP_TAUS))
+        ],
+        *[
+            F.sum(F.when(F.col("max_cos") >= F.lit(t), 1).otherwise(0))
+            .cast("bigint")
+            .alias(f"nd_{i}")
+            for i, t in enumerate(_SWEEP_TAUS)
+        ],
+    )
+    spine = pairs.sparkSession.createDataFrame(
+        [(t, i) for i, t in enumerate(_SWEEP_TAUS)], "tau double, _i int"
+    )
+    np_case = "CASE _i " + " ".join(
+        f"WHEN {i} THEN np_{i}" for i in range(len(_SWEEP_TAUS))
+    ) + " END"
+    nd_case = "CASE _i " + " ".join(
+        f"WHEN {i} THEN nd_{i}" for i in range(len(_SWEEP_TAUS))
+    ) + " END"
+    return (
+        spine.crossJoin(F.broadcast(row))
+        .selectExpr(
+            "tau",
+            f"CAST({np_case} AS BIGINT) AS n_pairs",
+            f"CAST({nd_case} AS BIGINT) AS n_docs_affected",
+        )
+    )

@@ -379,3 +379,86 @@ def curriculum_difficulty_order(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.countDistinct("lang").cast("bigint").alias("n_langs"),
         )
     )
+
+
+# Span corruption (T5/UL2-style denoising objective): L=3-token spans,
+# ~15% corruption rate (one 3-span per 20 tokens). The span layout must be
+# a pure function of (doc_id, span_idx) — re-runs, engine swaps, and
+# resumed preemptions must mask the same tokens or the objective's loss
+# isn't comparable across runs.
+_SPAN_LEN = 3
+_SPAN_EVERY = 20  # one span per 20 tokens => rate = 3/20 = 15%
+
+
+@register(
+    "span_corruption_plan",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, len(string_split(text, ' ')) AS n_tok FROM documents
+    ),
+    e AS (
+        SELECT doc_id, n_tok, n_tok // {_SPAN_EVERY} AS n_spans,
+               n_tok // (n_tok // {_SPAN_EVERY}) AS stride
+        FROM t WHERE n_tok >= {_SPAN_EVERY}
+    ),
+    s AS (
+        SELECT doc_id, n_tok, stride, UNNEST(range(0, n_spans)) AS span_idx
+        FROM e
+    )
+    SELECT doc_id,
+           CAST(n_tok AS BIGINT) AS n_tok,
+           CAST(span_idx AS INT) AS span_idx,
+           CAST(span_idx * stride
+                + ({_duck_hex_fold(
+                    "md5(concat('span-', CAST(doc_id AS VARCHAR), ':', "
+                    "CAST(span_idx AS VARCHAR)))", 1, 8)}
+                   % (stride - {_SPAN_LEN - 1})) AS BIGINT) AS start_tok,
+           CAST({_SPAN_LEN} AS INT) AS span_len
+    FROM s
+    """,
+)
+def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic span-corruption masking plan (T5-style denoising):
+    per document, n_tok DIV 20 non-overlapping 3-token spans (~15%
+    corruption), each span confined to its own stride-sized block with a
+    hash-chosen offset — start_k = k*stride + md5('span-'||doc_id||':'||k)
+    % (stride-2). Blocks partition the token range, so spans can NEVER
+    overlap and never cross the document end (offset <= stride-3 and
+    stride >= 20 > 3 by construction); documents under 20 tokens get no
+    spans. All integer arithmetic on an 8-hex-digit md5 fold — identical
+    in both engines, so the oracle replays the exact layout.
+
+    Scale: map-only — tokenize, integer math, one explode; ZERO shuffles.
+    At 100 TB this runs at scan speed and the plan is embarrassingly
+    parallel; the mask layout for any shard can be regenerated
+    independently (pure function of ids), which is what makes
+    mid-epoch resumption cheap."""
+    d = load_table(spark, sf_dir, "documents")
+    e = (
+        d.select(
+            "doc_id",
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        )
+        .filter(F.col("n_tok") >= _SPAN_EVERY)
+        .withColumn("n_spans", F.expr(f"n_tok DIV {_SPAN_EVERY}"))
+        .withColumn("stride", F.expr("n_tok DIV n_spans"))
+    )
+    return e.select(
+        "doc_id",
+        "n_tok",
+        F.explode(F.expr("sequence(0, CAST(n_spans - 1 AS INT))")).alias(
+            "span_idx"
+        ),
+        "stride",
+    ).select(
+        "doc_id",
+        "n_tok",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        F.expr(
+            "CAST(span_idx * stride + "
+            "CAST(conv(substring(md5(concat('span-', CAST(doc_id AS STRING), "
+            f"':', CAST(span_idx AS STRING))), 1, 8), 16, 10) AS BIGINT) "
+            f"% (stride - {_SPAN_LEN - 1}) AS BIGINT)"
+        ).alias("start_tok"),
+        F.lit(_SPAN_LEN).cast("int").alias("span_len"),
+    )
