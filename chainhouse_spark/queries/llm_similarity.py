@@ -271,15 +271,19 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     Scale: candidate generation is never all-pairs — one shuffle on
     (cell, salt) with the small side replicated over the salt range
-    (operators/similarity.py::embedding_near_pairs), components iterate on
-    the PAIR relation (bounded by near-dup density, not corpus size), then
-    one id-equi join back to documents and one per-source aggregate. At
-    100 TB: raise the cell bits so cells stay bounded (the cell id is also
-    the at-rest partition key — same layout note as operators/ivf.py), or
-    swap the cell column for trained k-means cells via
+    (operators/similarity.py::embedding_near_pairs), components run the
+    alternating large-star/small-star form on the PAIR relation
+    (diameter-INDEPENDENT O(log^2 n) rounds — min-label propagation needs
+    diameter rounds, and the round-11 100x smoke caught it grinding
+    through chained within-cell clusters; both algorithms provably reach
+    the identical clustering, `dedup_clusters_star`), then one id-equi
+    join back to documents and one per-source aggregate. At 100 TB: raise
+    the cell bits so cells stay bounded (the cell id is also the at-rest
+    partition key — same layout note as operators/ivf.py), or swap the
+    cell column for trained k-means cells via
     operators/ivf.py::assign_cells — the report pipeline is identical."""
     from chainhouse_spark.functions.vector import sign_bucket
-    from chainhouse_spark.operators.components import connected_components
+    from chainhouse_spark.operators.components import connected_components_star
 
     emb = load_table(spark, sf_dir, "embeddings")
     docs = load_table(spark, sf_dir, "documents").select(
@@ -289,7 +293,7 @@ def semantic_dedup_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = embedding_near_pairs(
         cells, block_col="cell", threshold=0.2
     ).select("vec_a", "vec_b")
-    clusters = connected_components(pairs, src="vec_a", dst="vec_b")
+    clusters = connected_components_star(pairs, src="vec_a", dst="vec_b")
     dropped = clusters.filter(F.col("node") != F.col("cluster_id")).select(
         F.col("node").alias("vec_id"), F.lit(1).alias("is_dropped")
     )
