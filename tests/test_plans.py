@@ -1084,13 +1084,16 @@ def test_lsh_recall_report_single_plan(spark):
 
 def test_semantic_dedup_cells_plan(spark):
     # Candidate generation is cell-blocked (one (cell, salt) shuffle via
-    # embedding_near_pairs), components iterate on the pair relation
-    # behind a checkpoint, and the report is one id-equi join back to
-    # documents + one per-source aggregate. Never all-pairs, no Python.
+    # embedding_near_pairs), star components iterate on the pair relation
+    # behind per-round checkpoints (the final round's label fixup stays in
+    # this plan: 2 node-keyed equi-joins), and the report is one id-equi
+    # join back to documents + one per-source aggregate. Never all-pairs,
+    # no Python; every exchange is node/id-keyed (pair- or corpus-sized,
+    # never quadratic).
     f = plan_facts(q(spark, "semantic_dedup_cells"))
     assert f.python_evals == 0 and f.cartesian_products == 0
     assert f.single_partition_suspects == [], f.single_partition_suspects
-    assert f.shuffle_exchanges <= 4, f.shuffle_exchanges
+    assert f.shuffle_exchanges <= 6, f.shuffle_exchanges
 
 
 def test_lsh_planned_executes_like_unplanned(spark):
