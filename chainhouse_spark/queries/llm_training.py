@@ -462,3 +462,84 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("start_tok"),
         F.lit(_SPAN_LEN).cast("int").alias("span_len"),
     )
+
+
+@register(
+    "span_corruption_targets",
+    oracle=f"""
+    WITH t AS (
+        SELECT doc_id, string_split(text, ' ') AS toks,
+               len(string_split(text, ' ')) AS n_tok
+        FROM documents
+    ),
+    e AS (
+        SELECT doc_id, toks, n_tok, n_tok // {_SPAN_EVERY} AS n_spans,
+               n_tok // (n_tok // {_SPAN_EVERY}) AS stride
+        FROM t WHERE n_tok >= {_SPAN_EVERY}
+    ),
+    s AS (
+        SELECT doc_id, toks, stride,
+               UNNEST(range(0, n_spans)) AS span_idx
+        FROM e
+    ),
+    placed AS (
+        SELECT doc_id, toks, CAST(span_idx AS INT) AS span_idx,
+               span_idx * stride
+               + ({_duck_hex_fold(
+                   "md5(concat('span-', CAST(doc_id AS VARCHAR), ':', "
+                   "CAST(span_idx AS VARCHAR)))", 1, 8)}
+                  % (stride - {_SPAN_LEN - 1})) AS start_tok
+        FROM s
+    )
+    SELECT doc_id, span_idx, CAST(start_tok AS BIGINT) AS start_tok,
+           array_to_string(toks[start_tok + 1 : start_tok + {_SPAN_LEN}], ' ')
+               AS masked_text
+    FROM placed
+    """,
+)
+def span_corruption_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The denoising TARGETS for span_corruption_plan: the actual token
+    text each planned span masks (what goes after the sentinel in a
+    T5-style target sequence) — proving the plan's offsets index the real
+    token stream, not an abstraction of it. Same deterministic layout as
+    the plan (identical hash arithmetic, replayed by the oracle); the
+    extraction is an in-row array slice of the tokenized document.
+
+    Scale: map-only like the plan — tokenize once, integer math, one
+    explode, one slice; ZERO shuffles. The targets for any shard
+    regenerate independently (pure function of ids + text)."""
+    d = load_table(spark, sf_dir, "documents")
+    e = (
+        d.select(
+            "doc_id",
+            F.split("text", " ").alias("toks"),
+            F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
+        )
+        .filter(F.col("n_tok") >= _SPAN_EVERY)
+        .withColumn("n_spans", F.expr(f"n_tok DIV {_SPAN_EVERY}"))
+        .withColumn("stride", F.expr("n_tok DIV n_spans"))
+    )
+    placed = e.select(
+        "doc_id",
+        "toks",
+        F.explode(F.expr("sequence(0, CAST(n_spans - 1 AS INT))")).alias(
+            "span_idx"
+        ),
+        "stride",
+    ).withColumn(
+        "start_tok",
+        F.expr(
+            "CAST(span_idx * stride + "
+            "CAST(conv(substring(md5(concat('span-', CAST(doc_id AS STRING), "
+            f"':', CAST(span_idx AS STRING))), 1, 8), 16, 10) AS BIGINT) "
+            f"% (stride - {_SPAN_LEN - 1}) AS BIGINT)"
+        ),
+    )
+    return placed.select(
+        "doc_id",
+        F.col("span_idx").cast("int").alias("span_idx"),
+        "start_tok",
+        F.expr(
+            f"concat_ws(' ', slice(toks, CAST(start_tok + 1 AS INT), {_SPAN_LEN}))"
+        ).alias("masked_text"),
+    )

@@ -1105,3 +1105,14 @@ def test_lsh_planned_executes_like_unplanned(spark):
     assert (f.broadcast_joins + f.sortmerge_joins
             + f.shuffled_hash_joins + f.nested_loop_joins) == 0
     assert f.shuffle_exchanges <= 4, f.shuffle_exchanges
+
+
+def test_span_corruption_queries_are_map_only(spark):
+    # Both the plan and the target extraction are scan -> integer math ->
+    # explode -> slice: ZERO shuffles, no joins, no Python.
+    for name in ("span_corruption_plan", "span_corruption_targets"):
+        f = plan_facts(q(spark, name))
+        assert f.python_evals == 0 and f.cartesian_products == 0
+        assert f.shuffle_exchanges == 0, (name, f.shuffle_exchanges)
+        assert (f.broadcast_joins + f.sortmerge_joins
+                + f.shuffled_hash_joins + f.nested_loop_joins) == 0

@@ -94,3 +94,18 @@ def test_threshold_sweep_monotone_and_anchored(spark):
     # anchor: every affected doc pairs with >= 1 other, so affected <= 2*pairs
     for t in taus:
         assert rows[t].n_docs_affected <= 2 * rows[t].n_pairs
+
+
+def test_span_targets_align_with_plan(spark):
+    """Every target row matches a plan row (same doc/span/start) and masks
+    exactly span_len tokens of the real token stream."""
+    plan = QUERIES["span_corruption_plan"](spark, SF).select(
+        "doc_id", "span_idx", "start_tok"
+    )
+    tgt = QUERIES["span_corruption_targets"](spark, SF)
+    assert tgt.count() == plan.count()
+    assert tgt.join(plan, ["doc_id", "span_idx", "start_tok"]).count() == plan.count()
+    short = tgt.filter(
+        F.size(F.split("masked_text", " ")) != 3
+    ).count()
+    assert short == 0
