@@ -1026,3 +1026,125 @@ def semantic_dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFram
             f"CAST({nd_case} AS BIGINT) AS n_docs_affected",
         )
     )
+
+
+@register(
+    "drift_ks_norm_by_source",
+    oracle=f"""
+    WITH norms AS (
+        SELECT c.vec_id, sqrt({_CC}) AS v
+        FROM embeddings c, {_IDX}
+        GROUP BY c.vec_id
+    ),
+    base AS (
+        SELECT d.source,
+               ((strpos('0123456789abcdef',
+                        substr(md5(CAST(n.vec_id AS VARCHAR)), 1, 1)) - 1) % 2)
+                 AS snap,
+               n.v
+        FROM norms n JOIN documents d ON d.doc_id = n.vec_id
+    ),
+    cnt AS (
+        SELECT source, v,
+               CAST(COUNT(*) FILTER (WHERE snap = 0) AS BIGINT) AS c0,
+               CAST(COUNT(*) FILTER (WHERE snap = 1) AS BIGINT) AS c1
+        FROM base GROUP BY source, v
+    ),
+    cum AS (
+        SELECT source, v, c0, c1,
+               SUM(c0) OVER (PARTITION BY source ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS e0,
+               SUM(c1) OVER (PARTITION BY source ORDER BY v
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS e1,
+               SUM(c0) OVER (PARTITION BY source) AS n0,
+               SUM(c1) OVER (PARTITION BY source) AS n1
+        FROM cnt
+    ),
+    agg AS (
+        SELECT source,
+               CAST(MIN(n0) AS BIGINT) AS n_base,
+               CAST(MIN(n1) AS BIGINT) AS n_cur,
+               CAST(MAX(ABS(e0 * n1 - e1 * n0)) AS BIGINT) AS d_num
+        FROM cum GROUP BY source
+    )
+    SELECT source, n_base, n_cur,
+           (ROUND((CAST(d_num AS DOUBLE)
+              / (CAST(n_base AS DOUBLE) * n_cur)) * 1e9) / 1e9 + 0.0) AS ks_d,
+           CAST(d_num AS DOUBLE) / (CAST(n_base AS DOUBLE) * n_cur)
+             > 1.358 * SQRT((n_base + CAST(n_cur AS DOUBLE))
+                            / (CAST(n_base AS DOUBLE) * n_cur)) AS reject_05
+    FROM agg
+    WHERE n_base > 0 AND n_cur > 0
+    """,
+)
+def drift_ks_norm_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact per-source KS drift on the EMBEDDING NORM distribution — the
+    re-embedding canary that catches what drift_embedding_cells (where
+    vectors sit) cannot: a model swap, a normalization change, or a
+    quantization regression shifts the scale of the vectors before it
+    shifts their directions, and the norm distribution registers it with
+    no binning choice at all. Same machinery as drift_ks_by_source
+    (statistics.py): md5-bit snapshot split (the id-arithmetic trap
+    documented there), sup-distance as the integer max of
+    |ecdf0*n1 - ecdf1*n0|, alpha=0.05 via the literal 1.358 constant.
+    The norm itself is the bit-exact ordered fold (embedding_norms'
+    proven expression), used RAW as the grouping/ordering key — it never
+    reaches the output, so no rounding is needed and equal norms group
+    identically in both engines.
+
+    Scale: one map-side norm pass, one (source, v) count shuffle, ECDF
+    windows partitioned BY SOURCE (never a single-task global window),
+    BIGINT cross-products good to ~1e9 vectors per source-snapshot."""
+    from chainhouse_spark.functions.vector import norm_sql
+    from pyspark.sql import Window
+
+    emb = load_table(spark, sf_dir, "embeddings").select(
+        "vec_id", F.expr(norm_sql("embedding")).alias("v")
+    )
+    docs = load_table(spark, sf_dir, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+    d = emb.join(docs, "vec_id").select(
+        "source",
+        F.expr(
+            "(CAST(conv(substr(md5(CAST(vec_id AS STRING)), 1, 1), 16, 10)"
+            " AS INT) % 2)"
+        ).alias("snap"),
+        "v",
+    )
+    cnt = d.groupBy("source", "v").agg(
+        F.count(F.when(F.col("snap") == 0, 1)).cast("bigint").alias("c0"),
+        F.count(F.when(F.col("snap") == 1, 1)).cast("bigint").alias("c1"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wall = Window.partitionBy("source")
+    cum = cnt.select(
+        "source",
+        F.sum("c0").over(w).alias("e0"),
+        F.sum("c1").over(w).alias("e1"),
+        F.sum("c0").over(wall).alias("n0"),
+        F.sum("c1").over(wall).alias("n1"),
+    )
+    agg = cum.groupBy("source").agg(
+        F.min("n0").cast("bigint").alias("n_base"),
+        F.min("n1").cast("bigint").alias("n_cur"),
+        F.max(F.abs(F.col("e0") * F.col("n1") - F.col("e1") * F.col("n0")))
+        .cast("bigint")
+        .alias("d_num"),
+    )
+    return agg.filter((F.col("n_base") > 0) & (F.col("n_cur") > 0)).selectExpr(
+        "source",
+        "n_base",
+        "n_cur",
+        "(ROUND((CAST(d_num AS DOUBLE)"
+        " / (CAST(n_base AS DOUBLE) * n_cur)) * 1e9) / 1e9 + 0.0) AS ks_d",
+        "CAST(d_num AS DOUBLE) / (CAST(n_base AS DOUBLE) * n_cur)"
+        " > 1.358 * SQRT((n_base + CAST(n_cur AS DOUBLE))"
+        " / (CAST(n_base AS DOUBLE) * n_cur)) AS reject_05",
+    )

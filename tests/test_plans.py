@@ -1116,3 +1116,12 @@ def test_span_corruption_queries_are_map_only(spark):
         assert f.shuffle_exchanges == 0, (name, f.shuffle_exchanges)
         assert (f.broadcast_joins + f.sortmerge_joins
                 + f.shuffled_hash_joins + f.nested_loop_joins) == 0
+
+
+def test_ks_norm_drift_partitioned_windows(spark):
+    # Norm computed map-side, one (source, v) count shuffle, ECDF windows
+    # partitioned by source — never a single-task global window.
+    f = plan_facts(q(spark, "drift_ks_norm_by_source"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.single_partition_suspects == [], f.single_partition_suspects
+    assert f.shuffle_exchanges <= 4, f.shuffle_exchanges
