@@ -155,21 +155,28 @@ def main() -> None:
         "queries": timings,
         "sf": float(sf),
         "loadavg": loadavg,
-        "rows": rows,
     }
     # Lossless copy in the repo root (the artifact of record even if a
-    # capture harness truncates its copy).
+    # capture harness truncates its copy) — per-row floors/ratios live
+    # HERE, not on the stdout line: the driver's tail capture is ~2000
+    # chars and the full rows block pushed BENCH_r11's line to 3.9k,
+    # front-truncating it (VERDICT r11 task 2). Floors are static in the
+    # committed BENCH_STEADYSTATE.json; this file is committed per round,
+    # so round wall + floor + ratio stay recoverable from git alone.
     here = os.path.dirname(os.path.abspath(__file__))
     with open(os.path.join(here, "BENCH_LAST.json"), "w") as f:
-        json.dump(payload, f, indent=1)
+        json.dump({**payload, "rows": rows}, f, indent=1)
         f.write("\n")
     # stderr report BEFORE the stdout JSON line, both flushed: a combined
     # stdout+stderr capture then ends with the JSON line, so a
     # last-line-parse harness recovers the full record (BENCH_r02–r10 all
-    # had "parsed": null because the report landed after the JSON line).
+    # had "parsed": null because the report landed after the JSON line;
+    # BENCH_r11 because the line itself outgrew the capture window).
     _report_vs_baseline(timings, total, sf)
     sys.stderr.flush()
-    print(json.dumps(payload), flush=True)
+    line = json.dumps(payload, separators=(",", ":"))
+    assert len(line) < 1900, f"stdout JSON line {len(line)} chars; driver tail is ~2000"
+    print(line, flush=True)
     spark.stop()
 
 
@@ -180,10 +187,11 @@ def _load_reference(sf: str) -> dict[str, float]:
     for fname in ("BENCH_STEADYSTATE.json", "BENCH_BASELINE.json"):
         path = os.path.join(here, fname)
         if os.path.exists(path):
-            base = json.load(open(path))
+            with open(path) as f:
+                base = json.load(f)
             if str(base.get("sf")) == str(float(sf)):
                 return dict(base["queries"])
-            return {}
+            # sf mismatch: fall through to the next reference file.
     return {}
 
 

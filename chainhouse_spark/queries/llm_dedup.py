@@ -1431,13 +1431,16 @@ _MO_CC = ("SUM(CAST(c.embedding[i.i] AS DOUBLE) * "
                CASE WHEN l.a IS NULL THEN 0 ELSE 1 END AS is_lex
         FROM sem s FULL OUTER JOIN lex l ON s.a = l.a AND s.b = l.b
     )
-    SELECT CAST(SUM(is_sem) AS BIGINT) AS n_semantic,
-           CAST(SUM(is_lex) AS BIGINT) AS n_lexical,
-           CAST(SUM(is_sem * is_lex) AS BIGINT) AS n_both,
-           CAST(SUM(is_sem * (1 - is_lex)) AS BIGINT) AS n_semantic_only,
-           CAST(SUM((1 - is_sem) * is_lex) AS BIGINT) AS n_lexical_only,
-           (ROUND((CAST(SUM(is_sem * is_lex) AS DOUBLE) / COUNT(*)) * 1e9)
-            / 1e9 + 0.0) AS pair_jaccard
+    SELECT CAST(COALESCE(SUM(is_sem), 0) AS BIGINT) AS n_semantic,
+           CAST(COALESCE(SUM(is_lex), 0) AS BIGINT) AS n_lexical,
+           CAST(COALESCE(SUM(is_sem * is_lex), 0) AS BIGINT) AS n_both,
+           CAST(COALESCE(SUM(is_sem * (1 - is_lex)), 0) AS BIGINT)
+               AS n_semantic_only,
+           CAST(COALESCE(SUM((1 - is_sem) * is_lex), 0) AS BIGINT)
+               AS n_lexical_only,
+           CASE WHEN COUNT(*) = 0 THEN 0.0 ELSE
+               (ROUND((CAST(SUM(is_sem * is_lex) AS DOUBLE) / COUNT(*)) * 1e9)
+                / 1e9 + 0.0) END AS pair_jaccard
     FROM j
     """,
 )
@@ -1477,18 +1480,28 @@ def dedup_modality_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.coalesce("is_sem", F.lit(0)).alias("is_sem"),
         F.coalesce("is_lex", F.lit(0)).alias("is_lex"),
     )
+    # COALESCE/CASE guards keep the 1-row report TOTAL when the pair union
+    # is empty (a corpus with no near-dups in either modality): sums over
+    # an empty relation are NULL and 0/0 is NULL in both engines, and a
+    # go/no-go row must never carry a NULL cell (ADVICE r11).
     return j.agg(
-        F.sum("is_sem").cast("bigint").alias("n_semantic"),
-        F.sum("is_lex").cast("bigint").alias("n_lexical"),
-        F.sum(F.col("is_sem") * F.col("is_lex")).cast("bigint").alias("n_both"),
-        F.sum(F.col("is_sem") * (1 - F.col("is_lex")))
+        F.coalesce(F.sum("is_sem"), F.lit(0)).cast("bigint").alias("n_semantic"),
+        F.coalesce(F.sum("is_lex"), F.lit(0)).cast("bigint").alias("n_lexical"),
+        F.coalesce(F.sum(F.col("is_sem") * F.col("is_lex")), F.lit(0))
+        .cast("bigint")
+        .alias("n_both"),
+        F.coalesce(F.sum(F.col("is_sem") * (1 - F.col("is_lex"))), F.lit(0))
         .cast("bigint")
         .alias("n_semantic_only"),
-        F.sum((1 - F.col("is_sem")) * F.col("is_lex"))
+        F.coalesce(F.sum((1 - F.col("is_sem")) * F.col("is_lex")), F.lit(0))
         .cast("bigint")
         .alias("n_lexical_only"),
-        round9(
-            F.sum(F.col("is_sem") * F.col("is_lex")).cast("double")
-            / F.count(F.lit(1))
-        ).alias("pair_jaccard"),
+        F.when(F.count(F.lit(1)) == 0, F.lit(0.0))
+        .otherwise(
+            round9(
+                F.sum(F.col("is_sem") * F.col("is_lex")).cast("double")
+                / F.count(F.lit(1))
+            )
+        )
+        .alias("pair_jaccard"),
     )
