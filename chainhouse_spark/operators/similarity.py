@@ -138,6 +138,53 @@ def embedding_near_pairs(
     )
 
 
+def embedding_cross_pairs(
+    left: DataFrame,
+    right: DataFrame,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    block_col: str = "cell",
+    threshold: float = 0.3,
+    salt: int = 8,
+) -> DataFrame:
+    """All (left, right) CROSS-set pairs sharing a blocking key with cosine
+    >= threshold — the decontamination shape: left is the LARGE side (the
+    training corpus), right the small one (the eval set), and only
+    left-vs-right pairs are ever scored (a self-pair generator over the
+    union would spend almost all its cosine budget on left-vs-left pairs,
+    the dominant quadratic term when left ≫ right).
+
+    Same skew discipline as embedding_near_pairs: the block key is
+    low-cardinality, so the big side is salted by id and the small side
+    replicated over the salt range — each pair meets exactly once (on the
+    left row's salt) and the one shuffle spreads over |blocks| × salt
+    partitions. Replication multiplies only the small side.
+
+    Output: (blk, left_id, right_id, cos_sim), cos_sim already >= threshold.
+    """
+    a = spread(left, id_col).select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("left_id"),
+        F.col(vec_col).alias("va"),
+        (F.col(id_col) % salt).alias("salt"),
+    )
+    b = right.select(
+        F.col(block_col).alias("blk"),
+        F.col(id_col).alias("right_id"),
+        F.col(vec_col).alias("vb"),
+    ).withColumn("salt", F.explode(F.expr(f"sequence(0, {salt - 1})")))
+    return (
+        a.join(b, ["blk", "salt"])
+        .select(
+            "blk",
+            "left_id",
+            "right_id",
+            F.expr(cosine_sql("va", "vb")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= threshold)
+    )
+
+
 def lsh_multiprobe_topk(
     corpus: DataFrame,
     queries: DataFrame,

@@ -65,6 +65,10 @@ from chainhouse_spark.queries import llm_training  # noqa: E402,F401
 # Round-5 additions — mid bucket, round-6 window.
 from chainhouse_spark.queries import bpe_queries  # noqa: E402,F401
 
+# Round-12 additions — semantic decontamination + the IVF trained-cell
+# dedup variant (VERDICT r11 tasks 3-4); fronted via _ROUND12_FRONT below.
+from chainhouse_spark.queries import llm_contamination  # noqa: E402,F401
+
 # Round-9 rotation (VERDICT r08 tasks 1-2). The round-9 float-convention
 # pass applied round-at-9 to 78 queries' emitted float columns (both the
 # Spark and oracle sides), so their cumulative green driver rows no longer

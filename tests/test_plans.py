@@ -1118,6 +1118,45 @@ def test_span_corruption_queries_are_map_only(spark):
                 + f.shuffled_hash_joins + f.nested_loop_joins) == 0
 
 
+def test_semantic_contamination_plans(spark):
+    # The whole family shares the cell-blocked train×eval pair shuffle
+    # from embedding_cross_pairs — never all-pairs, never train×train,
+    # no Python; the report joins are eval-set-sized (broadcast at this
+    # scale). Per-query shuffle ceilings pin the shared shape.
+    for name, max_shuf in (
+        ("contamination_semantic_cells", 5),
+        ("contamination_semantic_by_cell", 4),
+        ("contamination_semantic_nearest", 3),
+        ("semantic_purge_plan", 2),
+    ):
+        f = plan_facts(q(spark, name))
+        assert f.python_evals == 0 and f.cartesian_products == 0, name
+        assert f.single_partition_suspects == [], (name, f.single_partition_suspects)
+        assert f.shuffle_exchanges <= max_shuf, (name, f.shuffle_exchanges)
+
+
+def test_lexical_vs_semantic_plan(spark):
+    # Two leak-flag pipelines (span anchors + cell cosine) feed one eval
+    # spine + per-source rollup: no cartesian, no Python, and both flag
+    # joins stay id-keyed.
+    f = plan_facts(q(spark, "contamination_lexical_vs_semantic"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.single_partition_suspects == [], f.single_partition_suspects
+    assert f.shuffle_exchanges <= 8, f.shuffle_exchanges
+
+
+def test_semantic_dedup_ivf_plan(spark):
+    # Trained-cell variant keeps the cell-blocked candidate shape: no
+    # cartesian beyond the two 1-row invariant broadcasts (BNLJ), no
+    # Python in the report plan (k-means fit runs in its own bounded
+    # driver jobs before this plan exists), components behind per-round
+    # checkpoints.
+    f = plan_facts(q(spark, "semantic_dedup_ivf_cells"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.nested_loop_joins <= 2  # the 1-row checks broadcasts
+    assert f.shuffle_exchanges <= 20, f.shuffle_exchanges
+
+
 def test_ks_norm_drift_partitioned_windows(spark):
     # Norm computed map-side, one (source, v) count shuffle, ECDF windows
     # partitioned by source — never a single-task global window.

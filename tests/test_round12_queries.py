@@ -75,3 +75,161 @@ def test_modality_overlap_unchanged_on_real_corpus(spark):
     union = r.n_semantic + r.n_lexical - r.n_both
     assert union > 0
     assert abs(r.pair_jaccard - r.n_both / union) < 1e-9
+
+
+# --- Semantic decontamination family (round 12): cross-query consistency
+# the per-query DuckDB oracles cannot see, because each oracle only checks
+# one query against itself. The four queries share one leak-pair relation,
+# so their aggregates must agree exactly. ---
+
+
+def test_semantic_contamination_family_consistent(spark):
+    rate = QUERIES["contamination_semantic_cells"](spark, SF).collect()
+    nearest = QUERIES["contamination_semantic_nearest"](spark, SF).collect()
+    purge = QUERIES["semantic_purge_plan"](spark, SF).collect()
+    by_cell = QUERIES["contamination_semantic_by_cell"](spark, SF).collect()
+
+    n_leaked = sum(r.n_leaked for r in rate)
+    assert n_leaked > 0, "threshold produced zero leaks — family untestable"
+    # nearest emits exactly one audit row per leaked eval doc
+    assert len(nearest) == n_leaked
+    assert len({r.eval_id for r in nearest}) == n_leaked
+    # leak PAIRS counted per cell == leak pairs counted per train doc
+    assert sum(r.n_leak_pairs for r in by_cell) == sum(
+        r.n_eval_hits for r in purge
+    )
+    # per-cell workload accounting is total: pairs = train × eval
+    for r in by_cell:
+        assert r.n_pairs == r.n_train * r.n_eval
+        assert r.n_leak_pairs <= r.n_pairs
+        if r.n_pairs == 0:
+            assert r.max_cos is None and r.n_leak_pairs == 0
+
+
+def test_purge_plan_targets_train_split_only(spark):
+    """Every purge row must name a TRAIN-split doc (md5 snap bit 0) — a
+    row naming an eval doc would mean the pair orientation flipped."""
+    import hashlib
+
+    purge = QUERIES["semantic_purge_plan"](spark, SF).collect()
+    assert purge
+    for r in purge:
+        bit = int(hashlib.md5(str(r.train_id).encode()).hexdigest()[0], 16) % 2
+        assert bit == 0, f"train_id {r.train_id} is on the eval split"
+
+
+def test_nearest_cos_at_least_tau(spark):
+    from chainhouse_spark.queries.llm_contamination import _TAU
+
+    for r in QUERIES["contamination_semantic_nearest"](spark, SF).collect():
+        assert r.cos_sim >= _TAU
+
+
+# --- semantic_dedup_ivf_cells (VERDICT r11 task 4): the trained-cell swap
+# is pinned against GLOBAL ground truth and against the sign-LSH variant's
+# report pipeline — invariants no cell assignment wobble can break. ---
+
+
+def test_ivf_dedup_invariants_hold(spark):
+    rows = QUERIES["semantic_dedup_ivf_cells"](spark, SF).collect()
+    assert rows
+    for r in rows:
+        assert r.totals_ok and r.dropped_valid and r.nontrivial_ok
+
+
+def test_ivf_dedup_dropped_subset_of_global_neighbors(spark):
+    """Cells only RESTRICT candidate generation: any doc the IVF variant
+    drops must have >= 1 cosine-{0.2} neighbor in the UNRESTRICTED pair
+    graph, and any globally isolated doc must be kept — true for every
+    possible cell assignment, so k-means float wobble cannot flake this."""
+    from pyspark.sql import functions as F
+
+    from chainhouse_spark.functions.vector import cosine_sql
+    from chainhouse_spark.operators.components import connected_components_star
+    from chainhouse_spark.operators.ivf import assign_cells
+    from chainhouse_spark.operators.similarity import embedding_near_pairs
+    from chainhouse_spark.queries.llm_contamination import _IVF_TAU
+    from chainhouse_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    assigned, _ = assign_cells(emb, n_cells=16, n_iter=4)
+    pairs = embedding_near_pairs(
+        assigned, block_col="cell", threshold=_IVF_TAU
+    ).select("vec_a", "vec_b")
+    clusters = connected_components_star(pairs, src="vec_a", dst="vec_b")
+    dropped = {
+        r.node
+        for r in clusters.filter(F.col("node") != F.col("cluster_id")).collect()
+    }
+    assert dropped, "IVF cells produced zero drops at sf0.001"
+
+    a = emb.select(F.col("vec_id").alias("ia"), F.col("embedding").alias("va"))
+    b = emb.select(F.col("vec_id").alias("ib"), F.col("embedding").alias("vb"))
+    global_nbr = {
+        r.ia
+        for r in a.join(b, F.col("ia") != F.col("ib"))
+        .filter(F.expr(cosine_sql("va", "vb")) >= _IVF_TAU)
+        .select("ia")
+        .distinct()
+        .collect()
+    }
+    assert dropped <= global_nbr, dropped - global_nbr
+
+
+def test_ivf_report_schema_matches_sign_lsh_variant(spark):
+    """The docstring claim semantic_dedup_ivf_cells exists to prove: the
+    report pipeline is cell-source-agnostic, so swapping the cell column
+    yields the identical per-source report schema as semantic_dedup_cells
+    (before the IVF query's invariant projection)."""
+    from pyspark.sql import functions as F
+
+    from chainhouse_spark.functions.vector import sign_bucket
+    from chainhouse_spark.operators.components import connected_components_star
+    from chainhouse_spark.operators.ivf import assign_cells
+    from chainhouse_spark.operators.similarity import embedding_near_pairs
+    from chainhouse_spark.queries.llm_contamination import _IVF_TAU
+    from chainhouse_spark.tables import load_table
+
+    sf = "/root/testdata/sf0.001"
+    emb = load_table(spark, sf, "embeddings")
+    docs = load_table(spark, sf, "documents").select(
+        F.col("doc_id").alias("vec_id"), "source"
+    )
+
+    def report(cells_df):
+        pairs = embedding_near_pairs(
+            cells_df, block_col="cell", threshold=_IVF_TAU
+        ).select("vec_a", "vec_b")
+        cl = connected_components_star(pairs, src="vec_a", dst="vec_b")
+        dr = cl.filter(F.col("node") != F.col("cluster_id")).select(
+            F.col("node").alias("vec_id"), F.lit(1).alias("is_dropped")
+        )
+        return (
+            emb.select("vec_id")
+            .join(docs, "vec_id")
+            .join(dr, "vec_id", "left")
+            .groupBy("source")
+            .agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_vecs"),
+                F.sum(F.when(F.col("is_dropped").isNull(), 1).otherwise(0))
+                .cast("bigint")
+                .alias("n_kept"),
+                F.sum(F.coalesce(F.col("is_dropped"), F.lit(0)))
+                .cast("bigint")
+                .alias("n_dropped"),
+            )
+        )
+
+    ivf_cells, _ = assign_cells(emb, n_cells=16, n_iter=4)
+    lsh_cells = emb.withColumn("cell", sign_bucket("embedding", nbits=6))
+    r_ivf, r_lsh = report(ivf_cells), report(lsh_cells)
+    assert r_ivf.schema == r_lsh.schema
+    # and both reports partition the same corpus
+    for rep in (r_ivf, r_lsh):
+        tot = rep.agg(
+            F.sum("n_vecs").alias("v"),
+            F.sum("n_kept").alias("k"),
+            F.sum("n_dropped").alias("d"),
+        ).collect()[0]
+        assert tot.v == tot.k + tot.d == 500
