@@ -471,7 +471,7 @@ def test_incremental_rollup_matches_batch(spark, tmp_path):
 def _has_protobuf() -> bool:
     # transformWithStateInPandas spawns a protobuf-speaking driver worker;
     # without the protobuf wheel the runner exits -2 at init.
-    # Install retried round 9 (2026-08-15) and round 11 (2026-08-16):
+    # Install retried rounds 9 (2026-08-15), 11 and 12 (2026-08-16):
     # `pip install protobuf` fails with "no matching distribution" (no
     # network in the sandbox) — the two e2e tests below stay env-skipped;
     # the processor logic itself is unit-proven in
