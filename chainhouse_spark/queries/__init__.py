@@ -260,6 +260,10 @@ _ROUND12_FRONT = _ROUND12_NEVER2 + [
     "semantic_purge_plan",
     "contamination_lexical_vs_semantic",
     "contamination_semantic_nearest",
+    # Round-12 wave 2: the family's threshold planner and the streaming
+    # twin of semantic_purge_plan:
+    "contamination_semantic_tau_sweep",
+    "stream_semantic_decontaminate",
     # r01-vintage green back-fill (oldest driver rows in the registry —
     # last adjudicated round 1):
     "q10_returned_items", "q11_important_parts", "q12_lateness_priority",

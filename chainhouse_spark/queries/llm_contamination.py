@@ -381,6 +381,186 @@ def semantic_purge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_SWEEP_TAUS = [0.2, 0.25, 0.3, 0.35, 0.4, 0.5]
+_DUCK_TAUS = "taus(tau_id, tau) AS (VALUES " + ", ".join(
+    f"({i}, {t})" for i, t in enumerate(_SWEEP_TAUS)
+) + ")"
+
+
+@register(
+    "contamination_semantic_tau_sweep",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH allp AS (
+        SELECT t.vec_id AS train_id, e.vec_id AS eval_id, {_COS_U} AS c
+        FROM embeddings t, embeddings e, {_IDX}
+        WHERE ({_duck_snap('t')}) = 0 AND ({_duck_snap('e')}) = 1
+          AND ({_duck_cell('t')}) = ({_duck_cell('e')})
+        GROUP BY t.vec_id, e.vec_id
+    ),
+    per_eval AS (SELECT eval_id, MAX(c) AS mc FROM allp GROUP BY eval_id),
+    per_train AS (SELECT train_id, MAX(c) AS mc FROM allp GROUP BY train_id),
+    {_DUCK_TAUS},
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n FROM embeddings e
+        WHERE ({_duck_snap('e')}) = 1
+    )
+    SELECT (ROUND((t.tau) * 1e9) / 1e9 + 0.0) AS tau,
+           CAST((SELECT COUNT(*) FROM per_eval pe WHERE pe.mc >= t.tau)
+                AS BIGINT) AS n_eval_leaked,
+           CASE WHEN tot.n = 0 THEN 0.0 ELSE {round9_sql(
+               "CAST((SELECT COUNT(*) FROM per_eval pe WHERE pe.mc >= t.tau)"
+               " AS DOUBLE) / tot.n"
+           )} END AS eval_leak_rate,
+           CAST((SELECT COUNT(*) FROM per_train pt WHERE pt.mc >= t.tau)
+                AS BIGINT) AS n_train_purged
+    FROM taus t, tot
+    """,
+)
+def contamination_semantic_tau_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Threshold PLANNER for the semantic contamination family: the eval
+    leak count/rate and the train purge count at six candidate tau
+    cutoffs, answered from ONE pass over the cell-blocked pair relation —
+    the expensive join is paid once, reduced to per-id MAX cosines
+    (corpus-sized, never pair-sized), and the six thresholds are answered
+    off those maxima (the semantic_dedup_threshold_sweep discipline). The
+    readout that picks _TAU before a 100 TB decontamination run commits
+    to purging training data: scan for the knee where the purge count
+    stops buying leak-rate reduction.
+
+    Totality: taus where nothing crosses emit 0 (LEFT join onto the
+    integer tau_id spine — never a float join key, never a missing row).
+    """
+    cells = _cells_with_snap(spark, sf_dir)
+    pairs = _leak_pairs(cells, threshold=-2.0)
+    per_eval = pairs.groupBy("eval_id").agg(F.max("cos_sim").alias("mc"))
+    per_train = pairs.groupBy("train_id").agg(F.max("cos_sim").alias("mc"))
+    spine = spark.range(1).select(
+        F.posexplode(F.array(*[F.lit(t) for t in _SWEEP_TAUS])).alias(
+            "tau_id", "tau"
+        )
+    )
+    n_eval = (
+        spine.crossJoin(per_eval)
+        .filter(F.col("mc") >= F.col("tau"))
+        .groupBy("tau_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_eval_leaked"))
+    )
+    n_train = (
+        spine.crossJoin(per_train)
+        .filter(F.col("mc") >= F.col("tau"))
+        .groupBy("tau_id")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_train_purged"))
+    )
+    tot = cells.filter(F.col("snap") == 1).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ev")
+    )
+    return (
+        spine.join(n_eval, "tau_id", "left")
+        .join(n_train, "tau_id", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            round9("tau").alias("tau"),
+            F.coalesce("n_eval_leaked", F.lit(0))
+            .cast("bigint")
+            .alias("n_eval_leaked"),
+            F.when(F.col("n_ev") == 0, F.lit(0.0))
+            .otherwise(
+                round9(
+                    F.coalesce("n_eval_leaked", F.lit(0)).cast("double")
+                    / F.col("n_ev")
+                )
+            )
+            .alias("eval_leak_rate"),
+            F.coalesce("n_train_purged", F.lit(0))
+            .cast("bigint")
+            .alias("n_train_purged"),
+        )
+    )
+
+
+@register(
+    "stream_semantic_decontaminate",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH {_DUCK_LEAK_PAIRS}
+    SELECT p.train_id, d.source,
+           CAST(COUNT(*) AS BIGINT) AS n_eval_hits,
+           {round9_sql("MAX(p.cos_sim)")} AS max_cos
+    FROM pairs p JOIN documents d ON d.doc_id = p.train_id
+    GROUP BY p.train_id, d.source
+    """,
+)
+def stream_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination RUNNING ON THE STREAM — the resident-ingest
+    twin of semantic_purge_plan, the way stream_decontaminate_bloom twins
+    the batch Bloom probe: newly crawled training embeddings arrive as a
+    file-source stream, the (small, fixed) eval split is a STATIC broadcast
+    joined on the sign-LSH cell (stateless stream-static equi-join — each
+    arriving vector only ever scores against its own cell's eval vectors),
+    the cosine filter runs map-side, and the ONE streaming aggregation
+    (complete mode) keeps per-train-id hit count + max cosine. State is
+    purge-plan-sized (one row per IMPLICATED training doc), never
+    corpus-sized — the answer-sized-state discipline SCALE.md r10
+    established. MAX and COUNT are order-insensitive over bit-exact
+    per-pair cosines, so micro-batch boundaries cannot shift a value and
+    the batch oracle (identical to semantic_purge_plan's) hash-checks the
+    streaming engine itself. The source join runs as a batch rollup of
+    the final state, not a second streaming aggregation.
+
+    At 100 TB: the eval broadcast is |eval| x (dim+2) doubles regardless
+    of corpus size, per-micro-batch work is map-only after the broadcast
+    join, and a production deployment would evict never-hit state with a
+    watermark over ingest time (unbounded here because the oracle needs
+    whole-corpus semantics — same note as the streaming dedup family)."""
+    from chainhouse_spark.queries.streaming_queries import (  # noqa: PLC0415
+        _run_to_table,
+        _stream_source,
+    )
+
+    ev_static = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+        .filter(F.expr(_SNAP_VEC) == 1)
+        .select(
+            sign_bucket("embedding", _CELL_BITS).cast("int").alias("cell"),
+            F.col("vec_id").alias("eval_id"),
+            F.col("embedding").alias("e_vec"),
+        )
+    )
+    train = (
+        _stream_source(spark, sf_dir, "embeddings")
+        .filter(F.expr(_SNAP_VEC) == 0)
+        .select(
+            sign_bucket("embedding", _CELL_BITS).cast("int").alias("cell"),
+            F.col("vec_id").alias("train_id"),
+            F.col("embedding").alias("t_vec"),
+        )
+    )
+    from chainhouse_spark.functions.vector import cosine_sql  # noqa: PLC0415
+
+    state = (
+        train.join(F.broadcast(ev_static), "cell")
+        .select(
+            "train_id",
+            F.expr(cosine_sql("t_vec", "e_vec")).alias("cos_sim"),
+        )
+        .filter(F.col("cos_sim") >= _TAU)
+        .groupBy("train_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),
+            F.max("cos_sim").alias("_mc"),
+        )
+    )
+    sink = _run_to_table(state, "complete")
+    return sink.join(
+        _doc_sources(spark, sf_dir),
+        sink.train_id == F.col("vec_id"),
+    ).select(
+        "train_id",
+        "source",
+        "n_eval_hits",
+        round9("_mc").alias("max_cos"),
+    )
+
+
 def _lex_vs_sem_oracle() -> str:
     # Imported lazily at module import time (llm_dedup registers first in
     # queries/__init__, so its constants are final).

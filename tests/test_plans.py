@@ -1145,6 +1145,28 @@ def test_lexical_vs_semantic_plan(spark):
     assert f.shuffle_exchanges <= 8, f.shuffle_exchanges
 
 
+def test_tau_sweep_plan(spark):
+    # One pass over the cell-blocked pair relation reduced to per-id
+    # maxima; the six thresholds are answered off the 6-row integer spine
+    # via broadcast nested-loop expansions (spine × id-maxima) — small by
+    # construction, never a data×data cartesian.
+    f = plan_facts(q(spark, "contamination_semantic_tau_sweep"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.single_partition_suspects == [], f.single_partition_suspects
+    assert f.nested_loop_joins <= 3  # 2 spine expansions + 1-row total
+    assert f.shuffle_exchanges <= 8, f.shuffle_exchanges
+
+
+def test_stream_semantic_decontaminate_rollup_plan(spark):
+    # The returned frame is the batch rollup of the final streaming state:
+    # memory-sink scan + broadcast doc join, zero additional shuffles —
+    # all heavy lifting happened inside the stream (map-side broadcast
+    # cell join + the one complete-mode aggregation).
+    f = plan_facts(q(spark, "stream_semantic_decontaminate"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.shuffle_exchanges == 0, f.shuffle_exchanges
+
+
 def test_semantic_dedup_ivf_plan(spark):
     # Trained-cell variant keeps the cell-blocked candidate shape: no
     # cartesian beyond the two 1-row invariant broadcasts (BNLJ), no

@@ -118,6 +118,42 @@ def test_purge_plan_targets_train_split_only(spark):
         assert bit == 0, f"train_id {r.train_id} is on the eval split"
 
 
+def test_stream_semantic_equals_batch_purge_plan(spark):
+    """The streaming probe must reproduce semantic_purge_plan exactly —
+    same pair relation, same aggregation, micro-batch boundaries absorbed
+    by order-insensitive COUNT/MAX over bit-exact cosines."""
+    batch = {
+        (r.train_id, r.source, r.n_eval_hits, r.max_cos)
+        for r in QUERIES["semantic_purge_plan"](spark, SF).collect()
+    }
+    stream = {
+        (r.train_id, r.source, r.n_eval_hits, r.max_cos)
+        for r in QUERIES["stream_semantic_decontaminate"](spark, SF).collect()
+    }
+    assert batch == stream and batch
+
+
+def test_tau_sweep_consistent_with_family(spark):
+    """Monotone in tau, total on the spine, and the tau=0.3 row must agree
+    exactly with the per-source rate report and the purge plan (shared
+    pair relation, same threshold)."""
+    from chainhouse_spark.queries.llm_contamination import _SWEEP_TAUS, _TAU
+
+    rows = sorted(
+        QUERIES["contamination_semantic_tau_sweep"](spark, SF).collect(),
+        key=lambda r: r.tau,
+    )
+    assert [r.tau for r in rows] == sorted(_SWEEP_TAUS)
+    for lo, hi in zip(rows, rows[1:]):
+        assert lo.n_eval_leaked >= hi.n_eval_leaked
+        assert lo.n_train_purged >= hi.n_train_purged
+    at_tau = next(r for r in rows if r.tau == _TAU)
+    rate = QUERIES["contamination_semantic_cells"](spark, SF).collect()
+    assert at_tau.n_eval_leaked == sum(r.n_leaked for r in rate)
+    purge = QUERIES["semantic_purge_plan"](spark, SF).collect()
+    assert at_tau.n_train_purged == len(purge)
+
+
 def test_nearest_cos_at_least_tau(spark):
     from chainhouse_spark.queries.llm_contamination import _TAU
 
