@@ -264,6 +264,7 @@ _ROUND12_FRONT = _ROUND12_NEVER2 + [
     # twin of semantic_purge_plan:
     "contamination_semantic_tau_sweep",
     "stream_semantic_decontaminate",
+    "semantic_decontaminate_manifest",
     # r01-vintage green back-fill (oldest driver rows in the registry —
     # last adjudicated round 1):
     "q10_returned_items", "q11_important_parts", "q12_lateness_priority",

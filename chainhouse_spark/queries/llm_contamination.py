@@ -381,6 +381,99 @@ def semantic_purge_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+# Flag-only purge set (unordered folds — no float emitted downstream):
+# the train-side dual of _DUCK_LEAKED_EVALS.
+_DUCK_PURGED_TRAINS = f"""
+    purge AS (
+        SELECT DISTINCT t.vec_id AS doc_id
+        FROM embeddings t, embeddings e, {_IDX}
+        WHERE ({_duck_snap('t')}) = 0 AND ({_duck_snap('e')}) = 1
+          AND ({_duck_cell('t')}) = ({_duck_cell('e')})
+        GROUP BY t.vec_id, e.vec_id
+        HAVING {_COS_U} >= {_TAU}
+    )
+"""
+
+
+@register(
+    "semantic_decontaminate_manifest",
+    oracle=f"""{FRUGAL_ORACLE}
+    WITH {_DUCK_PURGED_TRAINS},
+    base AS (
+        SELECT doc_id, source, n_chars FROM documents d
+        WHERE (strpos('0123456789abcdef',
+                      substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 1)) - 1) % 2
+              = 0
+    ),
+    flags AS (
+        SELECT b.source, b.doc_id, b.n_chars,
+               CASE WHEN p.doc_id IS NULL THEN 0 ELSE 1 END AS purged
+        FROM base b LEFT JOIN purge p ON p.doc_id = b.doc_id
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs_in,
+           CAST(SUM(purged) AS BIGINT) AS n_purged,
+           CAST(COUNT(*) - SUM(purged) AS BIGINT) AS n_docs_out,
+           CAST(SUM(CASE WHEN purged = 0 THEN n_chars ELSE 0 END) AS BIGINT)
+               AS n_chars_out,
+           md5(COALESCE(string_agg(CAST(doc_id AS VARCHAR), ','
+                                   ORDER BY doc_id)
+                            FILTER (WHERE purged = 0), '')) AS checksum
+    FROM flags GROUP BY source
+    """,
+)
+def semantic_decontaminate_manifest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Semantic decontamination APPLIED: the per-source manifest of the
+    training corpus AFTER dropping semantic_purge_plan's targets — doc
+    counts in/purged/out, surviving characters, and an id checksum (md5 of
+    the sorted surviving ids, the pipeline_training_ready totality trick:
+    moving ONE document across the purge boundary changes a per-source
+    md5, so the oracle gate certifies the exact surviving SET, not just
+    its size). Train docs WITHOUT an embedding pass through unpurged —
+    the semantic gate is not applicable to them and a production run
+    would route them to embedding backfill rather than silently drop
+    them (at sf0.1 the embeddings table covers 2/5 of documents, so this
+    path is exercised, not theoretical).
+
+    Plan: the shared cell-blocked pair shuffle reduced to a distinct
+    purge-id set (purge-sized), one id-equi LEFT join onto the train-doc
+    spine, one per-source rollup with a collect_list bounded by surviving
+    docs per source. At 100 TB the checksum column would shard (md5 per
+    id-range bucket) — the per-source list is the only output-bounded-
+    by-corpus column here, and it exists to make the gate total."""
+    d = load_table(spark, sf_dir, "documents")
+    base = d.filter(
+        F.expr(_SNAP_VEC.replace("vec_id", "doc_id")) == 0
+    ).select("doc_id", "source", "n_chars")
+    purge = (
+        _leak_pairs(_cells_with_snap(spark, sf_dir))
+        .select(F.col("train_id").alias("doc_id"))
+        .distinct()
+        .withColumn("purged", F.lit(1))
+    )
+    flags = base.join(purge, "doc_id", "left").select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.coalesce("purged", F.lit(0)).alias("purged"),
+    )
+    return flags.groupBy("source").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs_in"),
+        F.sum("purged").cast("bigint").alias("n_purged"),
+        (F.count(F.lit(1)) - F.sum("purged")).cast("bigint").alias("n_docs_out"),
+        F.sum(F.when(F.col("purged") == 0, F.col("n_chars")).otherwise(0))
+        .cast("bigint")
+        .alias("n_chars_out"),
+        F.md5(
+            F.expr(
+                "concat_ws(',', transform(array_sort("
+                "collect_list(CASE WHEN purged = 0 THEN doc_id END)), "
+                "x -> CAST(x AS STRING)))"
+            )
+        ).alias("checksum"),
+    )
+
+
 _SWEEP_TAUS = [0.2, 0.25, 0.3, 0.35, 0.4, 0.5]
 _DUCK_TAUS = "taus(tau_id, tau) AS (VALUES " + ", ".join(
     f"({i}, {t})" for i, t in enumerate(_SWEEP_TAUS)

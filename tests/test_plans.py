@@ -1167,6 +1167,16 @@ def test_stream_semantic_decontaminate_rollup_plan(spark):
     assert f.shuffle_exchanges == 0, f.shuffle_exchanges
 
 
+def test_semantic_manifest_plan(spark):
+    # Purge set reduced to distinct ids before the spine join; the only
+    # shuffles are the shared pair generation, the distinct, the id-equi
+    # join and the per-source rollup — no cartesian, no Python.
+    f = plan_facts(q(spark, "semantic_decontaminate_manifest"))
+    assert f.python_evals == 0 and f.cartesian_products == 0
+    assert f.single_partition_suspects == [], f.single_partition_suspects
+    assert f.shuffle_exchanges <= 6, f.shuffle_exchanges
+
+
 def test_semantic_dedup_ivf_plan(spark):
     # Trained-cell variant keeps the cell-blocked candidate shape: no
     # cartesian beyond the two 1-row invariant broadcasts (BNLJ), no

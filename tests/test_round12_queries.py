@@ -154,6 +154,18 @@ def test_tau_sweep_consistent_with_family(spark):
     assert at_tau.n_train_purged == len(purge)
 
 
+def test_manifest_consistent_with_purge_plan(spark):
+    """The manifest's purge accounting must agree with semantic_purge_plan
+    row-for-row (one plan row per purged train doc), and per-source
+    in/out/purged must partition."""
+    manifest = QUERIES["semantic_decontaminate_manifest"](spark, SF).collect()
+    purge = QUERIES["semantic_purge_plan"](spark, SF).collect()
+    assert sum(r.n_purged for r in manifest) == len(purge)
+    for r in manifest:
+        assert r.n_docs_in == r.n_docs_out + r.n_purged
+        assert r.checksum is not None
+
+
 def test_nearest_cos_at_least_tau(spark):
     from chainhouse_spark.queries.llm_contamination import _TAU
 
