@@ -240,12 +240,25 @@ _STALE_CARRYOVER: list = []
 # the final two round-11 commits (span_corruption_targets,
 # drift_ks_norm_by_source), registered after the round-11 window closed;
 # both pass the stricter local exact-repr gate. They lead the round-12
-# front. Behind them: the round-12 NEW queries (registered this round;
-# names filtered by _rotate() until their modules land), then the
+# front. Behind them: the NINE round-12 additions (the semantic
+# decontamination family + the IVF trained-cell dedup variant — all
+# registered and local-green well before the window), then the
 # oldest-vintage green back-fill to ~50 — ALL r01 rows (10: the TPC-H
 # q10–q13/q17–q22 tail), ALL r02 rows (21), and the oldest r03 rows in
 # registration order — 11-round-old greens re-adjudicated against silent
 # environment drift, the same guard VERDICT r10 task 1 established.
+# With 11 fronted non-backfill rows plus 31 r01/r02 rows, the ~50-row
+# window cut lands ~8 rows into the 11-row r03 block; r03 rows past the
+# cut keep their green vintage and lead the round-13 back-fill.
+#
+# ROUND-13 ROTATION TODO (mechanical, do first): once CORRECTNESS_r12
+# lands green, move _ROUND12_FRONT into _DRIVER_GREEN (the |= pattern
+# below) and build _ROUND13_FRONT: any non-green r12 row leads; then any
+# round-13 additions; then back-fill with the oldest-vintage greens —
+# the r03 rows the round-12 cut didn't reach plus the remaining r03/r04
+# block (tools/build_rotation.py prints per-round vintages). If r12 is
+# 50/50, never-checked should again be 0 for everything registered
+# before the window.
 _ROUND12_NEVER2 = [  # round-11 post-window additions, never driver-checked
     "drift_ks_norm_by_source",
     "span_corruption_targets",
