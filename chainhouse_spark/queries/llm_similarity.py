@@ -156,7 +156,13 @@ def embedding_norms(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @register(
     "semantic_dedup_kept",
-    oracle=f"""
+    # FRUGAL (round 12): the recursive-CTE + ordered-fold combination is
+    # the heaviest shared-connection oracle; after the round-12 rotation
+    # reorder it OOM'd the 600MB-capped SHARED pytest connection (arena
+    # accumulation from the oracles now preceding it — passes alone).
+    # The frugal pragmas give it the fresh-connection + spill treatment
+    # the driver sandbox class already uses; values are unchanged.
+    oracle=f"""{_FRUGAL}
     WITH RECURSIVE
     pairs AS (
         SELECT q.vec_id AS vec_a, c.vec_id AS vec_b
