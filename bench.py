@@ -96,6 +96,12 @@ BENCH_QUERIES = [
     # bucket expansion in one query).
     "semantic_dedup_cells",
     "dedup_minhash_lsh_planned",
+    # Round-12 additions: the two heaviest semantic-decontamination shapes
+    # — the per-source leak rate (cell-blocked train x eval cosine pairs +
+    # eval-spine rollup) and the dual-flag agreement report (span-anchor
+    # pipeline AND cosine pipeline in one plan).
+    "contamination_semantic_cells",
+    "contamination_lexical_vs_semantic",
 ]
 
 RUNS_PER_QUERY = 6
@@ -106,7 +112,13 @@ RUNS_PER_QUERY = 6
 # profile actually converges — that isolated minimum is the steady-state a
 # resident engine running the query repeatedly delivers, and it removes a
 # recurring false >1.5x flag from every round's report (VERDICT r04 task 8).
-PIN_BACKTOBACK = ["dedup_ngram_jaccard"]
+PIN_BACKTOBACK = ["dedup_ngram_jaccard", "dedup_minhash_lsh_planned"]
+# dedup_minhash_lsh_planned joined the pin in round 12 (VERDICT r11 task
+# 5): its isolated 8-run walls descend 6.97 -> 2.15 -> ... -> 1.56 (the
+# lambda-heavy banded bucket expansion losing its JIT profile between
+# interleaved visits — the dedup_ngram_jaccard signature exactly), while
+# interleaved minima landed 1.9-2.3s across two captures. The isolated
+# minimum is the steady-state number; the floor is set from it.
 EXTRA_BACKTOBACK = 4
 
 
