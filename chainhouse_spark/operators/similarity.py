@@ -20,7 +20,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
-from chainhouse_spark.functions.vector import cosine_sql, sign_bucket
+from chainhouse_spark.functions.vector import (
+    cosine_prenorm_sql,
+    norm_sql,
+    sign_bucket,
+)
 from chainhouse_spark.operators.partitioning import spread
 
 
@@ -36,11 +40,17 @@ def brute_force_topk(
     The query side is broadcast (queries ≪ corpus always); scoring is a
     map-only pass over the corpus; ranking is one shuffle on query_id.
     """
+    # Norms are evaluated once per ROW on each side before the pair join
+    # (bit-identical to the per-pair form — see cosine_prenorm_sql).
     q = queries.select(
-        F.col(id_col).alias("query_id"), F.col(vec_col).alias("q_vec")
+        F.col(id_col).alias("query_id"),
+        F.col(vec_col).alias("q_vec"),
+        F.expr(norm_sql(vec_col)).alias("qn"),
     )
     c = spread(corpus, id_col).select(
-        F.col(id_col).alias("cand_id"), F.col(vec_col).alias("c_vec")
+        F.col(id_col).alias("cand_id"),
+        F.col(vec_col).alias("c_vec"),
+        F.expr(norm_sql(vec_col)).alias("cn"),
     )
     scored = (
         c.crossJoin(F.broadcast(q))
@@ -48,7 +58,9 @@ def brute_force_topk(
         .select(
             "query_id",
             "cand_id",
-            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+            F.expr(cosine_prenorm_sql("q_vec", "c_vec", "qn", "cn")).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
@@ -72,11 +84,13 @@ def lsh_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        F.expr(norm_sql(vec_col)).alias("qn"),
         sign_bucket(vec_col, nbits).alias("bucket"),
     )
     c = spread(corpus, id_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
+        F.expr(norm_sql(vec_col)).alias("cn"),
         sign_bucket(vec_col, nbits).alias("bucket"),
     )
     scored = (
@@ -85,7 +99,9 @@ def lsh_topk(
         .select(
             "query_id",
             "cand_id",
-            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+            F.expr(cosine_prenorm_sql("q_vec", "c_vec", "qn", "cn")).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))
@@ -118,12 +134,14 @@ def embedding_near_pairs(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("vec_a"),
         F.col(vec_col).alias("va"),
+        F.expr(norm_sql(vec_col)).alias("na"),
         (F.col(id_col) % salt).alias("salt"),
     )
     b = df.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("vec_b"),
         F.col(vec_col).alias("vb"),
+        F.expr(norm_sql(vec_col)).alias("nb"),
     ).withColumn("salt", F.explode(F.expr(f"sequence(0, {salt - 1})")))
     return (
         a.join(b, ["blk", "salt"])
@@ -132,7 +150,7 @@ def embedding_near_pairs(
             "blk",
             "vec_a",
             "vec_b",
-            F.expr(cosine_sql("va", "vb")).alias("cos_sim"),
+            F.expr(cosine_prenorm_sql("va", "vb", "na", "nb")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -166,12 +184,14 @@ def embedding_cross_pairs(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("left_id"),
         F.col(vec_col).alias("va"),
+        F.expr(norm_sql(vec_col)).alias("na"),
         (F.col(id_col) % salt).alias("salt"),
     )
     b = right.select(
         F.col(block_col).alias("blk"),
         F.col(id_col).alias("right_id"),
         F.col(vec_col).alias("vb"),
+        F.expr(norm_sql(vec_col)).alias("nb"),
     ).withColumn("salt", F.explode(F.expr(f"sequence(0, {salt - 1})")))
     return (
         a.join(b, ["blk", "salt"])
@@ -179,7 +199,7 @@ def embedding_cross_pairs(
             "blk",
             "left_id",
             "right_id",
-            F.expr(cosine_sql("va", "vb")).alias("cos_sim"),
+            F.expr(cosine_prenorm_sql("va", "vb", "na", "nb")).alias("cos_sim"),
         )
         .filter(F.col("cos_sim") >= threshold)
     )
@@ -210,11 +230,13 @@ def lsh_multiprobe_topk(
     q = queries.select(
         F.col(id_col).alias("query_id"),
         F.col(vec_col).alias("q_vec"),
+        F.expr(norm_sql(vec_col)).alias("qn"),
         sign_bucket(vec_col, nbits).alias("bucket"),
-    ).select("query_id", "q_vec", probes.alias("bucket"))
+    ).select("query_id", "q_vec", "qn", probes.alias("bucket"))
     c = spread(corpus, id_col).select(
         F.col(id_col).alias("cand_id"),
         F.col(vec_col).alias("c_vec"),
+        F.expr(norm_sql(vec_col)).alias("cn"),
         sign_bucket(vec_col, nbits).alias("bucket"),
     )
     scored = (
@@ -223,7 +245,9 @@ def lsh_multiprobe_topk(
         .select(
             "query_id",
             "cand_id",
-            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+            F.expr(cosine_prenorm_sql("q_vec", "c_vec", "qn", "cn")).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))

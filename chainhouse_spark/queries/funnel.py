@@ -59,6 +59,14 @@ _FUNNEL_CTES = f"""
 
 def _funnel_stages(spark: SparkSession, sf_dir: str) -> tuple[DataFrame, ...]:
     e = load_table(spark, sf_dir, "events")
+    # Round-12 measured NO-GO on checkpointing s1/s2 here: the lazy
+    # localCheckpoint halves the plan (8 events scans -> 3) but the two
+    # materialization jobs cost more than the re-derived pushed-filter
+    # scans they save (funnel_depth_histogram 0.808 -> 1.003 s same-host,
+    # +24%) — the per-stage subplans are cheap broadcast-join pipelines
+    # locally. Left as the planner-duplicated form; at true 100 TB the
+    # |users|-sized checkpoint flips profitable, revisit with a cluster
+    # measurement (OPTIMIZATION_r12.md "left alone").
     s1 = (
         e.filter(F.col("event_type") == "signup")
         .groupBy("user_id")

@@ -44,20 +44,37 @@ _EDGE_CTE = """
 """
 
 
+def _order_part_pairs(li: DataFrame) -> DataFrame:
+    """One row per (order, part pair a<b) — the in-row form of the op
+    self-join the oracle CTE states declaratively. Each order's distinct
+    parts are collect_set'ed into one sorted array (a single aggregate
+    with map-side partial sets — collect_set dedups, so no separate
+    DISTINCT pass) and the a<b pairs are generated IN-ROW by slicing the
+    sorted array, the same idiom audience_overlap_matrix uses. Replaces
+    distinct → self-join (3 exchanges + an SMJ at plan time: one for the
+    distinct, one per join side) with ONE exchange and no join (guide
+    §2.4 "remove shuffles outright"); per-row fanout is bounded because
+    order size is bounded. Result multiset identical: an order with part
+    set S emits exactly {(a,b): a,b ∈ S, a<b}, once each."""
+    return (
+        li.groupBy("l_orderkey")
+        .agg(F.array_sort(F.collect_set("l_partkey")).alias("ps"))
+        .select(
+            F.explode(
+                F.expr(
+                    "flatten(transform(ps, (a, i) -> "
+                    "transform(slice(ps, i + 2, size(ps)), "
+                    "b -> struct(a AS src, b AS dst))))"
+                )
+            ).alias("p")
+        )
+        .select("p.src", "p.dst")
+    )
+
+
 def _edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = load_table(spark, sf_dir, "lineitem")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a = op.alias("a")
-    b = op.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst"))
-        .distinct()
-    )
+    return _order_part_pairs(li).distinct()
 
 
 @register(
@@ -475,12 +492,14 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     density prefilter dedup pipelines use before expensive pairwise
     stages.
 
-    Scale: each round is one degree aggregate + two semi-joins on the
-    surviving node set — all equi-joins on node ids, no global state.
-    The edge list and each round's survivor set are localCheckpoint'ed:
-    every `keep` reference otherwise duplicates its whole upstream tree
-    in the final plan (keep_3 appears 2^3 times, each copy containing
-    the order-part self-join — measured 79 s at sf0.1 vs ~1 s
+    Scale: one full-degree aggregate up front, then each round only
+    touches the CHANGED part of the graph — the removed set and its
+    incident edges (the incremental form; see the in-body comment for the
+    equivalence argument). All equi-joins on node ids, no global state.
+    The edge list and each round's degree table are localCheckpoint'ed:
+    every reference otherwise duplicates its whole upstream tree in the
+    final plan (keep_3 appears 2^3 times, each copy containing the
+    order-part pair derivation — measured 79 s at sf0.1 vs ~1 s
     checkpointed when this query joined the bench set in round 7)."""
     edges = _edges(spark, sf_dir)
     bi = (
@@ -490,56 +509,71 @@ def graph_kcore_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .localCheckpoint(eager=False)
     )
-    keep = bi.select("node").distinct()
-    n_start = keep.count()
-    prev = n_start
+    # INCREMENTAL peel (round-12 optimization, guide §1.2 step 1): the
+    # synchronous round "recompute every survivor's degree within the
+    # surviving subgraph" does not need the two whole-bi semi-joins the
+    # first form paid per round — degrees only CHANGE at neighbors of the
+    # nodes removed that round, and the removed sets are disjoint, so
+    #   deg_k(n) = deg_{k-1}(n) − |nbrs(n) ∩ removed_{k-1}|
+    # for every n surviving into round k. Each round therefore joins bi
+    # against the (small, shrinking) removed set instead of semi-joining
+    # the whole edge list twice: AQE sees the removed side's size at
+    # runtime and picks broadcast locally (no forced broadcast — removed
+    # grows with the graph, the marginal-joins rule), and the only
+    # bi-sized work per round is one skinny (node, nbr) exchange at
+    # worst. Round results are provably identical to the recompute form:
+    # keep_k = {n ∈ keep_{k-1}: deg_{k-1}(n) ≥ 3} either way.
+    d = (
+        bi.groupBy("node")
+        .agg(F.count(F.lit(1)).alias("deg"))
+        .localCheckpoint(eager=False)
+    )
+    n_start = d.count()
     for _ in range(3):
-        surv = (
-            bi.join(keep, "node", "left_semi")
-            .join(keep.select(F.col("node").alias("nbr")), "nbr", "left_semi")
+        removed = (
+            d.filter(F.col("deg") < 3).select("node").localCheckpoint(eager=False)
         )
-        keep = (
-            surv.groupBy("node")
-            .agg(F.count(F.lit(1)).alias("deg"))
-            .filter(F.col("deg") >= 3)
-            .select("node")
-            .localCheckpoint(eager=False)
-        )
-        n_keep = keep.count()
-        if n_keep == prev:
+        if removed.count() == 0:
             # Exact fixpoint: a round that removes nothing leaves every
             # degree unchanged, so further rounds are identity — the
-            # Batagelj peel's natural termination. The count is free
-            # (localCheckpoint materialized the round anyway).
+            # Batagelj peel's natural termination.
             break
-        prev = n_keep
-    # Final stats reuse the checkpointed bi — each surviving undirected
-    # edge appears exactly twice in kept_bi, so n_edges_kept = sum(deg)/2
-    # and the raw order-part self-join is never recomputed here.
-    kept_bi = (
-        bi.join(keep, "node", "left_semi")
-        .join(keep.select(F.col("node").alias("nbr")), "nbr", "left_semi")
-    )
-    deg_stats = (
-        kept_bi.groupBy("node")
-        .agg(F.count(F.lit(1)).alias("deg"))
-        .agg(
-            F.coalesce((F.sum("deg") / 2).cast("bigint"), F.lit(0))
-            .alias("n_edges_kept"),
-            F.coalesce(F.min("deg"), F.lit(0))
-            .cast("bigint")
-            .alias("min_degree_kept"),
+        delta = (
+            bi.join(removed.withColumnRenamed("node", "nbr"), "nbr")
+            .groupBy("node")
+            .agg(F.count(F.lit(1)).alias("dd"))
         )
-    )
-    return (
-        keep.agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes_kept"))
-        .crossJoin(deg_stats)
-        .select(
-            F.lit(n_start).cast("bigint").alias("n_nodes_start"),
-            "n_nodes_kept",
-            "n_edges_kept",
-            "min_degree_kept",
+        d = (
+            d.filter(F.col("deg") >= 3)
+            .join(delta, "node", "left_outer")
+            .select(
+                "node",
+                (F.col("deg") - F.coalesce("dd", F.lit(0))).alias("deg"),
+            )
+            .localCheckpoint(eager=False)
         )
+    # Final stats come straight off the degree table — d already holds
+    # every survivor's degree WITHIN the surviving subgraph, so the
+    # kept-edge count is sum(deg)/2 and no semi-join recompute is needed.
+    # min_degree matches the recompute form's GROUP BY semantics: a
+    # survivor with zero surviving edges produced no degree row there, so
+    # zeros are excluded from the minimum (all-zero -> NULL -> 0).
+    deg_stats = d.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes_kept"),
+        F.coalesce((F.sum("deg") / 2).cast("bigint"), F.lit(0)).alias(
+            "n_edges_kept"
+        ),
+        F.coalesce(
+            F.min(F.when(F.col("deg") >= 1, F.col("deg"))), F.lit(0)
+        )
+        .cast("bigint")
+        .alias("min_degree_kept"),
+    )
+    return deg_stats.select(
+        F.lit(n_start).cast("bigint").alias("n_nodes_start"),
+        "n_nodes_kept",
+        "n_edges_kept",
+        "min_degree_kept",
     )
 
 
@@ -766,18 +800,9 @@ def basket_pair_lift(spark: SparkSession, sf_dir: str) -> DataFrame:
     rounded once. Top-20 via ordered limit, never a global sort."""
     li = load_table(spark, sf_dir, "lineitem")
     op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
-    pair_counts = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .groupBy(
-            F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb")
-        )
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
-    )
+    pair_counts = _order_part_pairs(li).groupBy(
+        F.col("src").alias("pa"), F.col("dst").alias("pb")
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_both"))
     part_counts = op.groupBy("l_partkey").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_part")
     )
@@ -878,26 +903,21 @@ def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
     round. Scale: membership and degree joins are node-keyed equi-joins
     (AQE-decided, never force-broadcast — the membership table grows with
     |nodes|); the intra-edge check ships two longs per edge through one
-    shuffle; the final sum is |communities| rows."""
+    shuffle; the final sum is |communities| rows. (Round-12 measured
+    NO-GO on carrying the brand label through the pair generation to
+    drop these joins: the brand-widened distinct exchange cost more than
+    the two AQE-broadcast membership joins it removed — 3.74 -> 4.29 s
+    same-host; see OPTIMIZATION_r12.md "left alone".)"""
     li = load_table(spark, sf_dir, "lineitem")
     part = load_table(spark, sf_dir, "part")
-    op = li.select("l_orderkey", "l_partkey").distinct()
-    a, b = op.alias("a"), op.alias("b")
     e = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
-        )
-        .select(
-            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
-        )
+        _order_part_pairs(li)  # in-row pair generation — see the helper
         .distinct()
         # e and nl feed 3+ consumers each; checkpoint so the co-purchase
-        # self-join runs ONCE instead of once per branch (was 24 parquet
-        # scans re-derived from lineitem at plan time). The edge table is
-        # the one intermediate that GROWS with data (~117M rows at the
-        # sf10 smoke): DISK_ONLY, because the default deserialized
+        # pair derivation runs ONCE instead of once per branch (was 24
+        # parquet scans re-derived from lineitem at plan time). The edge
+        # table is the one intermediate that GROWS with data (~117M rows
+        # at the sf10 smoke): DISK_ONLY, because the default deserialized
         # MEMORY_AND_DISK blocks OOMed the shared 8 GB heap at sf10 while
         # 32 concurrent tasks were also holding join state — at cluster
         # scale you spill a reused edge list to local disk, not the

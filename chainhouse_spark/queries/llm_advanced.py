@@ -612,7 +612,7 @@ def ann_projected_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     rank shuffle — the composed 100 TB recall stage."""
     from pyspark.sql import Window
 
-    from chainhouse_spark.functions.vector import cosine_sql
+    from chainhouse_spark.functions.vector import cosine_prenorm_sql, norm_sql
     from chainhouse_spark.operators.partitioning import spread
     from chainhouse_spark.operators.projection import projection_sql
 
@@ -639,11 +639,13 @@ def ann_projected_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     q = with_bucket(emb.filter(F.col("vec_id") < 5)).select(
         F.col("vec_id").alias("query_id"),
         F.col("embedding").alias("q_vec"),
+        F.expr(norm_sql("embedding")).alias("qn"),
         "bucket",
     )
     c = with_bucket(spread(emb, "vec_id")).select(
         F.col("vec_id").alias("cand_id"),
         F.col("embedding").alias("c_vec"),
+        F.expr(norm_sql("embedding")).alias("cn"),
         "bucket",
     )
     scored = (
@@ -652,7 +654,9 @@ def ann_projected_lsh_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+            F.expr(cosine_prenorm_sql("q_vec", "c_vec", "qn", "cn")).alias(
+                "cos_sim"
+            ),
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("cand_id"))

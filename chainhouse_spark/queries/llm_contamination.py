@@ -609,6 +609,13 @@ def stream_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
         _stream_source,
     )
 
+    from chainhouse_spark.functions.vector import (  # noqa: PLC0415
+        cosine_prenorm_sql,
+        norm_sql,
+    )
+
+    # Norms once per row on each side, not per pair (bit-identical —
+    # functions/vector.py::cosine_prenorm_sql).
     ev_static = (
         spark.read.parquet(f"{sf_dir}/embeddings.parquet")
         .filter(F.expr(_SNAP_VEC) == 1)
@@ -616,6 +623,7 @@ def stream_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
             sign_bucket("embedding", _CELL_BITS).cast("int").alias("cell"),
             F.col("vec_id").alias("eval_id"),
             F.col("embedding").alias("e_vec"),
+            F.expr(norm_sql("embedding")).alias("en"),
         )
     )
     train = (
@@ -625,15 +633,16 @@ def stream_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
             sign_bucket("embedding", _CELL_BITS).cast("int").alias("cell"),
             F.col("vec_id").alias("train_id"),
             F.col("embedding").alias("t_vec"),
+            F.expr(norm_sql("embedding")).alias("tn"),
         )
     )
-    from chainhouse_spark.functions.vector import cosine_sql  # noqa: PLC0415
-
     state = (
         train.join(F.broadcast(ev_static), "cell")
         .select(
             "train_id",
-            F.expr(cosine_sql("t_vec", "e_vec")).alias("cos_sim"),
+            F.expr(cosine_prenorm_sql("t_vec", "e_vec", "tn", "en")).alias(
+                "cos_sim"
+            ),
         )
         .filter(F.col("cos_sim") >= _TAU)
         .groupBy("train_id")

@@ -732,14 +732,21 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     at 100 TB the scan cost is identical to brute-force top-k and the
     emitted pairs are the true result size (LSH/IVF prefilters compose in
     front exactly as in the top-k variants)."""
-    from chainhouse_spark.functions.vector import cosine_sql
+    from chainhouse_spark.functions.vector import cosine_prenorm_sql, norm_sql
 
     emb = load_table(spark, sf_dir, "embeddings")
+    # Norms once per row on each side, not per pair (bit-identical —
+    # functions/vector.py::cosine_prenorm_sql): the corpus-side scoring
+    # pass runs 1 fold per pair instead of 3.
     q = emb.filter(F.col("vec_id") < 5).select(
-        F.col("vec_id").alias("query_id"), F.col("embedding").alias("q_vec")
+        F.col("vec_id").alias("query_id"),
+        F.col("embedding").alias("q_vec"),
+        F.expr(norm_sql("embedding")).alias("qn"),
     )
     c = emb.select(
-        F.col("vec_id").alias("cand_id"), F.col("embedding").alias("c_vec")
+        F.col("vec_id").alias("cand_id"),
+        F.col("embedding").alias("c_vec"),
+        F.expr(norm_sql("embedding")).alias("cn"),
     )
     return (
         c.crossJoin(F.broadcast(q))
@@ -747,7 +754,9 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "query_id",
             "cand_id",
-            F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"),
+            F.expr(cosine_prenorm_sql("q_vec", "c_vec", "qn", "cn")).alias(
+                "cos_sim"
+            ),
         )
         .filter(F.col("cos_sim") >= 0.3)
         .withColumn("cos_sim", round9("cos_sim"))

@@ -29,7 +29,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from chainhouse_spark.functions.vector import cosine_sql
+from chainhouse_spark.functions.vector import cosine_prenorm_sql, norm_sql
 from chainhouse_spark.queries.registry import register
 from chainhouse_spark.tables import load_table
 
@@ -270,11 +270,27 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("score"), F.asc("doc_id")],
         "lex_rank",
     ).select("doc_id", "lex_rank")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    # The query norm is evaluated once on the 1-row broadcast side and the
+    # candidate norm once per corpus row (bit-identical to the per-pair
+    # form — functions/vector.py::cosine_prenorm_sql), so the scoring pass
+    # runs 1 fold per row instead of 3.
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec"),
+        F.expr(norm_sql("embedding")).alias("qn"),
+    )
     sims = (
-        emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_vec"))
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("c_vec"),
+            F.expr(norm_sql("embedding")).alias("cn"),
+        )
         .crossJoin(F.broadcast(q))
-        .select("doc_id", F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"))
+        .select(
+            "doc_id",
+            F.expr(cosine_prenorm_sql("q_vec", "c_vec", "qn", "cn")).alias(
+                "cos_sim"
+            ),
+        )
     )
     vec = global_row_number(
         sims, [F.desc("cos_sim"), F.asc("doc_id")], "vec_rank"
@@ -706,7 +722,6 @@ def eval_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
     (operators/ranking.py); the pair enumeration is a self-join of a
     10-row set (45 pairs — bounded by construction, never the corpus).
     Ranks are exact integers, so concordance and tau are exact."""
-    from chainhouse_spark.functions.vector import cosine_sql
     from chainhouse_spark.operators.ranking import global_row_number
 
     d = load_table(spark, sf_dir, "documents")
@@ -734,11 +749,27 @@ def eval_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         [F.desc("score"), F.asc("doc_id")],
         "lex_rank",
     ).select("doc_id", "lex_rank")
-    q = emb.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("q_vec"))
+    # The query norm is evaluated once on the 1-row broadcast side and the
+    # candidate norm once per corpus row (bit-identical to the per-pair
+    # form — functions/vector.py::cosine_prenorm_sql), so the scoring pass
+    # runs 1 fold per row instead of 3.
+    q = emb.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("q_vec"),
+        F.expr(norm_sql("embedding")).alias("qn"),
+    )
     sims = (
-        emb.select(F.col("vec_id").alias("doc_id"), F.col("embedding").alias("c_vec"))
+        emb.select(
+            F.col("vec_id").alias("doc_id"),
+            F.col("embedding").alias("c_vec"),
+            F.expr(norm_sql("embedding")).alias("cn"),
+        )
         .crossJoin(F.broadcast(q))
-        .select("doc_id", F.expr(cosine_sql("q_vec", "c_vec")).alias("cos_sim"))
+        .select(
+            "doc_id",
+            F.expr(cosine_prenorm_sql("q_vec", "c_vec", "qn", "cn")).alias(
+                "cos_sim"
+            ),
+        )
     )
     vec = global_row_number(
         sims, [F.desc("cos_sim"), F.asc("doc_id")], "vec_rank"

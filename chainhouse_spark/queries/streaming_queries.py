@@ -868,24 +868,30 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     counts as streaming state; at 100x the filter saturates (every
     training shingle goes positive — real Bloom behavior for a filter
     sized at build time) and that state is corpus x shingles ≈ 10^8 rows:
-    the smoke OOMed the heap. In this form the probe is stateless and the
-    ONE streaming aggregation is the per-doc positive count — state is
-    one row per CONTAMINATED doc (output-sized), and the complete-mode
-    memory sink IS the result (no batch rollup needed).
+    the smoke OOMed the heap.
+
+    Round-12 optimization (guide §2.4): the per-doc positive count needs
+    NO streaming aggregation at all — every shingle of a doc lives in the
+    doc's own row, so the count is an in-row size(filter(...)) and the
+    query is fully STATELESS: zero shuffles, zero state-store
+    read/write/checkpoint per micro-batch (the previous form paid a
+    32-partition complete-mode state store), append-mode memory sink.
+    Each doc emits at most one row, in whichever micro-batch carries it —
+    identical rows to the complete-mode aggregate's final state.
 
     Semantics are identical to the batch operator, and its DuckDB oracle
     hash-checks the streaming engine bit-for-bit (same deterministic
     Carter-Wegman positions, same false positives).
 
     At 100 TB: the broadcast is 8 KiB regardless of test-set size,
-    per-micro-batch work is pure map, and streaming state is bounded by
-    contamination volume, not corpus volume."""
+    per-micro-batch work is pure map, and there is no streaming state at
+    all — contamination verdicts stream out as data streams in."""
     from chainhouse_spark.operators.bloom import (
         BLOOM_BITS,
         BLOOM_HASHES,
         shingle_positions,
     )
-    from chainhouse_spark.functions.text import word_shingles
+    from chainhouse_spark.functions.text import word_shingles_sql
 
     test_static = (
         spark.read.parquet(f"{sf_dir}/documents.parquet")
@@ -903,31 +909,42 @@ def stream_decontaminate_bloom(spark: SparkSession, sf_dir: str) -> DataFrame:
     mask_sql = "array(" + ",".join(
         f"{w - (1 << 64) if w >= (1 << 63) else w}L" for w in words
     ) + ")"
+    # Per-shingle probe, evaluated IN-ROW over the doc's shingle array:
+    # h1/h2 are materialized once per shingle (struct step), then forall
+    # tests the k Carter-Wegman positions against the packed literal —
+    # the same arithmetic the exploded form ran, now with no explode, no
+    # shuffle and no state store.
     probe_positive = (
         f"forall(transform(sequence(0, {BLOOM_HASHES - 1}), "
-        f"j -> CAST((h1 + CAST(j AS BIGINT) * h2) % {BLOOM_BITS} AS INT)), "
+        f"j -> CAST((h.h1 + CAST(j AS BIGINT) * h.h2) % {BLOOM_BITS} AS INT)), "
         f"p -> (element_at({mask_sql}, CAST(p DIV 64 AS INT) + 1) "
         f"& shiftleft(1L, CAST(p % 64 AS INT))) != 0)"
     )
     train = _stream_source(spark, sf_dir, "documents").filter(
         F.col("doc_id") % 97 != 0
     )
-    hits_state = (
+    hits = (
         train.select(
             "doc_id",
-            F.explode(F.array_distinct(word_shingles("text"))).alias("shingle"),
+            F.expr(
+                "transform(transform("
+                + "array_distinct(" + word_shingles_sql("text") + "), "
+                "s -> md5(s)), "
+                "m -> named_struct("
+                "'h1', CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT), "
+                "'h2', CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT)))"
+            ).alias("hh"),
         )
-        .select("doc_id", F.md5("shingle").alias("m"))
         .select(
             "doc_id",
-            F.expr("CAST(conv(substring(m, 1, 8), 16, 10) AS BIGINT)").alias("h1"),
-            F.expr("CAST(conv(substring(m, 9, 8), 16, 10) AS BIGINT)").alias("h2"),
+            F.expr(f"size(filter(hh, h -> {probe_positive}))").alias(
+                "n_bloom_hits"
+            ),
         )
-        .filter(F.expr(probe_positive))
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_bloom_hits"))
+        .filter(F.col("n_bloom_hits") > 0)
+        .select("doc_id", F.col("n_bloom_hits").cast("bigint"))
     )
-    return _run_to_table(hits_state, "complete")
+    return _run_to_table(hits, "append")
 
 
 def _stream_bloom_oracle() -> str:

@@ -1,0 +1,179 @@
+"""Round-12 OPTIMIZATION pins: every rewrite here changed an operator's
+internals while contracting identical results — each gets the equivalence
+(or plan-shape) pin the optimization relies on, per the round's rule.
+
+Covered:
+- graph._order_part_pairs: in-row pair generation == the op self-join.
+- graph_kcore_peel: incremental degree-decrement peel == the recompute
+  (double semi-join) form it replaced.
+- functions.vector.cosine_prenorm_sql: bit-identical to cosine_sql.
+- dedup_minhash_lsh_planned: signatures computed ONCE (checkpoint) — the
+  executed join's final plan re-reads the checkpoint, not parquet.
+- stream_decontaminate_bloom: fully stateless — append mode, no
+  aggregation anywhere in the streaming plan.
+"""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import functions as F
+
+from chainhouse_spark.queries import QUERIES
+from chainhouse_spark.session import build_spark
+from chainhouse_spark.tables import load_table
+
+SF = "/root/testdata/sf0.01"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    s = build_spark(app_name="test-round12-opt")
+    yield s
+
+
+def test_order_part_pairs_matches_self_join(spark):
+    from chainhouse_spark.queries.graph import _order_part_pairs
+
+    li = load_table(spark, SF, "lineitem")
+    got = sorted(
+        tuple(r) for r in _order_part_pairs(li).collect()
+    )
+    op = li.select("l_orderkey", "l_partkey").distinct()
+    a, b = op.alias("a"), op.alias("b")
+    want = sorted(
+        tuple(r)
+        for r in a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(
+            F.col("a.l_partkey").alias("src"), F.col("b.l_partkey").alias("dst")
+        )
+        .collect()
+    )
+    assert got == want  # multiset equality, per-order fanout included
+
+
+def test_kcore_incremental_matches_recompute(spark):
+    # The shipped incremental peel must emit exactly the recompute form's
+    # summary (the form the oracle states declaratively): three rounds of
+    # "drop nodes with degree < 3 within the survivors", then
+    # (n_start, n_kept, edges_kept, min_degree_kept).
+    from chainhouse_spark.queries.graph import _edges
+
+    got = QUERIES["graph_kcore_peel"](spark, SF).collect()[0]
+
+    edges = _edges(spark, SF)
+    bi = edges.select(F.col("src").alias("node"), F.col("dst").alias("nbr")).unionAll(
+        edges.select(F.col("dst").alias("node"), F.col("src").alias("nbr"))
+    ).localCheckpoint()
+    keep = bi.select("node").distinct()
+    n_start = keep.count()
+    for _ in range(3):
+        surv = bi.join(keep, "node", "left_semi").join(
+            keep.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+        )
+        keep = (
+            surv.groupBy("node")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= 3)
+            .select("node")
+            .localCheckpoint()
+        )
+    kept_bi = bi.join(keep, "node", "left_semi").join(
+        keep.select(F.col("node").alias("nbr")), "nbr", "left_semi"
+    )
+    deg = kept_bi.groupBy("node").agg(F.count(F.lit(1)).alias("deg"))
+    row = deg.agg(
+        F.coalesce((F.sum("deg") / 2).cast("bigint"), F.lit(0)).alias("e"),
+        F.coalesce(F.min("deg"), F.lit(0)).cast("bigint").alias("md"),
+    ).collect()[0]
+    assert got.n_nodes_start == n_start
+    assert got.n_nodes_kept == keep.count()
+    assert got.n_edges_kept == row.e
+    assert got.min_degree_kept == row.md
+
+
+def test_cosine_prenorm_bit_identical(spark):
+    from chainhouse_spark.functions.vector import (
+        cosine_prenorm_sql,
+        cosine_sql,
+        norm_sql,
+    )
+
+    df = (
+        spark.range(200)
+        .select(
+            F.col("id").alias("i"),
+            F.expr(
+                "transform(sequence(1, 16), j -> "
+                "sin(CAST(id * j AS DOUBLE)) * CASE WHEN j % 3 = 0 "
+                "THEN -1.0 ELSE 1.0 END)"
+            ).alias("va"),
+            F.expr(
+                "transform(sequence(1, 16), j -> cos(CAST(id + j AS DOUBLE)))"
+            ).alias("vb"),
+        )
+        .withColumn("na", F.expr(norm_sql("va")))
+        .withColumn("nb", F.expr(norm_sql("vb")))
+    )
+    diff = df.select(
+        F.expr(cosine_sql("va", "vb")).alias("c1"),
+        F.expr(cosine_prenorm_sql("va", "vb", "na", "nb")).alias("c2"),
+    ).filter("c1 IS DISTINCT FROM c2")
+    assert diff.count() == 0  # exact equality, no tolerance
+
+
+def test_minhash_planned_single_signature_pass(spark):
+    # The executed banded join must read the CHECKPOINTED signature table —
+    # a parquet scan in the final plan means the shingle+md5+minima
+    # pipeline is being re-derived (the pre-round-12 double pass).
+    df = QUERIES["dedup_minhash_lsh_planned"](spark, SF)
+    text = df._sc._jvm.PythonSQLUtils.explainString(
+        df._jdf.queryExecution(), "formatted"
+    )
+    assert text.count("Scan parquet") == 0, text
+    assert "Scan ExistingRDD" in text
+
+
+def test_stream_bloom_is_stateless(spark, monkeypatch):
+    # The probe-and-count is in-row, so the streaming plan must carry NO
+    # aggregation (no state store, no shuffle) and run in append mode.
+    import chainhouse_spark.queries.streaming_queries as sq
+
+    captured = {}
+    real = sq._run_to_table
+
+    def spy(stream_df, mode):
+        captured["mode"] = mode
+        captured["plan"] = stream_df._jdf.queryExecution().analyzed().toString()
+        return real(stream_df, mode)
+
+    monkeypatch.setattr(sq, "_run_to_table", spy)
+    out = QUERIES["stream_decontaminate_bloom"](spark, SF)
+    assert captured["mode"] == "append"
+    assert "Aggregate" not in captured["plan"], captured["plan"]
+    # and it still finds contamination (the oracle pins exact values)
+    assert out.count() > 0
+
+
+def test_global_row_number_no_post_checkpoint_exchange(spark):
+    # Round-12 form: the local rank comes from monotonically_increasing_id
+    # above an explicit sortWithinPartitions, so the main data path after
+    # the checkpoint must be scan -> project -> broadcast join — the old
+    # window-by-pid form re-shuffled the full data (Exchange
+    # hashpartitioning(__gr_pid)) per call.
+    from chainhouse_spark.operators.ranking import global_row_number
+
+    df = spark.range(0, 5000).select(
+        (F.col("id") % 37).alias("score"), F.col("id").alias("k")
+    )
+    ranked = global_row_number(df, [F.desc("score"), F.asc("k")], "rk")
+    text = ranked._sc._jvm.PythonSQLUtils.explainString(
+        ranked._jdf.queryExecution(), "formatted"
+    )
+    assert "hashpartitioning(__gr_pid" not in text, text
+    # exactly ONE Window node (the constant-size offsets running sum;
+    # formatted plans print each node twice — tree line + detail header)
+    assert text.count("Window") == 2, text
