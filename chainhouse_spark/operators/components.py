@@ -14,7 +14,9 @@ Spark mechanics that matter at scale:
 - `localCheckpoint()` per round cuts the lineage — without it the plan
   doubles every iteration and the job dies on planning time, the classic
   iterative-DataFrame mistake;
-- the convergence check is a cheap anti-equality count on the changed set.
+- the convergence check is one union + groupBy aggregate per round
+  (`_changed_nodes` / `_edge_set_diff`) — a single map-side-combinable
+  exchange, never a join of the two generations.
 
 Iterative -> not SQL-expressible as one query in Spark, but the fixpoint IS
 expressible as a recursive CTE in DuckDB, so the cluster query in
@@ -25,6 +27,39 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
+
+
+def _changed_nodes(new_labels: DataFrame, labels: DataFrame) -> DataFrame:
+    """Nodes whose label differs between two label generations, in ONE
+    exchange (round-12, guide §2.2): each generation holds every node
+    exactly once, so after union + groupBy(node) a changed label shows
+    as min != max — replaces the old/new equi-join (2 label-table
+    exchanges) with a single map-side-combinable aggregate. The per-node
+    min/max form (not a multiset compare) also catches labels SWAPPED
+    between nodes, which any bag-level checksum would miss."""
+    return (
+        new_labels.union(labels)
+        .groupBy("node")
+        .agg((F.min("label") != F.max("label")).alias("__d"))
+        .filter(F.col("__d"))
+    )
+
+
+def _edge_set_diff(e_new: DataFrame, e: DataFrame) -> DataFrame:
+    """Symmetric difference of two DISTINCT (u, v) edge sets in ONE
+    exchange: after union + groupBy(u, v) an edge counts 2 iff it is in
+    both sets — any count-1 row is a difference. The anti-join form this
+    replaces shuffled both edge lists twice (4 edge-sized exchanges per
+    round, ~1/3 of a star round's shuffle volume); this is one
+    map-side-combinable aggregate (round-12, guide §2.2). Requires both
+    inputs deduplicated — the star loop guarantees that with .distinct()
+    on every half-step."""
+    return (
+        e_new.union(e)
+        .groupBy("u", "v")
+        .agg(F.count(F.lit(1)).alias("__c"))
+        .filter(F.col("__c") == 1)
+    )
 
 
 def connected_components(
@@ -62,13 +97,7 @@ def connected_components(
             # actions, identical lineage-cut semantics).
             .localCheckpoint(eager=False)
         )
-        changed = (
-            new_labels.alias("n")
-            .join(labels.alias("o"), "node")
-            .filter(F.col("n.label") != F.col("o.label"))
-            .limit(1)
-            .count()
-        )
+        changed = _changed_nodes(new_labels, labels).limit(1).count()
         labels = new_labels
         if changed == 0:
             break
@@ -149,12 +178,7 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        changed = (
-            e_new.join(e, ["u", "v"], "left_anti")
-            .union(e.join(e_new, ["u", "v"], "left_anti"))
-            .limit(1)
-            .count()
-        )
+        changed = _edge_set_diff(e_new, e).limit(1).count()
         e = e_new
         if changed == 0:
             break
