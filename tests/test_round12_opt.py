@@ -177,3 +177,53 @@ def test_global_row_number_no_post_checkpoint_exchange(spark):
     # exactly ONE Window node (the constant-size offsets running sum;
     # formatted plans print each node twice — tree line + detail header)
     assert text.count("Window") == 2, text
+
+def test_embedding_near_pairs_salted_equals_unsalted(spark):
+    # The salted self-join (left side salted by id, right side replicated
+    # over the salt range) must emit exactly the unsalted in-block pair
+    # set — every (a, b) pair meets once, on the left row's salt. Same
+    # prenorm cosine expressions on both sides (prenorm bit-equality is
+    # pinned separately above).
+    #
+    # A shared-base variant (both join sides reading one lazily
+    # checkpointed (blk, id, vec, norm) projection) was tried and REVERTED
+    # this round: measured 18-25% slower at sf0.1 across interleaved JVM
+    # pairs — the materialization job costs more than the re-derived
+    # scan + norm folds, the funnel-checkpoint no-go mechanism
+    # (OPTIMIZATION_r12.md, measured no-gos).
+    from chainhouse_spark.functions.vector import cosine_prenorm_sql, norm_sql
+    from chainhouse_spark.operators.similarity import embedding_near_pairs
+
+    emb = load_table(spark, SF, "embeddings").withColumn(
+        "lbl", (F.col("vec_id") % 7).cast("int")
+    )
+    pairs = embedding_near_pairs(
+        emb, block_col="lbl", threshold=0.2, salt=4
+    )
+    base = emb.select(
+        F.col("lbl").alias("blk"),
+        F.col("vec_id").alias("id"),
+        F.col("embedding").alias("v"),
+        F.expr(norm_sql("embedding")).alias("n"),
+    )
+    a = base.select(
+        "blk", F.col("id").alias("vec_a"), F.col("v").alias("va"),
+        F.col("n").alias("na"),
+    )
+    b = base.select(
+        "blk", F.col("id").alias("vec_b"), F.col("v").alias("vb"),
+        F.col("n").alias("nb"),
+    )
+    want = sorted(
+        tuple(r)
+        for r in a.join(b, "blk")
+        .filter(F.col("vec_a") < F.col("vec_b"))
+        .select(
+            "blk", "vec_a", "vec_b",
+            F.expr(cosine_prenorm_sql("va", "vb", "na", "nb")).alias("c"),
+        )
+        .filter(F.col("c") >= 0.2)
+        .collect()
+    )
+    got = sorted(tuple(r) for r in pairs.collect())
+    assert got == want
