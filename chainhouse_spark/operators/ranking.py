@@ -32,10 +32,14 @@ ranks off under local[8]). The fix is structural: `localCheckpoint`
 subtrees read the same physical blocks — pid consistency by construction,
 not by optimizer goodwill.
 
-Cost: one range shuffle + one disk/memory-backed materialization of the
-input (comparable to one extra shuffle write at 100 TB — executor-local
-blocks, spillable) + one hash shuffle for the local windows + a broadcast
-of the offsets. Trade-off: localCheckpoint truncates lineage, so an
+Cost: one range shuffle + one executor-local materialization of the
+range-partitioned thin projection (comparable to an extra shuffle write
+at 100 TB, spillable) + a broadcast of the offsets; with
+`materialize_input=True` (map-only inputs — see `global_row_number`) one
+more materialization of the input replaces the sampling job's re-execution
+of the caller's subtree. `global_running_sums` additionally pays one hash
+shuffle for its per-partition ordered window — see its "Not yet
+optimized" note in OPTIMIZATION_r12.md. Trade-off: localCheckpoint truncates lineage, so an
 executor loss means rerunning the whole stage rather than recomputing a
 partition — acceptable for batch analytics, and the alternative (literal
 range boundaries collected at the driver) costs an extra eager scan per
@@ -56,16 +60,22 @@ _OFF = "__gr_off"
 
 
 def _ranged_with_pid(
-    df: DataFrame, order_by: list[Column], num_partitions: int | None
+    df: DataFrame,
+    order_by: list[Column],
+    num_partitions: int | None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Range-partition on the order and tag each row with its partition id,
     materialized ONCE (lazy localCheckpoint) so every downstream subtree
     sees the identical pid assignment — see the module docstring for why
-    re-deriving the pid per branch is unsound."""
+    re-deriving the pid per branch is unsound. `materialize_input`: see
+    `global_row_number`."""
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+    if materialize_input:
+        df = df.localCheckpoint(eager=False)
     return (
         df.repartitionByRange(num_partitions, *order_by)
         .withColumn(_PID, F.spark_partition_id())
@@ -82,6 +92,7 @@ def global_row_number(
     order_by: list[Column],
     out_col: str = "rank",
     num_partitions: int | None = None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Add `out_col` = exact 1-based global row number under `order_by`.
 
@@ -102,11 +113,39 @@ def global_row_number(
     rows-in-earlier-partitions + local position either way. The
     nondeterministic id is safe here for the same reason the pid tag was:
     the lazy localCheckpoint materializes the tagged rows once and every
-    downstream subtree reads the same physical blocks."""
+    downstream subtree reads the same physical blocks.
+
+    `materialize_input` (round-12 W9, guide §1.2 "don't compute things
+    twice"): RangePartitioner's boundary-sampling job fully executes the
+    child, so the input subtree runs TWICE per call — once for the
+    sample, once for the shuffle map stage (measured exactly 2.0
+    evaluations per input row; tests/test_round12_opt.py::
+    test_rank_input_evaluated_once pins both modes). Whether that
+    matters depends on the input's shape, because Spark REUSES shuffle
+    map stages and broadcasts across the jobs of one execution:
+
+    - input WITH an exchange (a groupBy aggregate): the second run only
+      repeats the reduce side over already-written shuffle files —
+      cheap. Materializing regressed every aggregate-input caller
+      measured (vocab_coverage_curve +23%, audience_rfm_segments +15%
+      at sf0.1 — the persist costs more than the repeated reduce), so
+      the DEFAULT is False.
+    - MAP-ONLY input (a scoring pass straight off a scan): the second
+      run repeats the full scan + per-row work. `materialize_input=True`
+      makes the sampling pass double as a lazy-localCheckpoint
+      materialization and the shuffle reads the persisted blocks
+      (search_hybrid_rrf's two scoring passes measured −6% at sf0.1; at
+      scale it removes one full scan+score pass per call).
+
+    Rank values are boundary-independent (the offsets correct for
+    whatever partitioning the sampler draws), so results are identical
+    either way."""
     if num_partitions is None:
         num_partitions = int(
             df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
         )
+    if materialize_input:
+        df = df.localCheckpoint(eager=False)
     ranged = (
         df.repartitionByRange(num_partitions, *order_by)
         .sortWithinPartitions(*order_by)
@@ -139,6 +178,7 @@ def global_running_sums(
     order_by: list[Column],
     sum_cols: dict[str, str],
     num_partitions: int | None = None,
+    materialize_input: bool = False,
 ) -> DataFrame:
     """Add exact inclusive running sums under a global order, distributed.
 
@@ -150,9 +190,12 @@ def global_running_sums(
     `order_by` must be a total order for ties to be well-defined; callers
     that later collapse ties per key (e.g. ECDF steps taking the last
     running count per value) may order by the key alone IF every summed
-    column is tie-invariant under that collapse.
+    column is tie-invariant under that collapse. `materialize_input`:
+    see `global_row_number` — True only pays off for MAP-ONLY input
+    subtrees; every current consumer feeds an aggregate (whose shuffle
+    stage the sampling job reuses), so all stay at the False default.
     """
-    ranged = _ranged_with_pid(df, order_by, num_partitions)
+    ranged = _ranged_with_pid(df, order_by, num_partitions, materialize_input)
     totals = ranged.groupBy(_PID).agg(
         *[F.sum(src).alias(f"__t_{src}") for src in sum_cols]
     )

@@ -1172,7 +1172,12 @@ def eth_value_gini(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("gwei_raw"),
         F.col("hash").alias("h"),
     ).select(F.col("gwei_raw").alias("gwei"), "h")
-    ranked = global_row_number(v, [F.asc("gwei"), F.asc("h")], "rk")
+    # materialize_input (round-12 W9): the gwei projection is MAP-ONLY off
+    # the transactions scan, so the range-sampling job would re-run the
+    # scan + u256 decimal division per call otherwise.
+    ranked = global_row_number(
+        v, [F.asc("gwei"), F.asc("h")], "rk", materialize_input=True
+    )
     return ranked.agg(
         F.count(F.lit(1)).cast("bigint").alias("n_txs"),
         F.sum("gwei").cast("bigint").alias("total_gwei"),

@@ -689,7 +689,12 @@ def sample_systematic_every_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             "hk"
         ),
     )
-    ranked = global_row_number(keyed, [F.asc("hk"), F.asc("doc_id")], "rk")
+    # materialize_input (round-12 W9): the md5-keyed projection is
+    # MAP-ONLY off the documents scan, so the range-sampling job would
+    # re-run the scan + digest per call otherwise.
+    ranked = global_row_number(
+        keyed, [F.asc("hk"), F.asc("doc_id")], "rk", materialize_input=True
+    )
     picked = ranked.filter(F.col("rk") % 20 == 7)
     return picked.groupBy("source").agg(
         F.count(F.lit(1)).cast("bigint").alias("n_sampled"),

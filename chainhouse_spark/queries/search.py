@@ -263,12 +263,18 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _QUERY_TERMS
         ],
     )
+    # materialize_input (round-12 W9): both scoring passes are MAP-ONLY
+    # (scan + in-row folds + a reused broadcast), so without it the
+    # range-sampling job re-runs the whole tokenize/cosine pass per rank
+    # call — measured −6% at sf0.1, one full scan+score pass saved per
+    # call at scale.
     lex = global_row_number(
         stats.crossJoin(F.broadcast(g)).select(
             "doc_id", F.expr(_bm25_score_sql()).alias("score")
         ),
         [F.desc("score"), F.asc("doc_id")],
         "lex_rank",
+        materialize_input=True,
     ).select("doc_id", "lex_rank")
     # The query norm is evaluated once on the 1-row broadcast side and the
     # candidate norm once per corpus row (bit-identical to the per-pair
@@ -293,7 +299,10 @@ def search_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vec = global_row_number(
-        sims, [F.desc("cos_sim"), F.asc("doc_id")], "vec_rank"
+        sims,
+        [F.desc("cos_sim"), F.asc("doc_id")],
+        "vec_rank",
+        materialize_input=True,
     ).select("doc_id", "vec_rank")
     rrf = 1.0 / (F.lit(_RRF_K) + F.col("lex_rank")) + 1.0 / (
         F.lit(_RRF_K) + F.col("vec_rank")
@@ -742,12 +751,15 @@ def eval_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
             for t in _QUERY_TERMS
         ],
     )
+    # materialize_input: same map-only scoring passes as search_hybrid_rrf
+    # (round-12 W9) — the range-sampling job would re-run them otherwise.
     lex = global_row_number(
         stats.crossJoin(F.broadcast(g)).select(
             "doc_id", F.expr(_bm25_score_sql()).alias("score")
         ),
         [F.desc("score"), F.asc("doc_id")],
         "lex_rank",
+        materialize_input=True,
     ).select("doc_id", "lex_rank")
     # The query norm is evaluated once on the 1-row broadcast side and the
     # candidate norm once per corpus row (bit-identical to the per-pair
@@ -772,7 +784,10 @@ def eval_ranker_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     vec = global_row_number(
-        sims, [F.desc("cos_sim"), F.asc("doc_id")], "vec_rank"
+        sims,
+        [F.desc("cos_sim"), F.asc("doc_id")],
+        "vec_rank",
+        materialize_input=True,
     ).select("doc_id", "vec_rank")
     top = (
         lex.join(vec, "doc_id")
