@@ -434,21 +434,32 @@ def span_corruption_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
     independently (pure function of ids), which is what makes
     mid-epoch resumption cheap."""
     d = load_table(spark, sf_dir, "documents")
+    # Round-12: the short-doc cutoff is fused into the explode (empty
+    # array -> row dropped) instead of a .filter() on the projected
+    # n_tok — the pushed-down filter duplicated the split(text) tokenize
+    # into the Filter node below the projection (3 split occurrences in
+    # the physical plan -> 1; guide §4.4's double evaluation with pure
+    # SQL expressions). greatest(n_spans, 1) keeps the stride division
+    # ANSI-safe for the short docs the explode then drops; for every
+    # surviving doc n_spans >= 1, so the value is unchanged.
     e = (
         d.select(
             "doc_id",
             F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
         )
-        .filter(F.col("n_tok") >= _SPAN_EVERY)
         .withColumn("n_spans", F.expr(f"n_tok DIV {_SPAN_EVERY}"))
-        .withColumn("stride", F.expr("n_tok DIV n_spans"))
+        .withColumn("stride", F.expr("n_tok DIV greatest(n_spans, 1L)"))
     )
     return e.select(
         "doc_id",
         "n_tok",
-        F.explode(F.expr("sequence(0, CAST(n_spans - 1 AS INT))")).alias(
-            "span_idx"
-        ),
+        F.explode(
+            F.expr(
+                f"CASE WHEN n_tok >= {_SPAN_EVERY} "
+                "THEN sequence(0, CAST(n_spans - 1 AS INT)) "
+                "ELSE array() END"
+            )
+        ).alias("span_idx"),
         "stride",
     ).select(
         "doc_id",
@@ -509,22 +520,31 @@ def span_corruption_targets(spark: SparkSession, sf_dir: str) -> DataFrame:
     explode, one slice; ZERO shuffles. The targets for any shard
     regenerate independently (pure function of ids + text)."""
     d = load_table(spark, sf_dir, "documents")
+    # Round-12: same explode-fused cutoff as span_corruption_plan (the
+    # .filter() on projected n_tok duplicated split(text) into the Filter
+    # node — 4 split occurrences in the physical plan -> 2, and the
+    # remaining two sit in ONE Project where codegen subexpression
+    # elimination evaluates them once). greatest() keeps the stride
+    # division ANSI-safe; value unchanged for every surviving doc.
     e = (
         d.select(
             "doc_id",
             F.split("text", " ").alias("toks"),
             F.size(F.split("text", " ")).cast("bigint").alias("n_tok"),
         )
-        .filter(F.col("n_tok") >= _SPAN_EVERY)
         .withColumn("n_spans", F.expr(f"n_tok DIV {_SPAN_EVERY}"))
-        .withColumn("stride", F.expr("n_tok DIV n_spans"))
+        .withColumn("stride", F.expr("n_tok DIV greatest(n_spans, 1L)"))
     )
     placed = e.select(
         "doc_id",
         "toks",
-        F.explode(F.expr("sequence(0, CAST(n_spans - 1 AS INT))")).alias(
-            "span_idx"
-        ),
+        F.explode(
+            F.expr(
+                f"CASE WHEN n_tok >= {_SPAN_EVERY} "
+                "THEN sequence(0, CAST(n_spans - 1 AS INT)) "
+                "ELSE array() END"
+            )
+        ).alias("span_idx"),
         "stride",
     ).withColumn(
         "start_tok",

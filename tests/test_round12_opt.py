@@ -277,3 +277,60 @@ def test_rank_input_evaluated_once(spark):
     # flip (either way) shows up here
     assert probe("rank") == 2.0
     assert probe("sums") == 2.0
+
+
+def test_stream_bloom_probe_evaluated_once(spark, monkeypatch):
+    # Round-12 single-evaluation pin: a .filter() on the projected hit
+    # count gets pushed below the projection and DUPLICATES the whole
+    # shingle+md5+probe pipeline into the Filter node (batch-twin
+    # measurement: 1.587 -> 0.879 s). The shipped form applies the
+    # predicate via explode(filter(array(n), ...)): the analyzed plan
+    # must carry the md5 pipeline exactly once, inside a Generate, with
+    # NO Filter above the probe projection — without that filter shape
+    # the optimizer has nothing to push down and duplicate (a streaming
+    # DF cannot be optimizer-planned without starting it, so the pin
+    # lives on the analyzed plan; the doc-id split filter on the raw
+    # source column is the only Filter allowed).
+    import chainhouse_spark.queries.streaming_queries as sq
+
+    captured = {}
+    real = sq._run_to_table
+
+    def spy(stream_df, mode):
+        captured["plan"] = (
+            stream_df._jdf.queryExecution().analyzed().toString()
+        )
+        return real(stream_df, mode)
+
+    monkeypatch.setattr(sq, "_run_to_table", spy)
+    QUERIES["stream_decontaminate_bloom"](spark, SF)
+    plan = captured["plan"]
+    assert plan.count("md5(") == 1, plan
+    assert "Generate explode" in plan, plan
+    for line in plan.split("\n"):
+        if line.strip().startswith("Filter") or "+- Filter" in line:
+            assert "md5(" not in line, line
+            assert "% 97" in line, line  # only the raw doc-id split filter
+
+
+def test_span_corruption_tokenize_evaluated_once(spark):
+    # Same duplication class: the old .filter(n_tok >= k) on the
+    # projected token count pushed a second split(text) into a Filter
+    # node (3 occurrences in the plan for the plan query, 4 for targets).
+    # The shipped explode-fused cutoff leaves no Filter carrying split();
+    # the remaining occurrences sit in ONE Project where codegen
+    # subexpression elimination evaluates them once.
+    for name, max_splits in (
+        ("span_corruption_plan", 1),
+        ("span_corruption_targets", 2),
+    ):
+        plan = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        assert plan.count("split(text") <= max_splits, (name, plan)
+        for line in plan.split("\n"):
+            if "Filter" in line:
+                assert "split(text" not in line, (name, line)
