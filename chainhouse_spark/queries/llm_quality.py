@@ -324,21 +324,41 @@ def lm_bigram_perplexity_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     docs = d.select("doc_id", ws.alias("ws"))
     big = (
-        docs.filter(F.size("ws") >= 2)  # sequence(1, 0) would REVERSE
-        .select(
+        # Round-12: the >=2 guard (sequence(1, 0) would REVERSE) is fused
+        # into the explode instead of a .filter() on the projected token
+        # array — the pushed filter re-tokenized every document in the
+        # Filter node (the span_corruption / PMI duplication class).
+        docs.select(
             "doc_id",
             F.expr(
-                "explode(transform(sequence(1, size(ws) - 1), "
+                "explode(transform("
+                "CASE WHEN size(ws) >= 2 THEN sequence(1, size(ws) - 1) "
+                "ELSE array() END, "
                 "i -> struct(element_at(ws, i) AS w1, "
                 "element_at(ws, i + 1) AS w2)))"
             ).alias("pr"),
         )
         .select("doc_id", "pr.w1", "pr.w2")
     )
-    c12 = big.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("c12"))
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
+    # Round-12 W11: the context margin is the row-sum of the joint
+    # bigram counts (c1(w1) = Σ_w2 c12 — the marginalization identity),
+    # and the checkpointed joint table also feeds the scoring joins, so
+    # the corpus-wide bigram expansion runs once for training instead of
+    # twice (the scoring pass below still re-derives it with doc_id —
+    # that one genuinely needs per-instance rows).
+    c12 = (
+        big.groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("c12"))
+        .localCheckpoint(eager=False)
+    )
+    c1 = c12.groupBy("w1").agg(F.sum("c12").alias("c1"))
     vdf = (
-        docs.select(F.explode("ws").alias("w"))
+        # Inline generator (not explode of the projected attribute):
+        # InferFiltersFromGenerate's size(attr) > 0 filter for attribute
+        # generators pushes below the projection and re-tokenizes every
+        # document; the inline form hits the rule's SPARK-36715
+        # expensive-expression guard and stays single-pass (round-12 W11).
+        d.select(F.explode(ws).alias("w"))
         .agg(F.countDistinct("w").cast("double").alias("v"))
     )
     p = (F.col("c12").cast("double") + F.lit(0.5)) / (

@@ -447,24 +447,39 @@ def text_collocations_pmi(spark: SparkSession, sf_dir: str) -> DataFrame:
     ws = F.filter(F.split(F.col("text"), " "), lambda x: x != F.lit(""))
     big = (
         d.select(ws.alias("ws"))
-        .filter(F.size("ws") >= 2)  # sequence(1, 0) would REVERSE
+        # Round-12: the >=2 guard (sequence(1, 0) would REVERSE) is fused
+        # into the explode — a .filter() on the projected token array
+        # pushed below the projection and re-tokenized every document in
+        # the Filter node (split(text) 12 -> 8 plan occurrences; the
+        # remaining ones are per-branch, CSE'd within their Project).
         .select(
             F.expr(
-                "explode(transform(sequence(1, size(ws) - 1), "
+                "explode(transform("
+                "CASE WHEN size(ws) >= 2 THEN sequence(1, size(ws) - 1) "
+                "ELSE array() END, "
                 "i -> struct(element_at(ws, i) AS w1, "
                 "element_at(ws, i + 1) AS w2)))"
             ).alias("pr")
         )
         .select("pr.w1", "pr.w2")
     )
-    c12 = (
+    # Round-12 W11: margins and total are the row/column sums of the
+    # JOINT counts — c1(w1) = Σ_w2 c12, c2(w2) = Σ_w1 c12, n = Σ c12 —
+    # so one checkpointed joint-count table replaces three more
+    # tokenize+expansion passes over the corpus (4 -> 1 tokenize passes;
+    # the margin aggregates now shuffle the count-reduced distinct-bigram
+    # table, not corpus-sized bigram instances). Values identical by the
+    # marginalization identity; wall-neutral at sf0.1 (three interleaves:
+    # medians 0.630 vs 0.642 s), taken for the structural win.
+    c12_all = (
         big.groupBy("w1", "w2")
         .agg(F.count(F.lit(1)).alias("c"))
-        .filter(F.col("c") >= 5)
+        .localCheckpoint(eager=False)
     )
-    c1 = big.groupBy("w1").agg(F.count(F.lit(1)).alias("c1"))
-    c2 = big.groupBy("w2").agg(F.count(F.lit(1)).alias("c2"))
-    n = big.agg(F.count(F.lit(1)).cast("double").alias("n"))
+    c12 = c12_all.filter(F.col("c") >= 5)
+    c1 = c12_all.groupBy("w1").agg(F.sum("c").alias("c1"))
+    c2 = c12_all.groupBy("w2").agg(F.sum("c").alias("c2"))
+    n = c12_all.agg(F.sum("c").cast("double").alias("n"))
     # rounded DOUBLE, not DECIMAL: nothing is summed downstream, and the
     # 6-decimal round already absorbs the cross-engine log10 ulp — a
     # decimal output would only reintroduce scale-formatting mismatches.
@@ -1088,18 +1103,36 @@ def text_ngram_entropy_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
 
     ucnt = (
-        toks.select("lang", F.explode("t").alias("w"))
+        # Inline the token array in the generator (not explode of the
+        # projected attribute): InferFiltersFromGenerate adds a
+        # size(attr) > 0 filter for ATTRIBUTE generators, which pushes
+        # below the projection and re-tokenizes every document in a
+        # Filter node; for non-trivial inline generators the rule's
+        # SPARK-36715 guard skips the inference (round-12 W11).
+        d.select(
+            "lang",
+            F.explode(
+                F.filter(F.split(F.col("text"), " "), lambda x: x != "")
+            ).alias("w"),
+        )
         .groupBy("lang", "w")
         .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
     )
     h1 = _entropy(ucnt, "n_tokens", "n_unique_tokens", "h_unigram_bits")
     # size >= 2 guard: Spark's sequence(1, 0) REVERSES into [1, 0] instead
     # of being empty (the eval_retrieval_ndcg idcg gotcha); DuckDB's
-    # end-exclusive range(1, 1) is already empty, so the filter only
-    # removes rows the oracle never generates.
-    bi = toks.filter(F.size("t") >= 2).select(
+    # end-exclusive range(1, 1) is already empty. Round-12: the guard is
+    # fused into the explode (empty array drops the row) — as a .filter()
+    # on the projected token array it pushed below the projection and
+    # re-tokenized every document in the Filter node.
+    bi = toks.select(
         "lang",
-        F.explode(F.expr("sequence(1, size(t) - 1)")).alias("i"),
+        F.explode(
+            F.expr(
+                "CASE WHEN size(t) >= 2 THEN sequence(1, size(t) - 1) "
+                "ELSE array() END"
+            )
+        ).alias("i"),
         "t",
     ).select(
         "lang",

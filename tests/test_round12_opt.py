@@ -334,3 +334,27 @@ def test_span_corruption_tokenize_evaluated_once(spark):
         for line in plan.split("\n"):
             if "Filter" in line:
                 assert "split(text" not in line, (name, line)
+
+
+def test_bigram_queries_tokenize_not_in_filter(spark):
+    # Round-12 W11: the bigram family's >=2 token guard is fused into the
+    # explode — as a .filter() on the projected token array it pushed
+    # below the projection and re-tokenized every document in a Filter
+    # node (split occurrences in the plan: lm_bigram 8->5, pmi 8->4,
+    # entropy 4->3). Pin: no Filter node may carry the tokenize.
+    import re
+
+    for name in (
+        "text_ngram_entropy_rate",
+        "text_collocations_pmi",
+        "lm_bigram_perplexity_rank",
+    ):
+        plan = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.split("\n"):
+            if re.match(r"^[:+\-\s*]*\*?\(?\d*\)?\s*Filter ", line):
+                assert "split(text" not in line, (name, line)
