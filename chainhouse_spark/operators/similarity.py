@@ -143,6 +143,19 @@ def embedding_near_pairs(
         F.col(vec_col).alias("vb"),
         F.expr(norm_sql(vec_col)).alias("nb"),
     ).withColumn("salt", F.explode(F.expr(f"sequence(0, {salt - 1})")))
+    # Round-12 W12: the threshold is applied via explode(filter(array(
+    # cos), ...)) instead of .filter() on the projected cos_sim. The
+    # filter form let the optimizer pull the cosine into the JOIN
+    # CONDITION and keep a second copy in the output Project (2 dot
+    # folds per candidate), and its null-intolerant division made
+    # InferFiltersFromConstraints add isnotnull(<norm fold>) below each
+    # side's projection (2 norm folds per input ROW). Generate evaluates
+    # the cosine exactly once per candidate and the sides' norms once
+    # per row; a NULL cosine (zero-norm vectors) is dropped by filter()
+    # exactly as the >= comparison dropped it. Plan facts: SQRT norm
+    # folds 6 -> 2 (0 left in Filters), pair dot folds 2 -> 1; rows
+    # identical (see tests/test_round12_opt.py).
+    cos = cosine_prenorm_sql("va", "vb", "na", "nb")
     return (
         a.join(b, ["blk", "salt"])
         .filter(F.col("vec_a") < F.col("vec_b"))
@@ -150,9 +163,12 @@ def embedding_near_pairs(
             "blk",
             "vec_a",
             "vec_b",
-            F.expr(cosine_prenorm_sql("va", "vb", "na", "nb")).alias("cos_sim"),
+            F.explode(
+                F.expr(
+                    f"filter(array({cos}), c -> c >= CAST({threshold!r} AS DOUBLE))"
+                )
+            ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
     )
 
 
@@ -193,15 +209,22 @@ def embedding_cross_pairs(
         F.col(vec_col).alias("vb"),
         F.expr(norm_sql(vec_col)).alias("nb"),
     ).withColumn("salt", F.explode(F.expr(f"sequence(0, {salt - 1})")))
+    # Round-12 W12: same single-evaluation form as embedding_near_pairs —
+    # see the comment there (threshold out of the join condition, norms
+    # once per row, cosine once per candidate).
+    cos = cosine_prenorm_sql("va", "vb", "na", "nb")
     return (
         a.join(b, ["blk", "salt"])
         .select(
             "blk",
             "left_id",
             "right_id",
-            F.expr(cosine_prenorm_sql("va", "vb", "na", "nb")).alias("cos_sim"),
+            F.explode(
+                F.expr(
+                    f"filter(array({cos}), c -> c >= CAST({threshold!r} AS DOUBLE))"
+                )
+            ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= threshold)
     )
 
 

@@ -531,13 +531,19 @@ def embedding_random_projection(spark: SparkSession, sf_dir: str) -> DataFrame:
     surface posexplodes to (vec_id, j, p) rows: doubles stay typed doubles
     through the driver's float canonicalization (stringifying them would
     hit engine-specific float formatting; list cells would not hash)."""
-    from chainhouse_spark.operators.projection import project_signs
+    from chainhouse_spark.operators.projection import projection_sql
 
-    out = project_signs(
-        load_table(spark, sf_dir, "embeddings"), in_dims=DIMS, out_dims=16
-    )
-    return out.select(
-        "vec_id", F.posexplode("proj").alias("j", "p")
+    # Round-12 W12: posexplode the INLINE projection expression, not the
+    # projected attribute — InferFiltersFromGenerate adds size(attr) > 0
+    # for attribute generators, which pushes below the projection and
+    # re-runs the whole 16-fold JL projection in a Filter node per row;
+    # inline generators hit the rule's SPARK-36715 expensive-expression
+    # guard (fold-in-Filter 1 -> 0, fold-total 2 -> 1).
+    return load_table(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.posexplode(
+            F.expr(projection_sql("embedding", in_dims=DIMS, out_dims=16))
+        ).alias("j", "p"),
     ).withColumn("p", round9("p"))
 
 

@@ -636,15 +636,24 @@ def stream_semantic_decontaminate(spark: SparkSession, sf_dir: str) -> DataFrame
             F.expr(norm_sql("embedding")).alias("tn"),
         )
     )
+    # Round-12 W12: tau threshold via explode(filter(array(cos), ...)) —
+    # the .filter() form pulled the cosine into the stream-static join
+    # condition with a second copy in the Project, and its
+    # null-intolerant division made the optimizer infer isnotnull(<norm
+    # fold>) below both side projections (2 norm folds per row). Generate
+    # is stateless, so the streaming plan is unchanged otherwise. See
+    # operators/similarity.py::embedding_near_pairs.
+    cos = cosine_prenorm_sql("t_vec", "e_vec", "tn", "en")
     state = (
         train.join(F.broadcast(ev_static), "cell")
         .select(
             "train_id",
-            F.expr(cosine_prenorm_sql("t_vec", "e_vec", "tn", "en")).alias(
-                "cos_sim"
-            ),
+            F.explode(
+                F.expr(
+                    f"filter(array({cos}), c -> c >= CAST({_TAU!r} AS DOUBLE))"
+                )
+            ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= _TAU)
         .groupBy("train_id")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_eval_hits"),

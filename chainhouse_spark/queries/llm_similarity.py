@@ -748,17 +748,23 @@ def ann_range_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("embedding").alias("c_vec"),
         F.expr(norm_sql("embedding")).alias("cn"),
     )
+    # Round-12 W12: range threshold via explode(filter(array(cos), ...))
+    # — the .filter() form pulled the cosine into the join condition and
+    # kept a second copy in the Project (2 folds per candidate), and its
+    # null-intolerant division made the optimizer infer isnotnull(<norm
+    # fold>) below each side's projection (2 norm folds per row). See
+    # operators/similarity.py::embedding_near_pairs.
+    cos = cosine_prenorm_sql("q_vec", "c_vec", "qn", "cn")
     return (
         c.crossJoin(F.broadcast(q))
         .filter(F.col("cand_id") != F.col("query_id"))
         .select(
             "query_id",
             "cand_id",
-            F.expr(cosine_prenorm_sql("q_vec", "c_vec", "qn", "cn")).alias(
-                "cos_sim"
-            ),
+            F.explode(
+                F.expr(f"filter(array({cos}), c -> c >= CAST(0.3 AS DOUBLE))")
+            ).alias("cos_sim"),
         )
-        .filter(F.col("cos_sim") >= 0.3)
         .withColumn("cos_sim", round9("cos_sim"))
     )
 

@@ -358,3 +358,32 @@ def test_bigram_queries_tokenize_not_in_filter(spark):
         for line in plan.split("\n"):
             if re.match(r"^[:+\-\s*]*\*?\(?\d*\)?\s*Filter ", line):
                 assert "split(text" not in line, (name, line)
+
+
+def test_vector_folds_not_duplicated_into_filters(spark):
+    # Round-12 W12: cosine thresholds ride explode(filter(array(cos),..))
+    # instead of .filter() on the projected value — the filter form let
+    # the optimizer pull the fold into the join condition AND infer
+    # isnotnull(<norm fold>) below each side's projection, so every
+    # input row paid the 128-dim norm fold twice and every candidate the
+    # dot fold twice. Pin: no Filter node carries a zip_with fold in the
+    # pair/range/projection family (fold totals: near_pairs 6->3,
+    # contamination_semantic_cells 5->3, ann_range_search 6->3,
+    # embedding_random_projection 2->1).
+    import re
+
+    for name in (
+        "embedding_near_pairs",
+        "contamination_semantic_cells",
+        "ann_range_search",
+        "embedding_random_projection",
+    ):
+        plan = (
+            QUERIES[name](spark, SF)
+            ._jdf.queryExecution()
+            .executedPlan()
+            .toString()
+        )
+        for line in plan.split("\n"):
+            if re.match(r"^[:+\-\s*]*\*?\(?\d*\)?\s*Filter ", line):
+                assert "aggregate(zip_with" not in line, (name, line)
