@@ -60,7 +60,10 @@ def audience_overlap_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     per_user = e.groupBy("user_id").agg(
         F.array_sort(F.collect_set("event_type")).alias("types")
     )
-    per_user.cache()
+    # Lazy localCheckpoint, not .cache(): same materialize-once sharing
+    # for the two aggregates below, but no CacheManager entry left behind
+    # in a resident session (round-13).
+    per_user = per_user.localCheckpoint(eager=False)
     both = (
         per_user.select(
             F.explode(

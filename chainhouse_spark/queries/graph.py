@@ -118,8 +118,13 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
 def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Triangle count: wedges (a<b<c via id-ordered edges) closed against
     the edge set. Two hash joins; every triangle is counted exactly once
-    because edges are oriented low-id -> high-id."""
-    e = _edges(spark, sf_dir).cache()
+    because edges are oriented low-id -> high-id.
+
+    Lazy localCheckpoint, not .cache(): a CacheManager entry with no
+    paired unpersist outlives the query in a resident session (round-13;
+    the checkpoint blocks are freed when the RDD is GC'd), with the same
+    materialize-once semantics for the three-way self-join."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     wedges = e1.join(e2, F.col("e1.dst") == F.col("e2.src"))
     tri = wedges.join(
@@ -156,13 +161,19 @@ def graph_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     full top-k rank output stays available via this module's loop body and
     is exercised in the bench."""
     e = _edges(spark, sf_dir)
-    # Undirected: materialize both directions once.
+    # Undirected: materialize both directions once. Lazy localCheckpoints
+    # (not .cache(): no CacheManager entry to leak in a resident session);
+    # the deg.count() below materializes both in one job.
     edges = (
         e.select("src", "dst")
         .unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-        .cache()
+        .localCheckpoint(eager=False)
     )
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("degree")).cache()
+    deg = (
+        edges.groupBy("src")
+        .agg(F.count(F.lit(1)).alias("degree"))
+        .localCheckpoint(eager=False)
+    )
     n_nodes = deg.count()
     ranks = deg.select("src", F.lit(1.0 / n_nodes).alias("rank"))
     for i in range(5):
@@ -294,8 +305,9 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     linearly with |nodes|) joins back equi-keyed with the broadcast-vs-
     shuffle choice left to AQE — never force-broadcast.
     Jaccard is a single division of exact integers. Top-20 is an ordered
-    limit, never a global sort."""
-    e = _edges(spark, sf_dir).cache()
+    limit, never a global sort. Lazy localCheckpoint on the shared edge
+    table (not .cache() — no unpaired CacheManager entry, round-13)."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
     und = e.unionAll(e.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     deg = und.groupBy(F.col("src").alias("node")).agg(
         F.count(F.lit(1)).cast("bigint").alias("d")
@@ -699,8 +711,10 @@ def graph_local_clustering(spark: SparkSession, sf_dir: str) -> DataFrame:
     quantized values is the one double (identical operand multisets in
     both engines, and bands are disjoint so the sums are small). The
     triangle join is the scale cost: edges oriented low->high bound each
-    join key's fanout by the max out-degree."""
-    e = _edges(spark, sf_dir).cache()
+    join key's fanout by the max out-degree. Lazy localCheckpoint on the
+    shared edge table (not .cache() — no unpaired CacheManager entry,
+    round-13)."""
+    e = _edges(spark, sf_dir).localCheckpoint(eager=False)
     e1, e2, e3 = e.alias("e1"), e.alias("e2"), e.alias("e3")
     tri = (
         e1.join(e2, F.col("e1.dst") == F.col("e2.src"))

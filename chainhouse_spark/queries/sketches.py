@@ -92,7 +92,10 @@ def sketch_hll_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n_orders"),
         F.countDistinct("o_custkey").alias("exact_customers"),
     )
-    per_source.cache()
+    # Lazy localCheckpoint, not .cache(): the per/merged branches share one
+    # materialization without leaving a CacheManager entry behind in a
+    # resident session (round-13).
+    per_source = per_source.localCheckpoint(eager=False)
     per = per_source.select(
         "o_orderpriority",
         F.expr("hll_sketch_estimate(sk)").cast("bigint").alias("approx_customers"),

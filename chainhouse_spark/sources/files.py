@@ -60,11 +60,13 @@ def split_quarantine(df: DataFrame) -> tuple[DataFrame, DataFrame]:
 
     Spark refuses queries that reference ONLY `_corrupt_record` on a raw
     file source (the column exists only during parsing), so the split
-    caches the parsed frame first — one parse feeding both branches, which
-    is also the efficient shape: quarantining should never re-read the
-    landing zone.
+    materializes the parsed frame first — one parse feeding both branches,
+    which is also the efficient shape: quarantining should never re-read
+    the landing zone. Lazy localCheckpoint, not .cache(): the branches
+    read materialized rows (no raw-source reference left in their plans),
+    and no CacheManager entry outlives the caller (round-13).
     """
-    df = df.cache()
+    df = df.localCheckpoint(eager=False)
     clean = df.filter(df[CORRUPT_COL].isNull()).drop(CORRUPT_COL)
     bad = df.filter(df[CORRUPT_COL].isNotNull()).select(CORRUPT_COL)
     return clean, bad
