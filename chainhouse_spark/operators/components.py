@@ -15,8 +15,11 @@ Spark mechanics that matter at scale:
   doubles every iteration and the job dies on planning time, the classic
   iterative-DataFrame mistake;
 - the convergence check is one union + groupBy aggregate per round
-  (`_changed_nodes` / `_edge_set_diff`) — a single map-side-combinable
-  exchange, never a join of the two generations.
+  (`_changed_nodes` for the label loop, `_non_star_nodes` for the star
+  loop) — a single map-side-combinable exchange, never a join of the two
+  generations; the star loop's check reads ONE generation and exits on
+  the first star-forest round, one full round before a generation diff
+  could.
 
 Iterative -> not SQL-expressible as one query in Spark, but the fixpoint IS
 expressible as a recursive CTE in DuckDB, so the cluster query in
@@ -53,12 +56,50 @@ def _edge_set_diff(e_new: DataFrame, e: DataFrame) -> DataFrame:
     round, ~1/3 of a star round's shuffle volume); this is one
     map-side-combinable aggregate (round-12, guide §2.2). Requires both
     inputs deduplicated — the star loop guarantees that with .distinct()
-    on every half-step."""
+    on every half-step. (Round-13: the star loop's convergence check is
+    now `_non_star_nodes`, which looks at one generation only and fires a
+    round earlier; this diff stays as the generic two-generation set
+    compare and the equivalence baseline the tests pin against.)"""
     return (
         e_new.union(e)
         .groupBy("u", "v")
         .agg(F.count(F.lit(1)).alias("__c"))
         .filter(F.col("__c") == 1)
+    )
+
+
+def _non_star_nodes(e: DataFrame) -> DataFrame:
+    """Nodes that appear as BOTH a source (u) and a target (v) of the
+    big->small oriented edge set — EMPTY iff `e` is a star forest, i.e.
+    every edge points directly at its component's root.
+
+    Round-13 convergence check for the alternating-star loop, replacing
+    the `_edge_set_diff(e_new, e)` comparison (guide §2.2/§1.2):
+
+    - star forest => fixpoint: with every edge (u, r), u > r and r never
+      a source, large-star reproduces each (u, r) from center r (m =
+      least(r, min children) = r) and emits nothing from child centers
+      (their only neighbor r is smaller), and small-star maps each u to
+      mins2(u) = r — the round is the identity, so exiting here returns
+      the exact edge set the generation-diff loop would return after one
+      MORE confirming round.
+    - fixpoint reached => star forest: the loop's half-steps preserve
+      connectivity and big->small orientation, so a stable generation
+      with some node x both source and target (edges (x, a), (b, x),
+      a < x < b) cannot survive large-star — center x re-points b at
+      m <= a < x, changing the set.
+
+    So the check fires exactly one round EARLIER than the diff (the
+    converged round's two joins, two distincts and checkpoints are never
+    built), examines ONE generation instead of two (half the check's
+    shuffle rows, and narrower), and is still one map-side-combinable
+    exchange. Requires the loop's invariant orientation u > v."""
+    return (
+        e.select(F.col("u").alias("node"), F.lit(1).alias("s"), F.lit(0).alias("d"))
+        .union(e.select(F.col("v").alias("node"), F.lit(0).alias("s"), F.lit(1).alias("d")))
+        .groupBy("node")
+        .agg((F.max("s") + F.max("d") == 2).alias("__b"))
+        .filter(F.col("__b"))
     )
 
 
@@ -178,9 +219,13 @@ def connected_components_star(
             .distinct()
             .localCheckpoint(eager=False)
         )
-        changed = _edge_set_diff(e_new, e).limit(1).count()
+        # Round-13: star-forest test on e_new alone — fires one round
+        # earlier than diffing against e (see _non_star_nodes), and this
+        # count is still the ONE job that materializes the round's lazy
+        # checkpoints.
+        not_star = _non_star_nodes(e_new).limit(1).count()
         e = e_new
-        if changed == 0:
+        if not_star == 0:
             break
     roots = e.select(F.col("v").alias("node")).subtract(
         e.select(F.col("u").alias("node"))

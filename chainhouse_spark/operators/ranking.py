@@ -173,28 +173,69 @@ def global_row_number(
     )
 
 
+_BLK = "__gr_blk"
+
+
 def global_running_sums(
     df: DataFrame,
     order_by: list[Column],
     sum_cols: dict[str, str],
     num_partitions: int | None = None,
     materialize_input: bool = False,
+    block_key: str | None = None,
 ) -> DataFrame:
     """Add exact inclusive running sums under a global order, distributed.
 
     `sum_cols` maps input column -> output column; each output is
     SUM(input) over rows ordered at-or-before the current row (inclusive
-    prefix sum). Same two-phase shape as `global_row_number`: range
-    partition on the order, tiny per-partition totals -> cumulative
-    offsets (constant-size window), local running sum per partition.
-    `order_by` must be a total order for ties to be well-defined; callers
-    that later collapse ties per key (e.g. ECDF steps taking the last
-    running count per value) may order by the key alone IF every summed
-    column is tie-invariant under that collapse. `materialize_input`:
-    see `global_row_number` — True only pays off for MAP-ONLY input
-    subtrees; every current consumer feeds an aggregate (whose shuffle
-    stage the sampling job reuses), so all stay at the False default.
+    prefix sum). `order_by` must be a total order for ties to be
+    well-defined; callers that later collapse ties per key (e.g. ECDF
+    steps taking the last running count per value) may order by the key
+    alone IF every summed column is tie-invariant under that collapse.
+
+    Two forms (round-13, guide §2.4):
+
+    `block_key=None` — the round-5 two-phase shape: range partition on
+    the order, pid tag, lazy localCheckpoint (pid consistency between
+    the offsets and main subtrees — see the module docstring), tiny
+    per-partition totals -> cumulative offsets, local running sum from a
+    window PARTITIONED by pid. The checkpoint hides the range
+    partitioning from EnsureRequirements, so that window costs a SECOND
+    full-data Exchange (hash on pid) + Sort after the range exchange and
+    the checkpoint write — three full-data passes over the network/disk
+    per call.
+
+    `block_key="col"` — `col` must be the LEADING `order_by` expression,
+    ASCENDING, numeric, and never-null-unless-the-data-has-null-keys
+    (every caller in this repo orders by a post-groupBy key, so the key
+    is unique and the order total). The operator collects ~4x
+    `num_partitions` approximate quantile boundaries of the key (one
+    thin driver action over the key column only — the same pass the
+    range partitioner's sampler would have run) and derives a
+    DETERMINISTIC contiguous block id per row: `blk = #{boundaries < x}`
+    (nulls -> block 0, Spark's ASC NULLS FIRST). Determinism is the
+    point: both subtrees re-derive bit-identical block ids from the
+    parquet rows, so NO checkpoint is needed for consistency, and the
+    per-block totals (map-side partial aggregate — the exchange carries
+    ~n_blocks rows) plus ONE hash exchange feeding the block-partitioned
+    window are the only shuffles. Plan diff vs the None form: full-data
+    exchanges 2 -> 1, full-data checkpoint write removed, sampler job
+    replaced by the quantile action. Results are boundary-independent
+    (offsets correct for whatever blocks the quantiles draw), exactly as
+    ranks are in `global_row_number`. Skew caveat: all ties of one key
+    value land in one block, so a tie-heavy leading key (e.g. Zipf
+    counts) needs a tie-broken unique key instead — vocab_coverage_curve
+    passes its rank column for exactly that reason.
+
+    `materialize_input`: see `global_row_number` — True only pays off
+    for MAP-ONLY input subtrees; every current consumer feeds an
+    aggregate (whose shuffle stage the sampling/quantile job reuses), so
+    all stay at the False default.
     """
+    if block_key is not None:
+        return _block_running_sums(
+            df, order_by, sum_cols, num_partitions, materialize_input, block_key
+        )
     ranged = _ranged_with_pid(df, order_by, num_partitions, materialize_input)
     totals = ranged.groupBy(_PID).agg(
         *[F.sum(src).alias(f"__t_{src}") for src in sum_cols]
@@ -220,3 +261,64 @@ def global_running_sums(
             dst, F.sum(src).over(local) + F.col(f"__o_{src}")
         )
     return out.drop(_PID, *[f"__o_{src}" for src in sum_cols])
+
+
+def _block_running_sums(
+    df: DataFrame,
+    order_by: list[Column],
+    sum_cols: dict[str, str],
+    num_partitions: int | None,
+    materialize_input: bool,
+    block_key: str,
+) -> DataFrame:
+    """`global_running_sums` block-quantile form — see its docstring."""
+    if num_partitions is None:
+        num_partitions = int(
+            df.sparkSession.conf.get("spark.sql.shuffle.partitions", "32")
+        )
+    # The input is ALWAYS lazily checkpointed here (so `materialize_input`
+    # is implied): the quantile action below executes the input anyway, so
+    # the checkpoint materializes for free, the totals and window subtrees
+    # read the same physical blocks instead of re-deriving the input once
+    # each (a chained call — survival's curve-over-steps — would otherwise
+    # replicate the first call's whole tree into every branch of the
+    # second), and the lineage cut keeps iterative/chained plans bounded
+    # exactly as the range-partitioned checkpoint did.
+    df = df.localCheckpoint(eager=False)
+    n_blocks = 4 * num_partitions
+    probs = [i / n_blocks for i in range(1, n_blocks)]
+    # One thin pass over the key column; boundaries become literals, so
+    # the block id below is a deterministic pure-row function.
+    bounds = df.stat.approxQuantile(block_key, probs, 1.0 / (4 * n_blocks))
+    bounds = sorted({b for b in bounds if b == b})  # dedupe, drop NaN
+    if bounds:
+        barr = F.array(*[F.lit(float(b)) for b in bounds])
+        key = F.col(block_key).cast("double")
+        blk = F.size(F.filter(barr, lambda b: b < key))
+    else:
+        blk = F.lit(0)
+    blocked = df.withColumn(_BLK, blk)
+    totals = blocked.groupBy(_BLK).agg(
+        *[F.sum(src).alias(f"__t_{src}") for src in sum_cols]
+    )
+    w_off = Window.orderBy(_BLK).rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        _BLK,
+        *[
+            F.coalesce(F.sum(f"__t_{src}").over(w_off), F.lit(0)).alias(
+                f"__o_{src}"
+            )
+            for src in sum_cols
+        ],
+    )
+    local = (
+        Window.partitionBy(_BLK)
+        .orderBy(*order_by)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    out = blocked.join(F.broadcast(offsets), _BLK)
+    for src, dst in sum_cols.items():
+        out = out.withColumn(
+            dst, F.sum(src).over(local) + F.col(f"__o_{src}")
+        )
+    return out.drop(_BLK, *[f"__o_{src}" for src in sum_cols])

@@ -1215,7 +1215,12 @@ def vocab_coverage_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     order = [F.desc("c"), F.asc("token")]
     ranked = global_row_number(cnt, order, out_col="vocab_size")
-    summed = global_running_sums(ranked, order, {"c": "cum_count"})
+    # Prefix-sum over the RANK (same total order as `order`, but unique
+    # and ascending) so the block-quantile form applies — Zipf counts are
+    # exactly the tie-heavy key its docstring warns about (round-13).
+    summed = global_running_sums(
+        ranked, [F.asc("vocab_size")], {"c": "cum_count"}, block_key="vocab_size"
+    )
     total = cnt.agg(F.sum("c").cast("bigint").alias("total_tokens"))
     return (
         summed.filter(F.col("vocab_size") <= 1000)
